@@ -1,0 +1,31 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture()
+def tmp_store(tmp_path):
+    from weiser_ai_ray.state import ParquetMetricStore
+
+    return ParquetMetricStore(str(tmp_path / "metrics"))
+
+
+SF_DIR = "/root/testdata/sf0.001"

@@ -1,0 +1,161 @@
+"""Check engine vs DuckDB over the driver-generated sf0.001 tables:
+every check type, pass AND fail sides, dimensions, filter,
+time_dimension, multi-dataset fan-out — mirroring the reference's
+pass/fail-pair test style (/root/reference/tests/unit/test_checks.py)."""
+
+import duckdb
+import pytest
+
+from weiser_ai_ray.checks import CHECK_TYPE_MAP, CheckFactory
+from weiser_ai_ray.models import Check
+from weiser_ai_ray.sources import ParquetCatalog
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def catalog():
+    return ParquetCatalog(root=SF_DIR)
+
+
+def duck(sql):
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer", "events", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con.execute(sql).fetchall()
+
+
+def run_check(catalog, store, **kw):
+    chk = CheckFactory.create_check("run-t", Check(**kw), catalog, "default", store)
+    return chk.run(False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestChecks:
+    def test_row_count_pass_and_fail(self, catalog, tmp_store):
+        n = duck("SELECT count(*) FROM orders")[0][0]
+        r = run_check(catalog, tmp_store, name="c", type="row_count", dataset="orders",
+                      condition="gt", threshold=0)
+        assert r[0]["actual_value"] == n and r[0]["success"]
+        r = run_check(catalog, tmp_store, name="c", type="row_count", dataset="orders",
+                      condition="gt", threshold=n + 1)
+        assert not r[0]["success"] and r[0]["fail"]
+
+    def test_sum_min_max(self, catalog, tmp_store):
+        want_sum, want_min, want_max = duck(
+            "SELECT sum(l_quantity), min(l_quantity), max(l_quantity) FROM lineitem"
+        )[0]
+        for typ, want in (("sum", want_sum), ("min", want_min), ("max", want_max)):
+            r = run_check(catalog, tmp_store, name="c", type=typ, dataset="lineitem",
+                          measure="l_quantity", condition="gt", threshold=-1)
+            assert r[0]["actual_value"] == pytest.approx(want, rel=1e-9)
+
+    def test_numeric_expression(self, catalog, tmp_store):
+        want = duck("SELECT sum(l_extendedprice * (1 - l_discount)) FROM lineitem")[0][0]
+        r = run_check(catalog, tmp_store, name="c", type="numeric", dataset="lineitem",
+                      measure="sum(l_extendedprice * (1 - l_discount))",
+                      condition="gt", threshold=0)
+        assert r[0]["actual_value"] == pytest.approx(want, rel=1e-9)
+
+    def test_numeric_avg_and_ratio(self, catalog, tmp_store):
+        want = duck("SELECT avg(o_totalprice) FROM orders")[0][0]
+        r = run_check(catalog, tmp_store, name="c", type="numeric", dataset="orders",
+                      measure="avg(o_totalprice)", condition="gt", threshold=0)
+        assert r[0]["actual_value"] == pytest.approx(want, rel=1e-9)
+        want = duck("SELECT sum(o_totalprice) / count(*) FROM orders")[0][0]
+        r = run_check(catalog, tmp_store, name="c", type="numeric", dataset="orders",
+                      measure="sum(o_totalprice) / count(*)", condition="gt", threshold=0)
+        assert r[0]["actual_value"] == pytest.approx(want, rel=1e-9)
+
+    def test_count_distinct(self, catalog, tmp_store):
+        want = duck("SELECT count(distinct o_custkey) FROM orders")[0][0]
+        r = run_check(catalog, tmp_store, name="c", type="numeric", dataset="orders",
+                      measure="count(distinct o_custkey)", condition="gt", threshold=0)
+        assert r[0]["actual_value"] == want
+
+    def test_filter(self, catalog, tmp_store):
+        want = duck("SELECT count(*) FROM orders WHERE o_totalprice > 100000")[0][0]
+        r = run_check(catalog, tmp_store, name="c", type="row_count", dataset="orders",
+                      filter="o_totalprice > 100000", condition="gt", threshold=-1)
+        assert r[0]["actual_value"] == want
+
+    def test_dimensions_grouped(self, catalog, tmp_store):
+        want = dict(duck("SELECT o_orderstatus, count(*) FROM orders GROUP BY 1"))
+        r = run_check(catalog, tmp_store, name="grp", type="row_count", dataset="orders",
+                      dimensions=["o_orderstatus"], condition="gt", threshold=0)
+        assert len(r) == len(want)
+        for rec in r:
+            status = rec["name"].split("_")[-1]
+            assert rec["actual_value"] == want[status]
+            assert rec["name"].startswith("grp_o_orderstatus_")
+
+    def test_time_dimension(self, catalog, tmp_store):
+        want = duck(
+            "SELECT date_trunc('year', o_orderdate) g, sum(o_totalprice)"
+            " FROM orders GROUP BY 1 ORDER BY 1"
+        )
+        r = run_check(catalog, tmp_store, name="td", type="sum", dataset="orders",
+                      measure="o_totalprice",
+                      time_dimension={"name": "o_orderdate", "granularity": "year"},
+                      condition="gt", threshold=0)
+        assert len(r) == len(want)
+        got = sorted(rec["actual_value"] for rec in r)
+        assert got == pytest.approx(sorted(w[1] for w in want), rel=1e-9)
+        assert all("o_orderdate_year" in rec["name"] for rec in r)
+
+    def test_not_empty(self, catalog, tmp_store):
+        r = run_check(catalog, tmp_store, name="ne", type="not_empty", dataset="events",
+                      dimensions=["user_id", "event_type"], condition="le", threshold=0)
+        assert len(r) == 2
+        names = {rec["name"] for rec in r}
+        assert names == {"ne_user_id_not_empty", "ne_event_type_not_empty"}
+        want_u = duck("SELECT sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) FROM events")[0][0]
+        by_name = {rec["name"]: rec for rec in r}
+        assert by_name["ne_user_id_not_empty"]["actual_value"] == want_u
+
+    def test_not_empty_requires_dimension(self, catalog, tmp_store):
+        with pytest.raises(ValueError):
+            run_check(catalog, tmp_store, name="ne", type="not_empty", dataset="events",
+                      condition="le", threshold=0)
+
+    def test_not_empty_pct(self, catalog, tmp_store):
+        want = duck(
+            "SELECT CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS FLOAT)"
+            " / count(*) FROM events"
+        )[0][0]
+        r = run_check(catalog, tmp_store, name="ne", type="not_empty_pct", dataset="events",
+                      dimensions=["user_id"], condition="le", threshold=1.0)
+        assert r[0]["actual_value"] == pytest.approx(want, abs=1e-9)
+        assert r[0]["name"] == "ne_user_id_not_empty_pct"
+
+    def test_multi_dataset_fanout(self, catalog, tmp_store):
+        r = run_check(catalog, tmp_store, name="c", type="row_count",
+                      dataset=["orders", "lineitem"], condition="gt", threshold=0)
+        assert len(r) == 2
+        assert {rec["dataset"] for rec in r} == {"orders", "lineitem"}
+        # distinct datasets -> distinct lineage ids (base.py:72-81)
+        assert r[0]["check_id"] != r[1]["check_id"]
+
+    def test_between_check(self, catalog, tmp_store):
+        n = duck("SELECT count(*) FROM orders")[0][0]
+        r = run_check(catalog, tmp_store, name="c", type="row_count", dataset="orders",
+                      condition="between", threshold=[n - 1, n + 1])
+        assert r[0]["success"]
+        r = run_check(catalog, tmp_store, name="c", type="row_count", dataset="orders",
+                      condition="between", threshold=[0, n - 1])
+        assert not r[0]["success"]
+
+    def test_unknown_type_raises(self, catalog, tmp_store):
+        # pydantic rejects unknown enum values (reference factory raises
+        # "Check Type ... not implemented yet", checks/__init__.py:44-47)
+        with pytest.raises(Exception):
+            Check(name="x", dataset="d", type="nonsense")
+        assert len(CHECK_TYPE_MAP) == 9
+
+    def test_metric_record_fields(self, catalog, tmp_store):
+        r = run_check(catalog, tmp_store, name="c", type="row_count", dataset="orders",
+                      condition="gt", threshold=0)
+        rec = r[0]
+        assert len(rec["check_id"]) == 64
+        assert rec["datasource"] == "default"
+        assert rec["run_id"] == "run-t"
+        assert rec["sql"].startswith("SELECT COUNT(*) FROM orders")

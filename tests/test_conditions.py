@@ -1,0 +1,115 @@
+"""Condition-algebra parity table straight from the reference
+(/root/reference/weiser/checks/base.py:46-70) plus naming/id parity."""
+
+import numpy as np
+import pytest
+
+from weiser_ai_ray.conditions import (
+    apply_condition,
+    apply_condition_vector,
+    generate_check_id,
+    grouped_result_name,
+    metric_row_id,
+    snake_case,
+    threshold_to_columns,
+    time_dimension_alias,
+)
+
+
+@pytest.mark.parametrize(
+    "value,condition,threshold,expected",
+    [
+        (5, "gt", 4, True),
+        (5, "gt", 5, False),
+        (5, "ge", 5, True),
+        (4, "ge", 5, False),
+        (3, "lt", 4, True),
+        (4, "lt", 4, False),
+        (4, "le", 4, True),
+        (5, "le", 4, False),
+        (4, "eq", 4, True),
+        (4.0, "eq", 4, True),
+        (5, "eq", 4, False),
+        (5, "neq", 4, True),
+        (4, "neq", 4, False),
+        (5, "between", [4, 6], True),
+        (4, "between", [4, 6], True),
+        (6, "between", [4, 6], True),
+        (3, "between", [4, 6], False),
+        (7, "between", [4, 6], False),
+    ],
+)
+def test_apply_condition(value, condition, threshold, expected):
+    assert apply_condition(value, condition, threshold) is expected
+
+
+def test_condition_none_fails():
+    # base.py:49-50 — a NULL result always fails
+    for cond in ("gt", "ge", "lt", "le", "eq", "neq", "between"):
+        assert apply_condition(None, cond, 1) is False
+
+
+def test_between_requires_two_elements():
+    with pytest.raises(ValueError):
+        apply_condition(5, "between", [4])
+    with pytest.raises(ValueError):
+        apply_condition(5, "between", 4)
+
+
+def test_vector_matches_scalar():
+    vals = [0.0, 1.0, 2.5, 4.0, 5.0, 6.0, float("nan")]
+    for cond, thr in [("gt", 2.5), ("ge", 2.5), ("lt", 2.5), ("le", 2.5),
+                      ("eq", 4.0), ("neq", 4.0), ("between", [1.0, 5.0])]:
+        vec = apply_condition_vector(np.array(vals), cond, thr)
+        for v, got in zip(vals, vec):
+            want = apply_condition(None if np.isnan(v) else v, cond, thr)
+            assert bool(got) == want, (cond, thr, v)
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("order-date day", "order_date_day"),
+        ("OrderDate month", "order_date_month"),
+        ("created_at year", "created_at_year"),
+        ("HTTPStatus hour", "http_status_hour"),
+    ],
+)
+def test_snake_case(raw, expected):
+    # reference base.py:31-38
+    assert snake_case(raw) == expected
+
+
+def test_time_dimension_alias():
+    assert time_dimension_alias("o_orderdate", "year") == "o_orderdate_year"
+
+
+def test_check_id_stable_sha256():
+    cid = generate_check_id("default", "my_check", "orders")
+    assert cid == generate_check_id("default", "my_check", "orders")
+    assert len(cid) == 64
+    # concatenation semantics: ds||name||dataset, each utf-8 encoded
+    import hashlib
+
+    m = hashlib.sha256()
+    for part in ("default", "my_check", "orders"):
+        m.update(part.encode())
+    assert cid == m.hexdigest()
+
+
+def test_metric_row_id_deterministic_31bit():
+    i1 = metric_row_id("c", "r", "t")
+    assert 0 <= i1 < 2**31
+    assert i1 == metric_row_id("c", "r", "t")
+    assert i1 != metric_row_id("c", "r2", "t")
+
+
+def test_grouped_result_name():
+    # base.py:97-111: name_dim1_v1_dim2_v2
+    assert grouped_result_name("chk", ["a", "b"], [1, "x"]) == "chk_a_1_b_x"
+
+
+def test_threshold_columns():
+    assert threshold_to_columns(5) == (5.0, None)
+    assert threshold_to_columns([1, 2]) == (None, "[1.0, 2.0]")
+    assert threshold_to_columns(None) == (None, None)

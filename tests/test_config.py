@@ -1,0 +1,89 @@
+"""Config loader: YAML, Jinja2 templating, includes merge + cycle guard,
+pydantic validation — mirroring reference tests
+(/root/reference/tests/unit/test_config.py style)."""
+
+import pytest
+import yaml
+
+from weiser_ai_ray.loader import load_config
+from weiser_ai_ray.models import BaseConfig, Check
+
+
+def write(p, obj):
+    p.write_text(yaml.safe_dump(obj))
+
+
+BASE = {
+    "version": 1,
+    "checks": [
+        {
+            "name": "cnt",
+            "type": "row_count",
+            "dataset": "orders",
+            "condition": "gt",
+            "threshold": 0,
+        }
+    ],
+    "datasources": [{"name": "default", "type": "parquet", "root": "/tmp"}],
+}
+
+
+def test_load_simple(tmp_path):
+    write(tmp_path / "c.yaml", BASE)
+    cfg = load_config(str(tmp_path / "c.yaml"))
+    assert len(cfg["checks"]) == 1
+    bc = BaseConfig(**cfg)
+    assert bc.checks[0].name == "cnt"
+
+
+def test_missing_file_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        load_config(str(tmp_path / "nope.yaml"))
+
+
+def test_jinja_templating(tmp_path):
+    text = yaml.safe_dump(BASE).replace("orders", "{{ TABLE }}")
+    (tmp_path / "c.yaml").write_text(text)
+    cfg = load_config(str(tmp_path / "c.yaml"), context={"TABLE": "lineitem"})
+    assert cfg["checks"][0]["dataset"] == "lineitem"
+
+
+def test_includes_merge_and_cycle_guard(tmp_path):
+    child = dict(BASE)
+    child["checks"] = [dict(BASE["checks"][0], name="cnt2")]
+    # child includes parent back -> cycle must not loop
+    child["includes"] = ["parent.yaml"]
+    write(tmp_path / "child.yaml", child)
+    parent = dict(BASE)
+    parent["includes"] = ["child.yaml", "child.yaml"]
+    write(tmp_path / "parent.yaml", parent)
+    cfg = load_config(str(tmp_path / "parent.yaml"))
+    names = [c["name"] for c in cfg["checks"]]
+    assert names.count("cnt2") == 1
+    assert names.count("cnt") == 1
+
+
+def test_glob_loading(tmp_path):
+    write(tmp_path / "a.yaml", BASE)
+    b = dict(BASE)
+    b["checks"] = [dict(BASE["checks"][0], name="other")]
+    write(tmp_path / "b.yaml", b)
+    cfg = load_config(str(tmp_path / "*.yaml"))
+    assert len(cfg["checks"]) == 2
+
+
+def test_check_defaults():
+    c = Check(name="x", dataset="orders")
+    assert c.type == "numeric"
+    assert c.datasource == "default"
+    assert c.threshold == 0
+
+
+def test_between_threshold_list():
+    c = Check(name="x", dataset="d", condition="between", threshold=[1, 2])
+    assert c.threshold == [1, 2]
+
+
+def test_unknown_check_type_rejected():
+    with pytest.raises(Exception):
+        Check(name="x", dataset="d", type="nonsense")

@@ -1,0 +1,23 @@
+"""weiser_ai_ray — a Ray-Data-native corpus quality / data-quality engine.
+
+Brand-new implementation (not a port) of the check semantics of the
+weiser-ai reference (declarative YAML checks, gt/lt/between conditions,
+per-check metric records with lineage, anomaly thresholds, metric store)
+recast as streaming per-file quality filters over Parquet corpora using
+ray.data.Dataset + map_batches over zero-copy Arrow batches.
+
+Layout:
+  models.py       pydantic config models (Check/Condition/... vocabulary
+                  parity with /root/reference/weiser/loader/models.py)
+  conditions.py   condition algebra, snake_case, check_id hashing
+  exprs.py        SQL-ish expression compiler -> pyarrow.compute
+  loader/         YAML + Jinja2 + includes config loader
+  checks/         check engine over Ray Datasets (row_count/sum/min/...)
+  state/          Parquet metric store + partition manifest (resume)
+  stages/         corpus pipeline stages (heuristics, scrub, langid, ppl)
+  pipelines/      quality filter, dedup, similarity, text stats
+  fixtures/       deterministic synthetic corpus generator
+  oracle.py       pure-python reference labeler (golden labels)
+"""
+
+__version__ = "0.1.0"

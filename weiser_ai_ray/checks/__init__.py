@@ -1,0 +1,45 @@
+"""Check registry + factory (reference weiser/checks/__init__.py:20-47)."""
+
+from __future__ import annotations
+
+from ..models import Check, CheckType
+from ..sources import ParquetCatalog
+from .anomaly import CheckAnomaly
+from .base import BaseCheck
+from .numeric import (
+    CheckMax,
+    CheckMeasure,
+    CheckMin,
+    CheckNotEmpty,
+    CheckNotEmptyPct,
+    CheckNumeric,
+    CheckRowCount,
+    CheckSum,
+)
+
+CHECK_TYPE_MAP = {
+    CheckType.measure: CheckMeasure,
+    CheckType.numeric: CheckNumeric,
+    CheckType.row_count: CheckRowCount,
+    CheckType.anomaly: CheckAnomaly,
+    CheckType.sum: CheckSum,
+    CheckType.max: CheckMax,
+    CheckType.min: CheckMin,
+    CheckType.not_empty: CheckNotEmpty,
+    CheckType.not_empty_pct: CheckNotEmptyPct,
+}
+
+
+class CheckFactory:
+    @staticmethod
+    def create_check(
+        run_id: str,
+        check: Check,
+        catalog: ParquetCatalog,
+        datasource: str,
+        metric_store,
+    ) -> BaseCheck:
+        check_class = CHECK_TYPE_MAP.get(CheckType(check.type), None)
+        if not check_class:
+            raise Exception(f"Check Type {check.type} not implemented yet")
+        return check_class(run_id, check, catalog, datasource, metric_store)

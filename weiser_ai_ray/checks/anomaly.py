@@ -1,0 +1,81 @@
+"""Anomaly check: MAD robust z-score over a check's own metric history.
+
+Math parity with /root/reference/weiser/checks/anomaly.py:
+  - window: rows where check_id LIKE '<prefix>%' ordered by run_time
+    ASC, limit 10000 (anomaly.py:115-144);
+  - < 5 points -> auto-fail with the last value (anomaly.py:55-71);
+  - z = 0.6745 * (last - median) / MAD, with the reference's exact
+    ``int(MAD) != 0`` guard (MAD truncated to int; a MAD in (0,1) also
+    yields z=0) (anomaly.py:85-96);
+  - optional dimensions: the FIRST dimension only, one window per
+    distinct value (anomaly.py:28-47), where the dimension is a metric
+    store column (e.g. ``dataset`` or ``name``).
+
+The window is <= 10k rows by contract, so median/MAD run driver-side in
+numpy (SURVEY.md §1.2) — no distributed work needed or wanted here.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import numpy as np
+
+from .base import BaseCheck
+
+
+def mad_z_score(values: list[float]) -> float:
+    """0.6745 * (last - median) / MAD with int-truncated MAD guard."""
+    arr = np.asarray(values, dtype=np.float64)
+    med = float(np.median(arr))
+    mad = float(np.median(np.abs(arr - med)))
+    last = float(arr[-1])
+    if int(mad) != 0:
+        return 0.6745 * (last - med) / mad
+    return 0
+
+
+class CheckAnomaly(BaseCheck):
+    def measure_sql(self) -> str:  # audit text only
+        return "mad_z_score(actual_value)"
+
+    def generated_sql(self, dataset: str) -> str:
+        prefix = self.check.check_id or ""
+        return (
+            "SELECT actual_value, run_time FROM metrics "
+            f"WHERE check_id LIKE '{prefix}%' ORDER BY run_time ASC LIMIT 10000"
+        )
+
+    def process_dataset(self, dataset: str, results: list, verbose: bool) -> None:
+        prefix = self.check.check_id
+        if not prefix:
+            # follow the reference's lineage key: the anomaly check's own
+            # prefix is the sha256 of (datasource, name, dataset)
+            prefix = self.generate_check_id(dataset, self.check.name)
+        dims = list(self.check.dimensions or [])
+        rows = self.metric_store.query_window(prefix, dimensions=dims or None, limit=10000)
+
+        if dims:
+            dim = dims[0]
+            windows: dict = {}
+            for r in rows:
+                windows.setdefault(r[0], []).append((r[1], r[2]))
+            result_windows = [(k, v) for k, v in windows.items()]
+        else:
+            result_windows = [(None, [(r[0], r[1]) for r in rows])]
+
+        for dim_value, window in result_windows:
+            run_time = datetime.now()
+            if len(window) < 5:
+                actual = window[-1][0] if window else None
+                value = [dim_value, actual] if dim_value is not None else actual
+                self.append_result(False, value, results, dataset, run_time, verbose)
+                continue
+            ordered = [v for v, _ts in window]  # query_window already run_time ASC
+            z = mad_z_score(ordered)
+            success = self.apply_condition(z)
+            last = ordered[-1]
+            if dim_value is not None:
+                self.append_result(success, [dim_value, last], results, dataset, run_time, verbose)
+            else:
+                self.append_result(success, last, results, dataset, run_time, verbose)

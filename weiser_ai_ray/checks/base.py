@@ -1,0 +1,421 @@
+"""Check engine over Ray Datasets.
+
+Reference semantics (/root/reference/weiser/checks/base.py): every check
+compiles to ``SELECT [dims][,DATE_TRUNC(g,td)] <agg> FROM ds [WHERE f]
+[GROUP BY dims] [LIMIT 1]`` executed on a remote database
+(base.py:189-226), then ``apply_condition`` per row and one metric
+record per result (base.py:86-138).
+
+Here the "database" is a Parquet corpus read as a ray.data.Dataset, and
+the aggregate is computed as PARTIAL aggregates inside ``map_batches``
+over zero-copy Arrow batches, combined either on the driver (ungrouped:
+one tiny row per batch) or via a small ``groupby`` over the partials
+(grouped checks). Raw rows are never shuffled — only per-batch partial
+rows, which is the scalable plan for 10^12-row inputs.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from typing import Any, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..conditions import (
+    apply_condition,
+    generate_check_id,
+    grouped_result_name,
+    time_dimension_alias,
+)
+from ..exprs import AggSpec, date_trunc, eval_scalar, parse_expr, split_aggregates
+from ..models import Check
+from ..sources import ParquetCatalog
+
+
+def _collect_columns(ast, out: set[str]) -> None:
+    if not isinstance(ast, tuple):
+        return
+    if ast[0] == "col":
+        if not ast[1].startswith("_agg"):
+            out.add(ast[1])
+        return
+    for part in ast[1:]:
+        if isinstance(part, tuple):
+            _collect_columns(part, out)
+        elif isinstance(part, list):
+            for p in part:
+                if isinstance(p, tuple):
+                    _collect_columns(p, out)
+                elif isinstance(p, (list, tuple)):
+                    for q in p:
+                        _collect_columns(q, out)
+
+
+def _case_when_columns(ast, out):
+    # case node stores whens as list of (cond, val) tuples of tuples
+    pass
+
+
+class BaseCheck:
+    """Template-method base mirroring reference BaseCheck (base.py:15-226).
+
+    Subclasses override ``measure_sql()`` (what aggregate to compute) and
+    optionally ``process_dataset`` (e.g. not_empty's per-dimension loop,
+    anomaly's metric-store window)."""
+
+    def __init__(
+        self,
+        run_id: str,
+        check: Check,
+        catalog: ParquetCatalog,
+        datasource: str,
+        metric_store,
+    ) -> None:
+        self.run_id = run_id
+        self.check = check
+        self.catalog = catalog
+        self.datasource = datasource
+        self.metric_store = metric_store
+
+    # ------------------------------------------------------------------
+    def measure_sql(self) -> str:
+        raise NotImplementedError("measure_sql not implemented")
+
+    def time_dimension_alias(self) -> Optional[str]:
+        if self.check.time_dimension:
+            td = self.check.time_dimension
+            gran = td.granularity if isinstance(td.granularity, str) else td.granularity.value
+            return time_dimension_alias(td.name, gran)
+        return None
+
+    def apply_condition(self, value: Any) -> bool:
+        return apply_condition(value, self.check.condition, self.check.threshold)
+
+    def generate_check_id(self, dataset: str, check_name: str) -> str:
+        return generate_check_id(self.datasource, check_name, dataset)
+
+    def generated_sql(self, dataset: str) -> str:
+        """Reconstruct the equivalent SQL (what the reference would have
+        sent to the database, base.py:189-226) — stored in the metric
+        record's ``sql`` column and directly usable as a DuckDB oracle."""
+        select = []
+        group = []
+        if self.check.time_dimension:
+            td = self.check.time_dimension
+            gran = td.granularity if isinstance(td.granularity, str) else td.granularity.value
+            expr = f"DATE_TRUNC('{gran}', {td.name})"
+            select.append(f"{expr} AS {self.time_dimension_alias()}")
+            group.append(expr)
+        if self.check.dimensions:
+            select = list(self.check.dimensions) + select
+            group = group + list(self.check.dimensions)
+        select.append(self.measure_sql())
+        sql = f"SELECT {', '.join(select)} FROM {dataset}"
+        if self.check.filter:
+            sql += f" WHERE {self.check.filter}"
+        if group:
+            sql += f" GROUP BY {', '.join(group)}"
+        else:
+            sql += " LIMIT 1"
+        return sql
+
+    # ------------------------------------------------------------------
+    # Result assembly (parity with reference append_result, base.py:86-138)
+
+    def append_result(
+        self,
+        success: bool,
+        value: Any,
+        results: list,
+        dataset: str,
+        run_time: datetime,
+        verbose: bool = False,
+    ) -> list:
+        result = self.check.model_dump()
+        if self.check.dimensions or self.check.time_dimension:
+            dimension_columns = list(self.check.dimensions or []) + (
+                [self.time_dimension_alias()] if self.check.time_dimension else []
+            )
+            result["name"] = grouped_result_name(result["name"], dimension_columns, value[:-1])
+        result.update(
+            {
+                "check_id": self.generate_check_id(dataset, result["name"]),
+                "datasource": self.datasource,
+                "dataset": dataset,
+                "actual_value": (
+                    value[-1] if (self.check.dimensions or self.check.time_dimension) else value
+                ),
+                "success": success,
+                "fail": not success,
+                "run_id": self.run_id,
+                "run_time": run_time,
+                "sql": self.generated_sql(dataset),
+            }
+        )
+        self.metric_store.insert_results(result)
+        results.append(result)
+        return results
+
+    # ------------------------------------------------------------------
+    def run(self, verbose: bool = False) -> list:
+        datasets = self.check.dataset
+        if isinstance(datasets, str):
+            datasets = [datasets]
+        results: list = []
+        for dataset in datasets:
+            self.process_dataset(dataset, results, verbose)
+        return results
+
+    def process_dataset(self, dataset: str, results: list, verbose: bool) -> None:
+        rows = self.compute(dataset)
+        run_time = datetime.now()
+        if self.check.dimensions or self.check.time_dimension:
+            for row in rows:
+                success = self.apply_condition(row[-1])
+                self.append_result(success, list(row), results, dataset, run_time, verbose)
+        else:
+            value = rows[0][0] if rows else None
+            success = self.apply_condition(value)
+            self.append_result(success, value, results, dataset, run_time, verbose)
+
+    # ------------------------------------------------------------------
+    # The Ray Data execution plan.
+
+    def compute(self, dataset: str) -> list[tuple]:
+        """Evaluate this check's aggregate over the named table.
+
+        Returns rows shaped like the reference's query results
+        (drivers/base.py:63-74): [(dim1, ..., value)] for grouped checks,
+        [(value,)] for scalars."""
+        measure_ast = parse_expr(self.measure_sql())
+        final_ast, specs = split_aggregates(measure_ast)
+        if not specs:
+            raise ValueError(f"Measure {self.measure_sql()!r} has no aggregate")
+
+        filter_ast = parse_expr(self.check.filter) if self.check.filter else None
+        td = self.check.time_dimension
+        td_alias = self.time_dimension_alias()
+        dims = list(self.check.dimensions or [])
+        group_keys = dims + ([td_alias] if td else [])
+
+        needed: set[str] = set(dims)
+        if td:
+            needed.add(td.name)
+        if filter_ast is not None:
+            _collect_columns(filter_ast, needed)
+        for s in specs:
+            if s.arg_ast is not None:
+                _collect_columns(s.arg_ast, needed)
+        if not needed:
+            # COUNT(*) with no filter/dims still needs one column to read;
+            # pick none and let read_parquet fetch row counts cheaply.
+            pass
+
+        ds = self.catalog.dataset(dataset, columns=sorted(needed) or None)
+
+        make_partials = _PartialBatcher(specs, filter_ast, td, td_alias, dims, group_keys)
+        partials = ds.map_batches(make_partials, batch_format="pyarrow", zero_copy_batch=True)
+
+        if group_keys:
+            from ray.data.aggregate import Max, Min, Sum
+
+            aggs = []
+            for s in specs:
+                if s.fname in ("sum", "avg"):
+                    aggs.append(Sum(f"{s.key}__sum", alias_name=f"{s.key}__sum"))
+                    aggs.append(Sum(f"{s.key}__cnt", alias_name=f"{s.key}__cnt"))
+                elif s.fname == "count":
+                    aggs.append(Sum(f"{s.key}__cnt", alias_name=f"{s.key}__cnt"))
+                elif s.fname == "min":
+                    aggs.append(Min(f"{s.key}__min", alias_name=f"{s.key}__min"))
+                    aggs.append(Sum(f"{s.key}__cnt", alias_name=f"{s.key}__cnt"))
+                elif s.fname == "max":
+                    aggs.append(Max(f"{s.key}__max", alias_name=f"{s.key}__max"))
+                    aggs.append(Sum(f"{s.key}__cnt", alias_name=f"{s.key}__cnt"))
+                else:
+                    raise NotImplementedError(
+                        f"Grouped {s.fname}{' DISTINCT' if s.distinct else ''} not supported"
+                    )
+            combined = partials.groupby(group_keys).aggregate(*aggs)
+            out = combined.sort(group_keys).to_pandas()
+            agg_cols: dict[str, Any] = {}
+            for s in specs:
+                agg_cols[s.key] = _finalize_spec_vec(s, out)
+            tbl = pa.table({**{k: pa.array(out[k]) for k in group_keys}, **{k: pa.array(v, type=pa.float64()) for k, v in agg_cols.items()}})
+            values = eval_scalar(final_ast, tbl)
+            if isinstance(values, (pa.Array, pa.ChunkedArray)):
+                values = values.to_pylist()
+            else:
+                values = [values] * tbl.num_rows
+            rows = []
+            for i in range(tbl.num_rows):
+                keyvals = [out[k].iloc[i] for k in group_keys]
+                rows.append(tuple(keyvals) + (values[i],))
+            return rows
+        else:
+            parts = partials.take_all()  # one tiny row per input batch
+            agg_scalars: dict[str, Any] = {}
+            for s in specs:
+                agg_scalars[s.key] = _finalize_spec_scalar(s, parts)
+            one = pa.table({k: pa.array([v], type=pa.float64() if isinstance(v, float) or v is None else None) for k, v in agg_scalars.items()})
+            value = eval_scalar(final_ast, one)
+            if isinstance(value, (pa.Array, pa.ChunkedArray)):
+                value = value.to_pylist()[0]
+            return [(value,)]
+
+
+class _PartialBatcher:
+    """Per-batch partial aggregation (stateless map_batches fn).
+
+    Emits one row per (batch x group) with columns
+    ``{key}__sum/__cnt/__min/__max`` per AggSpec — the combiner pattern
+    that keeps groupby shuffles tiny (SURVEY.md §4)."""
+
+    def __init__(self, specs, filter_ast, td, td_alias, dims, group_keys):
+        self.specs = specs
+        self.filter_ast = filter_ast
+        self.td = td
+        self.td_alias = td_alias
+        self.dims = dims
+        self.group_keys = group_keys
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.filter_ast is not None:
+            mask = eval_scalar(self.filter_ast, batch)
+            if isinstance(mask, (pa.Array, pa.ChunkedArray)):
+                batch = batch.filter(pc.fill_null(mask, False))
+            elif not mask:
+                batch = batch.slice(0, 0)
+        if self.td is not None:
+            gran = (
+                self.td.granularity
+                if isinstance(self.td.granularity, str)
+                else self.td.granularity.value
+            )
+            col = date_trunc(gran, batch[self.td.name])
+            batch = batch.append_column(self.td_alias, col)
+
+        # compute per-spec argument columns
+        arg_cols: dict[str, Any] = {}
+        for s in self.specs:
+            if s.arg_ast is not None:
+                v = eval_scalar(s.arg_ast, batch)
+                if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                    v = pa.array([v] * batch.num_rows)
+                arg_cols[s.key] = v
+
+        if self.group_keys:
+            work = pa.table(
+                {**{k: batch[k] for k in self.group_keys}, **arg_cols}
+            )
+            gb_aggs = []
+            rename: list[tuple[str, str]] = []
+            for s in self.specs:
+                if s.fname in ("sum", "avg"):
+                    gb_aggs.append((s.key, "sum"))
+                    gb_aggs.append((s.key, "count"))
+                    rename.append((f"{s.key}_sum", f"{s.key}__sum"))
+                    rename.append((f"{s.key}_count", f"{s.key}__cnt"))
+                elif s.fname == "count":
+                    if s.arg_ast is None:
+                        gb_aggs.append(([], "count_all"))
+                        rename.append(("count_all", f"{s.key}__cnt"))
+                    else:
+                        gb_aggs.append((s.key, "count"))
+                        rename.append((f"{s.key}_count", f"{s.key}__cnt"))
+                elif s.fname in ("min", "max"):
+                    gb_aggs.append((s.key, s.fname))
+                    gb_aggs.append((s.key, "count"))
+                    rename.append((f"{s.key}_{s.fname}", f"{s.key}__{s.fname}"))
+                    rename.append((f"{s.key}_count", f"{s.key}__cnt"))
+                else:
+                    raise NotImplementedError(f"Grouped {s.fname} not supported")
+            grouped = work.group_by(self.group_keys).aggregate(gb_aggs)
+            for old, new in rename:
+                if old in grouped.column_names:
+                    idx = grouped.column_names.index(old)
+                    grouped = grouped.rename_columns(
+                        [new if i == idx else n for i, n in enumerate(grouped.column_names)]
+                    )
+            # normalize cnt columns to int64 and sums to float64 for stable combine
+            cols = {}
+            for name in grouped.column_names:
+                c = grouped[name]
+                if name.endswith("__cnt"):
+                    c = pc.cast(c, pa.int64())
+                elif name.endswith("__sum"):
+                    c = pc.cast(c, pa.float64(), safe=False)
+                cols[name] = c
+            return pa.table(cols)
+
+        # ungrouped: one partial row for this batch
+        row: dict[str, list] = {}
+        for s in self.specs:
+            if s.fname in ("sum", "avg"):
+                arr = arg_cols[s.key]
+                cnt = len(arr) - arr.null_count
+                row[f"{s.key}__sum"] = [
+                    float(pc.sum(pc.cast(arr, pa.float64(), safe=False)).as_py() or 0.0)
+                ]
+                row[f"{s.key}__cnt"] = [cnt]
+            elif s.fname == "count":
+                if s.distinct and s.arg_ast is not None:
+                    uniq = pc.unique(pc.drop_null(arg_cols[s.key]))
+                    row[f"{s.key}__set"] = [uniq.to_pylist()]
+                elif s.arg_ast is None:
+                    row[f"{s.key}__cnt"] = [batch.num_rows]
+                else:
+                    arr = arg_cols[s.key]
+                    row[f"{s.key}__cnt"] = [len(arr) - arr.null_count]
+            elif s.fname in ("min", "max"):
+                arr = arg_cols[s.key]
+                cnt = len(arr) - arr.null_count
+                v = getattr(pc, s.fname)(arr).as_py() if cnt else None
+                row[f"{s.key}__{s.fname}"] = [v]
+                row[f"{s.key}__cnt"] = [cnt]
+            else:
+                raise NotImplementedError(f"{s.fname} not supported")
+        return pa.table(row)
+
+
+def _finalize_spec_scalar(spec: AggSpec, parts: list[dict]) -> Any:
+    """Combine per-batch partial rows (driver-side; list is tiny)."""
+    if spec.fname == "count":
+        if spec.distinct:
+            seen: set = set()
+            for p in parts:
+                seen.update(p.get(f"{spec.key}__set") or [])
+            return float(len(seen))
+        return float(sum(p.get(f"{spec.key}__cnt", 0) for p in parts))
+    cnt = sum(p.get(f"{spec.key}__cnt", 0) for p in parts)
+    if spec.fname in ("sum", "avg"):
+        total = sum(p.get(f"{spec.key}__sum", 0.0) for p in parts)
+        if cnt == 0:
+            return None
+        return total / cnt if spec.fname == "avg" else total
+    if spec.fname in ("min", "max"):
+        vals = [p.get(f"{spec.key}__{spec.fname}") for p in parts]
+        vals = [v for v in vals if v is not None]
+        if not vals:
+            return None
+        return float(min(vals) if spec.fname == "min" else max(vals))
+    raise NotImplementedError(spec.fname)
+
+
+def _finalize_spec_vec(spec: AggSpec, df) -> np.ndarray:
+    """Combine grouped partials (pandas frame from the small groupby)."""
+    if spec.fname == "count":
+        return df[f"{spec.key}__cnt"].to_numpy(dtype="float64")
+    cnt = df[f"{spec.key}__cnt"].to_numpy(dtype="float64")
+    if spec.fname in ("sum", "avg"):
+        total = df[f"{spec.key}__sum"].to_numpy(dtype="float64")
+        out = np.where(cnt > 0, total, np.nan)
+        if spec.fname == "avg":
+            out = np.where(cnt > 0, total / np.maximum(cnt, 1), np.nan)
+        return out
+    if spec.fname in ("min", "max"):
+        v = df[f"{spec.key}__{spec.fname}"].to_numpy(dtype="float64")
+        return np.where(cnt > 0, v, np.nan)
+    raise NotImplementedError(spec.fname)

@@ -1,0 +1,131 @@
+"""Concrete check types.
+
+Aggregate-text parity with /root/reference/weiser/checks/numeric.py:
+row_count=COUNT(*), sum/min/max wrap the measure, numeric/measure pass
+it through. not_empty / not_empty_pct issue one null-count aggregate per
+dimension with the ``_<dim>_not_empty`` naming rule
+(numeric.py:73-151) — computed here for ALL dimensions in a single
+Dataset pass instead of one query per dimension."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..exprs import eval_scalar, parse_expr
+from .base import BaseCheck
+
+
+class CheckNumeric(BaseCheck):
+    def measure_sql(self) -> str:
+        return self.check.measure
+
+
+class CheckMeasure(BaseCheck):
+    """Reference wraps the measure in Cube's MEASURE() (numeric.py:18-26);
+    with no Cube here it evaluates the named expression directly over a
+    precomputed column."""
+
+    def measure_sql(self) -> str:
+        return self.check.measure
+
+
+class CheckRowCount(BaseCheck):
+    def measure_sql(self) -> str:
+        return "COUNT(*)"
+
+
+class CheckSum(BaseCheck):
+    def measure_sql(self) -> str:
+        return f"SUM({self.check.measure})"
+
+
+class CheckMax(BaseCheck):
+    def measure_sql(self) -> str:
+        return f"MAX({self.check.measure})"
+
+
+class CheckMin(BaseCheck):
+    def measure_sql(self) -> str:
+        return f"MIN({self.check.measure})"
+
+
+class CheckNotEmpty(BaseCheck):
+    """Null-count per dimension (reference numeric.py:73-140). One
+    Dataset pass computes every dimension's null count as per-batch
+    partials summed on the driver."""
+
+    suffix = "not_empty"
+
+    def null_count_sql(self, dimension: str) -> str:
+        return f"SUM(CASE WHEN {dimension} IS NULL THEN 1 ELSE 0 END)"
+
+    def _values(self, dataset: str) -> dict[str, float]:
+        dims = self.check.dimensions
+        if not dims:
+            raise ValueError("NotEmpty check requires at least one dimension to check for NULL values")
+        filter_ast = parse_expr(self.check.filter) if self.check.filter else None
+        needed = set(dims)
+        if filter_ast is not None:
+            from .base import _collect_columns
+
+            _collect_columns(filter_ast, needed)
+        ds = self.catalog.dataset(dataset, columns=sorted(needed))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            if filter_ast is not None:
+                mask = eval_scalar(filter_ast, batch)
+                if isinstance(mask, (pa.Array, pa.ChunkedArray)):
+                    batch = batch.filter(pc.fill_null(mask, False))
+            row = {"_rows": [batch.num_rows]}
+            for d in dims:
+                row[f"{d}__nulls"] = [batch[d].null_count]
+            return pa.table(row)
+
+        parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+        total = sum(p["_rows"] for p in parts)
+        return {d: (float(sum(p[f"{d}__nulls"] for p in parts)), float(total)) for d in dims}
+
+    def result_value(self, nulls: float, total: float) -> float:
+        return nulls
+
+    def process_dataset(self, dataset: str, results: list, verbose: bool) -> None:
+        values = self._values(dataset)
+        run_time = datetime.now()
+        original_name = self.check.name
+        original_dims = self.check.dimensions
+        for dimension in original_dims:
+            nulls, total = values[dimension]
+            actual_value = self.result_value(nulls, total)
+            success = self.apply_condition(actual_value)
+            # naming parity: suffix the dim, clear dims for record assembly
+            self.check.name = f"{original_name}_{dimension}_{self.suffix}"
+            self.check.dimensions = []
+            try:
+                self.append_result(success, actual_value, results, dataset, run_time, verbose)
+            finally:
+                self.check.name = original_name
+                self.check.dimensions = original_dims
+
+    def generated_sql(self, dataset: str) -> str:
+        # name has already been suffixed when this is called from
+        # append_result; reconstruct per-dimension SQL for audit purposes.
+        sql = f"SELECT {self.measure_hint()} FROM {dataset}"
+        if self.check.filter:
+            sql += f" WHERE {self.check.filter}"
+        return sql + " LIMIT 1"
+
+    def measure_hint(self) -> str:
+        return "SUM(CASE WHEN <dim> IS NULL THEN 1 ELSE 0 END)"
+
+
+class CheckNotEmptyPct(CheckNotEmpty):
+    suffix = "not_empty_pct"
+
+    def result_value(self, nulls: float, total: float) -> float:
+        return nulls / total if total else 0.0
+
+    def measure_hint(self) -> str:
+        return "CAST(SUM(CASE WHEN <dim> IS NULL THEN 1 ELSE 0 END) AS FLOAT) / CAST(COUNT(*) AS FLOAT)"

@@ -1,0 +1,126 @@
+"""Condition algebra, naming, and id hashing.
+
+Semantics parity with the reference:
+  - apply_condition: /root/reference/weiser/checks/base.py:46-70
+    (value None -> False; between requires a 2-list else ValueError)
+  - snake_case:      base.py:31-38
+  - check_id sha256: base.py:72-81
+  - metric row id:   models_duckdb.py:77-80 uses salted python hash();
+    deliberately replaced here by a sha256-derived 31-bit int so ids are
+    reproducible across processes (documented deviation).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from re import sub
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+from .models import Condition
+
+
+def snake_case(s: str) -> str:
+    """Reference base.py:31-38: hyphens -> spaces, split camel/upper runs,
+    join with underscores, lowercase."""
+    return "_".join(
+        sub("([A-Z][a-z]+)", r" \1", sub("([A-Z]+)", r" \1", s.replace("-", " "))).split()
+    ).lower()
+
+
+def time_dimension_alias(name: str, granularity: str) -> str:
+    """Reference base.py:40-44."""
+    return snake_case(f"{name} {granularity}")
+
+
+def apply_condition(value: Any, condition: str, threshold: Any) -> bool:
+    """Scalar condition algebra, parity with reference base.py:46-70."""
+    if value is None:
+        return False
+    c = Condition(condition)
+    if c == Condition.ge:
+        return value >= threshold
+    if c == Condition.gt:
+        return value > threshold
+    if c == Condition.le:
+        return value <= threshold
+    if c == Condition.lt:
+        return value < threshold
+    if c == Condition.eq:
+        return value == threshold
+    if c == Condition.neq:
+        return value != threshold
+    if c == Condition.between:
+        if isinstance(threshold, (list, tuple)) and len(threshold) == 2:
+            return value >= threshold[0] and value <= threshold[1]
+        raise ValueError("Condition 'between' requires a threshold list with two elements")
+    raise Exception(f"Condition not implemented yet {condition}")
+
+
+def apply_condition_vector(values: np.ndarray, condition: str, threshold: Any) -> np.ndarray:
+    """Vectorized variant over a float64 array with NaN == None -> False.
+
+    Used in per-row (per-file) rule evaluation inside map_batches; the
+    scalar form above is the oracle it must agree with.
+    """
+    v = np.asarray(values, dtype=np.float64)
+    valid = ~np.isnan(v)
+    c = Condition(condition)
+    if c == Condition.between:
+        if isinstance(threshold, (list, tuple)) and len(threshold) == 2:
+            out = (v >= float(threshold[0])) & (v <= float(threshold[1]))
+        else:
+            raise ValueError("Condition 'between' requires a threshold list with two elements")
+    else:
+        t = float(threshold)
+        if c == Condition.ge:
+            out = v >= t
+        elif c == Condition.gt:
+            out = v > t
+        elif c == Condition.le:
+            out = v <= t
+        elif c == Condition.lt:
+            out = v < t
+        elif c == Condition.eq:
+            out = v == t
+        elif c == Condition.neq:
+            out = v != t
+        else:
+            raise Exception(f"Condition not implemented yet {condition}")
+    return out & valid
+
+
+def generate_check_id(datasource: str, check_name: str, dataset: str) -> str:
+    """sha256(datasource || check_name || dataset), reference base.py:72-81."""
+    m = hashlib.sha256()
+    m.update(str(datasource).encode("utf-8"))
+    m.update(str(check_name).encode("utf-8"))
+    m.update(str(dataset).encode("utf-8"))
+    return m.hexdigest()
+
+
+def metric_row_id(check_id: str, run_id: str, run_time: str) -> int:
+    """Deterministic 31-bit row id. The reference uses
+    abs(hash(...)) % 2**31 (models_duckdb.py:77-80) which is salted per
+    process; we keep the range but derive from sha256."""
+    h = hashlib.sha256(f"{check_id}{run_id}{run_time}".encode("utf-8")).digest()
+    return int.from_bytes(h[:8], "big") % (2**31)
+
+
+def grouped_result_name(base_name: str, dimension_columns: Sequence[str], values: Sequence[Any]) -> str:
+    """Grouped metric-record naming, reference base.py:97-111:
+    name_dim1_v1_dim2_v2... (values str()-ified)."""
+    pairs = "_".join("_".join(p) for p in zip(dimension_columns, map(str, values)))
+    return "_".join((base_name, pairs))
+
+
+def threshold_to_columns(threshold: Any) -> tuple[Optional[float], Optional[str]]:
+    """Split a scalar-or-list threshold into (threshold: float|None,
+    threshold_list: JSON str|None) — reference models_duckdb.py:67-76."""
+    if isinstance(threshold, (list, tuple)):
+        return None, json.dumps([float(t) for t in threshold])
+    if threshold is None:
+        return None, None
+    return float(threshold), None

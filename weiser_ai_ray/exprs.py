@@ -1,0 +1,548 @@
+"""SQL-ish expression compiler -> pyarrow.compute.
+
+The reference passes ``measure`` / ``filter`` SQL text verbatim into a
+generated SELECT that the remote database executes
+(/root/reference/weiser/checks/base.py:189-226, checks/numeric.py). Here
+there is no database: the same expression text is parsed into a small
+AST and evaluated vectorized over Arrow record batches with
+pyarrow.compute kernels inside map_batches. The identical text doubles
+as the DuckDB oracle SQL, so every supported construct is validated
+end-to-end by the driver's correctness gate.
+
+Supported grammar (case-insensitive keywords):
+  literals        123, 1.5, 'str', NULL, TRUE, FALSE
+  columns         bare identifiers
+  arithmetic      + - * / %  (SQL '/' on two integers stays integer-div
+                  in DuckDB; we follow pyarrow semantics — cast first)
+  comparison      = == != <> < <= > >=
+  boolean         AND OR NOT
+  predicates      IS [NOT] NULL, [NOT] IN (lit, ...), [NOT] LIKE 'pat',
+                  BETWEEN a AND b
+  functions       abs, length, lower, upper, coalesce, round, floor,
+                  ceil, date_trunc('unit', col)
+  casts           CAST(e AS type), e::type   (type: int/bigint/float/
+                  double/varchar/text/date/timestamp/boolean)
+  case            CASE WHEN c THEN v [WHEN ...] [ELSE v] END
+  aggregates      sum, min, max, avg, count, count(*), count(distinct e)
+                  — allowed only at the top of a measure expression,
+                  possibly combined arithmetically (e.g. sum(a)/count(*)).
+
+Aggregates are computed as per-batch PARTIALS combined on the driver
+(or via a tiny groupby over partials for dimensioned checks) — never an
+all-to-all of raw rows.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ----------------------------------------------------------------------
+# Tokenizer
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
+  | (?P<str>'(?:[^']|'')*')
+  | (?P<cast>::)
+  | (?P<op><=|>=|!=|<>|==|=|<|>|\+|-|\*|/|%|\(|\)|,)
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
+""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "and", "or", "not", "is", "null", "in", "like", "between", "case",
+    "when", "then", "else", "end", "true", "false", "cast", "as", "distinct",
+}
+
+
+class Token:
+    __slots__ = ("kind", "value")
+
+    def __init__(self, kind: str, value: str):
+        self.kind = kind
+        self.value = value
+
+    def __repr__(self):  # pragma: no cover
+        return f"Token({self.kind},{self.value!r})"
+
+
+def tokenize(text: str) -> list[Token]:
+    out: list[Token] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise ValueError(f"Cannot tokenize expression at: {text[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        val = m.group()
+        if kind == "ident" and val.lower() in _KEYWORDS:
+            out.append(Token("kw", val.lower()))
+        else:
+            out.append(Token(kind, val))
+    return out
+
+
+# ----------------------------------------------------------------------
+# AST: tuples ("lit", v) ("col", name) ("bin", op, l, r) ("un", op, e)
+# ("func", name, [args]) ("agg", name, arg_or_None, distinct)
+# ("cast", e, type) ("case", [(cond, val)...], else) ("isnull", e, negate)
+# ("in", e, [lits], negate) ("like", e, pat, negate) ("between", e, lo, hi)
+
+_AGG_FUNCS = {"sum", "min", "max", "avg", "count"}
+
+
+class Parser:
+    def __init__(self, tokens: list[Token]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> Optional[Token]:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> Token:
+        t = self.peek()
+        if t is None:
+            raise ValueError("Unexpected end of expression")
+        self.i += 1
+        return t
+
+    def accept(self, kind: str, value: Optional[str] = None) -> Optional[Token]:
+        t = self.peek()
+        if t and t.kind == kind and (value is None or t.value == value):
+            self.i += 1
+            return t
+        return None
+
+    def expect(self, kind: str, value: Optional[str] = None) -> Token:
+        t = self.accept(kind, value)
+        if t is None:
+            raise ValueError(f"Expected {kind} {value or ''}, got {self.peek()}")
+        return t
+
+    # expr := or
+    def parse(self):
+        e = self.parse_or()
+        if self.peek() is not None:
+            raise ValueError(f"Trailing tokens at {self.peek()}")
+        return e
+
+    def parse_or(self):
+        e = self.parse_and()
+        while self.accept("kw", "or"):
+            e = ("bin", "or", e, self.parse_and())
+        return e
+
+    def parse_and(self):
+        e = self.parse_not()
+        while self.accept("kw", "and"):
+            e = ("bin", "and", e, self.parse_not())
+        return e
+
+    def parse_not(self):
+        if self.accept("kw", "not"):
+            return ("un", "not", self.parse_not())
+        return self.parse_cmp()
+
+    def parse_cmp(self):
+        e = self.parse_add()
+        t = self.peek()
+        if t and t.kind == "op" and t.value in ("=", "==", "!=", "<>", "<", "<=", ">", ">="):
+            self.next()
+            op = {"=": "eq", "==": "eq", "!=": "ne", "<>": "ne", "<": "lt",
+                  "<=": "le", ">": "gt", ">=": "ge"}[t.value]
+            return ("bin", op, e, self.parse_add())
+        if t and t.kind == "kw" and t.value == "is":
+            self.next()
+            negate = bool(self.accept("kw", "not"))
+            self.expect("kw", "null")
+            return ("isnull", e, negate)
+        negate = False
+        if t and t.kind == "kw" and t.value == "not":
+            # e NOT IN / NOT LIKE / NOT BETWEEN
+            self.next()
+            negate = True
+            t = self.peek()
+        if t and t.kind == "kw" and t.value == "in":
+            self.next()
+            self.expect("op", "(")
+            lits = [self.parse_literal()]
+            while self.accept("op", ","):
+                lits.append(self.parse_literal())
+            self.expect("op", ")")
+            return ("in", e, lits, negate)
+        if t and t.kind == "kw" and t.value == "like":
+            self.next()
+            pat = self.parse_literal()
+            return ("like", e, pat, negate)
+        if t and t.kind == "kw" and t.value == "between":
+            self.next()
+            lo = self.parse_add()
+            self.expect("kw", "and")
+            hi = self.parse_add()
+            e = ("between", e, lo, hi)
+            return ("un", "not", e) if negate else e
+        if negate:
+            raise ValueError("Dangling NOT")
+        return e
+
+    def parse_add(self):
+        e = self.parse_mul()
+        while True:
+            t = self.peek()
+            if t and t.kind == "op" and t.value in ("+", "-"):
+                self.next()
+                e = ("bin", {"+": "add", "-": "sub"}[t.value], e, self.parse_mul())
+            else:
+                return e
+
+    def parse_mul(self):
+        e = self.parse_unary()
+        while True:
+            t = self.peek()
+            if t and t.kind == "op" and t.value in ("*", "/", "%"):
+                self.next()
+                e = ("bin", {"*": "mul", "/": "div", "%": "mod"}[t.value], e, self.parse_unary())
+            else:
+                return e
+
+    def parse_unary(self):
+        if self.accept("op", "-"):
+            return ("un", "neg", self.parse_unary())
+        if self.accept("op", "+"):
+            return self.parse_unary()
+        return self.parse_postfix()
+
+    def parse_postfix(self):
+        e = self.parse_primary()
+        while self.accept("cast"):
+            t = self.expect("ident")
+            e = ("cast", e, t.value.lower())
+        return e
+
+    def parse_literal(self):
+        t = self.peek()
+        if t and t.kind == "num":
+            self.next()
+            v = t.value
+            return ("lit", float(v) if ("." in v or "e" in v.lower()) else int(v))
+        if t and t.kind == "str":
+            self.next()
+            return ("lit", t.value[1:-1].replace("''", "'"))
+        if t and t.kind == "kw" and t.value in ("true", "false", "null"):
+            self.next()
+            return ("lit", {"true": True, "false": False, "null": None}[t.value])
+        if t and t.kind == "op" and t.value == "-":
+            self.next()
+            lit = self.parse_literal()
+            return ("lit", -lit[1])
+        raise ValueError(f"Expected literal, got {t}")
+
+    def parse_primary(self):
+        t = self.peek()
+        if t is None:
+            raise ValueError("Unexpected end of expression")
+        if t.kind == "num" or t.kind == "str" or (t.kind == "kw" and t.value in ("true", "false", "null")):
+            return self.parse_literal()
+        if t.kind == "op" and t.value == "(":
+            self.next()
+            e = self.parse_or()
+            self.expect("op", ")")
+            return e
+        if t.kind == "kw" and t.value == "cast":
+            self.next()
+            self.expect("op", "(")
+            e = self.parse_or()
+            self.expect("kw", "as")
+            ty = self.expect("ident").value.lower()
+            self.expect("op", ")")
+            return ("cast", e, ty)
+        if t.kind == "kw" and t.value == "case":
+            self.next()
+            whens = []
+            while self.accept("kw", "when"):
+                c = self.parse_or()
+                self.expect("kw", "then")
+                v = self.parse_or()
+                whens.append((c, v))
+            els = None
+            if self.accept("kw", "else"):
+                els = self.parse_or()
+            self.expect("kw", "end")
+            return ("case", whens, els)
+        if t.kind == "ident":
+            self.next()
+            name = t.value
+            if self.accept("op", "("):
+                fname = name.lower()
+                if fname == "count" and self.accept("op", "*"):
+                    self.expect("op", ")")
+                    return ("agg", "count", None, False)
+                distinct = False
+                if fname in _AGG_FUNCS and self.accept("kw", "distinct"):
+                    distinct = True
+                args = []
+                if not self.accept("op", ")"):
+                    args.append(self.parse_or())
+                    while self.accept("op", ","):
+                        args.append(self.parse_or())
+                    self.expect("op", ")")
+                if fname in _AGG_FUNCS:
+                    if len(args) != 1:
+                        raise ValueError(f"{fname} takes one argument")
+                    return ("agg", fname, args[0], distinct)
+                return ("func", fname, args)
+            return ("col", name)
+        raise ValueError(f"Unexpected token {t}")
+
+
+def parse_expr(text: str):
+    return Parser(tokenize(text)).parse()
+
+
+# ----------------------------------------------------------------------
+# Scalar (per-row, vectorized) evaluation against a pyarrow Table.
+
+_CAST_TYPES = {
+    "int": pa.int64(), "integer": pa.int64(), "bigint": pa.int64(),
+    "smallint": pa.int32(),
+    "float": pa.float64(), "double": pa.float64(), "real": pa.float64(),
+    "numeric": pa.float64(), "decimal": pa.float64(),
+    "varchar": pa.string(), "text": pa.string(), "string": pa.string(),
+    "boolean": pa.bool_(), "bool": pa.bool_(),
+    "date": pa.date32(), "timestamp": pa.timestamp("us"),
+}
+
+_GRAN_FLOOR_UNITS = {
+    "microseconds": "microsecond", "milliseconds": "millisecond",
+    "second": "second", "minute": "minute", "hour": "hour", "day": "day",
+    "week": "week", "month": "month", "quarter": "quarter", "year": "year",
+}
+
+
+def date_trunc(granularity: str, arr: pa.ChunkedArray | pa.Array):
+    """DATE_TRUNC over the reference's 12-unit vocabulary
+    (models.py:53-66). millennium/century/decade computed via year
+    arithmetic (not supported by pc.floor_temporal)."""
+    g = granularity.lower()
+    if not pa.types.is_timestamp(arr.type):
+        arr = pc.cast(arr, pa.timestamp("us"))
+    if g in _GRAN_FLOOR_UNITS:
+        out = pc.floor_temporal(arr, unit=_GRAN_FLOOR_UNITS[g])
+        return pc.cast(out, pa.timestamp("us"))
+    if g in ("decade", "century", "millennium"):
+        years = pc.year(arr).to_numpy(zero_copy_only=False).astype("float64")
+        span = {"decade": 10, "century": 100, "millennium": 1000}[g]
+        if g == "decade":
+            floored = np.floor(years / span) * span
+        else:
+            # SQL semantics: century/millennium are 1-based (2001-2100 = 21st c.)
+            floored = (np.ceil(years / span) - 1) * span + 1
+        mask = np.isnan(years)
+        floored = np.where(mask, 1970, floored).astype("int64")
+        out = np.array([f"{y:04d}-01-01" for y in floored], dtype="datetime64[us]")
+        res = pa.array(out, type=pa.timestamp("us"), mask=mask)
+        return res
+    raise ValueError(f"Unsupported DATE_TRUNC granularity: {granularity}")
+
+
+def _like_to_regex(pat: str) -> str:
+    out = []
+    for ch in pat:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def eval_scalar(ast, table: pa.Table):
+    """Evaluate a non-aggregate AST against a table -> Array/ChunkedArray
+    or python scalar (for pure literals)."""
+    kind = ast[0]
+    if kind == "lit":
+        return ast[1]
+    if kind == "col":
+        name = ast[1]
+        if name not in table.column_names:
+            raise KeyError(f"Unknown column {name!r}; have {table.column_names}")
+        return table[name]
+    if kind == "cast":
+        v = eval_scalar(ast[1], table)
+        ty = _CAST_TYPES.get(ast[2])
+        if ty is None:
+            raise ValueError(f"Unsupported cast type {ast[2]}")
+        if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+            return pa.scalar(v, type=ty).as_py()
+        return pc.cast(v, ty, safe=False)
+    if kind == "un":
+        op, e = ast[1], ast[2]
+        v = eval_scalar(e, table)
+        if op == "neg":
+            return pc.negate(v) if isinstance(v, (pa.Array, pa.ChunkedArray)) else -v
+        if op == "not":
+            return pc.invert(v) if isinstance(v, (pa.Array, pa.ChunkedArray)) else (not v)
+    if kind == "bin":
+        op, l, r = ast[1], ast[2], ast[3]
+        lv = eval_scalar(l, table)
+        rv = eval_scalar(r, table)
+        return _binop(op, lv, rv)
+    if kind == "func":
+        return _call_func(ast[1], ast[2], table)
+    if kind == "case":
+        whens, els = ast[1], ast[2]
+        result = eval_scalar(els, table) if els is not None else None
+        # build from last WHEN backwards with if_else
+        for cond_ast, val_ast in reversed(whens):
+            cond = eval_scalar(cond_ast, table)
+            val = eval_scalar(val_ast, table)
+            cond = pc.fill_null(cond, False) if isinstance(cond, (pa.Array, pa.ChunkedArray)) else cond
+            result = pc.if_else(cond, val, result)
+        return result
+    if kind == "isnull":
+        v = eval_scalar(ast[1], table)
+        out = pc.is_null(v)
+        return pc.invert(out) if ast[2] else out
+    if kind == "in":
+        v = eval_scalar(ast[1], table)
+        vals = [a[1] for a in ast[2]]
+        out = pc.is_in(v, value_set=pa.array(vals))
+        # SQL semantics: NULL IN (...) -> NULL (pc.is_in yields False)
+        out = pc.if_else(pc.is_null(v), pa.scalar(None, pa.bool_()), out)
+        return pc.invert(out) if ast[3] else out
+    if kind == "like":
+        v = eval_scalar(ast[1], table)
+        rx = _like_to_regex(ast[2][1])
+        out = pc.match_substring_regex(v, rx)
+        return pc.invert(out) if ast[3] else out
+    if kind == "between":
+        v = eval_scalar(ast[1], table)
+        lo = eval_scalar(ast[2], table)
+        hi = eval_scalar(ast[3], table)
+        return pc.and_(_binop("ge", v, lo), _binop("le", v, hi))
+    if kind == "agg":
+        raise ValueError("Aggregate used where a per-row expression is required")
+    raise ValueError(f"Cannot evaluate AST node {ast!r}")
+
+
+def _binop(op: str, lv, rv):
+    larr = isinstance(lv, (pa.Array, pa.ChunkedArray))
+    rarr = isinstance(rv, (pa.Array, pa.ChunkedArray))
+    if not larr and not rarr:
+        import operator as _op
+        table = {"add": _op.add, "sub": _op.sub, "mul": _op.mul,
+                 "div": lambda a, b: a / b, "mod": _op.mod,
+                 "eq": _op.eq, "ne": _op.ne, "lt": _op.lt, "le": _op.le,
+                 "gt": _op.gt, "ge": _op.ge,
+                 "and": lambda a, b: a and b, "or": lambda a, b: a or b}
+        return table[op](lv, rv)
+    if op == "div":
+        # SQL-friendly: promote to float64 (DuckDB '/' yields double for
+        # non-integer operands; we promote always to avoid int-div drift)
+        lv = pc.cast(lv, pa.float64(), safe=False) if larr else float(lv)
+        rv = pc.cast(rv, pa.float64(), safe=False) if rarr else float(rv)
+        return pc.divide(lv, rv)
+    fn = {"add": pc.add, "sub": pc.subtract, "mul": pc.multiply, "mod": _mod,
+          "eq": pc.equal, "ne": pc.not_equal, "lt": pc.less, "le": pc.less_equal,
+          "gt": pc.greater, "ge": pc.greater_equal,
+          "and": pc.and_kleene, "or": pc.or_kleene}[op]
+    return fn(lv, rv)
+
+
+def _mod(a, b):
+    af = pc.cast(a, pa.float64(), safe=False) if isinstance(a, (pa.Array, pa.ChunkedArray)) else a
+    an = np.asarray(af.to_numpy(zero_copy_only=False) if hasattr(af, "to_numpy") else af, dtype=np.float64)
+    bn = float(b) if not isinstance(b, (pa.Array, pa.ChunkedArray)) else np.asarray(
+        pc.cast(b, pa.float64(), safe=False).to_numpy(zero_copy_only=False), dtype=np.float64
+    )
+    with np.errstate(invalid="ignore"):
+        out = np.mod(an, bn)
+    return pa.array(out, mask=np.isnan(out))
+
+
+def _call_func(name: str, args: list, table: pa.Table):
+    vals = [eval_scalar(a, table) for a in args]
+    if name == "abs":
+        return pc.abs(vals[0])
+    if name in ("length", "len", "char_length"):
+        return pc.utf8_length(vals[0])
+    if name == "lower":
+        return pc.utf8_lower(vals[0])
+    if name == "upper":
+        return pc.utf8_upper(vals[0])
+    if name == "coalesce":
+        out = vals[0]
+        for v in vals[1:]:
+            out = pc.coalesce(out, v)
+        return out
+    if name == "round":
+        nd = int(vals[1]) if len(vals) > 1 else 0
+        return pc.round(vals[0], ndigits=nd)
+    if name == "floor":
+        return pc.floor(vals[0])
+    if name == "ceil" or name == "ceiling":
+        return pc.ceil(vals[0])
+    if name == "date_trunc":
+        if len(args) != 2 or args[0][0] != "lit":
+            raise ValueError("date_trunc('unit', col) expected")
+        return date_trunc(args[0][1], vals[1])
+    raise ValueError(f"Unsupported function {name}")
+
+
+# ----------------------------------------------------------------------
+# Aggregate split: measure expressions with aggregates at the top.
+
+
+class AggSpec:
+    """One primitive aggregate appearing in a measure expression."""
+
+    __slots__ = ("key", "fname", "arg_ast", "distinct")
+
+    def __init__(self, key: str, fname: str, arg_ast, distinct: bool):
+        self.key = key
+        self.fname = fname
+        self.arg_ast = arg_ast
+        self.distinct = distinct
+
+
+def split_aggregates(ast):
+    """Rewrite an AST replacing each ("agg", ...) node with a placeholder
+    column ("col", "_aggN"); returns (rewritten_ast, [AggSpec])."""
+    specs: list[AggSpec] = []
+
+    def walk(node):
+        if not isinstance(node, tuple):
+            return node
+        if node[0] == "agg":
+            key = f"_agg{len(specs)}"
+            specs.append(AggSpec(key, node[1], node[2], node[3]))
+            return ("col", key)
+        if node[0] == "case":
+            whens = [(walk(c), walk(v)) for c, v in node[1]]
+            return ("case", whens, walk(node[2]) if node[2] is not None else None)
+        out = [node[0]]
+        for part in node[1:]:
+            if isinstance(part, tuple):
+                out.append(walk(part))
+            elif isinstance(part, list):
+                out.append([walk(p) if isinstance(p, tuple) else p for p in part])
+            else:
+                out.append(part)
+        return tuple(out)
+
+    return walk(ast), specs
+
+
+def has_aggregate(ast) -> bool:
+    return bool(split_aggregates(ast)[1])

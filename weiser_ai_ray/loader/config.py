@@ -1,0 +1,89 @@
+"""YAML config loader: glob paths, Jinja2 env templating, recursive
+``includes`` with a visited-path cycle guard, and namespace merging of
+checks/datasources/connections lists.
+
+Behavior parity with /root/reference/weiser/loader/config.py:14-104,
+re-implemented on public yaml + jinja2 APIs.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from os.path import abspath, dirname, join
+from typing import Optional
+
+import yaml
+
+try:
+    from jinja2 import BaseLoader, Environment
+
+    _HAVE_JINJA = True
+except ImportError:  # pragma: no cover
+    _HAVE_JINJA = False
+
+_MERGE_LIST_KEYS = ("checks", "datasources", "connections")
+
+
+def update_namespace(namespace: Optional[dict], new_file: dict, verbose: bool = False) -> dict:
+    """Merge one loaded YAML dict into the running namespace
+    (reference config.py:14-29): checks/datasources/connections lists
+    concatenate; includes dedup; unknown keys are kept if new."""
+    if namespace is None:
+        return new_file
+    for key, value in new_file.items():
+        if key in namespace and key in _MERGE_LIST_KEYS:
+            namespace[key] = namespace[key] + value
+        elif key in namespace and key == "includes":
+            namespace[key] = sorted(set(namespace[key]) | set(value))
+        elif key in _MERGE_LIST_KEYS or key == "includes":
+            namespace[key] = value
+        elif key not in namespace:
+            namespace[key] = value
+    return namespace
+
+
+def _render(text: str, context: Optional[dict]) -> str:
+    if context and _HAVE_JINJA:
+        return Environment(loader=BaseLoader()).from_string(text).render(context)
+    return text
+
+
+def load_config(
+    config_path: str,
+    namespace: Optional[dict] = None,
+    context: Optional[dict] = None,
+    visited_path: Optional[dict] = None,
+    verbose: bool = False,
+) -> dict:
+    """Load a YAML config (or glob of configs), following ``includes``
+    recursively relative to each including file, skipping files already
+    visited (cycle guard, reference config.py:63-66,84-89)."""
+    if visited_path is None:
+        visited_path = {}
+        if not os.path.exists(config_path) and "*" not in config_path:
+            raise FileNotFoundError(f"Configuration file '{config_path}' does not exist")
+
+    file_paths = glob.glob(config_path)
+    for file_path in file_paths:
+        if file_path in visited_path:
+            continue
+        visited_path[file_path] = True
+        with open(file_path, "r") as stream:
+            data_loaded = yaml.safe_load(_render(stream.read(), context))
+        if not isinstance(data_loaded, dict):
+            raise ValueError(f"Config {file_path} did not parse to a mapping")
+
+        for included_path in data_loaded.get("includes", []) or []:
+            if namespace and included_path in (namespace.get("includes") or []):
+                continue
+            rel = included_path[1:] if included_path.startswith("/") else included_path
+            namespace = load_config(
+                join(dirname(abspath(file_path)), rel),
+                namespace=namespace,
+                context=context,
+                visited_path=visited_path,
+                verbose=verbose,
+            )
+        namespace = update_namespace(namespace, data_loaded, verbose)
+    return namespace

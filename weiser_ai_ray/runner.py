@@ -1,0 +1,88 @@
+"""Run lifecycle: config -> validated plan -> execute checks -> metric
+store -> summary.
+
+Parity with /root/reference/weiser/runner/__init__.py:15-151, except:
+  - datasources are Parquet catalogs, not SQLAlchemy engines;
+  - checks execute as Ray Data pipelines (each check is internally
+    parallel over blocks; the reference ran checks sequentially with no
+    parallelism at all, runner/__init__.py:40-48);
+  - metric records are flushed as one Arrow/Parquet batch per run, not
+    row-at-a-time inserts.
+
+Does NOT call ray.init(): the session is owned by the caller
+(driver/bench/tests per the harness contract).
+"""
+
+from __future__ import annotations
+
+import uuid
+from datetime import datetime
+from typing import Any, Optional
+
+from .checks import CheckFactory
+from .loader import load_config
+from .models import BaseConfig
+from .sources import ParquetCatalog
+from .state import ParquetMetricStore
+
+
+def pre_run_config(config: dict, compile_only: bool = False, default_root: Optional[str] = None) -> dict:
+    """Validate config and build the run context
+    (reference runner/__init__.py:119-151)."""
+    base_config = BaseConfig(**config)
+    store_cfg = base_config.connections[0]
+    metric_store = ParquetMetricStore(store_cfg.path, tenant_id=store_cfg.tenant_id)
+    context: dict[str, Any] = {
+        "config": base_config,
+        "metric_store": metric_store,
+        "run_id": str(uuid.uuid4()),
+        "run_ts": datetime.now(),
+        "catalogs": {},
+    }
+    if compile_only:
+        return context
+    for ds in base_config.datasources:
+        catalog = ParquetCatalog.from_datasource(ds, default_root=default_root)
+        # health check (reference does SELECT 1, runner/__init__.py:141-148):
+        # the catalog root must exist if set
+        context["catalogs"][ds.name] = catalog
+    return context
+
+
+def run_checks(context: dict, verbose: bool = False) -> list[dict]:
+    """Instantiate check x datasource fan-out, then execute
+    (reference runner/__init__.py:15-49)."""
+    config: BaseConfig = context["config"]
+    results = []
+    check_instances = []
+    for check in config.checks:
+        datasources = check.datasource
+        if isinstance(datasources, str):
+            datasources = [datasources]
+        for datasource in datasources:
+            if datasource not in context["catalogs"]:
+                raise Exception(f"Datasource {datasource} is not configured. ")
+            catalog = context["catalogs"][datasource]
+            check_instances.append(
+                CheckFactory.create_check(
+                    context["run_id"], check.model_copy(deep=True), catalog, datasource, context["metric_store"]
+                )
+            )
+    for instance in check_instances:
+        results.append(
+            {
+                "check_instance": type(instance).__name__,
+                "results": instance.run(verbose),
+            }
+        )
+    context["metric_store"].flush(context["run_id"])
+    return results
+
+
+def run_config_file(path: str, context_env: Optional[dict] = None, default_root: Optional[str] = None, verbose: bool = False) -> dict:
+    """Full `weiser run` equivalent (reference main.py:32-81)."""
+    raw = load_config(path, context=context_env, verbose=verbose)
+    ctx = pre_run_config(raw, default_root=default_root)
+    results = run_checks(ctx, verbose=verbose)
+    summary = ctx["metric_store"].summary(ctx["run_id"])
+    return {"run_id": ctx["run_id"], "results": results, "summary": summary}

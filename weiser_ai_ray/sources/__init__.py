@@ -1,0 +1,48 @@
+"""Table resolution: logical table name -> ray.data.Dataset.
+
+Replaces the reference's SQLAlchemy driver layer
+(/root/reference/weiser/drivers/base.py:44-74 and the per-DB drivers):
+the only datasource kind is a Parquet namespace. Column pruning is
+pushed into read_parquet so a 2-column check never lifts the whole
+table off storage.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import ray.data
+
+from ..models import ParquetDatasource
+
+
+class ParquetCatalog:
+    """Maps logical table names to parquet paths under a root directory
+    (``<root>/<name>.parquet`` by default, overridable per table)."""
+
+    def __init__(self, root: Optional[str] = None, tables: Optional[dict[str, str]] = None):
+        self.root = root
+        self.tables = dict(tables or {})
+
+    @classmethod
+    def from_datasource(cls, ds: ParquetDatasource, default_root: Optional[str] = None) -> "ParquetCatalog":
+        return cls(root=ds.root or default_root, tables=ds.tables)
+
+    def path(self, name: str) -> str:
+        if name in self.tables:
+            return self.tables[name]
+        if self.root is None:
+            raise KeyError(f"Table {name!r} not registered and catalog has no root")
+        p = os.path.join(self.root, f"{name}.parquet")
+        if not os.path.exists(p):
+            # allow directory-of-parquet layout too
+            d = os.path.join(self.root, name)
+            if os.path.isdir(d):
+                return d
+            raise FileNotFoundError(f"No parquet for table {name!r} at {p}")
+        return p
+
+    def dataset(self, name: str, columns: Optional[Sequence[str]] = None) -> "ray.data.Dataset":
+        """Prune at the read: only the named columns leave storage."""
+        return ray.data.read_parquet(self.path(name), columns=list(columns) if columns else None)

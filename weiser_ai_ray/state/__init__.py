@@ -1,0 +1,2 @@
+from .metric_store import METRICS_SCHEMA, ParquetMetricStore  # noqa: F401
+from .manifest import PartitionManifest  # noqa: F401

@@ -1,0 +1,51 @@
+"""Per-partition checkpoint manifest for resumable runs.
+
+The reference's only resume-ish mechanism is the S3-import watermark
+(``run_time > max(run_time)``, duckdb.py:184-249). For a corpus
+pipeline at 10^12-file scale the unit of recovery is the input
+partition: each completed partition appends one JSON line
+{partition_id, run_id, n_input, n_kept, n_metrics, ts} to
+``manifest.jsonl``; a rerun reads the manifest, skips completed
+partitions, and wipes any partial output of incomplete ones before
+reprocessing (exactly-once per partition)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Iterable, Optional
+
+
+class PartitionManifest:
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def completed(self) -> dict[str, dict]:
+        done: dict[str, dict] = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        rec = json.loads(line)
+                        done[rec["partition_id"]] = rec
+        return done
+
+    def mark(self, records: Iterable[dict]) -> None:
+        """Append completion records; fsync so a crash after mark() never
+        loses the commit point."""
+        with open(self.path, "a") as f:
+            for rec in records:
+                f.write(json.dumps(rec, default=str) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    @staticmethod
+    def clean_partition_outputs(dirs: Iterable[str]) -> None:
+        """Remove partial output dirs of partitions about to be
+        reprocessed (idempotent rerun)."""
+        for d in dirs:
+            if os.path.isdir(d):
+                shutil.rmtree(d)

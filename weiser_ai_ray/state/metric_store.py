@@ -1,0 +1,191 @@
+"""Parquet metric store.
+
+Replaces the reference's DuckDB/Postgres metric stores
+(/root/reference/weiser/drivers/metric_stores/duckdb.py:23-673):
+  - schema mirrors the 16-column ``metrics`` table (duckdb.py:146-172,
+    models_duckdb.py:18-57) plus a ``partition_id`` lineage column;
+  - the reference inserts one row per record (duckdb.py:484-495) — here
+    records are buffered and written as Arrow tables, one parquet part
+    per run under ``<path>/run_id=<run_id>/`` (columnar, append-only,
+    resumable layout; compaction = read + repartition + write);
+  - summary/failures aggregations parity with duckdb.py:497-552;
+  - the anomaly history window query (anomaly.py:115-144) becomes a
+    pyarrow.dataset scan with a check_id-prefix filter, sorted by
+    run_time, capped at 10k rows — the window is tiny by contract, so
+    driver-side numpy is the right tool (SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Any, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from ..conditions import metric_row_id, threshold_to_columns
+
+METRICS_SCHEMA = pa.schema(
+    [
+        ("id", pa.int64()),
+        ("actual_value", pa.float64()),
+        ("check_id", pa.string()),
+        ("condition", pa.string()),
+        ("dataset", pa.string()),
+        ("datasource", pa.string()),
+        ("fail", pa.bool_()),
+        ("name", pa.string()),
+        ("run_id", pa.string()),
+        ("run_time", pa.timestamp("us")),
+        ("sql", pa.string()),
+        ("success", pa.bool_()),
+        ("threshold", pa.float64()),
+        ("threshold_list", pa.string()),
+        ("type", pa.string()),
+        ("tenant_id", pa.int32()),
+        ("partition_id", pa.string()),
+    ]
+)
+
+_COLS = [f.name for f in METRICS_SCHEMA]
+
+
+def normalize_record(record: dict, tenant_id: int = 1) -> dict:
+    """Coerce a raw result dict (check.model_dump() + run fields, see
+    reference base.py:86-138) into the metrics schema row."""
+    thr, thr_list = threshold_to_columns(record.get("threshold"))
+    run_time = record.get("run_time")
+    row = {
+        "actual_value": (None if record.get("actual_value") is None else float(record["actual_value"])),
+        "check_id": record.get("check_id"),
+        "condition": str(record.get("condition")) if record.get("condition") is not None else None,
+        "dataset": str(record.get("dataset")),
+        "datasource": str(record.get("datasource")),
+        "fail": bool(record.get("fail")),
+        "name": record.get("name"),
+        "run_id": record.get("run_id"),
+        "run_time": run_time,
+        "sql": record.get("sql") or record.get("measure") or "",
+        "success": bool(record.get("success")),
+        "threshold": thr,
+        "threshold_list": thr_list,
+        "type": str(record.get("type")),
+        "tenant_id": int(record.get("tenant_id", tenant_id)),
+        "partition_id": record.get("partition_id", ""),
+    }
+    row["id"] = metric_row_id(row["check_id"] or "", row["run_id"] or "", str(run_time))
+    return row
+
+
+class ParquetMetricStore:
+    def __init__(self, path: str, tenant_id: int = 1):
+        self.path = path
+        self.tenant_id = tenant_id
+        self._buffer: list[dict] = []
+        os.makedirs(path, exist_ok=True)
+
+    # -- writes -----------------------------------------------------------
+    def insert_results(self, record: dict) -> None:
+        """Buffer one result record (reference insert_results,
+        duckdb.py:484-495 — but batched at flush time, not row-at-a-time)."""
+        self._buffer.append(normalize_record(record, self.tenant_id))
+
+    def insert_table(self, table: pa.Table) -> None:
+        """Bulk path for pipeline-emitted metric tables (already in
+        metrics schema, possibly missing id)."""
+        self._buffer.extend(table.to_pylist())
+
+    def flush(self, run_id: str) -> Optional[str]:
+        if not self._buffer:
+            return None
+        rows = {c: [r.get(c) for r in self._buffer] for c in _COLS}
+        table = pa.Table.from_pydict(rows, schema=METRICS_SCHEMA)
+        out_dir = os.path.join(self.path, f"run_id={run_id}")
+        os.makedirs(out_dir, exist_ok=True)
+        part = os.path.join(out_dir, f"part-{uuid.uuid4().hex[:8]}.parquet")
+        pq.write_table(table, part)
+        self._buffer = []
+        return part
+
+    # -- reads ------------------------------------------------------------
+    def _dataset(self) -> Optional[pads.Dataset]:
+        files = []
+        for root, _dirs, fnames in os.walk(self.path):
+            files.extend(os.path.join(root, f) for f in fnames if f.endswith(".parquet"))
+        if not files:
+            return None
+        return pads.dataset(files, schema=METRICS_SCHEMA)
+
+    def read_all(self) -> pa.Table:
+        ds = self._dataset()
+        if ds is None:
+            return METRICS_SCHEMA.empty_table()
+        return ds.to_table()
+
+    def query_window(
+        self,
+        check_id_prefix: str,
+        dimensions: Optional[list[str]] = None,
+        limit: int = 10000,
+    ) -> list[tuple]:
+        """Anomaly history window (reference anomaly.py:115-144): rows
+        where check_id LIKE '<prefix>%', ordered by run_time ASC, limited
+        to ``limit``; returns [(dim?, actual_value, run_time), ...]."""
+        tbl = self.read_all()
+        if tbl.num_rows == 0:
+            return []
+        mask = pc.starts_with(tbl["check_id"], check_id_prefix)
+        tbl = tbl.filter(mask)
+        tbl = tbl.sort_by([("run_time", "ascending")])
+        if tbl.num_rows > limit:
+            tbl = tbl.slice(0, limit)
+        cols = ["actual_value", "run_time"]
+        if dimensions:
+            cols = [dimensions[0]] + cols
+        sel = tbl.select(cols)
+        return [tuple(r.values()) for r in sel.to_pylist()]
+
+    def summary(self, run_id: str) -> dict:
+        """Run summary parity with duckdb.py:503-518."""
+        tbl = self.read_all()
+        if tbl.num_rows:
+            tbl = tbl.filter(pc.equal(tbl["run_id"], run_id))
+        n = tbl.num_rows
+        succ = int(pc.sum(pc.cast(tbl["success"], pa.int64())).as_py() or 0) if n else 0
+        return {"count": n, "success": succ, "fail": n - succ}
+
+    def failures(self, run_id: str, limit: int = 20) -> pa.Table:
+        """First ``limit`` failing records of a run (duckdb.py:521-529)."""
+        tbl = self.read_all()
+        if tbl.num_rows:
+            tbl = tbl.filter(
+                pc.and_(pc.equal(tbl["run_id"], run_id), pc.equal(tbl["success"], False))
+            )
+        return tbl.slice(0, limit)
+
+    def compact(self, target_parts: int = 1) -> None:
+        """Merge-all compaction (duckdb.py:554-607): rewrite the store as
+        ``target_parts`` files. Metrics are small relative to the corpus;
+        at true scale this would be ray read_parquet -> repartition ->
+        write_parquet over the store directory."""
+        tbl = self.read_all()
+        if tbl.num_rows == 0:
+            return
+        for root, _dirs, fnames in os.walk(self.path):
+            for f in fnames:
+                if f.endswith(".parquet"):
+                    os.remove(os.path.join(root, f))
+        out_dir = os.path.join(self.path, "compacted")
+        os.makedirs(out_dir, exist_ok=True)
+        step = max(1, tbl.num_rows // target_parts + (tbl.num_rows % target_parts > 0))
+        i = 0
+        off = 0
+        while off < tbl.num_rows:
+            pq.write_table(tbl.slice(off, step), os.path.join(out_dir, f"part-{i:05d}.parquet"))
+            off += step
+            i += 1
