@@ -342,11 +342,9 @@ def date_trunc(granularity: str, arr: pa.ChunkedArray | pa.Array):
     if g in ("decade", "century", "millennium"):
         years = pc.year(arr).to_numpy(zero_copy_only=False).astype("float64")
         span = {"decade": 10, "century": 100, "millennium": 1000}[g]
-        if g == "decade":
-            floored = np.floor(years / span) * span
-        else:
-            # SQL semantics: century/millennium are 1-based (2001-2100 = 21st c.)
-            floored = (np.ceil(years / span) - 1) * span + 1
+        # DuckDB (the correctness oracle) floors 0-based for all three:
+        # 2020 -> decade 2020, century 2000, millennium 2000.
+        floored = np.floor(years / span) * span
         mask = np.isnan(years)
         floored = np.where(mask, 1970, floored).astype("int64")
         out = np.array([f"{y:04d}-01-01" for y in floored], dtype="datetime64[us]")
