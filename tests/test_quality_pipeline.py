@@ -1,0 +1,122 @@
+"""North-rule gate (BASELINE.json): the Ray pipeline must reproduce the
+pure-python oracle's keep/drop labels at F1 >= 0.99 with sha256 equality
+of scrubbed content on kept rows; plus per-partition resume semantics."""
+
+import os
+
+import pytest
+
+from tests.conftest import SF_DIR  # noqa: F401  (session fixture import side)
+from weiser_ai_ray.fixtures.corpus import generate_rows, write_corpus
+from weiser_ai_ray.oracle import label_row
+from weiser_ai_ray.pipelines.quality import QualityPipeline
+
+N_ROWS = 1500
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    write_corpus(str(d), N_ROWS, seed=SEED, n_files=6)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def oracle_labels():
+    rows = generate_rows(N_ROWS, SEED)
+    out = {}
+    for i in range(N_ROWS):
+        r = {k: rows[k][i] for k in rows}
+        out[(r["repo"], r["path"], r["commit"])] = label_row(
+            r["repo"], r["path"], r["commit"], r["lang"], r["content"]
+        )
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQualityPipeline:
+    def test_f1_and_sha256_parity(self, corpus_dir, oracle_labels, tmp_path):
+        qp = QualityPipeline(str(tmp_path / "out"))
+        summary = qp.run(corpus_dir, concurrency=2)
+        assert summary["partitions_processed"] == 6
+        kept = qp.load_kept().to_pandas()
+
+        oracle_kept = {k for k, v in oracle_labels.items() if v["keep"]}
+        engine_kept = set(zip(kept["repo"], kept["path"], kept["commit"]))
+        tp = len(engine_kept & oracle_kept)
+        fp = len(engine_kept - oracle_kept)
+        fn = len(oracle_kept - engine_kept)
+        precision = tp / max(tp + fp, 1)
+        recall = tp / max(tp + fn, 1)
+        f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+        assert f1 >= 0.99, (tp, fp, fn)
+
+        # content sha256 equality on kept rows (north-rule per-row invariant)
+        sha_by_key = {
+            (r.repo, r.path, r.commit): r.content_sha256 for r in kept.itertuples()
+        }
+        for key in engine_kept & oracle_kept:
+            assert sha_by_key[key] == oracle_labels[key]["content_sha256"]
+
+    def test_metric_records_per_partition(self, corpus_dir, oracle_labels, tmp_path):
+        qp = QualityPipeline(str(tmp_path / "out"))
+        summary = qp.run(corpus_dir, concurrency=2)
+        tbl = qp.metric_store.read_all().to_pandas()
+        # one record per (partition x rule) + row_count + kept_count + scrub rules
+        n_rules = 8
+        n_scrub = 5
+        per_part = n_rules + 2 + n_scrub
+        assert len(tbl) == 6 * per_part
+        assert set(tbl["partition_id"].unique()) == {
+            f"corpus-{k:05d}" for k in range(6)
+        }
+        # lineage: check_id is the reference sha256 recipe
+        assert (tbl["check_id"].str.len() == 64).all()
+        rc = tbl[tbl["name"] == "corpus_row_count"]
+        assert rc["actual_value"].sum() == N_ROWS
+        kc = tbl[tbl["name"] == "corpus_kept_count"]
+        assert kc["actual_value"].sum() == summary["rows_kept"]
+        # scrub redactions observed (email/ip/key plants exist)
+        sc = tbl[tbl["name"] == "scrub_email_redactions"]
+        assert sc["actual_value"].sum() > 0
+
+    def test_resume_skips_completed_partitions(self, corpus_dir, tmp_path):
+        out = str(tmp_path / "out")
+        files = QualityPipeline.list_input_files(corpus_dir)
+        qp = QualityPipeline(out)
+        s1 = qp.run(files[:3], concurrency=2)
+        assert s1["partitions_processed"] == 3
+
+        # partial garbage for an incomplete partition must be wiped
+        part_dir = os.path.join(out, "data", f"part={QualityPipeline.partition_id_for(files[3])}")
+        os.makedirs(part_dir, exist_ok=True)
+        with open(os.path.join(part_dir, "garbage.parquet"), "w") as f:
+            f.write("not parquet")
+
+        qp2 = QualityPipeline(out)
+        s2 = qp2.run(files, concurrency=2)
+        assert s2["skipped"] == 3
+        assert s2["partitions_processed"] == 3
+        assert not os.path.exists(os.path.join(part_dir, "garbage.parquet"))
+
+        # full result equals a fresh single run
+        qp_fresh = QualityPipeline(str(tmp_path / "fresh"))
+        s3 = qp_fresh.run(files, concurrency=2)
+        a = qp2.load_kept().to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        b = qp_fresh.load_kept().to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        assert len(a) == len(b) == s3["rows_kept"]
+        assert (a["content_sha256"].values == b["content_sha256"].values).all()
+
+        # third run: nothing to do
+        s4 = QualityPipeline(out).run(files, concurrency=2)
+        assert s4["partitions_processed"] == 0
+        assert s4["skipped"] == 6
+
+    def test_partition_lineage_in_output(self, corpus_dir, tmp_path):
+        qp = QualityPipeline(str(tmp_path / "out"))
+        qp.run(corpus_dir, concurrency=2)
+        kept = qp.load_kept().to_pandas()
+        assert set(kept["partition_id"].unique()) <= {
+            f"corpus-{k:05d}" for k in range(6)
+        }

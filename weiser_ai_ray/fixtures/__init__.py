@@ -1,0 +1,1 @@
+from .corpus import generate_corpus, write_corpus  # noqa: F401

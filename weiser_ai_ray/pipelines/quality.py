@@ -1,0 +1,398 @@
+"""The flagship corpus quality pipeline.
+
+Recasts the reference's check lifecycle (YAML checks -> metric records
+with lineage, /root/reference/weiser/runner/__init__.py:15-49) as a
+streaming per-file quality filter over a Parquet corpus of source code
+(BASELINE.json north_star):
+
+  read_parquet(shards, pruned)                      # 1 partition = 1 input file
+    -> map_batches(QualityRuleStage, concurrency=(a,b))   # ONE actor-pool pass:
+         vectorized heuristics + langid + perplexity models (built once
+         per actor in __init__), keep/drop via the reference condition
+         algebra, regex scrub of kept rows, sha256 lineage, per-batch
+         parquet write into the partition's output dir
+    -> tiny per-(partition, lang) partial-count rows
+  driver: combine partials -> weiser-style metric records per
+  (partition x rule) into the Parquet metric store; per-partition
+  manifest commit for resume.
+
+Scale notes:
+  - raw corpus rows are NEVER shuffled or materialized; the only
+    dataset crossing stages after the rule stage is the partial-count
+    table (a few rows per batch);
+  - kept rows are written by the map task itself (one dir per input
+    partition, unique file per batch) -> resumable, no single-writer
+    bottleneck, no all-to-all;
+  - a rerun wipes output dirs of incomplete partitions before
+    reprocessing (exactly-once per partition, manifest.jsonl commit).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import hashlib
+import os
+import uuid
+from datetime import datetime
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from ..conditions import apply_condition, apply_condition_vector, generate_check_id
+from ..models import QualityConfig
+from ..quality.spec import default_quality_config
+from ..stages.heuristics import compute_heuristics
+from ..stages.langid import LangIdModel
+from ..stages.perplexity import BigramLM
+from ..stages.scrub import Scrubber
+from ..state import ParquetMetricStore, PartitionManifest
+
+KEPT_SCHEMA = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.large_string()),
+        ("content_sha256", pa.string()),
+        ("detected_lang", pa.string()),
+        ("perplexity", pa.float64()),
+        ("partition_id", pa.string()),
+    ]
+)
+
+
+class QualityRuleStage:
+    """Actor-pool stage: all models/regexes built ONCE per actor."""
+
+    def __init__(self, config: QualityConfig, data_dir: str, write_output: bool = True):
+        self.config = config
+        self.data_dir = data_dir
+        self.write_output = write_output
+        self.langid = LangIdModel()
+        self.lm = BigramLM()
+        self.scrubber = Scrubber(config.scrub)
+        self.rules = [r for r in config.rules if r.enabled]
+
+    def rule_values(self, batch: pa.Table) -> dict[str, np.ndarray]:
+        values = compute_heuristics(batch)
+        contents = batch["content"].to_pylist()
+        claimed = batch["lang"].to_pylist()
+        detected, _scores = self.langid.detect_many(contents)
+        lid = np.array(
+            [
+                np.nan if c is None else (1.0 if d == l else 0.0)
+                for c, d, l in zip(contents, detected, claimed)
+            ],
+            dtype=np.float64,
+        )
+        values["langid"] = lid
+        values["perplexity"] = self.lm.ppl_many(contents)
+        values["_detected"] = detected  # type: ignore[assignment]
+        values["_contents"] = contents  # type: ignore[assignment]
+        return values
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        values = self.rule_values(batch)
+        contents = values.pop("_contents")
+        detected = values.pop("_detected")
+
+        keep = np.ones(n, dtype=bool)
+        fail_counts_rows: dict[str, np.ndarray] = {}
+        for rule in self.rules:
+            ok = apply_condition_vector(values[str(rule.kind)], rule.condition, rule.threshold)
+            fail_counts_rows[rule.name] = ~ok
+            keep &= ok
+
+        kept_idx = np.nonzero(keep)[0]
+        pid_col = batch["partition_id"].to_pylist()
+        langs = batch["lang"].to_pylist()
+
+        # group rows by (partition, lang) once; all counts via bincount
+        keys = np.array(
+            [f"{p}\x1f{l or ''}" for p, l in zip(pid_col, langs)], dtype=object
+        )
+        uniq_keys, inv = np.unique(keys, return_inverse=True)
+        n_groups = len(uniq_keys)
+        scrub_counts: dict[str, np.ndarray] = {
+            r.name: np.zeros(n_groups, dtype=np.int64) for r in self.scrubber_rules()
+        }
+
+        if len(kept_idx) and self.write_output:
+            kept_contents = [contents[i] for i in kept_idx]
+            scrubbed, counts = self.scrubber.scrub_many(kept_contents)
+            for name, arr in counts.items():
+                scrub_counts[name] = np.bincount(
+                    inv[kept_idx], weights=arr, minlength=n_groups
+                ).astype(np.int64)
+            shas = [hashlib.sha256(s.encode("utf-8")).hexdigest() for s in scrubbed]
+            take = pa.array(kept_idx, type=pa.int64())
+            kept_tbl = pa.table(
+                {
+                    "repo": batch["repo"].take(take),
+                    "path": batch["path"].take(take),
+                    "commit": batch["commit"].take(take),
+                    "lang": batch["lang"].take(take),
+                    "content": pa.array(scrubbed, type=pa.large_string()),
+                    "content_sha256": pa.array(shas, type=pa.string()),
+                    "detected_lang": pa.array([detected[i] for i in kept_idx], type=pa.string()),
+                    "perplexity": pa.array(
+                        values["perplexity"][kept_idx], type=pa.float64()
+                    ),
+                    "partition_id": batch["partition_id"].take(take),
+                },
+                schema=KEPT_SCHEMA,
+            )
+            # batches never span partitions in practice (one read task per
+            # file), but group defensively
+            import pyarrow.compute as pc
+
+            for pid in sorted({pid_col[i] for i in kept_idx}):
+                sel = kept_tbl.filter(pc.equal(kept_tbl["partition_id"], pid))
+                part_dir = os.path.join(self.data_dir, f"part={pid}")
+                os.makedirs(part_dir, exist_ok=True)
+                pq.write_table(sel, os.path.join(part_dir, f"batch-{uuid.uuid4().hex[:12]}.parquet"))
+
+        # partial counts per (partition, lang) — all vectorized bincounts
+        split = [k.split("\x1f", 1) for k in uniq_keys]
+        result: dict[str, list | np.ndarray] = {
+            "partition_id": [s[0] for s in split],
+            "lang": [s[1] for s in split],
+            "n_rows": np.bincount(inv, minlength=n_groups).astype(np.int64),
+            "n_kept": np.bincount(inv, weights=keep, minlength=n_groups).astype(np.int64),
+        }
+        for rule in self.rules:
+            result[f"fail_{rule.name}"] = np.bincount(
+                inv, weights=fail_counts_rows[rule.name], minlength=n_groups
+            ).astype(np.int64)
+        for name, arr in scrub_counts.items():
+            result[f"scrub_{name}"] = arr
+        return pa.table(result)
+
+    def scrubber_rules(self):
+        return [r for r in self.config.scrub if r.enabled]
+
+
+class QualityPipeline:
+    def __init__(
+        self,
+        out_dir: str,
+        config: Optional[QualityConfig] = None,
+        datasource: str = "default",
+        dataset_name: str = "corpus",
+        tenant_id: int = 1,
+    ):
+        self.out_dir = out_dir
+        self.config = config or default_quality_config()
+        self.datasource = datasource
+        self.dataset_name = dataset_name
+        self.data_dir = os.path.join(out_dir, "data")
+        self.metric_store = ParquetMetricStore(os.path.join(out_dir, "metrics"), tenant_id)
+        self.manifest = PartitionManifest(os.path.join(out_dir, "manifest.jsonl"))
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def list_input_files(corpus: str | list[str]) -> list[str]:
+        if isinstance(corpus, list):
+            return sorted(corpus)
+        if os.path.isdir(corpus):
+            return sorted(_glob.glob(os.path.join(corpus, "*.parquet")))
+        return sorted(_glob.glob(corpus))
+
+    @staticmethod
+    def partition_id_for(path: str) -> str:
+        return os.path.splitext(os.path.basename(path))[0]
+
+    def build_dataset(self, files: list[str]) -> "ray.data.Dataset":
+        """One tagged sub-dataset per input file, unioned lazily: every
+        row carries its partition_id and blocks never span partitions."""
+        parts = []
+        for f in files:
+            pid = self.partition_id_for(f)
+            parts.append(
+                ray.data.read_parquet(f).map_batches(
+                    _TagPartition(pid), batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+        ds = parts[0]
+        if len(parts) > 1:
+            ds = ds.union(*parts[1:])
+        return ds
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        corpus: str | list[str],
+        run_id: Optional[str] = None,
+        resume: bool = True,
+        concurrency=(2, 8),
+        batch_size: Optional[int] = None,
+        write_output: bool = True,
+    ) -> dict:
+        run_id = run_id or str(uuid.uuid4())
+        run_time = datetime.now()
+        files = self.list_input_files(corpus)
+        if not files:
+            raise FileNotFoundError(f"No corpus parquet found at {corpus}")
+        done = self.manifest.completed() if resume else {}
+        pending = [f for f in files if self.partition_id_for(f) not in done]
+        if not pending:
+            return {
+                "run_id": run_id,
+                "partitions_total": len(files),
+                "partitions_processed": 0,
+                "skipped": len(files),
+                "summary": self.metric_store.summary(run_id),
+            }
+        # wipe partial outputs of incomplete partitions (exactly-once)
+        PartitionManifest.clean_partition_outputs(
+            os.path.join(self.data_dir, f"part={self.partition_id_for(f)}") for f in pending
+        )
+
+        ds = self.build_dataset(pending)
+        partials = ds.map_batches(
+            QualityRuleStage,
+            fn_constructor_args=(self.config, self.data_dir, write_output),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+        rows = partials.take_all()  # tiny: a few rows per batch
+
+        # ---- driver-side combine: per-partition and per-lang stats ----
+        per_part: dict[str, dict] = {}
+        per_lang: dict[str, dict] = {}
+        rule_names = [r.name for r in self.config.rules if r.enabled]
+        scrub_names = [r.name for r in self.config.scrub if r.enabled]
+        for row in rows:
+            pid = row["partition_id"]
+            p = per_part.setdefault(
+                pid,
+                {"n_rows": 0, "n_kept": 0, **{f"fail_{n}": 0 for n in rule_names},
+                 **{f"scrub_{n}": 0 for n in scrub_names}},
+            )
+            lang = row["lang"]
+            lg = per_lang.setdefault(lang, {"n_rows": 0, "n_kept": 0})
+            for k in ("n_rows", "n_kept"):
+                p[k] += row[k]
+                lg[k] += row[k]
+            for n in rule_names:
+                p[f"fail_{n}"] += row[f"fail_{n}"]
+            for n in scrub_names:
+                p[f"scrub_{n}"] += row.get(f"scrub_{n}", 0)
+
+        # ---- weiser-style metric records per (partition x rule) ----
+        cond = self.config.partition_drop_condition
+        thr = self.config.partition_drop_threshold
+        for pid, p in sorted(per_part.items()):
+            nrows = p["n_rows"]
+            for rule in self.config.rules:
+                if not rule.enabled:
+                    continue
+                drop_frac = (p[f"fail_{rule.name}"] / nrows) if nrows else None
+                success = apply_condition(drop_frac, cond, thr)
+                name = f"quality_{rule.name}"
+                self.metric_store.insert_results(
+                    {
+                        "name": name,
+                        "type": "numeric",
+                        "condition": cond,
+                        "threshold": thr,
+                        "actual_value": drop_frac,
+                        "check_id": generate_check_id(self.datasource, name, self.dataset_name),
+                        "dataset": self.dataset_name,
+                        "datasource": self.datasource,
+                        "success": success,
+                        "fail": not success,
+                        "run_id": run_id,
+                        "run_time": run_time,
+                        "sql": f"drop_fraction({rule.name})",
+                        "partition_id": pid,
+                    }
+                )
+            # row_count + kept_count lineage records per partition
+            for mname, val in (("corpus_row_count", p["n_rows"]), ("corpus_kept_count", p["n_kept"])):
+                self.metric_store.insert_results(
+                    {
+                        "name": mname,
+                        "type": "row_count",
+                        "condition": "ge",
+                        "threshold": 0,
+                        "actual_value": float(val),
+                        "check_id": generate_check_id(self.datasource, mname, self.dataset_name),
+                        "dataset": self.dataset_name,
+                        "datasource": self.datasource,
+                        "success": True,
+                        "fail": False,
+                        "run_id": run_id,
+                        "run_time": run_time,
+                        "sql": "COUNT(*)",
+                        "partition_id": pid,
+                    }
+                )
+            for sname in scrub_names:
+                mname = f"scrub_{sname}_redactions"
+                self.metric_store.insert_results(
+                    {
+                        "name": mname,
+                        "type": "numeric",
+                        "condition": "ge",
+                        "threshold": 0,
+                        "actual_value": float(p[f"scrub_{sname}"]),
+                        "check_id": generate_check_id(self.datasource, mname, self.dataset_name),
+                        "dataset": self.dataset_name,
+                        "datasource": self.datasource,
+                        "success": True,
+                        "fail": False,
+                        "run_id": run_id,
+                        "run_time": run_time,
+                        "sql": f"redaction_count({sname})",
+                        "partition_id": pid,
+                    }
+                )
+        self.metric_store.flush(run_id)
+
+        # ---- manifest commit (after data + metrics are durable) ----
+        self.manifest.mark(
+            {
+                "partition_id": pid,
+                "run_id": run_id,
+                "n_input": p["n_rows"],
+                "n_kept": p["n_kept"],
+                "ts": datetime.now().isoformat(),
+            }
+            for pid, p in sorted(per_part.items())
+        )
+
+        total_rows = sum(p["n_rows"] for p in per_part.values())
+        total_kept = sum(p["n_kept"] for p in per_part.values())
+        return {
+            "run_id": run_id,
+            "partitions_total": len(files),
+            "partitions_processed": len(per_part),
+            "skipped": len(files) - len(pending),
+            "rows_in": total_rows,
+            "rows_kept": total_kept,
+            "keep_rate": (total_kept / total_rows) if total_rows else None,
+            "per_lang": per_lang,
+            "summary": self.metric_store.summary(run_id),
+        }
+
+    def load_kept(self) -> "ray.data.Dataset":
+        return ray.data.read_parquet(self.data_dir)
+
+
+class _TagPartition:
+    def __init__(self, pid: str):
+        self.pid = pid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "partition_id", pa.array([self.pid] * batch.num_rows, type=pa.string())
+        )

@@ -1,0 +1,9 @@
+from .spec import (  # noqa: F401
+    DEFAULT_QUALITY_CONFIG,
+    LID_PROFILES,
+    LM_TRAINING_TEXT,
+    SCRUB_RULES,
+    TARGET_LANGS,
+    build_bigram_counts,
+    default_quality_config,
+)

@@ -1,0 +1,4 @@
+from .heuristics import compute_heuristics  # noqa: F401
+from .langid import LangIdModel  # noqa: F401
+from .perplexity import BigramLM  # noqa: F401
+from .scrub import Scrubber  # noqa: F401

@@ -1,0 +1,65 @@
+"""Language-ID model (deterministic stand-in for fastText lid.176).
+
+The reference north star calls for fastText lid.176 in a stateful actor
+pool; no network/model files exist in this sandbox, so the model is a
+deterministic keyword-profile scorer with the exact spec frozen in
+weiser_ai_ray/quality/spec.py (LID section). A real fastText model is
+pluggable: same stage interface (``detect_many``), different scorer.
+
+Engine-side implementation: compiled token regex + dict lookups per
+row (the per-row loop is the model inference itself — exactly what a
+fastText ``predict`` call would be); the model is built ONCE per actor
+in ``__init__`` via the pipeline's actor-pool map_batches stage.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from ..quality.spec import (
+    JSON_STRUCT_BONUS,
+    LID_MIN_SCORE,
+    LID_PROFILES,
+    MARKDOWN_HEADER_BONUS,
+    TOKEN_REGEX,
+)
+
+
+class LangIdModel:
+    def __init__(self):
+        self.token_re = re.compile(TOKEN_REGEX)
+        self.profiles = {lang: dict(prof) for lang, prof in LID_PROFILES.items()}
+        self.langs = sorted(self.profiles)  # lexicographic tie-break order
+
+    def detect(self, content: str | None) -> tuple[str, float]:
+        if content is None:
+            return "unknown", 0.0
+        tokens = self.token_re.findall(content)
+        denom = len(tokens) + 1
+        scores = {}
+        for lang in self.langs:
+            prof = self.profiles[lang]
+            scores[lang] = sum(prof.get(t, 0.0) for t in tokens) / denom
+        # structural bonuses (spec)
+        stripped = content.lstrip()
+        if stripped[:1] in ("{", "["):
+            scores["json"] += JSON_STRUCT_BONUS
+        nlines = content.count("\n") + 1
+        header_lines = sum(1 for ln in content.split("\n") if ln.startswith("#"))
+        scores["markdown"] += MARKDOWN_HEADER_BONUS * (header_lines / nlines)
+        best = max(self.langs, key=lambda l: (scores[l], ))  # first max in sorted order
+        best_score = scores[best]
+        if best_score < LID_MIN_SCORE:
+            return "unknown", best_score
+        return best, best_score
+
+    def detect_many(self, contents) -> tuple[list[str], np.ndarray]:
+        langs: list[str] = []
+        scores = np.empty(len(contents), dtype=np.float64)
+        for i, c in enumerate(contents):
+            l, s = self.detect(c)
+            langs.append(l)
+            scores[i] = s
+        return langs, scores

@@ -1,0 +1,59 @@
+"""Char-bigram LM perplexity scorer (KenLM-style stand-in).
+
+The north star calls for a KenLM n-gram perplexity scorer in a stateful
+actor pool; no KenLM binary/model exists in this sandbox, so the scorer
+is a deterministic char-bigram LM whose counts are built from the
+frozen training text in weiser_ai_ray/quality/spec.py. A real KenLM
+model is pluggable behind the same ``ppl_many`` interface.
+
+Engine-side implementation is vectorized: the 96x96 log-prob matrix is
+built ONCE per actor in ``__init__``; per file the content is encoded to
+one byte per character (spec's ascii-replace mapping), indexed with
+numpy, and scored as exp(-mean(logp[idx[:-1], idx[1:]])).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..quality.spec import LM_TRAINING_TEXT, LM_VOCAB_SIZE, build_bigram_counts
+
+
+class BigramLM:
+    def __init__(self, training_text: str = LM_TRAINING_TEXT):
+        V = LM_VOCAB_SIZE
+        bigrams, ctx = build_bigram_counts(training_text)
+        counts = np.zeros((V, V), dtype=np.float64)
+        ctx_v = np.zeros(V, dtype=np.float64)
+
+        def idx_of(ch: str) -> int:
+            o = ord(ch)
+            return o - 31 if 32 <= o < 127 else 0
+
+        for (c1, c2), n in bigrams.items():
+            counts[idx_of(c1), idx_of(c2)] += n
+        for c1, n in ctx.items():
+            ctx_v[idx_of(c1)] += n
+        self.logp = np.log((counts + 0.5) / (ctx_v[:, None] + 0.5 * V))
+        self.V = V
+
+    def _indices(self, content: str) -> np.ndarray:
+        b = np.frombuffer(
+            content.replace("\n", " ").encode("ascii", "replace"), dtype=np.uint8
+        ).astype(np.int64)
+        return np.where((b >= 32) & (b < 127), b - 31, 0)
+
+    def ppl(self, content: str | None) -> float:
+        if content is None:
+            return float("nan")
+        if len(content) < 2:
+            return float(self.V)
+        idx = self._indices(content)
+        lp = self.logp[idx[:-1], idx[1:]]
+        return float(np.exp(-lp.mean()))
+
+    def ppl_many(self, contents) -> np.ndarray:
+        out = np.empty(len(contents), dtype=np.float64)
+        for i, c in enumerate(contents):
+            out[i] = self.ppl(c)
+        return out

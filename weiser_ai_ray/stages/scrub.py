@@ -1,0 +1,47 @@
+"""PII / secret scrubbing.
+
+Deterministic by construction: rules applied in the declared order
+(quality/spec.py SCRUB_RULES), each via python re.sub (leftmost,
+non-overlapping). The PEM rule runs first so keys containing emails /
+IPs collapse to one redaction token before the narrower rules see them
+(scrub-order determinism is load-bearing for sha256 parity — SURVEY.md
+§7 "hard parts").
+
+Regexes are compiled once per actor/worker in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from ..models import ScrubRule
+from ..quality.spec import SCRUB_RULES
+
+
+class Scrubber:
+    def __init__(self, rules: list[ScrubRule] | None = None):
+        if rules is None:
+            rules = [ScrubRule(name=n, pattern=p, replacement=r) for n, p, r in SCRUB_RULES]
+        self.rules = [(r.name, re.compile(r.pattern), r.replacement) for r in rules if r.enabled]
+
+    def scrub(self, content: str | None) -> tuple[str | None, dict[str, int]]:
+        counts = {name: 0 for name, _rx, _rep in self.rules}
+        if content is None:
+            return None, counts
+        for name, rx, rep in self.rules:
+            content, n = rx.subn(rep, content)
+            counts[name] = n
+        return content, counts
+
+    def scrub_many(self, contents) -> tuple[list, dict[str, np.ndarray]]:
+        n = len(contents)
+        out = []
+        counts = {name: np.zeros(n, dtype=np.int64) for name, _rx, _rep in self.rules}
+        for i, c in enumerate(contents):
+            s, cc = self.scrub(c)
+            out.append(s)
+            for name, v in cc.items():
+                counts[name][i] = v
+        return out, counts
