@@ -1,0 +1,189 @@
+"""Anomaly check parity with /root/reference/weiser/checks/anomaly.py:
+MAD z-score math (0.6745 constant, int-truncated MAD guard), <5-point
+auto-fail, 10k window bound, per-dimension windows; plus the seeded
+sample-history generator and runner lifecycle."""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+
+from weiser_ai_ray.checks import CheckFactory
+from weiser_ai_ray.checks.anomaly import mad_z_score
+from weiser_ai_ray.models import Check
+from weiser_ai_ray.sources import ParquetCatalog
+from weiser_ai_ray.state import ParquetMetricStore
+from tests.conftest import SF_DIR
+
+
+def seed_history(store, check_id, values, name="hist", dataset="orders"):
+    t0 = datetime(2026, 1, 1)
+    for i, v in enumerate(values):
+        store.insert_results(
+            {
+                "name": name,
+                "type": "row_count",
+                "condition": "gt",
+                "threshold": 0,
+                "actual_value": float(v),
+                "check_id": check_id,
+                "dataset": dataset,
+                "datasource": "default",
+                "success": True,
+                "fail": False,
+                "run_id": f"r{i}",
+                "run_time": t0 + timedelta(days=i),
+                "sql": "",
+            }
+        )
+    store.flush("seed")
+
+
+def make_anomaly(store, **kw):
+    defaults = dict(name="anom", type="anomaly", dataset="metrics",
+                    condition="le", threshold=3)
+    defaults.update(kw)
+    cat = ParquetCatalog(root=SF_DIR)
+    return CheckFactory.create_check("run-a", Check(**defaults), cat, "default", store)
+
+
+def test_mad_z_score_math():
+    # stable series: MAD == 0 -> z = 0 (reference anomaly.py:92-96)
+    assert mad_z_score([5, 5, 5, 5, 5, 5]) == 0
+    # int-truncation quirk: MAD in (0,1) also yields z = 0
+    assert mad_z_score([10.0, 10.2, 10.1, 10.3, 10.2, 10.25]) == 0
+    vals = [10, 12, 11, 13, 10, 12, 11, 100]
+    arr = np.array(vals, float)
+    med = np.median(arr)
+    mad = np.median(np.abs(arr - med))
+    want = 0.6745 * (100 - med) / mad
+    assert mad_z_score(vals) == pytest.approx(want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnomalyCheck:
+    def test_insufficient_window_fails(self, tmp_store):
+        seed_history(tmp_store, "c" * 64, [10, 11, 12])
+        chk = make_anomaly(tmp_store, check_id="c" * 64)
+        res = chk.run(False)
+        assert len(res) == 1
+        assert res[0]["fail"] is True
+        assert res[0]["actual_value"] == 12  # last value reported
+
+    def test_empty_window_fails_with_none(self, tmp_store):
+        chk = make_anomaly(tmp_store, check_id="d" * 64)
+        res = chk.run(False)
+        assert res[0]["fail"] is True
+        assert res[0]["actual_value"] is None
+
+    def test_stable_series_passes(self, tmp_store):
+        seed_history(tmp_store, "e" * 64, [50] * 10)
+        chk = make_anomaly(tmp_store, check_id="e" * 64)
+        res = chk.run(False)
+        assert res[0]["success"] is True  # z = 0 <= 3
+        assert res[0]["actual_value"] == 50
+
+    def test_outlier_fails(self, tmp_store):
+        seed_history(tmp_store, "f" * 64, [10, 12, 11, 13, 10, 12, 11, 500])
+        chk = make_anomaly(tmp_store, check_id="f" * 64)
+        res = chk.run(False)
+        assert res[0]["success"] is False
+        assert res[0]["actual_value"] == 500
+
+    def test_prefix_match(self, tmp_store):
+        # anomaly filters check_id LIKE '<prefix>%' (anomaly.py:139)
+        full = "a" * 64
+        seed_history(tmp_store, full, [10, 11, 10, 11, 10, 11])
+        chk = make_anomaly(tmp_store, check_id="a" * 10)
+        res = chk.run(False)
+        assert res[0]["success"] is True
+
+    def test_dimension_windows(self, tmp_store):
+        # per-dim windows over a metric-store column (first dim only)
+        seed_history(tmp_store, "g" * 64, [10] * 6, dataset="t1")
+        # MAD must exceed 1 or the int-truncation guard zeroes the score
+        seed_history(tmp_store, "g" * 64, [10, 14, 10, 14, 10, 999], dataset="t2")
+        chk = make_anomaly(tmp_store, check_id="g" * 64, dimensions=["dataset"])
+        res = chk.run(False)
+        assert len(res) == 2
+        by_name = {r["name"]: r for r in res}
+        assert by_name["anom_dataset_t1"]["success"] is True
+        assert by_name["anom_dataset_t2"]["success"] is False
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSampleAndRunner:
+    def test_generate_sample_history_feeds_anomaly(self, tmp_path):
+        from weiser_ai_ray.runner import generate_sample_data, pre_run_config
+
+        cfg = {
+            "checks": [
+                {"name": "cnt", "type": "row_count", "dataset": "orders",
+                 "condition": "gt", "threshold": 100}
+            ],
+            "datasources": [{"name": "default", "type": "parquet", "root": SF_DIR}],
+            "connections": [{"type": "metricstore", "path": str(tmp_path / "ms")}],
+        }
+        ctx = pre_run_config(cfg)
+        results = generate_sample_data("cnt", ctx, days=30, seed=7)
+        assert len(results) == 31
+        store = ctx["metric_store"]
+        tbl = store.read_all()
+        assert tbl.num_rows == 31
+        # same seed -> same values (deterministic deviation from reference)
+        ctx2 = pre_run_config(
+            {**cfg, "connections": [{"type": "metricstore", "path": str(tmp_path / "ms2")}]}
+        )
+        results2 = generate_sample_data("cnt", ctx2, days=30, seed=7)
+        assert [r["actual_value"] for r in results] == [r["actual_value"] for r in results2]
+
+    def test_run_config_lifecycle(self, tmp_path):
+        from weiser_ai_ray.runner import pre_run_config, run_checks
+
+        cfg = {
+            "checks": [
+                {"name": "cnt", "type": "row_count", "dataset": "orders",
+                 "condition": "gt", "threshold": 0},
+                {"name": "sum_qty", "type": "sum", "dataset": "lineitem",
+                 "measure": "l_quantity", "condition": "gt", "threshold": 0},
+            ],
+            "datasources": [{"name": "default", "type": "parquet", "root": SF_DIR}],
+            "connections": [{"type": "metricstore", "path": str(tmp_path / "ms")}],
+        }
+        ctx = pre_run_config(cfg)
+        results = run_checks(ctx)
+        assert len(results) == 2
+        summary = ctx["metric_store"].summary(ctx["run_id"])
+        assert summary == {"count": 2, "success": 2, "fail": 0}
+        failures = ctx["metric_store"].failures(ctx["run_id"])
+        assert failures.num_rows == 0
+
+    def test_missing_datasource_raises(self, tmp_path):
+        from weiser_ai_ray.runner import pre_run_config, run_checks
+
+        cfg = {
+            "checks": [
+                {"name": "cnt", "type": "row_count", "dataset": "orders",
+                 "datasource": "nope", "condition": "gt", "threshold": 0}
+            ],
+            "datasources": [{"name": "default", "type": "parquet", "root": SF_DIR}],
+            "connections": [{"type": "metricstore", "path": str(tmp_path / "ms")}],
+        }
+        ctx = pre_run_config(cfg)
+        with pytest.raises(Exception, match="not configured"):
+            run_checks(ctx)
+
+    def test_compile_only(self, tmp_path):
+        from weiser_ai_ray.runner import pre_run_config
+
+        cfg = {
+            "checks": [
+                {"name": "cnt", "type": "row_count", "dataset": "orders",
+                 "condition": "gt", "threshold": 0}
+            ],
+            "datasources": [{"name": "default", "type": "parquet", "root": SF_DIR}],
+            "connections": [{"type": "metricstore", "path": str(tmp_path / "ms")}],
+        }
+        ctx = pre_run_config(cfg, compile_only=True)
+        assert ctx["catalogs"] == {}
+        assert ctx["run_id"]

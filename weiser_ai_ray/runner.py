@@ -79,6 +79,54 @@ def run_checks(context: dict, verbose: bool = False) -> list[dict]:
     return results
 
 
+def generate_sample_data(
+    check_name: str,
+    context: dict,
+    days: int = 30,
+    seed: int = 7,
+    verbose: bool = False,
+) -> list[dict]:
+    """Seeded synthetic metric history for one named check — 31 daily
+    run_ids with values drawn around the threshold (threshold ± half the
+    span), condition applied, one metric record per day. Parity with the
+    reference `weiser sample` (runner/__init__.py:52-116) except the RNG
+    is seeded for reproducibility (documented deviation)."""
+    import random as _random
+    from datetime import timedelta
+
+    rng = _random.Random(seed)
+    config: BaseConfig = context["config"]
+    store = context["metric_store"]
+    start_date = datetime.now() - timedelta(days=days)
+    results = []
+    for check in config.checks:
+        if check.name != check_name:
+            continue
+        datasources = check.datasource if isinstance(check.datasource, list) else [check.datasource]
+        for i in range(days + 1):
+            dt = start_date + timedelta(days=i)
+            run_id = str(uuid.uuid4())
+            for datasource in datasources:
+                if datasource not in context["catalogs"]:
+                    raise Exception(f"Check <{check.name}>: Datasource {datasource} is not configured. ")
+                instance = CheckFactory.create_check(
+                    run_id, check.model_copy(deep=True), context["catalogs"][datasource], datasource, store
+                )
+                datasets = check.dataset if isinstance(check.dataset, list) else [check.dataset]
+                for dataset in datasets:
+                    thr = instance.check.threshold
+                    if str(instance.check.condition) == "between":
+                        delta = int((thr[1] - thr[0]) / 2)
+                        value = rng.randint(int(thr[0]) - delta, int(thr[1]) + delta)
+                    else:
+                        delta = int(thr / 2)
+                        value = rng.randint(int(thr) - delta, int(thr) + delta)
+                    success = instance.apply_condition(value)
+                    instance.append_result(success, value, results, dataset, dt, verbose)
+    store.flush("sample")
+    return results
+
+
 def run_config_file(path: str, context_env: Optional[dict] = None, default_root: Optional[str] = None, verbose: bool = False) -> dict:
     """Full `weiser run` equivalent (reference main.py:32-81)."""
     raw = load_config(path, context=context_env, verbose=verbose)
