@@ -1,0 +1,139 @@
+"""Dedup operators vs DuckDB / pure-python oracles on the driver tables
+and on purpose-built near-duplicate fixtures."""
+
+import duckdb
+import pyarrow as pa
+import pytest
+import ray.data
+
+from tests.conftest import SF_DIR
+from weiser_ai_ray.pipelines.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    exact_dedup_ids,
+    minhash_lsh_dedup_ids,
+    ngram_jaccard_pairs,
+    simhash_dedup_ids,
+)
+
+
+@pytest.fixture()
+def documents():
+    return ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+def near_dup_dataset():
+    """12 docs: 0-2 identical-ish cluster, 3-4 near-dup pair, rest unique."""
+    base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    rows = {
+        "doc_id": list(range(12)),
+        "text": [
+            base,
+            base,  # exact dup of 0
+            base + " x",  # near dup of 0
+            "completely different content about parsing configuration files here",
+            "completely different content about parsing configuration files there",
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "one two three four five six seven eight nine ten eleven",
+            "data quality checks over large datasets with ray and arrow",
+            "sphinx of black quartz judge my vow judge my vow judge",
+            "lorem ipsum dolor sit amet consectetur adipiscing elit sed do",
+            "never gonna give you up never gonna let you down",
+            "pack my box with five dozen liquor jugs right now",
+        ],
+    }
+    return ray.data.from_arrow(pa.Table.from_pydict(rows))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExactDedup:
+    def test_ids_match_duckdb(self, documents):
+        got = sorted(r["doc_id"] for r in exact_dedup_ids(documents, "text", "doc_id").take_all())
+        con = duckdb.connect()
+        want = [
+            r[0]
+            for r in con.execute(
+                f"SELECT min(doc_id) FROM '{SF_DIR}/documents.parquet' GROUP BY text ORDER BY 1"
+            ).fetchall()
+        ]
+        assert got == want
+
+    def test_full_rows(self):
+        ds = near_dup_dataset()
+        kept = exact_dedup(ds, "text", "doc_id").to_pandas()
+        assert sorted(kept["doc_id"]) == [0] + list(range(2, 12))  # doc 1 == doc 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMinHashLsh:
+    def test_finds_near_dups(self):
+        survivors, pairs = minhash_lsh_dedup_ids(
+            near_dup_dataset(), "text", "doc_id", jaccard_threshold=0.7
+        )
+        assert (0, 1) in pairs  # exact dup found
+        assert (0, 2) in pairs or (1, 2) in pairs  # near dup found
+        assert 1 not in survivors
+        assert 2 not in survivors
+        # the "near but below threshold" pair 3/4 shares most shingles
+        # (one-word diff) — either outcome is defensible; unique docs survive
+        for i in range(5, 12):
+            assert i in survivors
+
+    def test_no_dups_all_survive(self):
+        rows = {"doc_id": [1, 2, 3], "text": ["aaaa bbbb", "cccc dddd", "eeee ffff"]}
+        ds = ray.data.from_arrow(pa.Table.from_pydict(rows))
+        survivors, pairs = minhash_lsh_dedup_ids(ds, "text", "doc_id")
+        assert survivors == [1, 2, 3]
+        assert pairs == []
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSimHash:
+    def test_exact_and_near(self):
+        survivors, pairs = simhash_dedup_ids(near_dup_dataset(), "text", "doc_id")
+        assert (0, 1) in pairs
+        assert 1 not in survivors
+        for i in range(5, 12):
+            assert i in survivors
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNgramJaccard:
+    def test_bucketed_pairs(self):
+        rows = {
+            "doc_id": [1, 2, 3, 4],
+            "bucket": ["a", "a", "b", "b"],
+            "text": [
+                "one two three four five",
+                "one two three four six",
+                "seven eight nine ten",
+                "totally different words here now",
+            ],
+        }
+        ds = ray.data.from_arrow(pa.Table.from_pydict(rows))
+        out = ngram_jaccard_pairs(ds, "text", "doc_id", "bucket", n=2, threshold=0.4).to_pandas()
+        got = set(zip(out["id_a"], out["id_b"]))
+        assert (1, 2) in got  # 3 of 4 bigrams shared
+        assert (3, 4) not in got
+        # cross-bucket pairs are never considered (partitioning contract)
+        assert all(a in (1, 2) and b in (1, 2) or a in (3, 4) and b in (3, 4) for a, b in got)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmbeddingNearDup:
+    def test_pairs_match_duckdb(self):
+        ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        got = embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.35).to_pandas()
+        got_pairs = sorted(zip(got["id_a"], got["id_b"]))
+        con = duckdb.connect()
+        want = con.execute(
+            f"""
+            SELECT a.vec_id, b.vec_id
+            FROM '{SF_DIR}/embeddings.parquet' a, '{SF_DIR}/embeddings.parquet' b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+            ORDER BY 1, 2
+            """
+        ).fetchall()
+        assert len(got_pairs) > 0
+        assert got_pairs == [tuple(w) for w in want]

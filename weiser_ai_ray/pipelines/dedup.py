@@ -1,0 +1,452 @@
+"""Deduplication operators over Ray Datasets.
+
+Not present in the reference (SURVEY.md §2.8) — added as first-class
+training-data-pipeline operators:
+
+  exact_dedup          hash-partitioned exact dedup: content hash added
+                       per batch, groupby(hash).min(id) — the shuffle
+                       moves only (hash, id) pairs, never the text
+  minhash_lsh_dedup    char-shingle MinHash signatures -> LSH band
+                       rows -> groupby(band, band_hash) buckets ->
+                       candidate pairs -> exact Jaccard verify ->
+                       union-find -> survivors
+  simhash_dedup        64-bit SimHash -> 4x16-bit band buckets ->
+                       hamming<=k verify -> survivors
+  ngram_jaccard_pairs  exact n-gram Jaccard within co-partitioned
+                       buckets (brute force per bucket)
+  embedding_neardup    cosine >= tau pairs: brute force vs a broadcast
+                       normalized matrix per batch (LSH-bucketed
+                       variant in similarity.py is the scale path)
+
+Scale notes: every operator shuffles only fixed-width digests/ids.
+Candidate verification re-reads only candidate texts (a tiny filtered
+read at web scale it would be a bucketed join; documented where used).
+All hashes are deterministic (sha256/crc-free: python's salted hash()
+is never used — cf. SURVEY.md §2.5 U3 trap).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _stable_hash64(s: str) -> int:
+    return int.from_bytes(hashlib.sha256(s.encode("utf-8")).digest()[:8], "big")
+
+
+def add_content_hash(batch: pa.Table, text_col: str, out_col: str = "content_hash") -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    hashes = [
+        hashlib.sha256(t.encode("utf-8")).hexdigest() if t is not None else None
+        for t in texts
+    ]
+    return batch.append_column(out_col, pa.array(hashes, type=pa.string()))
+
+
+def exact_dedup_ids(ds: "ray.data.Dataset", text_col: str, id_col: str) -> "ray.data.Dataset":
+    """Surviving ids: min(id) per distinct text. Only (hash, id) pairs
+    are shuffled; the groupby pre-aggregates per block automatically."""
+    from ray.data.aggregate import Min
+
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, text_col).select(["content_hash", id_col]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    survivors = hashed.groupby("content_hash").aggregate(Min(id_col, alias_name=id_col))
+    return survivors.select_columns([id_col])
+
+
+def exact_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str) -> "ray.data.Dataset":
+    """Full surviving rows. The survivor id set is collected on the
+    driver and broadcast (ray.put) into a semi-join filter — right for
+    id sets that fit driver memory; at 10^12 scale swap the broadcast
+    for a bucketed hash join on the id (same groupby partitioning)."""
+    ids = set(r[id_col] for r in exact_dedup_ids(ds, text_col, id_col).take_all())
+    ref = ray.put(ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        idset = ray.get(ref)
+        mask = pa.array([i in idset for i in batch[id_col].to_pylist()])
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ----------------------------------------------------------------------
+# MinHash + LSH
+
+
+class MinHasher:
+    """Deterministic MinHash over char k-shingles.
+
+    Shingle hashing: sha256-derived 61-bit ints; permutations
+    h_i(x) = (a_i * x + b_i) mod (2^61 - 1) with a_i, b_i derived from a
+    fixed seed. Built once per actor."""
+
+    def __init__(self, shingle_k: int = 5, num_perm: int = 64, seed: int = 1729):
+        self.k = shingle_k
+        self.num_perm = num_perm
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+
+    def shingles(self, text: str) -> set[str]:
+        if len(text) < self.k:
+            return {text} if text else set()
+        return {text[i : i + self.k] for i in range(len(text) - self.k + 1)}
+
+    def signature(self, text: Optional[str]) -> Optional[np.ndarray]:
+        if text is None:
+            return None
+        sh = self.shingles(text)
+        if not sh:
+            return None
+        hs = np.array([_stable_hash64(s) % _MERSENNE for s in sh], dtype=np.uint64)
+        # (num_perm, n_shingles) permuted hashes -> min along shingles
+        perm = (self.a[:, None] * hs[None, :] + self.b[:, None]) % _MERSENNE
+        return perm.min(axis=1)
+
+
+class MinHashBandStage:
+    """Explodes each doc into (band_id, band_hash, id) rows."""
+
+    def __init__(self, text_col: str, id_col: str, shingle_k: int, num_perm: int, bands: int):
+        assert num_perm % bands == 0
+        self.text_col = text_col
+        self.id_col = id_col
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.mh = MinHasher(shingle_k, num_perm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        band_ids, band_hashes, out_ids = [], [], []
+        for i, t in zip(ids, texts):
+            sig = self.mh.signature(t)
+            if sig is None:
+                continue
+            for b in range(self.bands):
+                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
+                h = hashlib.sha256(chunk.tobytes()).hexdigest()[:16]
+                band_ids.append(b)
+                band_hashes.append(h)
+                out_ids.append(i)
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids, type=pa.int32()),
+                "band_hash": pa.array(band_hashes, type=pa.string()),
+                self.id_col: pa.array(out_ids),
+            }
+        )
+
+
+def _jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / max(len(a | b), 1)
+
+
+def minhash_lsh_dedup_ids(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+) -> tuple[list, list[tuple]]:
+    """Returns (surviving_ids_sorted, verified_duplicate_pairs).
+
+    shingle -> minhash -> band explode -> groupby(band_id, band_hash)
+    -> candidate pairs -> exact-Jaccard verify on candidate texts ->
+    union-find keeping the min id per duplicate cluster.
+
+    Partitioning assumption: candidate clusters (not the corpus) fit on
+    the driver; texts are re-read only for candidate ids via a filtered
+    pass. At 10^12 scale the verify becomes a bucketed join keyed on
+    candidate-pair hash; the band groupby already co-locates buckets."""
+    band_rows = ds.map_batches(
+        MinHashBandStage,
+        fn_constructor_args=(text_col, id_col, shingle_k, num_perm, bands),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+    def bucket_pairs(group):
+        import pandas as pd
+
+        ids = sorted(group[id_col].tolist())
+        rows = [(a, b) for ai, a in enumerate(ids) for b in ids[ai + 1 :]]
+        if not rows:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.DataFrame(rows, columns=["id_a", "id_b"]).astype({"id_a": "int64", "id_b": "int64"})
+
+    pairs_ds = band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    cand = {(r["id_a"], r["id_b"]) for r in pairs_ds.take_all()}
+    cand = {(int(a), int(b)) for a, b in cand}
+
+    if not cand:
+        all_ids = sorted(r[id_col] for r in ds.select_columns([id_col]).take_all())
+        return all_ids, []
+
+    # verify candidates: fetch candidate texts with one filtered pass
+    cand_ids = sorted({i for p in cand for i in p})
+    ref = ray.put(set(cand_ids))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ref)
+        mask = pa.array([i in wanted for i in batch[id_col].to_pylist()])
+        return batch.filter(mask).select([id_col, text_col])
+
+    texts = {
+        r[id_col]: r[text_col]
+        for r in ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    }
+    mh = MinHasher(shingle_k, num_perm)
+    shingle_cache = {i: mh.shingles(t or "") for i, t in texts.items()}
+    verified = [
+        (a, b)
+        for a, b in sorted(cand)
+        if _jaccard(shingle_cache[a], shingle_cache[b]) >= jaccard_threshold
+    ]
+
+    # union-find: survivor = min id of each duplicate cluster
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in verified:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    all_ids = sorted(r[id_col] for r in ds.select_columns([id_col]).take_all())
+    survivors = [i for i in all_ids if find(i) == i]
+    return survivors, verified
+
+
+# ----------------------------------------------------------------------
+# SimHash
+
+
+class SimHashStage:
+    """64-bit SimHash over word tokens (sha256-derived token hashes)."""
+
+    def __init__(self, text_col: str, id_col: str):
+        import re
+
+        self.text_col = text_col
+        self.id_col = id_col
+        self.token_re = re.compile(r"[A-Za-z0-9_]+")
+
+    def simhash(self, text: Optional[str]) -> Optional[int]:
+        if text is None:
+            return None
+        tokens = self.token_re.findall(text.lower())
+        if not tokens:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for t in tokens:
+            h = _stable_hash64(t)
+            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+            acc += np.where(bits.astype(bool), 1, -1)
+        out = 0
+        for bit in np.nonzero(acc > 0)[0]:
+            out |= 1 << int(bit)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        sims = [self.simhash(t) for t in batch[self.text_col].to_pylist()]
+        return pa.table(
+            {
+                self.id_col: pa.array(ids),
+                "simhash": pa.array(sims, type=pa.uint64()),
+            }
+        )
+
+
+def simhash_dedup_ids(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> tuple[list, list[tuple]]:
+    """SimHash near-dup: band each 64-bit hash into 4x16-bit keys
+    (a pair within hamming<=3 must agree on >=1 band), bucket via
+    groupby, verify hamming distance, union-find to survivors."""
+    sims = ds.map_batches(
+        SimHashStage,
+        fn_constructor_args=(text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        hs = batch["simhash"].to_pylist()
+        out_b, out_k, out_i, out_h = [], [], [], []
+        for i, h in zip(ids, hs):
+            if h is None:
+                continue
+            for b in range(4):
+                out_b.append(b)
+                out_k.append((h >> (16 * b)) & 0xFFFF)
+                out_i.append(i)
+                out_h.append(h)
+        return pa.table(
+            {
+                "band": pa.array(out_b, type=pa.int32()),
+                "key": pa.array(out_k, type=pa.int64()),
+                id_col: pa.array(out_i),
+                "simhash": pa.array(out_h, type=pa.uint64()),
+            }
+        )
+
+    banded = sims.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(group):
+        import pandas as pd
+
+        rows = sorted(zip(group[id_col].tolist(), group["simhash"].tolist()))
+        out = []
+        for ai in range(len(rows)):
+            for bi in range(ai + 1, len(rows)):
+                (ia, ha), (ib, hb) = rows[ai], rows[bi]
+                if bin(int(ha) ^ int(hb)).count("1") <= max_hamming:
+                    out.append((ia, ib))
+        if not out:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.DataFrame(out, columns=["id_a", "id_b"]).astype({"id_a": "int64", "id_b": "int64"})
+
+    pairs = {
+        (int(r["id_a"]), int(r["id_b"]))
+        for r in banded.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas").take_all()
+    }
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in sorted(pairs):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    all_ids = sorted(r[id_col] for r in ds.select_columns([id_col]).take_all())
+    return [i for i in all_ids if find(i) == i], sorted(pairs)
+
+
+# ----------------------------------------------------------------------
+# Embedding cosine near-dup (brute force vs broadcast matrix)
+
+
+def embedding_neardup_pairs(
+    ds: "ray.data.Dataset",
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+) -> "ray.data.Dataset":
+    """All pairs (id_a < id_b) with cosine similarity >= threshold.
+
+    The full normalized matrix is broadcast once via ray.put and each
+    batch computes a (batch x all) float64 matmul — the right plan while
+    one side fits in the object store; the LSH-bucketed variant
+    (similarity.lsh_buckets) is the 10^12-row path."""
+    rows = ds.select_columns([id_col, vec_col]).take_all()
+    rows.sort(key=lambda r: r[id_col])
+    ids = np.array([r[id_col] for r in rows])
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    ref = ray.put((ids, mat))
+
+    def batch_pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        b_ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
+        b_mat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        n = np.linalg.norm(b_mat, axis=1)
+        n[n == 0] = 1.0
+        b_mat = b_mat / n[:, None]
+        sims = b_mat @ all_mat.T
+        ia, ib = np.nonzero(sims >= threshold)
+        left = b_ids[ia]
+        right = all_ids[ib]
+        keep = left < right
+        return pa.table(
+            {
+                "id_a": pa.array(left[keep], type=pa.int64()),
+                "id_b": pa.array(right[keep], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(batch_pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ----------------------------------------------------------------------
+# Exact n-gram Jaccard within buckets
+
+
+def ngram_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    bucket_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> "ray.data.Dataset":
+    """Brute-force word n-gram Jaccard WITHIN each bucket_col group.
+
+    Partitioning assumption (documented per the task contract): groups
+    of bucket_col are small enough for O(g^2) verify; the caller picks
+    the bucket key (e.g. (source, lang))."""
+
+    def per_group(group):
+        import pandas as pd
+
+        def grams(t):
+            toks = (t or "").split()
+            return {tuple(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))}
+
+        rows = sorted(zip(group[id_col].tolist(), group[text_col].tolist()))
+        sets = [(i, grams(t)) for i, t in rows]
+        out = []
+        for ai in range(len(sets)):
+            for bi in range(ai + 1, len(sets)):
+                (ia, sa), (ib, sb) = sets[ai], sets[bi]
+                j = _jaccard(sa, sb)
+                if j >= threshold:
+                    out.append((ia, ib, j))
+        if not out:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"]).astype(
+            {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+        )
+
+    return ds.select_columns([bucket_col, id_col, text_col]).groupby(bucket_col).map_groups(
+        per_group, batch_format="pandas"
+    )

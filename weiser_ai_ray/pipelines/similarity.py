@@ -1,0 +1,174 @@
+"""Similarity search over an embedding column (list<float>).
+
+  ann_topk        brute-force cosine top-k: query matrix broadcast once
+                  (ray.put), per-batch float64 matmul + partial top-k,
+                  driver merges the per-batch partials (k rows per
+                  query per batch — never the full score matrix)
+  lsh_topk        random-hyperplane LSH variant: both sides bucketed by
+                  signature, exact scoring only within matching buckets
+                  (multi-probe by flipping one bit) — the scale path:
+                  score cost drops from O(N) to O(N / 2^bits * probes)
+                  per query at some recall loss.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+def _batch_scores(batch: pa.Table, vec_col: str, id_col: str, q_ids, q_mat, k: int) -> pa.Table:
+    b_ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
+    b_mat = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+    sims = q_mat @ b_mat.T  # (n_query, n_batch)
+    kk = min(k, sims.shape[1])
+    # partial top-k per query within this batch
+    idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    rows_q, rows_n, rows_s = [], [], []
+    for qi in range(sims.shape[0]):
+        for j in idx[qi]:
+            rows_q.append(q_ids[qi])
+            rows_n.append(b_ids[j])
+            rows_s.append(sims[qi, j])
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, type=pa.int64()),
+            "neighbor_id": pa.array(rows_n, type=pa.int64()),
+            "score": pa.array(rows_s, type=pa.float64()),
+        }
+    )
+
+
+def ann_topk(
+    ds: "ray.data.Dataset",
+    query_ids: list[int],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    include_self: bool = False,
+) -> pa.Table:
+    """Exact cosine top-k for the given query ids. Returns a pyarrow
+    Table (query_id, neighbor_id, score) sorted by
+    (query_id, -score, neighbor_id) — deterministic tie-break."""
+    q_rows = [
+        r
+        for r in ds.select_columns([id_col, vec_col]).take_all()
+        if r[id_col] in set(query_ids)
+    ]
+    q_rows.sort(key=lambda r: r[id_col])
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = _normalize(np.array([r[vec_col] for r in q_rows], dtype=np.float64))
+    ref = ray.put((q_ids, q_mat))
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids, mat = ray.get(ref)
+        return _batch_scores(batch, vec_col, id_col, ids, mat, k)
+
+    partials = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    # driver merge: global top-k per query with deterministic tie-break
+    import pandas as pd
+
+    df = pd.DataFrame(partials)
+    if not include_self:
+        df = df[df["query_id"] != df["neighbor_id"]]
+    df = df.sort_values(
+        ["query_id", "score", "neighbor_id"], ascending=[True, False, True]
+    )
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+class LshIndexStage:
+    """Random-hyperplane signature: sign bits of (vec @ planes).
+    Planes are seeded and built lazily at the first batch (dim inferred
+    from the data), so every actor/task derives identical planes."""
+
+    def __init__(self, vec_col: str, id_col: str, bits: int = 8, seed: int = 99):
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.bits = bits
+        self.seed = seed
+        self.planes: np.ndarray | None = None
+
+    def signature(self, mat: np.ndarray) -> np.ndarray:
+        if self.planes is None:
+            rng = np.random.RandomState(self.seed)
+            self.planes = rng.normal(size=(mat.shape[1], self.bits))
+        bits = (mat @ self.planes) > 0
+        return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(np.array(batch[self.vec_col].to_pylist(), dtype=np.float64))
+        sig = self.signature(mat)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                self.vec_col: batch[self.vec_col],
+                "bucket": pa.array(sig, type=pa.int64()),
+            }
+        )
+
+
+def lsh_topk(
+    ds: "ray.data.Dataset",
+    query_ids: list[int],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    bits: int = 8,
+    probes: int = 1,
+) -> pa.Table:
+    """Approximate top-k: candidates restricted to vectors whose LSH
+    bucket matches the query's bucket (or differs by one flipped bit per
+    extra probe). Recall < 1.0 by design; compare against ann_topk for
+    the quality measurement."""
+    stage = LshIndexStage(vec_col, id_col, bits=bits)
+    indexed = ds.map_batches(
+        lambda b: stage(b), batch_format="pyarrow", zero_copy_batch=True
+    )
+    rows = indexed.take_all()
+    by_id = {r[id_col]: r for r in rows}
+    q_rows = sorted((by_id[q] for q in query_ids), key=lambda r: r[id_col])
+    want_buckets: dict[int, set[int]] = {}
+    for r in q_rows:
+        b = r["bucket"]
+        buckets = {b}
+        for p in range(probes - 1):
+            buckets.add(b ^ (1 << (p % bits)))
+        want_buckets[r[id_col]] = buckets
+
+    import pandas as pd
+
+    out = []
+    all_df = pd.DataFrame(
+        {
+            id_col: [r[id_col] for r in rows],
+            "bucket": [r["bucket"] for r in rows],
+        }
+    )
+    mat = _normalize(np.array([r[vec_col] for r in rows], dtype=np.float64))
+    ids_arr = np.array([r[id_col] for r in rows], dtype=np.int64)
+    for r in q_rows:
+        qid = r[id_col]
+        qv = _normalize(np.array([r[vec_col]], dtype=np.float64))[0]
+        cand_mask = all_df["bucket"].isin(want_buckets[qid]).to_numpy() & (ids_arr != qid)
+        cand_ids = ids_arr[cand_mask]
+        sims = mat[cand_mask] @ qv
+        order = np.lexsort((cand_ids, -sims))[:k]
+        for j in order:
+            out.append((qid, int(cand_ids[j]), float(sims[j])))
+    return pa.table(
+        {
+            "query_id": pa.array([o[0] for o in out], type=pa.int64()),
+            "neighbor_id": pa.array([o[1] for o in out], type=pa.int64()),
+            "score": pa.array([o[2] for o in out], type=pa.float64()),
+        }
+    )

