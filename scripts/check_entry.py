@@ -1,0 +1,90 @@
+"""Local replica of the driver's correctness gate: run each queries()
+entry at a given sf and compare rows/schema/values against oracle_sql()
+via DuckDB. Usage: python scripts/check_entry.py [sf_dir]."""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def to_pandas(x):
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(x, pa.Table):
+        return x.to_pandas()
+    if isinstance(x, pd.DataFrame):
+        return x
+    return x.to_pandas()  # ray Dataset
+
+
+def norm(df):
+    df = df[sorted(df.columns)].copy()
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import ray
+
+    ray.init(address="local", num_cpus=16, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import duckdb
+
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            got = norm(to_pandas(fn(sf_dir)))
+        except Exception as ex:
+            print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
+            failed.append(name)
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows={len(got)} (rows-only) [{dt:.1f}s]")
+            if len(got) == 0:
+                print(f"WARN {name}: zero rows")
+            continue
+        want = norm(con.execute(oracles[name]).fetchdf())
+        status = "ok  "
+        if list(got.columns) != list(want.columns):
+            status = "FAIL"
+            print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
+        elif len(got) != len(want):
+            status = "FAIL"
+            print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
+        else:
+            import pandas as pd
+
+            try:
+                pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=1e-9)
+            except AssertionError as ex:
+                status = "FAIL"
+                print(f"FAIL {name}: values differ: {str(ex)[:300]}")
+        if status == "FAIL":
+            failed.append(name)
+        else:
+            print(f"ok   {name}: rows={len(got)} [{dt:.1f}s]")
+    print("\nFAILED:" if failed else "\nALL OK", failed if failed else "")
+    ray.shutdown()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
