@@ -1,0 +1,203 @@
+#!/usr/bin/env python
+"""Benchmark harness for the Ray-Data-native quality engine.
+
+Default mode runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ..., "num_cpus": N}
+
+``--scaling`` runs the flagship quality pipeline twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the SAME pre-generated corpus and reports
+throughput at both plus scaling efficiency (sandbox proxy for the north
+rule's N vs 4N node clusters; see BASELINE.md).
+
+The timed headline set exercises: the flagship quality-filter pipeline
+(langid + perplexity actor pool + heuristics + scrub + metric store),
+dedup (exact / minhash / simhash), ANN top-k, text analysis, grouped
+checks with time dimensions, and not_empty column profiling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# queries() entries timed in default mode (names match __ray_entry__).
+HEADLINE_QUERIES = [
+    "quality_pipeline_kept",
+    "minhash_dedup_documents",
+    "simhash_dedup_documents",
+    "dedup_exact_documents",
+    "embedding_neardup",
+    "ann_topk",
+    "langid_documents",
+    "token_stats_by_source",
+    "quality_scores_documents",
+    "corpus_stats_by_lang",
+    "rowcount_by_status",
+    "sum_by_year",
+    "not_empty_events",
+]
+
+
+def _quiet_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return ray
+
+
+def _consume(res) -> int:
+    """Force execution; return a row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    return res.count()  # ray Dataset
+
+
+def _corpus_for(sf_dir: str) -> tuple[str, int]:
+    """Deterministic synthetic corpus sized by sf (cached under /tmp)."""
+    import __ray_entry__ as e
+
+    d = e._corpus_dir(sf_dir)
+    n_rows, _ = e._corpus_rows_for(sf_dir)
+    return d, n_rows
+
+
+def run_default(sf_dir: str, num_cpus: int) -> dict:
+    _quiet_ray(num_cpus)
+    import __ray_entry__ as e
+
+    # corpus synthesis is setup, not benchmark
+    _corpus_for(sf_dir)
+
+    qs = e.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        t0 = time.perf_counter()
+        _consume(qs[name](sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    return {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "num_cpus": num_cpus,
+    }
+
+
+# ----------------------------------------------------------------------
+# scaling mode: flagship pipeline at two parallelism levels, fresh procs
+
+
+def _scaling_worker(corpus_dir: str, num_cpus: int, out_dir: str) -> None:
+    _quiet_ray(num_cpus)
+    from weiser_ai_ray.pipelines.quality import QualityPipeline
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    qp = QualityPipeline(out_dir)
+    # size the actor pool to the CPU budget: reader/writer tasks get the rest
+    pool = max(2, num_cpus - max(2, num_cpus // 8))
+    t0 = time.perf_counter()
+    res = qp.run(corpus_dir, resume=False, concurrency=(pool, pool))
+    elapsed = time.perf_counter() - t0
+    import ray
+
+    ray.shutdown()
+    print(json.dumps({"elapsed": elapsed, "partitions": res["partitions_processed"]}))
+
+
+def run_scaling(sf_dir: str, lo: int, hi: int) -> dict:
+    corpus_dir, n_rows = _corpus_for(sf_dir)
+    me = os.path.abspath(__file__)
+    results = {}
+    for cpus in (lo, hi):
+        out = f"/tmp/weiser_bench_scaling_{cpus}"
+        proc = subprocess.run(
+            [sys.executable, me, "--_worker", corpus_dir, str(cpus), out],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(f"scaling worker at {cpus} cpus failed")
+        payload = json.loads(proc.stdout.strip().splitlines()[-1])
+        results[cpus] = {
+            "sec": round(payload["elapsed"], 3),
+            "files_per_sec": round(n_rows / payload["elapsed"], 1),
+        }
+    factor = hi / lo
+    speedup = results[hi]["files_per_sec"] / results[lo]["files_per_sec"]
+    efficiency = round(speedup / factor, 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    return {
+        "metric": "scaling_efficiency",
+        "value": efficiency,
+        "unit": "ratio",
+        "queries": {
+            f"quality_pipeline@{lo}cpus_sec": results[lo]["sec"],
+            f"quality_pipeline@{hi}cpus_sec": results[hi]["sec"],
+            f"files_per_sec@{lo}cpus": results[lo]["files_per_sec"],
+            f"files_per_sec@{hi}cpus": results[hi]["files_per_sec"],
+            "speedup": round(speedup, 3),
+        },
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "num_cpus": hi,
+        "corpus_rows": n_rows,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--lo", type=int, default=8)
+    ap.add_argument("--hi", type=int, default=32)
+    ap.add_argument("--_worker", nargs=3, metavar=("CORPUS", "CPUS", "OUT"))
+    args = ap.parse_args()
+
+    if args._worker:
+        corpus, cpus, out = args._worker
+        _scaling_worker(corpus, int(cpus), out)
+        return
+    if args.scaling:
+        result = run_scaling(args.sf_dir, args.lo, args.hi)
+    else:
+        result = run_default(args.sf_dir, args.cpus)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
