@@ -45,8 +45,10 @@ def _stable_hash64(s: str) -> int:
 
 def add_content_hash(batch: pa.Table, text_col: str, out_col: str = "content_hash") -> pa.Table:
     texts = batch[text_col].to_pylist()
+    # nulls get a sentinel key (SQL GROUP BY groups nulls together; a
+    # null key would also break Ray's sort-based aggregate partitioning)
     hashes = [
-        hashlib.sha256(t.encode("utf-8")).hexdigest() if t is not None else None
+        hashlib.sha256(t.encode("utf-8")).hexdigest() if t is not None else "__null__"
         for t in texts
     ]
     return batch.append_column(out_col, pa.array(hashes, type=pa.string()))
@@ -71,13 +73,12 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str) -> "ray.data
     driver and broadcast (ray.put) into a semi-join filter — right for
     id sets that fit driver memory; at 10^12 scale swap the broadcast
     for a bucketed hash join on the id (same groupby partitioning)."""
-    ids = set(r[id_col] for r in exact_dedup_ids(ds, text_col, id_col).take_all())
+    ids = sorted(r[id_col] for r in exact_dedup_ids(ds, text_col, id_col).take_all())
     ref = ray.put(ids)
 
     def keep(batch: pa.Table) -> pa.Table:
-        idset = ray.get(ref)
-        mask = pa.array([i in idset for i in batch[id_col].to_pylist()])
-        return batch.filter(mask)
+        idset = pa.array(ray.get(ref))
+        return batch.filter(pc.is_in(batch[id_col], value_set=idset))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -86,39 +87,63 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str) -> "ray.data
 # MinHash + LSH
 
 
-class MinHasher:
-    """Deterministic MinHash over char k-shingles.
+_M31 = (1 << 31) - 1
+_POLY_P = np.uint64(1000003)
 
-    Shingle hashing: sha256-derived 61-bit ints; permutations
-    h_i(x) = (a_i * x + b_i) mod (2^61 - 1) with a_i, b_i derived from a
-    fixed seed. Built once per actor."""
+
+class MinHasher:
+    """Deterministic MinHash over char k-shingles, fully vectorized.
+
+    Shingle hashing: rolling polynomial hash over unicode code points
+    (Horner mod 2^31-1 — all numpy, no per-shingle Python). Permutations
+    h_i(x) = (a_i * x + b_i) mod (2^61 - 1) with a_i < 2^30 so a_i * x
+    fits uint64. Min over the shingle MULTISET equals min over the set,
+    so no dedup pass is needed. Built once per actor."""
 
     def __init__(self, shingle_k: int = 5, num_perm: int = 64, seed: int = 1729):
         self.k = shingle_k
         self.num_perm = num_perm
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.a = rng.randint(1, 1 << 30, size=num_perm, dtype=np.uint64)
         self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
 
     def shingles(self, text: str) -> set[str]:
+        """String shingle set — used only for exact-Jaccard verify."""
         if len(text) < self.k:
             return {text} if text else set()
         return {text[i : i + self.k] for i in range(len(text) - self.k + 1)}
 
+    def shingle_hashes(self, text: Optional[str]) -> Optional[np.ndarray]:
+        if not text:
+            return None
+        codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        n = codes.size
+        k = min(self.k, n)
+        m = n - k + 1
+        h = np.zeros(m, dtype=np.uint64)
+        m31 = np.uint64(_M31)
+        for j in range(k):  # k (~5) vector ops, not n Python ops
+            h = (h * _POLY_P + codes[j : j + m]) % m31
+        return h
+
     def signature(self, text: Optional[str]) -> Optional[np.ndarray]:
-        if text is None:
+        hs = self.shingle_hashes(text)
+        if hs is None or hs.size == 0:
             return None
-        sh = self.shingles(text)
-        if not sh:
-            return None
-        hs = np.array([_stable_hash64(s) % _MERSENNE for s in sh], dtype=np.uint64)
-        # (num_perm, n_shingles) permuted hashes -> min along shingles
-        perm = (self.a[:, None] * hs[None, :] + self.b[:, None]) % _MERSENNE
-        return perm.min(axis=1)
+        mers = np.uint64(_MERSENNE)
+        sig = np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        # chunk so the (num_perm x chunk) matrix stays small for huge docs
+        for s in range(0, hs.size, 16384):
+            chunk = hs[s : s + 16384]
+            perm = (self.a[:, None] * chunk[None, :] + self.b[:, None]) % mers
+            np.minimum(sig, perm.min(axis=1), out=sig)
+        return sig
 
 
 class MinHashBandStage:
-    """Explodes each doc into (band_id, band_hash, id) rows."""
+    """Explodes each doc into (bucket, id) rows; bucket = band index +
+    sha256 of that band's signature slice (one sha256 per doc-band,
+    never per shingle)."""
 
     def __init__(self, text_col: str, id_col: str, shingle_k: int, num_perm: int, bands: int):
         assert num_perm % bands == 0
@@ -131,24 +156,74 @@ class MinHashBandStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
-        band_ids, band_hashes, out_ids = [], [], []
+        buckets, out_ids = [], []
         for i, t in zip(ids, texts):
             sig = self.mh.signature(t)
             if sig is None:
                 continue
             for b in range(self.bands):
                 chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                h = hashlib.sha256(chunk.tobytes()).hexdigest()[:16]
-                band_ids.append(b)
-                band_hashes.append(h)
+                buckets.append(f"{b}:{hashlib.sha256(chunk.tobytes()).hexdigest()[:16]}")
                 out_ids.append(i)
         return pa.table(
             {
-                "band_id": pa.array(band_ids, type=pa.int32()),
-                "band_hash": pa.array(band_hashes, type=pa.string()),
+                "bucket": pa.array(buckets, type=pa.string()),
                 self.id_col: pa.array(out_ids),
             }
         )
+
+
+def collect_dup_buckets(band_rows: "ray.data.Dataset", id_col: str, extra_cols: tuple = ()) -> list[dict]:
+    """Rows of buckets with >= 2 members, collected to the driver.
+
+    Two vectorized passes instead of groupby().map_groups over millions
+    of (mostly singleton) buckets: (1) a native count aggregate per
+    bucket, (2) an is_in semi-join filter against the multi-member
+    bucket keys. Partitioning assumption (documented): duplicate
+    buckets are a small fraction of the corpus — the broadcast key set
+    and the collected rows are O(duplicates), never O(corpus). At
+    10^12 rows the driver collect becomes a bucketed join, but the
+    count+filter shape is unchanged."""
+    # band_rows is consumed twice (count + semi-join filter); it holds
+    # only fixed-width digests/ids, so materializing is cheap and avoids
+    # recomputing the signature stage.
+    band_rows = band_rows.materialize()
+    counts = band_rows.groupby("bucket").count()
+    count_col = [c for c in counts.schema().names if c != "bucket"][0]
+
+    def only_dups(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b[count_col], 1)).select(["bucket"])
+
+    dup_keys = [
+        r["bucket"]
+        for r in counts.map_batches(only_dups, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    ]
+    if not dup_keys:
+        return []
+    ref = ray.put(dup_keys)
+
+    def pick(b: pa.Table) -> pa.Table:
+        keys = pa.array(ray.get(ref), type=pa.string())
+        return b.filter(pc.is_in(b["bucket"], value_set=keys))
+
+    return band_rows.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).take_all()
+
+
+def _pairs_from_bucket_rows(rows: list[dict], id_col: str, with_cols: tuple = ()) -> set[tuple]:
+    """Candidate pairs (a < b) within each bucket, driver-side over the
+    (small) duplicate-bucket rows."""
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(
+            (r[id_col],) + tuple(r[c] for c in with_cols)
+        )
+    pairs: set[tuple] = set()
+    for members in by_bucket.values():
+        members = sorted(set(members))
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                pairs.add((members[ai], members[bi]))
+    return pairs
 
 
 def _jaccard(a: set, b: set) -> float:
@@ -162,15 +237,20 @@ def minhash_lsh_dedup_ids(
     text_col: str,
     id_col: str,
     shingle_k: int = 5,
-    num_perm: int = 64,
+    num_perm: int = 128,
     bands: int = 16,
     jaccard_threshold: float = 0.8,
 ) -> tuple[list, list[tuple]]:
     """Returns (surviving_ids_sorted, verified_duplicate_pairs).
 
-    shingle -> minhash -> band explode -> groupby(band_id, band_hash)
-    -> candidate pairs -> exact-Jaccard verify on candidate texts ->
-    union-find keeping the min id per duplicate cluster.
+    shingle -> minhash -> band explode -> count-aggregate dup buckets
+    -> candidate pairs -> vectorized signature-estimate prefilter ->
+    exact-Jaccard verify on surviving candidate texts -> union-find
+    keeping the min id per duplicate cluster.
+
+    Band geometry r = num_perm/bands = 8 keeps the false-candidate rate
+    low on templated corpora (P[collide | J=0.5] ≈ 6% vs ≈ 64% at r=4)
+    while detecting J >= 0.8 pairs with P ≈ 95%.
 
     Partitioning assumption: candidate clusters (not the corpus) fit on
     the driver; texts are re-read only for candidate ids via a filtered
@@ -183,21 +263,8 @@ def minhash_lsh_dedup_ids(
         zero_copy_batch=True,
         concurrency=(1, 8),
     )
-
-    def bucket_pairs(group):
-        import pandas as pd
-
-        ids = sorted(group[id_col].tolist())
-        rows = [(a, b) for ai, a in enumerate(ids) for b in ids[ai + 1 :]]
-        if not rows:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        return pd.DataFrame(rows, columns=["id_a", "id_b"]).astype({"id_a": "int64", "id_b": "int64"})
-
-    pairs_ds = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    cand = {(r["id_a"], r["id_b"]) for r in pairs_ds.take_all()}
-    cand = {(int(a), int(b)) for a, b in cand}
+    dup_rows = collect_dup_buckets(band_rows, id_col)
+    cand = {(int(a[0]), int(b[0])) for a, b in _pairs_from_bucket_rows(dup_rows, id_col)}
 
     if not cand:
         all_ids = sorted(r[id_col] for r in ds.select_columns([id_col]).take_all())
@@ -205,23 +272,54 @@ def minhash_lsh_dedup_ids(
 
     # verify candidates: fetch candidate texts with one filtered pass
     cand_ids = sorted({i for p in cand for i in p})
-    ref = ray.put(set(cand_ids))
+    ref = ray.put(cand_ids)
 
     def pick(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(ref)
-        mask = pa.array([i in wanted for i in batch[id_col].to_pylist()])
-        return batch.filter(mask).select([id_col, text_col])
+        wanted = pa.array(ray.get(ref))
+        return batch.filter(pc.is_in(batch[id_col], value_set=wanted)).select([id_col, text_col])
 
     texts = {
         r[id_col]: r[text_col]
         for r in ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).take_all()
     }
     mh = MinHasher(shingle_k, num_perm)
-    shingle_cache = {i: mh.shingles(t or "") for i, t in texts.items()}
+    # vectorized signature-estimate prefilter: J_est = matching minhash
+    # fraction; only pairs within a safety margin get the exact O(|doc|)
+    # set-Jaccard. Turns a pair blowup on templated corpora from minutes
+    # of Python set ops into one numpy comparison.
+    idx = {i: j for j, i in enumerate(cand_ids)}
+    sigs = np.zeros((len(cand_ids), num_perm), dtype=np.uint64)
+    for i in cand_ids:
+        s = mh.signature(texts.get(i) or "")
+        if s is not None:
+            sigs[idx[i]] = s
+    pair_arr = np.array(sorted(cand), dtype=np.int64)
+    if pair_arr.size:
+        id_arr = np.array(cand_ids, dtype=np.int64)  # sorted
+        # margin ~ sigma of the estimator (sqrt(J(1-J)/num_perm) ~= 0.04
+        # at 128 perms); chunked so the gathered sig matrices stay small
+        cut = max(jaccard_threshold - 0.05, 0.0)
+        kept_chunks = []
+        for s in range(0, len(pair_arr), 262144):
+            chunk = pair_arr[s : s + 262144]
+            ia = np.searchsorted(id_arr, chunk[:, 0])
+            ib = np.searchsorted(id_arr, chunk[:, 1])
+            est = (sigs[ia] == sigs[ib]).mean(axis=1)
+            kept_chunks.append(chunk[est >= cut])
+        close = np.concatenate(kept_chunks) if kept_chunks else pair_arr.reshape(0, 2)
+    else:
+        close = pair_arr.reshape(0, 2)
+    shingle_cache: dict = {}
+
+    def _sh(i):
+        if i not in shingle_cache:
+            shingle_cache[i] = mh.shingles(texts.get(i) or "")
+        return shingle_cache[i]
+
     verified = [
-        (a, b)
-        for a, b in sorted(cand)
-        if _jaccard(shingle_cache[a], shingle_cache[b]) >= jaccard_threshold
+        (int(a), int(b))
+        for a, b in close
+        if _jaccard(_sh(int(a)), _sh(int(b))) >= jaccard_threshold
     ]
 
     # union-find: survivor = min id of each duplicate cluster
@@ -257,6 +355,19 @@ class SimHashStage:
         self.text_col = text_col
         self.id_col = id_col
         self.token_re = re.compile(r"[A-Za-z0-9_]+")
+        self._bit_cache: dict = {}
+
+    def _token_bits(self, tok: str) -> np.ndarray:
+        """±1 bit-row for a token, cached per actor (code tokens repeat
+        heavily, so the sha256 runs once per distinct token)."""
+        row = self._bit_cache.get(tok)
+        if row is None:
+            h = np.uint64(_stable_hash64(tok))
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            row = np.where(bits.astype(bool), 1, -1).astype(np.int64)
+            if len(self._bit_cache) < 200_000:
+                self._bit_cache[tok] = row
+        return row
 
     def simhash(self, text: Optional[str]) -> Optional[int]:
         if text is None:
@@ -264,11 +375,9 @@ class SimHashStage:
         tokens = self.token_re.findall(text.lower())
         if not tokens:
             return 0
-        acc = np.zeros(64, dtype=np.int64)
-        for t in tokens:
-            h = _stable_hash64(t)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-            acc += np.where(bits.astype(bool), 1, -1)
+        uniq, cnts = np.unique(np.array(tokens, dtype=object), return_counts=True)
+        rows = np.stack([self._token_bits(t) for t in uniq])
+        acc = (cnts[:, None] * rows).sum(axis=0)
         out = 0
         for bit in np.nonzero(acc > 0)[0]:
             out |= 1 << int(bit)
@@ -305,44 +414,29 @@ def simhash_dedup_ids(
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         hs = batch["simhash"].to_pylist()
-        out_b, out_k, out_i, out_h = [], [], [], []
+        out_bk, out_i, out_h = [], [], []
         for i, h in zip(ids, hs):
             if h is None:
                 continue
             for b in range(4):
-                out_b.append(b)
-                out_k.append((h >> (16 * b)) & 0xFFFF)
+                out_bk.append(f"{b}:{(h >> (16 * b)) & 0xFFFF:04x}")
                 out_i.append(i)
                 out_h.append(h)
         return pa.table(
             {
-                "band": pa.array(out_b, type=pa.int32()),
-                "key": pa.array(out_k, type=pa.int64()),
+                "bucket": pa.array(out_bk, type=pa.string()),
                 id_col: pa.array(out_i),
                 "simhash": pa.array(out_h, type=pa.uint64()),
             }
         )
 
     banded = sims.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-
-    def bucket_pairs(group):
-        import pandas as pd
-
-        rows = sorted(zip(group[id_col].tolist(), group["simhash"].tolist()))
-        out = []
-        for ai in range(len(rows)):
-            for bi in range(ai + 1, len(rows)):
-                (ia, ha), (ib, hb) = rows[ai], rows[bi]
-                if bin(int(ha) ^ int(hb)).count("1") <= max_hamming:
-                    out.append((ia, ib))
-        if not out:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        return pd.DataFrame(out, columns=["id_a", "id_b"]).astype({"id_a": "int64", "id_b": "int64"})
-
-    pairs = {
-        (int(r["id_a"]), int(r["id_b"]))
-        for r in banded.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas").take_all()
-    }
+    dup_rows = collect_dup_buckets(banded, id_col)
+    pairs = set()
+    for (ia, ha), (ib, hb) in _pairs_from_bucket_rows(dup_rows, id_col, with_cols=("simhash",)):
+        if ia != ib and bin(int(ha) ^ int(hb)).count("1") <= max_hamming:
+            lo, hi = (ia, ib) if ia < ib else (ib, ia)
+            pairs.add((int(lo), int(hi)))
     parent: dict = {}
 
     def find(x):
