@@ -208,20 +208,16 @@ class QualityPipeline:
         return os.path.splitext(os.path.basename(path))[0]
 
     def build_dataset(self, files: list[str]) -> "ray.data.Dataset":
-        """One tagged sub-dataset per input file, unioned lazily: every
-        row carries its partition_id and blocks never span partitions."""
-        parts = []
-        for f in files:
-            pid = self.partition_id_for(f)
-            parts.append(
-                ray.data.read_parquet(f).map_batches(
-                    _TagPartition(pid), batch_format="pyarrow", zero_copy_batch=True
-                )
-            )
-        ds = parts[0]
-        if len(parts) > 1:
-            ds = ds.union(*parts[1:])
-        return ds
+        """One read TASK per input file (a file-list dataset mapped
+        through a per-file parquet reader): every row carries its
+        partition_id, blocks never span partitions, and row groups are
+        yielded as separate blocks so huge shards stream. A union of N
+        per-file sub-datasets measured ~70 s of pure plan overhead at
+        N=32 vs ~0 for this shape."""
+        items = [{"file": f} for f in files]
+        return ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
+            _read_shard, batch_size=1, batch_format="pyarrow"
+        )
 
     # ------------------------------------------------------------------
     def run(
@@ -388,11 +384,14 @@ class QualityPipeline:
         return ray.data.read_parquet(self.data_dir)
 
 
-class _TagPartition:
-    def __init__(self, pid: str):
-        self.pid = pid
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "partition_id", pa.array([self.pid] * batch.num_rows, type=pa.string())
+def _read_shard(batch: pa.Table):
+    """Read one corpus shard (batch holds exactly one file path) and
+    yield its row groups tagged with the shard's partition_id."""
+    f = batch["file"][0].as_py()
+    pid = QualityPipeline.partition_id_for(f)
+    pf = pq.ParquetFile(f)
+    for rg in range(pf.num_row_groups):
+        t = pf.read_row_group(rg)
+        yield t.append_column(
+            "partition_id", pa.array([pid] * t.num_rows, type=pa.string())
         )
