@@ -126,8 +126,9 @@ def _scaling_worker(corpus_dir: str, num_cpus: int, out_dir: str) -> None:
 
     shutil.rmtree(out_dir, ignore_errors=True)
     qp = QualityPipeline(out_dir)
-    # size the actor pool to the CPU budget: reader/writer tasks get the rest
-    pool = max(2, num_cpus - max(2, num_cpus // 8))
+    # the read fuses into the rule stage (one operator), so the actor
+    # pool should own every CPU
+    pool = num_cpus
     t0 = time.perf_counter()
     res = qp.run(corpus_dir, resume=False, concurrency=(pool, pool))
     elapsed = time.perf_counter() - t0
@@ -137,8 +138,42 @@ def _scaling_worker(corpus_dir: str, num_cpus: int, out_dir: str) -> None:
     print(json.dumps({"elapsed": elapsed, "partitions": res["partitions_processed"]}))
 
 
-def run_scaling(sf_dir: str, lo: int, hi: int) -> dict:
-    corpus_dir, n_rows = _corpus_for(sf_dir)
+def _gen_scaling_corpus(n_rows: int, n_files: int = 256) -> str:
+    """Deterministic corpus big enough that compute dominates actor
+    startup; shards generated in parallel via Ray tasks, cached under
+    /tmp. Separate from the oracle fixture corpus. 256 shards => ~8
+    task waves on a 32-wide pool, so ragged task times cost at most one
+    short tail wave instead of half a long one."""
+    d = f"/tmp/weiser_bench_corpus_{n_rows}"
+    marker = os.path.join(d, "_DONE")
+    if os.path.exists(marker):
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    ray = _quiet_ray(DEFAULT_CPUS)
+
+    @ray.remote
+    def gen(k: int, per: int) -> None:
+        import pyarrow.parquet as pq
+
+        from weiser_ai_ray.fixtures.corpus import generate_corpus
+
+        pq.write_table(generate_corpus(per, seed=1000 + k), os.path.join(d, f"corpus-{k:05d}.parquet"))
+
+    per = (n_rows + n_files - 1) // n_files
+    import ray as _r
+
+    _r.get([gen.remote(k, per) for k in range(n_files)])
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d
+
+
+def run_scaling(sf_dir: str, lo: int, hi: int, n_rows: int = 3_000_000) -> dict:
+    corpus_dir = _gen_scaling_corpus(n_rows)
+    import ray
+
+    ray.shutdown()  # workers own their sessions
     me = os.path.abspath(__file__)
     results = {}
     for cpus in (lo, hi):
@@ -185,6 +220,7 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--lo", type=int, default=8)
     ap.add_argument("--hi", type=int, default=32)
+    ap.add_argument("--rows", type=int, default=3_000_000, help="scaling-corpus rows")
     ap.add_argument("--_worker", nargs=3, metavar=("CORPUS", "CPUS", "OUT"))
     args = ap.parse_args()
 
@@ -193,7 +229,7 @@ def main() -> None:
         _scaling_worker(corpus, int(cpus), out)
         return
     if args.scaling:
-        result = run_scaling(args.sf_dir, args.lo, args.hi)
+        result = run_scaling(args.sf_dir, args.lo, args.hi, args.rows)
     else:
         result = run_default(args.sf_dir, args.cpus)
     print(json.dumps(result))

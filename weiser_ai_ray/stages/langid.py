@@ -32,28 +32,45 @@ class LangIdModel:
         self.token_re = re.compile(TOKEN_REGEX)
         self.profiles = {lang: dict(prof) for lang, prof in LID_PROFILES.items()}
         self.langs = sorted(self.profiles)  # lexicographic tie-break order
+        # single-pass inference: token -> weight row over all langs (one
+        # dict lookup + one vector add per token, instead of a pass per
+        # language). Same arithmetic, same tie-break.
+        vocab: dict[str, np.ndarray] = {}
+        for li, lang in enumerate(self.langs):
+            for tok, w in self.profiles[lang].items():
+                row = vocab.get(tok)
+                if row is None:
+                    row = np.zeros(len(self.langs), dtype=np.float64)
+                    vocab[tok] = row
+                row[li] += w
+        self._vocab = vocab
+        self._json_i = self.langs.index("json")
+        self._md_i = self.langs.index("markdown")
 
     def detect(self, content: str | None) -> tuple[str, float]:
         if content is None:
             return "unknown", 0.0
         tokens = self.token_re.findall(content)
         denom = len(tokens) + 1
-        scores = {}
-        for lang in self.langs:
-            prof = self.profiles[lang]
-            scores[lang] = sum(prof.get(t, 0.0) for t in tokens) / denom
+        acc = np.zeros(len(self.langs), dtype=np.float64)
+        vocab = self._vocab
+        for t in tokens:
+            row = vocab.get(t)
+            if row is not None:
+                acc += row
+        acc /= denom
         # structural bonuses (spec)
         stripped = content.lstrip()
         if stripped[:1] in ("{", "["):
-            scores["json"] += JSON_STRUCT_BONUS
+            acc[self._json_i] += JSON_STRUCT_BONUS
         nlines = content.count("\n") + 1
         header_lines = sum(1 for ln in content.split("\n") if ln.startswith("#"))
-        scores["markdown"] += MARKDOWN_HEADER_BONUS * (header_lines / nlines)
-        best = max(self.langs, key=lambda l: (scores[l], ))  # first max in sorted order
-        best_score = scores[best]
+        acc[self._md_i] += MARKDOWN_HEADER_BONUS * (header_lines / nlines)
+        best_i = int(np.argmax(acc))  # first max in sorted (lexicographic) order
+        best_score = float(acc[best_i])
         if best_score < LID_MIN_SCORE:
             return "unknown", best_score
-        return best, best_score
+        return self.langs[best_i], best_score
 
     def detect_many(self, contents) -> tuple[list[str], np.ndarray]:
         langs: list[str] = []

@@ -20,25 +20,57 @@ from ..models import ScrubRule
 from ..quality.spec import SCRUB_RULES
 
 
+# Literal-substring gates: a rule's regex CANNOT match unless one of
+# the gate substrings occurs (necessary condition only — semantics are
+# identical, the regex still decides). `str in` is a memchr-style SIMD
+# scan, far cheaper than a full regex pass, and most files contain no
+# PII. Gates marked ci are checked against content.lower() (computed
+# lazily, once) because their rules are case-insensitive.
+_RULE_GATES: dict[str, tuple[bool, tuple[str, ...]]] = {
+    "pem_private_key": (False, ("PRIVATE KEY-----",)),
+    "aws_access_key": (False, ("AKIA",)),
+    "secret_assignment": (True, ("api", "secret", "token", "passwd", "password")),
+    "email": (False, ("@",)),
+}
+
+
 class Scrubber:
     def __init__(self, rules: list[ScrubRule] | None = None):
         if rules is None:
             rules = [ScrubRule(name=n, pattern=p, replacement=r) for n, p, r in SCRUB_RULES]
-        self.rules = [(r.name, re.compile(r.pattern), r.replacement) for r in rules if r.enabled]
+        self.rules = [
+            (r.name, re.compile(r.pattern), r.replacement, _RULE_GATES.get(r.name))
+            for r in rules
+            if r.enabled
+        ]
 
     def scrub(self, content: str | None) -> tuple[str | None, dict[str, int]]:
-        counts = {name: 0 for name, _rx, _rep in self.rules}
+        counts = {name: 0 for name, _rx, _rep, _g in self.rules}
         if content is None:
             return None, counts
-        for name, rx, rep in self.rules:
-            content, n = rx.subn(rep, content)
+        lc: str | None = None
+        for name, rx, rep, gate in self.rules:
+            if gate is not None:
+                ci, subs = gate
+                if ci:
+                    if lc is None:
+                        lc = content.lower()
+                    hay = lc
+                else:
+                    hay = content
+                if not any(g in hay for g in subs):
+                    continue
+            new_content, n = rx.subn(rep, content)
+            if n:
+                content = new_content
+                lc = None  # content changed; lazily recompute lower()
             counts[name] = n
         return content, counts
 
     def scrub_many(self, contents) -> tuple[list, dict[str, np.ndarray]]:
         n = len(contents)
         out = []
-        counts = {name: np.zeros(n, dtype=np.int64) for name, _rx, _rep in self.rules}
+        counts = {name: np.zeros(n, dtype=np.int64) for name, _rx, _rep, _g in self.rules}
         for i, c in enumerate(contents):
             s, cc = self.scrub(c)
             out.append(s)
