@@ -1,0 +1,175 @@
+"""Console/Slack export, CLI entry point, and dashboard last_values
+(reference export.py:15-128, main.py:32-151, Metrics.yaml:4-9)."""
+
+import os
+import subprocess
+import sys
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+import pytest
+
+from weiser_ai_ray.loader.export import (
+    export_results,
+    format_results_table,
+    slack_payload,
+)
+from weiser_ai_ray.state import ParquetMetricStore
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _store_with(tmp_path, records):
+    store = ParquetMetricStore(str(tmp_path / "metrics"))
+    for r in records:
+        store.insert_results(r)
+    store.flush(records[0]["run_id"])
+    return store
+
+
+def _rec(run_id, name, success, value, ts=None, check_id=None, typ="row_count"):
+    return {
+        "name": name,
+        "type": typ,
+        "condition": "gt",
+        "threshold": 10,
+        "actual_value": value,
+        "check_id": check_id or f"chk_{name}",
+        "dataset": "orders",
+        "datasource": "default",
+        "success": success,
+        "fail": not success,
+        "run_id": run_id,
+        "run_time": ts or datetime(2026, 1, 2, 3, 4, 5),
+    }
+
+
+class TestExport:
+    def test_format_results_table_columns_and_marks(self):
+        results = [
+            {
+                "check_instance": "CheckRowCount",
+                "results": [
+                    {"name": "c1", "datasource": "d", "dataset": "orders", "type": "row_count",
+                     "condition": "gt", "actual_value": 12, "threshold": 10, "fail": False},
+                    {"name": "c2", "datasource": "d", "dataset": "orders", "type": "sum",
+                     "condition": "le", "actual_value": 99, "threshold": None,
+                     "threshold_list": [1, 50], "fail": True},
+                ],
+            }
+        ]
+        out = format_results_table(results)
+        assert "Check Name" in out and "Result" in out
+        assert "PASS" in out and "FAIL" in out
+        assert "[1, 50]" in out  # threshold_list shown when threshold is None
+        with_ids = format_results_table(results, show_ids=True)
+        assert with_ids.startswith("Check Id")
+
+    def test_slack_payload_shape(self):
+        summary = {"count": 3, "success": 2, "fail": 1}
+        failures = [
+            {"name": "c2", "check_id": "abcdef0123456789", "dataset": "orders",
+             "datasource": "d", "actual_value": 99.0, "type": "sum",
+             "condition": "le", "threshold": 50.0},
+            {"name": "an", "check_id": "ffff", "dataset": "orders",
+             "datasource": "d", "actual_value": 9.0, "type": "anomaly",
+             "condition": "gt", "threshold": 3.0},
+        ]
+        p = slack_payload("run-12345678-x", summary, failures, datetime(2026, 1, 1))
+        assert p["blocks"][0]["text"]["text"].startswith("*Results Summary for Run 2026-01-01")
+        assert "run-1234" in p["text"]
+        # one header + "details" + one block per failure
+        assert len(p["blocks"]) == 4
+        sum_block = p["blocks"][2]["text"]["text"]
+        assert "Condition" in sum_block and "Threshold" in sum_block
+        anomaly_block = p["blocks"][3]["text"]["text"]
+        assert "Condition" not in anomaly_block  # omitted for anomaly (export.py:71-76)
+
+    def test_export_results_reads_store(self, tmp_path):
+        store = _store_with(
+            tmp_path,
+            [_rec("r1", "a", True, 12.0), _rec("r1", "b", False, 5.0)],
+        )
+        out = export_results("r1", store)
+        assert out["summary"] == {"count": 2, "success": 1, "fail": 1}
+        assert len(out["failures"]) == 1
+        assert out["failures"][0]["name"] == "b"
+        assert out["slack_payload"]["blocks"]
+
+
+class TestLastValues:
+    def test_last_value_per_check_id(self, tmp_path):
+        t0 = datetime(2026, 1, 1)
+        recs = [
+            _rec("r1", "a", True, 10.0, ts=t0, check_id="ck_a"),
+            _rec("r2", "a", True, 30.0, ts=t0 + timedelta(days=2), check_id="ck_a"),
+            _rec("r3", "a", False, 20.0, ts=t0 + timedelta(days=1), check_id="ck_a"),
+            _rec("r1", "b", False, 7.0, ts=t0, check_id="ck_b"),
+        ]
+        store = _store_with(tmp_path, recs)
+        lv = store.last_values().to_pylist()
+        by_id = {r["check_id"]: r for r in lv}
+        a = by_id["ck_a"]
+        assert a["count"] == 3 and a["count_success"] == 2 and a["count_fail"] == 1
+        assert a["max_value"] == 30.0
+        assert a["last_value"] == 30.0  # latest run_time, not insert order
+        b = by_id["ck_b"]
+        assert b["count"] == 1 and b["last_value"] == 7.0
+
+    def test_empty_store(self, tmp_path):
+        store = ParquetMetricStore(str(tmp_path / "m"))
+        assert store.last_values().num_rows == 0
+
+
+class TestCli:
+    @pytest.fixture()
+    def config_file(self, tmp_path):
+        sf = "/root/testdata/sf0.001"
+        cfg = tmp_path / "config.yaml"
+        cfg.write_text(
+            f"""
+version: 1
+datasources:
+  - name: default
+    type: parquet
+    root: {sf}
+connections:
+  - name: metricstore
+    type: metricstore
+    path: {tmp_path}/metrics
+checks:
+  - name: orders row count
+    dataset: orders
+    type: row_count
+    datasource: default
+    condition: gt
+    threshold: 1
+"""
+        )
+        return str(cfg)
+
+    def _cli(self, *args):
+        return subprocess.run(
+            [sys.executable, "-m", "weiser_ai_ray", *args],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            timeout=300,
+        )
+
+    def test_compile(self, config_file):
+        r = self._cli("compile", config_file)
+        assert r.returncode == 0, r.stderr
+        assert "Config is valid: 1 checks" in r.stdout
+
+    def test_run(self, config_file):
+        r = self._cli("run", config_file, "--skip-export")
+        assert r.returncode == 0, r.stderr
+        assert "orders row count" in r.stdout
+        assert "PASS" in r.stdout
+        assert "passed=1 failed=0" in r.stdout
+
+    def test_sample(self, config_file):
+        r = self._cli("sample", config_file, "--check", "orders row count")
+        assert r.returncode == 0, r.stderr
+        assert "Generated" in r.stdout

@@ -1,0 +1,103 @@
+"""CLI entry point: ``python -m weiser_ai_ray {run,compile,sample} config.yaml``.
+
+Mirrors the reference CLI surface (/root/reference/weiser/main.py:32-151,
+typer commands run/compile/sample with --verbose/--show-ids/--skip-export/
+--env-file) using stdlib argparse. This is the one script in the package
+allowed to own a Ray session; it guards with ``ray.is_initialized()`` so
+the driver harness (which inits Ray itself) can also import safely.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _load_env_file(path: str) -> dict:
+    """Minimal .env parser (reference loads .env via python-dotenv,
+    main.py:50-55): KEY=VALUE lines, # comments, exported to the Jinja2
+    config context merged over os.environ."""
+    env = dict(os.environ)
+    if path and os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#") or "=" not in line:
+                    continue
+                k, v = line.split("=", 1)
+                env[k.strip()] = v.strip().strip("\"'")
+    return env
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="weiser_ai_ray")
+    sub = ap.add_subparsers(dest="command", required=True)
+    for name in ("run", "compile", "sample"):
+        p = sub.add_parser(name)
+        p.add_argument("input_config")
+        p.add_argument("--verbose", "-v", action="store_true")
+        p.add_argument("--env-file", "-e", default=".env")
+        if name != "compile":
+            p.add_argument("--skip-export", "-s", action="store_true")
+        if name == "run":
+            p.add_argument("--show-ids", "-i", action="store_true")
+        if name == "sample":
+            p.add_argument("--check", "-c", required=True)
+    args = ap.parse_args(argv)
+
+    from .loader import load_config
+    from .loader.export import export_results, print_results
+    from .runner import generate_sample_data, pre_run_config, run_checks
+
+    env = _load_env_file(args.env_file)
+    raw = load_config(args.input_config, context=env, verbose=args.verbose)
+
+    if args.command == "compile":
+        ctx = pre_run_config(raw, compile_only=True)
+        cfg = ctx["config"]
+        print(f"Config is valid: {len(cfg.checks)} checks, "
+              f"{len(cfg.datasources)} datasources, run_id={ctx['run_id']}")
+        return 0
+
+    _ensure_ray()
+    ctx = pre_run_config(raw)
+
+    if args.command == "sample":
+        results = generate_sample_data(args.check, ctx, verbose=args.verbose)
+        print(f"Generated {len(results)} sample metric records for check "
+              f"'{args.check}' into {ctx['metric_store'].path}")
+        return 0
+
+    results = run_checks(ctx, verbose=args.verbose)
+    ctx["metric_store"].flush(ctx["run_id"])
+    if not args.skip_export:
+        export_results(
+            ctx["run_id"],
+            ctx["metric_store"],
+            slack_url=ctx["config"].slack_url,
+            run_ts=ctx["run_ts"],
+            verbose=args.verbose,
+        )
+    print_results(results, show_ids=args.show_ids)
+    summary = ctx["metric_store"].summary(ctx["run_id"])
+    print(f"\nrun_id={ctx['run_id']} checks={summary['count']} "
+          f"passed={summary['success']} failed={summary['fail']}")
+    return 1 if summary["fail"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

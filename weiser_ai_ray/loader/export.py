@@ -1,0 +1,144 @@
+"""Run-result export: console table, summary dict, Slack payload.
+
+Parity with the reference exporter (/root/reference/weiser/loader/
+export.py:15-128) re-expressed without the rich/slack_sdk dependencies
+(not available here): the console table is plain text with the same
+columns and pass/fail marks, and the Slack webhook message is built as
+the same blocks structure (summary header section + one section per
+failure, condition/threshold omitted for anomaly checks) and POSTed
+with urllib only when a webhook URL is configured — the payload builder
+is pure and unit-testable offline.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+from typing import Optional
+
+COLUMNS = [
+    "Check Name",
+    "Datasource",
+    "Dataset",
+    "Measure",
+    "Condition",
+    "Actual Value",
+    "Threshold",
+    "Result",
+]
+
+
+def _result_row(result: dict, show_ids: bool) -> list[str]:
+    row = [
+        str(result.get("name")),
+        str(result.get("datasource")),
+        str(result.get("dataset")),
+        str(result.get("measure") or result.get("type")),
+        str(result.get("condition")),
+        str(result.get("actual_value")),
+        str(
+            result.get("threshold_list")
+            if result.get("threshold") is None
+            else result.get("threshold")
+        ),
+        "FAIL" if result.get("fail") else "PASS",
+    ]
+    if show_ids:
+        row = [str(result.get("check_id"))] + row
+    return row
+
+
+def format_results_table(results: list[dict], show_ids: bool = False) -> str:
+    """Plain-text table with the reference's columns
+    (export.py:96-128); ``results`` is run_checks() output."""
+    columns = (["Check Id"] if show_ids else []) + COLUMNS
+    rows = [
+        _result_row(result, show_ids)
+        for item in results
+        for result in item["results"]
+    ]
+    widths = [
+        max(len(columns[i]), *(len(r[i]) for r in rows)) if rows else len(columns[i])
+        for i in range(len(columns))
+    ]
+
+    def fmt(cells):
+        return " | ".join(c.ljust(w) for c, w in zip(cells, widths))
+
+    lines = [fmt(columns), "-+-".join("-" * w for w in widths)]
+    lines.extend(fmt(r) for r in rows)
+    return "\n".join(lines)
+
+
+def print_results(results: list[dict], show_ids: bool = False) -> None:
+    print(format_results_table(results, show_ids))
+
+
+def slack_payload(
+    run_id: str,
+    summary: dict,
+    failures: list[dict],
+    run_ts: Optional[datetime] = None,
+) -> dict:
+    """Slack blocks payload mirroring the reference message shape
+    (export.py:41-77): summary header, then one section per failure
+    with condition/threshold omitted for anomaly checks."""
+    ts = (run_ts or datetime.now()).strftime("%Y-%m-%d %H:%M:%S")
+    header = "\n".join(
+        [
+            f"*Results Summary for Run {ts} - {run_id[:8]}*",
+            f"• Total Checks: {summary['count']}",
+            f"• Passed: {summary['success']} ✅",
+            f"• Failed: {summary['fail']} ❌\n",
+        ]
+    )
+    blocks = [{"type": "section", "text": {"type": "mrkdwn", "text": header}}]
+    if failures:
+        blocks.append(
+            {"type": "section", "text": {"type": "mrkdwn", "text": "*Failed Checks Details:*"}}
+        )
+        for i, failure in enumerate(failures, 1):
+            block = (
+                f"{i}. *{failure['name']}* ({(failure.get('check_id') or '')[:10]})\n"
+                f"   • Dataset: {failure['dataset']}  at Data Source: {failure['datasource']}\n"
+                f"   • Actual Value: {failure['actual_value']}\n"
+                f"   • Type: {failure['type']}\n"
+            )
+            if failure.get("type") != "anomaly":
+                block += (
+                    f"   • Condition: {failure['condition']}\n"
+                    f"   • Threshold: {failure['threshold']}\n"
+                )
+            blocks.append({"type": "section", "text": {"type": "mrkdwn", "text": block}})
+    return {"text": header, "blocks": blocks}
+
+
+def export_results(
+    run_id: str,
+    metric_store,
+    slack_url: Optional[str] = None,
+    run_ts: Optional[datetime] = None,
+    verbose: bool = False,
+) -> dict:
+    """Summary + failures from the metric store; optionally POST the
+    Slack payload (urllib, best-effort — export never fails the run,
+    matching the reference's swallow-and-log behavior)."""
+    summary = metric_store.summary(run_id)
+    failures = metric_store.failures(run_id).to_pylist()
+    payload = slack_payload(run_id, summary, failures, run_ts)
+    if slack_url:
+        try:
+            from urllib.request import Request, urlopen
+
+            req = Request(
+                slack_url,
+                data=json.dumps(payload).encode("utf-8"),
+                headers={"Content-Type": "application/json"},
+            )
+            with urlopen(req, timeout=10) as resp:  # pragma: no cover - needs network
+                if resp.status != 200 and verbose:
+                    print(f"Error posting to Slack: {resp.status}")
+        except Exception as e:  # noqa: BLE001 - export is best-effort
+            if verbose:
+                print(f"Error posting to Slack: {e}")
+    return {"summary": summary, "failures": failures, "slack_payload": payload}

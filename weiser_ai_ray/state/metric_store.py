@@ -168,6 +168,51 @@ class ParquetMetricStore:
             )
         return tbl.slice(0, limit)
 
+    def last_values(self) -> pa.Table:
+        """Dashboard aggregation parity with the Cube layer's
+        ``last_value(actual_value) OVER (PARTITION BY check_id ORDER BY
+        run_time)`` (/root/reference/metricstore/model/Metrics.yaml:4-9)
+        plus per-check counts: one row per check_id with
+        (count, count_success, count_fail, max_value, last_value,
+        last_run_time). Computed with a vectorized sort + group-take —
+        the metrics table is small by contract."""
+        tbl = self.read_all()
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "check_id": pa.array([], pa.string()),
+                    "count": pa.array([], pa.int64()),
+                    "count_success": pa.array([], pa.int64()),
+                    "count_fail": pa.array([], pa.int64()),
+                    "max_value": pa.array([], pa.float64()),
+                    "last_value": pa.array([], pa.float64()),
+                    "last_run_time": pa.array([], pa.timestamp("us")),
+                }
+            )
+        tbl = tbl.sort_by([("check_id", "ascending"), ("run_time", "ascending")])
+        grouped = tbl.group_by("check_id", use_threads=False).aggregate(
+            [
+                ("check_id", "count"),
+                ("success", "sum"),
+                ("actual_value", "max"),
+                ("actual_value", "last"),
+                ("run_time", "last"),
+            ]
+        )
+        n = pc.cast(grouped["check_id_count"], pa.int64())
+        succ = pc.cast(pc.coalesce(grouped["success_sum"], pa.scalar(0)), pa.int64())
+        return pa.table(
+            {
+                "check_id": grouped["check_id"],
+                "count": n,
+                "count_success": succ,
+                "count_fail": pc.subtract(n, succ),
+                "max_value": pc.cast(grouped["actual_value_max"], pa.float64()),
+                "last_value": pc.cast(grouped["actual_value_last"], pa.float64()),
+                "last_run_time": grouped["run_time_last"],
+            }
+        )
+
     def compact(self, target_parts: int = 1) -> None:
         """Merge-all compaction (duckdb.py:554-607): rewrite the store as
         ``target_parts`` files. Metrics are small relative to the corpus;
