@@ -226,6 +226,47 @@ def _pairs_from_bucket_rows(rows: list[dict], id_col: str, with_cols: tuple = ()
     return pairs
 
 
+_TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _pairs_array_from_bucket_rows(rows: list[dict], id_col: str) -> np.ndarray:
+    """Vectorized variant for integer-id buckets: unique (a < b) pairs
+    as an int64 (N, 2) array. Bucket sizes repeat heavily (mostly 2-3),
+    so triu index templates are cached by size; dedup across buckets is
+    one np.unique instead of millions of Python tuple hashes."""
+    if not rows:
+        return np.empty((0, 2), dtype=np.int64)
+    buckets = np.array([r["bucket"] for r in rows])
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    order = np.lexsort((ids, buckets))
+    buckets, ids = buckets[order], ids[order]
+    # group boundaries over the sorted bucket keys
+    change = np.nonzero(buckets[1:] != buckets[:-1])[0] + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(buckets)]))
+    chunks_a, chunks_b = [], []
+    for s, e in zip(starts, ends):
+        k = e - s
+        if k < 2:
+            continue
+        tri = _TRIU_CACHE.get(k)
+        if tri is None:
+            tri = np.triu_indices(k, 1)
+            if len(_TRIU_CACHE) < 4096:
+                _TRIU_CACHE[k] = tri
+        seg = ids[s:e]
+        chunks_a.append(seg[tri[0]])
+        chunks_b.append(seg[tri[1]])
+    if not chunks_a:
+        return np.empty((0, 2), dtype=np.int64)
+    a = np.concatenate(chunks_a)
+    b = np.concatenate(chunks_b)
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    pairs = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    return pairs[pairs[:, 0] != pairs[:, 1]]
+
+
 def _jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0
@@ -264,14 +305,14 @@ def minhash_lsh_dedup_ids(
         concurrency=(1, 8),
     )
     dup_rows = collect_dup_buckets(band_rows, id_col)
-    cand = {(int(a[0]), int(b[0])) for a, b in _pairs_from_bucket_rows(dup_rows, id_col)}
+    pair_arr = _pairs_array_from_bucket_rows(dup_rows, id_col)
 
-    if not cand:
+    if not pair_arr.size:
         all_ids = sorted(r[id_col] for r in ds.select_columns([id_col]).take_all())
         return all_ids, []
 
     # verify candidates: fetch candidate texts with one filtered pass
-    cand_ids = sorted({i for p in cand for i in p})
+    cand_ids = [int(i) for i in np.unique(pair_arr)]
     ref = ray.put(cand_ids)
 
     def pick(batch: pa.Table) -> pa.Table:
@@ -293,9 +334,12 @@ def minhash_lsh_dedup_ids(
         s = mh.signature(texts.get(i) or "")
         if s is not None:
             sigs[idx[i]] = s
-    pair_arr = np.array(sorted(cand), dtype=np.int64)
     if pair_arr.size:
         id_arr = np.array(cand_ids, dtype=np.int64)  # sorted
+        # uint32-truncated signatures: equality semantics are unchanged
+        # (2^-32 truncation-collision odds per component) at half the
+        # memory traffic of the uint64 gather
+        sigs32 = sigs.astype(np.uint32)
         # margin ~ sigma of the estimator (sqrt(J(1-J)/num_perm) ~= 0.04
         # at 128 perms); chunked so the gathered sig matrices stay small
         cut = max(jaccard_threshold - 0.05, 0.0)
@@ -304,7 +348,7 @@ def minhash_lsh_dedup_ids(
             chunk = pair_arr[s : s + 262144]
             ia = np.searchsorted(id_arr, chunk[:, 0])
             ib = np.searchsorted(id_arr, chunk[:, 1])
-            est = (sigs[ia] == sigs[ib]).mean(axis=1)
+            est = (sigs32[ia] == sigs32[ib]).mean(axis=1)
             kept_chunks.append(chunk[est >= cut])
         close = np.concatenate(kept_chunks) if kept_chunks else pair_arr.reshape(0, 2)
     else:
