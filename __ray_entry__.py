@@ -465,6 +465,103 @@ def q_multimodal_image_features(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df[["asset_id", "orig_width", "feat_sum"]], preserve_index=False)
 
 
+def q_ngram_jaccard_documents(sf_dir: str) -> pa.Table:
+    """Exact word-bigram Jaccard pairs within (source, lang) buckets
+    (brute force per co-partitioned bucket; rows-only — set Jaccard has
+    no tractable ANSI-SQL form)."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.append_column(
+            "bucket", pc.binary_join_element_wise(b["source"], b["lang"], "|")
+        )
+
+    out = ngram_jaccard_pairs(
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True),
+        "text", "doc_id", "bucket", n=2, threshold=0.5,
+    )
+    df = out.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    df["jaccard"] = df["jaccard"].round(6)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_multimodal_audio_frames(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from weiser_ai_ray.stages.multimodal import AudioFrameSampleStage, make_multimodal_table
+
+    tbl = make_multimodal_table(60)
+    ds = ray.data.from_arrow(tbl).filter(lambda r: r["kind"] == "audio")
+    df = (
+        ds.map_batches(
+            AudioFrameSampleStage, fn_constructor_kwargs={"frames_per_second": 1},
+            batch_format="pyarrow", batch_size=8, concurrency=2,
+        )
+        .to_pandas()
+        .sort_values(["asset_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_metrics_last_values(sf_dir: str) -> pa.Table:
+    """Dashboard last_value-per-check aggregation over a seeded metric
+    store (A3 parity; source is the engine's own store — rows-only)."""
+    from datetime import datetime, timedelta
+
+    from weiser_ai_ray.state import ParquetMetricStore
+
+    path = os.path.join(_ENTRY_TMP, "lastvalue_store")
+    shutil.rmtree(path, ignore_errors=True)
+    store = ParquetMetricStore(path)
+    t0 = datetime(2026, 2, 1)
+    for ck, vals in (("c" * 64, [5, 9, 7]), ("d" * 64, [100])):
+        for i, v in enumerate(vals):
+            store.insert_results(
+                {
+                    "name": "m", "type": "row_count", "condition": "gt", "threshold": 0,
+                    "actual_value": float(v), "check_id": ck, "dataset": "orders",
+                    "datasource": "default", "success": v % 2 == 1, "fail": v % 2 == 0,
+                    "run_id": f"r{i}", "run_time": t0 + timedelta(days=i), "sql": "",
+                }
+            )
+    store.flush("seed")
+    return store.last_values().sort_by("check_id")
+
+
+def q_corpus_stats_by_repo(sf_dir: str) -> pa.Table:
+    """Per-repo corpus statistics over the power-law synthetic corpus
+    (the skew showcase: partial counts inside map_batches, then a tiny
+    groupby over (repo, partial) rows — the shuffle moves aggregates,
+    never content)."""
+    from weiser_ai_ray.checks import CheckFactory
+    from weiser_ai_ray.models import Check
+    from weiser_ai_ray.sources import ParquetCatalog
+
+    corpus = _corpus_dir(sf_dir)
+    cat = ParquetCatalog(tables={"corpus": corpus})
+    chk = CheckFactory.create_check(
+        "entry-run",
+        Check(name="csr", type="row_count", dataset="corpus", dimensions=["repo"],
+              condition="gt", threshold=0),
+        cat, "default", _store(),
+    )
+    rows = chk.compute("corpus")
+    rows.sort(key=lambda r: (-int(r[1]), r[0]))
+    return pa.table(
+        {
+            "repo": pa.array([r[0] for r in rows], type=pa.string()),
+            "cnt": pa.array([int(r[1]) for r in rows], type=pa.int64()),
+        }
+    )
+
+
 # ----------------------------------------------------------------------
 # driver entry points
 
@@ -508,6 +605,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats_by_lang": q_corpus_stats_by_lang,
         "anomaly_mad": q_anomaly_mad,
         "multimodal_image_features": q_multimodal_image_features,
+        "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "multimodal_audio_frames": q_multimodal_audio_frames,
+        "metrics_last_values": q_metrics_last_values,
+        "corpus_stats_by_repo": q_corpus_stats_by_repo,
     }
 
 
