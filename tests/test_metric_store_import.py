@@ -1,0 +1,115 @@
+"""Incremental import watermark + schema-drift migration + compaction
+(reference duckdb.py:174-268 import, 270-343 migration, 554-607
+compaction)."""
+
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from weiser_ai_ray.state import ParquetMetricStore
+from weiser_ai_ray.state.metric_store import METRICS_SCHEMA
+
+
+def _rec(run_id, name, value, ts):
+    return {
+        "name": name, "type": "row_count", "condition": "gt", "threshold": 0,
+        "actual_value": value, "check_id": f"ck_{name}", "dataset": "d",
+        "datasource": "s", "success": True, "fail": False,
+        "run_id": run_id, "run_time": ts,
+    }
+
+
+T0 = datetime(2026, 3, 1)
+
+
+class TestImport:
+    def test_watermark_skips_old_rows(self, tmp_path):
+        a = ParquetMetricStore(str(tmp_path / "a"))
+        b = ParquetMetricStore(str(tmp_path / "b"))
+        a.insert_results(_rec("r1", "x", 1.0, T0 + timedelta(days=1)))
+        a.flush("r1")
+        b.insert_results(_rec("q1", "old", 5.0, T0))  # at/below watermark
+        b.insert_results(_rec("q2", "new", 6.0, T0 + timedelta(days=2)))
+        b.flush("q")
+        n = a.import_from(str(tmp_path / "b"))
+        assert n == 1
+        names = set(a.read_all()["name"].to_pylist())
+        assert names == {"x", "new"}
+
+    def test_idempotent_reimport(self, tmp_path):
+        a = ParquetMetricStore(str(tmp_path / "a"))
+        b = ParquetMetricStore(str(tmp_path / "b"))
+        b.insert_results(_rec("q2", "new", 6.0, T0 + timedelta(days=2)))
+        b.flush("q")
+        assert a.import_from(str(tmp_path / "b")) == 1
+        # same id, same run_time: watermark excludes (strictly newer)
+        assert a.import_from(str(tmp_path / "b")) == 0
+        assert a.read_all().num_rows == 1
+
+    def test_empty_source(self, tmp_path):
+        a = ParquetMetricStore(str(tmp_path / "a"))
+        assert a.import_from(str(tmp_path / "missing")) == 0
+
+
+class TestMigration:
+    def test_drifted_schema_reconciled(self, tmp_path):
+        # store written by an "older version": missing tenant_id /
+        # partition_id, extra column, int threshold
+        drifted = pa.table(
+            {
+                "id": pa.array([7], pa.int64()),
+                "actual_value": pa.array([1.5], pa.float64()),
+                "check_id": pa.array(["ck"], pa.string()),
+                "condition": pa.array(["gt"], pa.string()),
+                "dataset": pa.array(["d"], pa.string()),
+                "datasource": pa.array(["s"], pa.string()),
+                "fail": pa.array([False]),
+                "name": pa.array(["m"], pa.string()),
+                "run_id": pa.array(["r"], pa.string()),
+                "run_time": pa.array([T0], pa.timestamp("us")),
+                "sql": pa.array([""], pa.string()),
+                "success": pa.array([True]),
+                "threshold": pa.array([3], pa.int64()),  # drifted type
+                "threshold_list": pa.array([None], pa.string()),
+                "type": pa.array(["row_count"], pa.string()),
+                "legacy_extra": pa.array(["x"], pa.string()),  # dropped
+            }
+        )
+        out = ParquetMetricStore.migrate_table(drifted)
+        assert out.schema.equals(METRICS_SCHEMA)
+        assert out["threshold"][0].as_py() == 3.0
+        assert out["tenant_id"][0].as_py() is None
+
+    def test_import_from_drifted_store(self, tmp_path):
+        src = tmp_path / "src"
+        src.mkdir()
+        drifted = pa.table(
+            {
+                "id": pa.array([7], pa.int64()),
+                "actual_value": pa.array([1.5], pa.float64()),
+                "check_id": pa.array(["ck"], pa.string()),
+                "name": pa.array(["m"], pa.string()),
+                "run_id": pa.array(["r"], pa.string()),
+                "run_time": pa.array([T0], pa.timestamp("us")),
+                "success": pa.array([True]),
+                "fail": pa.array([False]),
+            }
+        )
+        pq.write_table(drifted, str(src / "old.parquet"))
+        a = ParquetMetricStore(str(tmp_path / "a"))
+        assert a.import_from(str(src)) == 1
+        row = a.read_all().to_pylist()[0]
+        assert row["name"] == "m" and row["threshold"] is None
+
+
+class TestCompaction:
+    def test_compact_preserves_rows(self, tmp_path):
+        a = ParquetMetricStore(str(tmp_path / "a"))
+        for i in range(5):
+            a.insert_results(_rec(f"r{i}", f"n{i}", float(i), T0 + timedelta(days=i)))
+            a.flush(f"r{i}")
+        before = a.read_all().sort_by("name").to_pylist()
+        a.compact(target_parts=2)
+        after = a.read_all().sort_by("name").to_pylist()
+        assert before == after

@@ -127,6 +127,60 @@ class ParquetMetricStore:
             return METRICS_SCHEMA.empty_table()
         return ds.to_table()
 
+    @staticmethod
+    def migrate_table(table: pa.Table) -> pa.Table:
+        """Schema-drift reconciliation parity with the reference's
+        `_migrate_s3_schema` (union_by_name + per-column defaults,
+        /root/reference/weiser/drivers/metric_stores/duckdb.py:270-343):
+        missing metrics columns are added as typed nulls, extra columns
+        dropped, and every column cast to the canonical type."""
+        cols = {}
+        for f in METRICS_SCHEMA:
+            if f.name in table.schema.names:
+                cols[f.name] = table[f.name].cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(table.num_rows, type=f.type)
+        return pa.table(cols, schema=METRICS_SCHEMA)
+
+    def max_run_time(self):
+        tbl = self.read_all()
+        if tbl.num_rows == 0:
+            return None
+        return pc.max(tbl["run_time"]).as_py()
+
+    def import_from(self, other_path: str) -> int:
+        """Incremental import parity with the reference's startup S3
+        import (`run_time > max(run_time)` watermark then insert-or-
+        ignore by id, duckdb.py:174-268): rows from another store
+        strictly newer than this store's watermark, minus ids already
+        present, appended as one part file under run_id=imported/.
+        Returns the number of rows imported. Schemas are reconciled via
+        migrate_table, so drifted stores import cleanly."""
+        files = []
+        for root, _dirs, fnames in os.walk(other_path):
+            files.extend(os.path.join(root, f) for f in fnames if f.endswith(".parquet"))
+        if not files:
+            return 0
+        incoming = self.migrate_table(
+            pads.dataset(files).to_table()
+        )
+        watermark = self.max_run_time()
+        if watermark is not None:
+            incoming = incoming.filter(pc.greater(incoming["run_time"], pa.scalar(watermark, type=pa.timestamp("us"))))
+        if incoming.num_rows == 0:
+            return 0
+        existing_ids = self.read_all()["id"]
+        if len(existing_ids):
+            incoming = incoming.filter(
+                pc.invert(pc.is_in(incoming["id"], value_set=existing_ids.combine_chunks()))
+            )
+        if incoming.num_rows == 0:
+            return 0
+        out_dir = os.path.join(self.path, "run_id=imported")
+        os.makedirs(out_dir, exist_ok=True)
+        pq.write_table(incoming, os.path.join(out_dir, f"part-{uuid.uuid4().hex[:8]}.parquet"))
+        return incoming.num_rows
+
     def query_window(
         self,
         check_id_prefix: str,
