@@ -135,6 +135,12 @@ def q_avg_order_total(sf_dir: str) -> pa.Table:
                          dataset="orders", measure="avg(o_totalprice)", condition="gt", threshold=0)
 
 
+def q_stddev_price(sf_dir: str) -> pa.Table:
+    return _scalar_check(sf_dir, "std_price", False, round_to=2, name="std", type="numeric",
+                         dataset="lineitem", measure="stddev(l_extendedprice)",
+                         condition="gt", threshold=0)
+
+
 def q_count_distinct_cust(sf_dir: str) -> pa.Table:
     return _scalar_check(sf_dir, "n_cust", True, name="cd", type="numeric", dataset="orders",
                          measure="count(distinct o_custkey)", condition="gt", threshold=0)
@@ -581,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_extendedprice": q_max_extendedprice,
         "numeric_revenue": q_numeric_revenue,
         "avg_order_total": q_avg_order_total,
+        "stddev_price": q_stddev_price,
         "count_distinct_cust": q_count_distinct_cust,
         "filtered_count": q_filtered_count,
         "case_measure": q_case_measure,
@@ -622,6 +629,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM lineitem"
         ),
         "avg_order_total": "SELECT ROUND(AVG(o_totalprice), 4) AS avg_total FROM orders",
+        "stddev_price": "SELECT ROUND(STDDEV(l_extendedprice), 2) AS std_price FROM lineitem",
         "count_distinct_cust": "SELECT COUNT(DISTINCT o_custkey) AS n_cust FROM orders",
         "filtered_count": "SELECT COUNT(*) AS cnt FROM orders WHERE o_totalprice > 100000",
         "case_measure": (

@@ -159,3 +159,40 @@ class TestChecks:
         assert rec["datasource"] == "default"
         assert rec["run_id"] == "run-t"
         assert rec["sql"].startswith("SELECT COUNT(*) FROM orders")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMomentAggregates:
+    """stddev/variance measures: DuckDB parity scalar + grouped,
+    sample/population variants, count(distinct)+dims rejection."""
+
+    def test_stddev_scalar_matches_duckdb(self, catalog, tmp_store):
+        exp = duck("SELECT stddev(o_totalprice) FROM orders")[0][0]
+        res = run_check(catalog, tmp_store, name="sd", type="numeric", dataset="orders",
+                        measure="stddev(o_totalprice)", condition="gt", threshold=0)
+        assert res[0]["actual_value"] == pytest.approx(exp, rel=1e-9)
+
+    def test_var_pop_matches_duckdb(self, catalog, tmp_store):
+        exp = duck("SELECT var_pop(o_totalprice) FROM orders")[0][0]
+        res = run_check(catalog, tmp_store, name="vp", type="numeric", dataset="orders",
+                        measure="var_pop(o_totalprice)", condition="gt", threshold=0)
+        assert res[0]["actual_value"] == pytest.approx(exp, rel=1e-9)
+
+    def test_grouped_stddev_matches_duckdb(self, catalog, tmp_store):
+        exp = dict(duck(
+            "SELECT o_orderstatus, stddev_samp(o_totalprice) FROM orders GROUP BY 1"))
+        res = run_check(catalog, tmp_store, name="gsd", type="numeric", dataset="orders",
+                        measure="stddev_samp(o_totalprice)", dimensions=["o_orderstatus"],
+                        condition="gt", threshold=0)
+        got = {}
+        for r in res:
+            status = r["name"].replace("gsd_o_orderstatus_", "")
+            got[status] = r["actual_value"]
+        for k, v in exp.items():
+            assert got[k] == pytest.approx(v, rel=1e-9), k
+
+    def test_count_distinct_with_dimensions_raises(self, catalog, tmp_store):
+        with pytest.raises(NotImplementedError, match="distinct"):
+            run_check(catalog, tmp_store, name="cdd", type="numeric", dataset="orders",
+                      measure="count(distinct o_custkey)", dimensions=["o_orderstatus"],
+                      condition="gt", threshold=0)

@@ -215,6 +215,12 @@ class BaseCheck:
 
         ds = self.catalog.dataset(dataset, columns=sorted(needed) or None)
 
+        if group_keys and any(s.distinct for s in specs):
+            # plan-time rejection (not inside a Ray task): per-batch
+            # distinct counts cannot be summed across batches
+            raise NotImplementedError(
+                "count(distinct ...) with dimensions is not supported"
+            )
         make_partials = _PartialBatcher(specs, filter_ast, td, td_alias, dims, group_keys)
         partials = ds.map_batches(make_partials, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -233,6 +239,10 @@ class BaseCheck:
                     aggs.append(Sum(f"{s.key}__cnt", alias_name=f"{s.key}__cnt"))
                 elif s.fname == "max":
                     aggs.append(Max(f"{s.key}__max", alias_name=f"{s.key}__max"))
+                    aggs.append(Sum(f"{s.key}__cnt", alias_name=f"{s.key}__cnt"))
+                elif s.fname in _MOMENT_AGGS:
+                    aggs.append(Sum(f"{s.key}__sum", alias_name=f"{s.key}__sum"))
+                    aggs.append(Sum(f"{s.key}__sumsq", alias_name=f"{s.key}__sumsq"))
                     aggs.append(Sum(f"{s.key}__cnt", alias_name=f"{s.key}__cnt"))
                 else:
                     raise NotImplementedError(
@@ -319,6 +329,12 @@ class _PartialBatcher:
                     rename.append((f"{s.key}_sum", f"{s.key}__sum"))
                     rename.append((f"{s.key}_count", f"{s.key}__cnt"))
                 elif s.fname == "count":
+                    if s.distinct:
+                        # per-batch distinct counts cannot be summed
+                        # across batches; needs a set-union combine
+                        raise NotImplementedError(
+                            "count(distinct ...) with dimensions is not supported"
+                        )
                     if s.arg_ast is None:
                         gb_aggs.append(([], "count_all"))
                         rename.append(("count_all", f"{s.key}__cnt"))
@@ -329,6 +345,18 @@ class _PartialBatcher:
                     gb_aggs.append((s.key, s.fname))
                     gb_aggs.append((s.key, "count"))
                     rename.append((f"{s.key}_{s.fname}", f"{s.key}__{s.fname}"))
+                    rename.append((f"{s.key}_count", f"{s.key}__cnt"))
+                elif s.fname in _MOMENT_AGGS:
+                    sq = pc.multiply(
+                        pc.cast(arg_cols[s.key], pa.float64(), safe=False),
+                        pc.cast(arg_cols[s.key], pa.float64(), safe=False),
+                    )
+                    work = work.append_column(f"{s.key}_sq", sq)
+                    gb_aggs.append((s.key, "sum"))
+                    gb_aggs.append((f"{s.key}_sq", "sum"))
+                    gb_aggs.append((s.key, "count"))
+                    rename.append((f"{s.key}_sum", f"{s.key}__sum"))
+                    rename.append((f"{s.key}_sq_sum", f"{s.key}__sumsq"))
                     rename.append((f"{s.key}_count", f"{s.key}__cnt"))
                 else:
                     raise NotImplementedError(f"Grouped {s.fname} not supported")
@@ -345,7 +373,7 @@ class _PartialBatcher:
                 c = grouped[name]
                 if name.endswith("__cnt"):
                     c = pc.cast(c, pa.int64())
-                elif name.endswith("__sum"):
+                elif name.endswith("__sum") or name.endswith("__sumsq"):
                     c = pc.cast(c, pa.float64(), safe=False)
                 cols[name] = c
             return pa.table(cols)
@@ -375,9 +403,36 @@ class _PartialBatcher:
                 v = getattr(pc, s.fname)(arr).as_py() if cnt else None
                 row[f"{s.key}__{s.fname}"] = [v]
                 row[f"{s.key}__cnt"] = [cnt]
+            elif s.fname in _MOMENT_AGGS:
+                arr = pc.cast(arg_cols[s.key], pa.float64(), safe=False)
+                cnt = len(arr) - arr.null_count
+                row[f"{s.key}__sum"] = [float(pc.sum(arr).as_py() or 0.0)]
+                row[f"{s.key}__sumsq"] = [
+                    float(pc.sum(pc.multiply(arr, arr)).as_py() or 0.0)
+                ]
+                row[f"{s.key}__cnt"] = [cnt]
             else:
                 raise NotImplementedError(f"{s.fname} not supported")
         return pa.table(row)
+
+
+# moment aggregates: variance from (sum, sumsq, cnt) partials; DuckDB
+# semantics — stddev/variance default to the SAMPLE estimator, NULL when
+# cnt < 2 (or < 1 for _pop)
+_MOMENT_AGGS = {"stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop"}
+
+
+def _moment_value(fname: str, total: float, sumsq: float, cnt: float):
+    if fname in ("stddev", "stddev_samp", "var_samp", "variance"):
+        if cnt < 2:
+            return None
+        var = (sumsq - total * total / cnt) / (cnt - 1)
+    else:
+        if cnt < 1:
+            return None
+        var = (sumsq - total * total / cnt) / cnt
+    var = max(var, 0.0)  # guard FP cancellation below zero
+    return float(np.sqrt(var)) if fname.startswith("stddev") else float(var)
 
 
 def _finalize_spec_scalar(spec: AggSpec, parts: list[dict]) -> Any:
@@ -401,6 +456,10 @@ def _finalize_spec_scalar(spec: AggSpec, parts: list[dict]) -> Any:
         if not vals:
             return None
         return float(min(vals) if spec.fname == "min" else max(vals))
+    if spec.fname in _MOMENT_AGGS:
+        total = sum(p.get(f"{spec.key}__sum", 0.0) for p in parts)
+        sumsq = sum(p.get(f"{spec.key}__sumsq", 0.0) for p in parts)
+        return _moment_value(spec.fname, total, sumsq, cnt)
     raise NotImplementedError(spec.fname)
 
 
@@ -418,4 +477,15 @@ def _finalize_spec_vec(spec: AggSpec, df) -> np.ndarray:
     if spec.fname in ("min", "max"):
         v = df[f"{spec.key}__{spec.fname}"].to_numpy(dtype="float64")
         return np.where(cnt > 0, v, np.nan)
+    if spec.fname in _MOMENT_AGGS:
+        total = df[f"{spec.key}__sum"].to_numpy(dtype="float64")
+        sumsq = df[f"{spec.key}__sumsq"].to_numpy(dtype="float64")
+        out = np.array(
+            [
+                v if (v := _moment_value(spec.fname, t, sq, c)) is not None else np.nan
+                for t, sq, c in zip(total, sumsq, cnt)
+            ],
+            dtype=np.float64,
+        )
+        return out
     raise NotImplementedError(spec.fname)

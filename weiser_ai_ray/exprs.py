@@ -98,7 +98,12 @@ def tokenize(text: str) -> list[Token]:
 # ("cast", e, type) ("case", [(cond, val)...], else) ("isnull", e, negate)
 # ("in", e, [lits], negate) ("like", e, pat, negate) ("between", e, lo, hi)
 
-_AGG_FUNCS = {"sum", "min", "max", "avg", "count"}
+_AGG_FUNCS = {
+    "sum", "min", "max", "avg", "count",
+    # moment aggregates (DuckDB names: stddev == stddev_samp,
+    # variance == var_samp); partials are (sum, sumsq, cnt)
+    "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop",
+}
 
 
 class Parser:
