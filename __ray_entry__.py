@@ -95,7 +95,7 @@ def _run_quality(sf_dir: str, out_tag: str = "qp") -> "Any":
     out = os.path.join(_ENTRY_TMP, f"{out_tag}_{os.path.basename(corpus)}")
     shutil.rmtree(out, ignore_errors=True)
     qp = QualityPipeline(out)
-    qp.run(corpus, concurrency=(2, 8))
+    qp.run(corpus)  # actor pool auto-sized to the session's CPUs
     return qp
 
 

@@ -113,3 +113,29 @@ class TestCompaction:
         a.compact(target_parts=2)
         after = a.read_all().sort_by("name").to_pylist()
         assert before == after
+
+
+class TestDailyStatus:
+    def test_per_day_counts(self, tmp_path):
+        a = ParquetMetricStore(str(tmp_path / "a"))
+        recs = [
+            ("r1", True, T0.replace(hour=3)),
+            ("r2", True, T0.replace(hour=9)),
+            ("r3", False, T0.replace(hour=23)),
+            ("r4", True, T0 + timedelta(days=1, hours=5)),
+        ]
+        for i, (rid, ok, ts) in enumerate(recs):
+            r = _rec(rid, f"n{i}", 1.0, ts)
+            r["success"], r["fail"] = ok, not ok
+            a.insert_results(r)
+        a.flush("x")
+        out = a.daily_status_counts().to_pylist()
+        assert out == [
+            {"day": T0, "success": False, "cnt": 1},
+            {"day": T0, "success": True, "cnt": 2},
+            {"day": T0 + timedelta(days=1), "success": True, "cnt": 1},
+        ]
+
+    def test_empty(self, tmp_path):
+        a = ParquetMetricStore(str(tmp_path / "empty"))
+        assert a.daily_status_counts().num_rows == 0

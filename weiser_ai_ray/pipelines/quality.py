@@ -225,7 +225,7 @@ class QualityPipeline:
         corpus: str | list[str],
         run_id: Optional[str] = None,
         resume: bool = True,
-        concurrency=(2, 8),
+        concurrency=None,
         batch_size: Optional[int] = None,
         write_output: bool = True,
     ) -> dict:
@@ -249,6 +249,12 @@ class QualityPipeline:
             os.path.join(self.data_dir, f"part={self.partition_id_for(f)}") for f in pending
         )
 
+        if concurrency is None:
+            # the read fuses into this stage (one operator), so the
+            # fixed-size pool should own every CPU of the session; a
+            # fixed (n, n) pool beats Ray's autoscaling ramp-up here
+            n = max(2, int(ray.cluster_resources().get("CPU", 8)))
+            concurrency = (n, n)
         ds = self.build_dataset(pending)
         partials = ds.map_batches(
             QualityRuleStage,

@@ -267,6 +267,34 @@ class ParquetMetricStore:
             }
         )
 
+    def daily_status_counts(self) -> pa.Table:
+        """Dashboard per-day pass/fail counts (parity with the
+        Streamlit layer's DATE_TRUNC('day') + status groupby,
+        /root/reference/weiser-ui/app.py:29-120): one row per
+        (day, success) with its record count, day ascending."""
+        tbl = self.read_all()
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "day": pa.array([], pa.timestamp("us")),
+                    "success": pa.array([], pa.bool_()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        day = pc.floor_temporal(tbl["run_time"], unit="day")
+        g = (
+            pa.table({"day": day, "success": tbl["success"]})
+            .group_by(["day", "success"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "day": g["day"],
+                "success": g["success"],
+                "cnt": pc.cast(g["count_all"], pa.int64()),
+            }
+        ).sort_by([("day", "ascending"), ("success", "ascending")])
+
     def compact(self, target_parts: int = 1) -> None:
         """Merge-all compaction (duckdb.py:554-607): rewrite the store as
         ``target_parts`` files. Metrics are small relative to the corpus;
