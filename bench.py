@@ -176,21 +176,26 @@ def run_scaling(sf_dir: str, lo: int, hi: int, n_rows: int = 3_000_000) -> dict:
     ray.shutdown()  # workers own their sessions
     me = os.path.abspath(__file__)
     results = {}
+    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
     for cpus in (lo, hi):
         out = f"/tmp/weiser_bench_scaling_{cpus}"
-        proc = subprocess.run(
-            [sys.executable, me, "--_worker", corpus_dir, str(cpus), out],
-            capture_output=True,
-            text=True,
-            timeout=3600,
-        )
-        if proc.returncode != 0:
-            sys.stderr.write(proc.stderr[-4000:])
-            raise RuntimeError(f"scaling worker at {cpus} cpus failed")
-        payload = json.loads(proc.stdout.strip().splitlines()[-1])
+        best = None
+        for _ in range(trials):  # best-of-N: the sandbox VM is noisy (±20%)
+            proc = subprocess.run(
+                [sys.executable, me, "--_worker", corpus_dir, str(cpus), out],
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-4000:])
+                raise RuntimeError(f"scaling worker at {cpus} cpus failed")
+            payload = json.loads(proc.stdout.strip().splitlines()[-1])
+            if best is None or payload["elapsed"] < best:
+                best = payload["elapsed"]
         results[cpus] = {
-            "sec": round(payload["elapsed"], 3),
-            "files_per_sec": round(n_rows / payload["elapsed"], 1),
+            "sec": round(best, 3),
+            "files_per_sec": round(n_rows / best, 1),
         }
     factor = hi / lo
     speedup = results[hi]["files_per_sec"] / results[lo]["files_per_sec"]
