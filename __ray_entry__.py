@@ -141,6 +141,16 @@ def q_stddev_price(sf_dir: str) -> pa.Table:
                          condition="gt", threshold=0)
 
 
+def q_sql_dataset_sum(sf_dir: str) -> pa.Table:
+    """M5 dataset-as-SQL: check over a SELECT-text view."""
+    return _scalar_check(
+        sf_dir, "double_sum", False, round_to=2, name="sqlds", type="sum",
+        dataset=("select o_orderkey, o_totalprice * 2 as double_total from orders"
+                 " where o_orderstatus = 'O'"),
+        measure="double_total", condition="gt", threshold=0,
+    )
+
+
 def q_count_distinct_cust(sf_dir: str) -> pa.Table:
     return _scalar_check(sf_dir, "n_cust", True, name="cd", type="numeric", dataset="orders",
                          measure="count(distinct o_custkey)", condition="gt", threshold=0)
@@ -588,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "numeric_revenue": q_numeric_revenue,
         "avg_order_total": q_avg_order_total,
         "stddev_price": q_stddev_price,
+        "sql_dataset_sum": q_sql_dataset_sum,
         "count_distinct_cust": q_count_distinct_cust,
         "filtered_count": q_filtered_count,
         "case_measure": q_case_measure,
@@ -630,6 +641,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "avg_order_total": "SELECT ROUND(AVG(o_totalprice), 4) AS avg_total FROM orders",
         "stddev_price": "SELECT ROUND(STDDEV(l_extendedprice), 2) AS std_price FROM lineitem",
+        "sql_dataset_sum": (
+            "SELECT ROUND(SUM(double_total), 2) AS double_sum FROM (select o_orderkey,"
+            " o_totalprice * 2 as double_total from orders where o_orderstatus = 'O')"
+        ),
         "count_distinct_cust": "SELECT COUNT(DISTINCT o_custkey) AS n_cust FROM orders",
         "filtered_count": "SELECT COUNT(*) AS cnt FROM orders WHERE o_totalprice > 100000",
         "case_measure": (

@@ -196,3 +196,49 @@ class TestMomentAggregates:
             run_check(catalog, tmp_store, name="cdd", type="numeric", dataset="orders",
                       measure="count(distinct o_custkey)", dimensions=["o_orderstatus"],
                       condition="gt", threshold=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSqlDataset:
+    """M5: dataset-as-SQL (reference base.py:178-182) — the SELECT text
+    compiles to a projection+filter view; check_id keys on the table."""
+
+    SQL = ("select o_orderkey, o_totalprice * 2 as double_total from orders"
+           " where o_orderstatus = 'O'")
+
+    def test_sum_over_sql_dataset(self, catalog, tmp_store):
+        exp = duck("SELECT sum(o_totalprice * 2) FROM orders"
+                   " WHERE o_orderstatus = 'O'")[0][0]
+        res = run_check(catalog, tmp_store, name="sqlds", type="sum",
+                        dataset=self.SQL, measure="double_total",
+                        condition="gt", threshold=0)
+        assert res[0]["actual_value"] == pytest.approx(exp, rel=1e-9)
+        assert res[0]["dataset"] == self.SQL
+
+    def test_check_id_keys_on_table_name(self, catalog, tmp_store):
+        from weiser_ai_ray.conditions import generate_check_id
+        res = run_check(catalog, tmp_store, name="sqlds", type="sum",
+                        dataset=self.SQL, measure="double_total",
+                        condition="gt", threshold=0)
+        assert res[0]["check_id"] == generate_check_id("default", "sqlds", "orders")
+
+    def test_row_count_star_view(self, catalog, tmp_store):
+        exp = duck("SELECT count(*) FROM orders WHERE o_totalprice > 100000")[0][0]
+        res = run_check(catalog, tmp_store, name="star", type="row_count",
+                        dataset="SELECT * FROM orders WHERE o_totalprice > 100000",
+                        condition="gt", threshold=0)
+        assert res[0]["actual_value"] == exp
+
+    def test_grouped_check_over_sql_dataset(self, catalog, tmp_store):
+        exp = dict(duck("SELECT o_orderstatus, count(*) FROM orders GROUP BY 1"))
+        res = run_check(catalog, tmp_store, name="g", type="row_count",
+                        dataset="SELECT o_orderstatus FROM orders",
+                        dimensions=["o_orderstatus"], condition="gt", threshold=0)
+        got = {r["name"].replace("g_o_orderstatus_", ""): r["actual_value"] for r in res}
+        assert got == {k: float(v) for k, v in exp.items()}
+
+    def test_unsupported_sql_raises(self, catalog, tmp_store):
+        with pytest.raises(ValueError):
+            run_check(catalog, tmp_store, name="bad", type="row_count",
+                      dataset="SELECT a FROM t JOIN u ON a = b",
+                      condition="gt", threshold=0)

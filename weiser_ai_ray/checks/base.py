@@ -29,7 +29,15 @@ from ..conditions import (
     grouped_result_name,
     time_dimension_alias,
 )
-from ..exprs import AggSpec, date_trunc, eval_scalar, parse_expr, split_aggregates
+from ..exprs import (
+    AggSpec,
+    date_trunc,
+    eval_scalar,
+    is_sql_dataset,
+    parse_expr,
+    parse_select,
+    split_aggregates,
+)
 from ..models import Check
 from ..sources import ParquetCatalog
 
@@ -94,6 +102,11 @@ class BaseCheck:
         return apply_condition(value, self.check.condition, self.check.threshold)
 
     def generate_check_id(self, dataset: str, check_name: str) -> str:
+        # U2 parity: for SQL-text datasets the hash key is the joined
+        # table list from the parse tree, not the raw SQL
+        # (/root/reference/weiser/checks/base.py:113-116)
+        if is_sql_dataset(dataset):
+            dataset = parse_select(dataset).table
         return generate_check_id(self.datasource, check_name, dataset)
 
     def generated_sql(self, dataset: str) -> str:
@@ -213,7 +226,17 @@ class BaseCheck:
             # pick none and let read_parquet fetch row counts cheaply.
             pass
 
-        ds = self.catalog.dataset(dataset, columns=sorted(needed) or None)
+        if is_sql_dataset(dataset):
+            # M5: dataset-as-SQL — compile the SELECT into a
+            # projection+filter view over the base table's Dataset
+            # (reference wraps it as a subquery, base.py:178-182);
+            # pruning reads only the view's required input columns.
+            view = parse_select(dataset)
+            base_cols = sorted(view.required_columns() | (needed if view.star else set()))
+            ds = self.catalog.dataset(view.table, columns=base_cols or None)
+            ds = ds.map_batches(view.apply, batch_format="pyarrow", zero_copy_batch=True)
+        else:
+            ds = self.catalog.dataset(dataset, columns=sorted(needed) or None)
 
         if group_keys and any(s.distinct for s in specs):
             # plan-time rejection (not inside a Ray task): per-batch

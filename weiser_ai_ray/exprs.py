@@ -549,3 +549,116 @@ def split_aggregates(ast):
 
 def has_aggregate(ast) -> bool:
     return bool(split_aggregates(ast)[1])
+
+
+# ----------------------------------------------------------------------
+# Dataset-as-SQL views (M5): the reference wraps a user-supplied SELECT
+# as a subquery alias `dataset_` and lets the database run it
+# (/root/reference/weiser/checks/base.py:178-182). Here the same SELECT
+# text compiles to a projection+filter view over the table's Dataset —
+# supported subset: SELECT <expr [AS alias]>[, ...] | * FROM <table>
+# [WHERE <pred>], no joins/groupby/nesting (raise otherwise).
+
+
+class SelectView:
+    __slots__ = ("projections", "table", "where_ast", "star")
+
+    def __init__(self, projections, table, where_ast, star):
+        self.projections = projections  # list[(alias, ast)]
+        self.table = table
+        self.where_ast = where_ast
+        self.star = star
+
+    def required_columns(self) -> set[str]:
+        out: set[str] = set()
+        for _alias, ast in self.projections:
+            _collect_expr_columns(ast, out)
+        if self.where_ast is not None:
+            _collect_expr_columns(self.where_ast, out)
+        return out
+
+    def apply(self, batch: "pa.Table") -> "pa.Table":
+        if self.where_ast is not None:
+            mask = eval_scalar(self.where_ast, batch)
+            if isinstance(mask, (pa.Array, pa.ChunkedArray)):
+                batch = batch.filter(pc.fill_null(mask, False))
+            elif not mask:
+                batch = batch.slice(0, 0)
+        if self.star:
+            return batch
+        cols = {}
+        for alias, ast in self.projections:
+            v = eval_scalar(ast, batch)
+            if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                v = pa.array([v] * batch.num_rows)
+            cols[alias] = v
+        return pa.table(cols)
+
+
+def _collect_expr_columns(ast, out: set) -> None:
+    if not isinstance(ast, tuple):
+        return
+    if ast[0] == "col":
+        out.add(ast[1])
+        return
+    for part in ast[1:]:
+        if isinstance(part, tuple):
+            _collect_expr_columns(part, out)
+        elif isinstance(part, list):
+            for p in part:
+                if isinstance(p, tuple):
+                    _collect_expr_columns(p, out)
+                elif isinstance(p, (list, tuple)):
+                    _collect_expr_columns(p, out)
+
+
+def is_sql_dataset(dataset: str) -> bool:
+    return dataset.strip().lower().startswith("select ") or dataset.strip().lower().startswith("select\n")
+
+
+def parse_select(sql: str) -> SelectView:
+    toks = tokenize(sql)
+    p = Parser(toks)
+    t = p.next()
+    if not (t.kind == "ident" and t.value.lower() == "select"):
+        raise ValueError("dataset SQL must start with SELECT")
+    projections: list[tuple[str, Any]] = []
+    star = False
+    if p.accept("op", "*"):
+        star = True
+    else:
+        while True:
+            expr = p.parse_or()
+            alias = None
+            nxt = p.peek()
+            if nxt and nxt.kind == "kw" and nxt.value == "as":  # AS tokenizes as kw
+                p.next()
+                alias = p.expect("ident").value
+            elif nxt and nxt.kind == "ident" and nxt.value.lower() not in ("from",):
+                # implicit alias: SELECT expr alias
+                alias = p.next().value
+            if alias is None:
+                if expr[0] == "col":
+                    alias = expr[1]
+                else:
+                    raise ValueError("Non-column projection requires AS alias")
+            projections.append((alias, expr))
+            if p.accept("op", ","):
+                continue
+            break
+    t = p.next()
+    if not (t.kind == "ident" and t.value.lower() == "from"):
+        raise ValueError("Expected FROM in dataset SQL")
+    table = p.expect("ident").value
+    where_ast = None
+    nxt = p.peek()
+    if nxt is not None:
+        if not (nxt.kind == "ident" and nxt.value.lower() == "where"):
+            raise ValueError(f"Unsupported dataset SQL after table name: {nxt}")
+        p.next()
+        where_ast = p.parse_or()
+        if p.peek() is not None:
+            raise ValueError(f"Unsupported trailing SQL: {p.peek()}")
+    if not star and any(has_aggregate(ast) for _a, ast in projections):
+        raise ValueError("Aggregates are not allowed in dataset SQL projections")
+    return SelectView(projections, table, where_ast, star)
