@@ -120,3 +120,50 @@ class TestQualityPipeline:
         assert set(kept["partition_id"].unique()) <= {
             f"corpus-{k:05d}" for k in range(6)
         }
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCrashResume:
+    """A run that CRASHES mid-way resumes from the last committed
+    partition: completed partitions are manifest-committed as their
+    partials stream in, not at the end of the run."""
+
+    def test_crash_then_resume_equals_clean_run(self, corpus_dir, tmp_path):
+        from weiser_ai_ray.models import QualityConfig
+        from weiser_ai_ray.quality.spec import default_quality_config
+
+        out = str(tmp_path / "out")
+        files = QualityPipeline.list_input_files(corpus_dir)
+        poison = QualityPipeline.partition_id_for(files[-1])
+
+        cfg = QualityConfig(
+            **{**default_quality_config().model_dump(), "fail_partitions": [poison]}
+        )
+        qp_bad = QualityPipeline(out, config=cfg)
+        with pytest.raises(Exception):
+            qp_bad.run(files, concurrency=2)
+
+        # some (not all) partitions committed before the crash
+        done = qp_bad.manifest.completed()
+        assert 0 < len(done) < len(files)
+        assert poison not in done
+
+        # resume with a healthy config: only the remainder runs
+        qp2 = QualityPipeline(out)
+        s2 = qp2.run(files, concurrency=2)
+        assert s2["skipped"] == len(done)
+        assert s2["partitions_processed"] == len(files) - len(done)
+
+        # byte-identical kept output vs a clean one-shot run
+        qp_fresh = QualityPipeline(str(tmp_path / "fresh"))
+        qp_fresh.run(files, concurrency=2)
+        a = qp2.load_kept().to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        b = qp_fresh.load_kept().to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        assert len(a) == len(b) > 0
+        assert (a["content_sha256"].values == b["content_sha256"].values).all()
+
+        # metric records exist exactly once per (partition, rule)
+        tbl = qp2.metric_store.read_all().to_pandas()
+        counts = tbl[tbl["name"] == "corpus_row_count"].groupby("partition_id").size()
+        assert (counts == 1).all()
+        assert set(counts.index) == {QualityPipeline.partition_id_for(f) for f in files}

@@ -96,6 +96,13 @@ class QualityRuleStage:
         return values
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.config.fail_partitions:  # crash-resume tests only
+            hit = set(batch["partition_id"].to_pylist()) & set(self.config.fail_partitions)
+            if hit:
+                import time as _time
+
+                _time.sleep(2.0)  # let healthy partitions commit first
+                raise RuntimeError(f"fault injection: partition {sorted(hit)}")
         n = batch.num_rows
         values = self.rule_values(batch)
         contents = values.pop("_contents")
@@ -265,112 +272,39 @@ class QualityPipeline:
             concurrency=concurrency,
             num_cpus=1,
         )
-        rows = partials.take_all()  # tiny: a few rows per batch
+        # expected input rows per partition (parquet footer metadata —
+        # cheap) so each partition can be committed the moment its last
+        # partial arrives, making a crashed run resume from the last
+        # COMPLETED partition instead of from zero
+        expected: dict[str, int] = {
+            self.partition_id_for(f): pq.ParquetFile(f).metadata.num_rows for f in pending
+        }
 
-        # ---- driver-side combine: per-partition and per-lang stats ----
-        per_part: dict[str, dict] = {}
-        per_lang: dict[str, dict] = {}
+        # ---- streaming driver-side combine + incremental commit ----
         rule_names = [r.name for r in self.config.rules if r.enabled]
         scrub_names = [r.name for r in self.config.scrub if r.enabled]
-        for row in rows:
-            pid = row["partition_id"]
-            p = per_part.setdefault(
-                pid,
-                {"n_rows": 0, "n_kept": 0, **{f"fail_{n}": 0 for n in rule_names},
-                 **{f"scrub_{n}": 0 for n in scrub_names}},
+        try:
+            batch_stream = partials.iter_batches(batch_size=None, batch_format="pyarrow")
+            per_part, per_lang, committed = self._consume_partials(
+                batch_stream, expected, run_id, run_time, rule_names, scrub_names
             )
-            lang = row["lang"]
-            lg = per_lang.setdefault(lang, {"n_rows": 0, "n_kept": 0})
-            for k in ("n_rows", "n_kept"):
-                p[k] += row[k]
-                lg[k] += row[k]
-            for n in rule_names:
-                p[f"fail_{n}"] += row[f"fail_{n}"]
-            for n in scrub_names:
-                p[f"scrub_{n}"] += row.get(f"scrub_{n}", 0)
-
-        # ---- weiser-style metric records per (partition x rule) ----
-        cond = self.config.partition_drop_condition
-        thr = self.config.partition_drop_threshold
-        for pid, p in sorted(per_part.items()):
-            nrows = p["n_rows"]
-            for rule in self.config.rules:
-                if not rule.enabled:
-                    continue
-                drop_frac = (p[f"fail_{rule.name}"] / nrows) if nrows else None
-                success = apply_condition(drop_frac, cond, thr)
-                name = f"quality_{rule.name}"
-                self.metric_store.insert_results(
-                    {
-                        "name": name,
-                        "type": "numeric",
-                        "condition": cond,
-                        "threshold": thr,
-                        "actual_value": drop_frac,
-                        "check_id": generate_check_id(self.datasource, name, self.dataset_name),
-                        "dataset": self.dataset_name,
-                        "datasource": self.datasource,
-                        "success": success,
-                        "fail": not success,
-                        "run_id": run_id,
-                        "run_time": run_time,
-                        "sql": f"drop_fraction({rule.name})",
-                        "partition_id": pid,
-                    }
+        except Exception:
+            # Ray (2.49) leaks an errored map_batches operator's actor
+            # pool — the stranded CPUs would starve every later Dataset
+            # in this session — so reap our stage's workers before
+            # re-raising. Committed partitions stay committed (resume).
+            _kill_leaked_stage_actors()
+            raise
+        # empty partitions (0-row inputs) produce no partials: commit now
+        for pid, exp in expected.items():
+            if pid not in committed and exp == 0:
+                per_part.setdefault(
+                    pid,
+                    {"n_rows": 0, "n_kept": 0, **{f"fail_{n}": 0 for n in rule_names},
+                     **{f"scrub_{n}": 0 for n in scrub_names}},
                 )
-            # row_count + kept_count lineage records per partition
-            for mname, val in (("corpus_row_count", p["n_rows"]), ("corpus_kept_count", p["n_kept"])):
-                self.metric_store.insert_results(
-                    {
-                        "name": mname,
-                        "type": "row_count",
-                        "condition": "ge",
-                        "threshold": 0,
-                        "actual_value": float(val),
-                        "check_id": generate_check_id(self.datasource, mname, self.dataset_name),
-                        "dataset": self.dataset_name,
-                        "datasource": self.datasource,
-                        "success": True,
-                        "fail": False,
-                        "run_id": run_id,
-                        "run_time": run_time,
-                        "sql": "COUNT(*)",
-                        "partition_id": pid,
-                    }
-                )
-            for sname in scrub_names:
-                mname = f"scrub_{sname}_redactions"
-                self.metric_store.insert_results(
-                    {
-                        "name": mname,
-                        "type": "numeric",
-                        "condition": "ge",
-                        "threshold": 0,
-                        "actual_value": float(p[f"scrub_{sname}"]),
-                        "check_id": generate_check_id(self.datasource, mname, self.dataset_name),
-                        "dataset": self.dataset_name,
-                        "datasource": self.datasource,
-                        "success": True,
-                        "fail": False,
-                        "run_id": run_id,
-                        "run_time": run_time,
-                        "sql": f"redaction_count({sname})",
-                        "partition_id": pid,
-                    }
-                )
-        self.metric_store.flush(run_id)
-
-        # ---- manifest commit (after data + metrics are durable) ----
-        self.manifest.mark(
-            {
-                "partition_id": pid,
-                "run_id": run_id,
-                "n_input": p["n_rows"],
-                "n_kept": p["n_kept"],
-                "ts": datetime.now().isoformat(),
-            }
-            for pid, p in sorted(per_part.items())
-        )
+                self._commit_partition(pid, per_part[pid], run_id, run_time)
+                committed.add(pid)
 
         total_rows = sum(p["n_rows"] for p in per_part.values())
         total_kept = sum(p["n_kept"] for p in per_part.values())
@@ -386,8 +320,149 @@ class QualityPipeline:
             "summary": self.metric_store.summary(run_id),
         }
 
+    def _consume_partials(
+        self, batch_stream, expected, run_id, run_time, rule_names, scrub_names
+    ) -> tuple[dict, dict, set]:
+        per_part: dict[str, dict] = {}
+        per_lang: dict[str, dict] = {}
+        committed: set[str] = set()
+        for batch in batch_stream:
+            touched: set[str] = set()
+            for row in batch.to_pylist():
+                pid = row["partition_id"]
+                touched.add(pid)
+                p = per_part.setdefault(
+                    pid,
+                    {"n_rows": 0, "n_kept": 0, **{f"fail_{n}": 0 for n in rule_names},
+                     **{f"scrub_{n}": 0 for n in scrub_names}},
+                )
+                lang = row["lang"]
+                lg = per_lang.setdefault(lang, {"n_rows": 0, "n_kept": 0})
+                for k in ("n_rows", "n_kept"):
+                    p[k] += row[k]
+                    lg[k] += row[k]
+                for n in rule_names:
+                    p[f"fail_{n}"] += row[f"fail_{n}"]
+                for n in scrub_names:
+                    p[f"scrub_{n}"] += row.get(f"scrub_{n}", 0)
+            for pid in touched:
+                if pid not in committed and per_part[pid]["n_rows"] >= expected.get(pid, 0):
+                    self._commit_partition(pid, per_part[pid], run_id, run_time)
+                    committed.add(pid)
+        return per_part, per_lang, committed
+
+    # ------------------------------------------------------------------
+    def _commit_partition(self, pid: str, p: dict, run_id: str, run_time) -> None:
+        """Durably commit ONE completed partition: weiser-style metric
+        records per (partition x rule) + lineage counts, a per-partition
+        metric-store part file, then the fsynced manifest line. Kept
+        rows were already written by the map task, so after this commit
+        a crash cannot lose or double-process the partition."""
+        cond = self.config.partition_drop_condition
+        thr = self.config.partition_drop_threshold
+        scrub_names = [r.name for r in self.config.scrub if r.enabled]
+        nrows = p["n_rows"]
+        for rule in self.config.rules:
+            if not rule.enabled:
+                continue
+            drop_frac = (p[f"fail_{rule.name}"] / nrows) if nrows else None
+            success = apply_condition(drop_frac, cond, thr)
+            name = f"quality_{rule.name}"
+            self.metric_store.insert_results(
+                {
+                    "name": name,
+                    "type": "numeric",
+                    "condition": cond,
+                    "threshold": thr,
+                    "actual_value": drop_frac,
+                    "check_id": generate_check_id(self.datasource, name, self.dataset_name),
+                    "dataset": self.dataset_name,
+                    "datasource": self.datasource,
+                    "success": success,
+                    "fail": not success,
+                    "run_id": run_id,
+                    "run_time": run_time,
+                    "sql": f"drop_fraction({rule.name})",
+                    "partition_id": pid,
+                }
+            )
+        # row_count + kept_count lineage records per partition
+        for mname, val in (("corpus_row_count", p["n_rows"]), ("corpus_kept_count", p["n_kept"])):
+            self.metric_store.insert_results(
+                {
+                    "name": mname,
+                    "type": "row_count",
+                    "condition": "ge",
+                    "threshold": 0,
+                    "actual_value": float(val),
+                    "check_id": generate_check_id(self.datasource, mname, self.dataset_name),
+                    "dataset": self.dataset_name,
+                    "datasource": self.datasource,
+                    "success": True,
+                    "fail": False,
+                    "run_id": run_id,
+                    "run_time": run_time,
+                    "sql": "COUNT(*)",
+                    "partition_id": pid,
+                }
+            )
+        for sname in scrub_names:
+            mname = f"scrub_{sname}_redactions"
+            self.metric_store.insert_results(
+                {
+                    "name": mname,
+                    "type": "numeric",
+                    "condition": "ge",
+                    "threshold": 0,
+                    "actual_value": float(p[f"scrub_{sname}"]),
+                    "check_id": generate_check_id(self.datasource, mname, self.dataset_name),
+                    "dataset": self.dataset_name,
+                    "datasource": self.datasource,
+                    "success": True,
+                    "fail": False,
+                    "run_id": run_id,
+                    "run_time": run_time,
+                    "sql": f"redaction_count({sname})",
+                    "partition_id": pid,
+                }
+            )
+        self.metric_store.flush(run_id)  # one part file per partition
+        self.manifest.mark(
+            [
+                {
+                    "partition_id": pid,
+                    "run_id": run_id,
+                    "n_input": p["n_rows"],
+                    "n_kept": p["n_kept"],
+                    "ts": datetime.now().isoformat(),
+                }
+            ]
+        )
+
     def load_kept(self) -> "ray.data.Dataset":
         return ray.data.read_parquet(self.data_dir)
+
+
+def _kill_leaked_stage_actors() -> None:
+    """Best-effort reap of MapWorker actors stranded by a FAILED
+    streaming execution. Ray 2.49 does not tear down the actor pool of
+    an errored map_batches operator (executor.shutdown() leaves the
+    workers ALIVE holding their CPUs), which starves every subsequent
+    Dataset in the session. Uses the same core-worker kill path as
+    ray.kill(); scoped to MapWorker(...) class names. No-op on any
+    failure — cleanup must never mask the original error."""
+    try:
+        import ray._private.state as _state
+        from ray._raylet import ActorID
+
+        core = ray._private.worker.global_worker.core_worker
+        for info in _state.actors().values():
+            if info.get("State") == "ALIVE" and str(
+                info.get("ActorClassName", "")
+            ).startswith("MapWorker("):
+                core.kill_actor(ActorID(bytes.fromhex(info["ActorID"])), True)
+    except Exception:
+        pass
 
 
 def _read_shard(batch: pa.Table):
