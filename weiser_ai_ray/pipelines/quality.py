@@ -296,15 +296,16 @@ class QualityPipeline:
             _kill_leaked_stage_actors()
             raise
         # empty partitions (0-row inputs) produce no partials: commit now
-        for pid, exp in expected.items():
-            if pid not in committed and exp == 0:
+        empty_pids = [pid for pid, exp in expected.items() if pid not in committed and exp == 0]
+        if empty_pids:
+            for pid in empty_pids:
                 per_part.setdefault(
                     pid,
                     {"n_rows": 0, "n_kept": 0, **{f"fail_{n}": 0 for n in rule_names},
                      **{f"scrub_{n}": 0 for n in scrub_names}},
                 )
-                self._commit_partition(pid, per_part[pid], run_id, run_time)
-                committed.add(pid)
+            self._commit_partitions(sorted(empty_pids), per_part, run_id, run_time)
+            committed.update(empty_pids)
 
         total_rows = sum(p["n_rows"] for p in per_part.values())
         total_kept = sum(p["n_kept"] for p in per_part.values())
@@ -345,19 +346,44 @@ class QualityPipeline:
                     p[f"fail_{n}"] += row[f"fail_{n}"]
                 for n in scrub_names:
                     p[f"scrub_{n}"] += row.get(f"scrub_{n}", 0)
-            for pid in touched:
-                if pid not in committed and per_part[pid]["n_rows"] >= expected.get(pid, 0):
-                    self._commit_partition(pid, per_part[pid], run_id, run_time)
-                    committed.add(pid)
+            done_now = [
+                pid
+                for pid in sorted(touched)
+                if pid not in committed and per_part[pid]["n_rows"] >= expected.get(pid, 0)
+            ]
+            if done_now:
+                # one metric part file + one fsynced manifest append per
+                # CONSUMED BATCH, not per partition — the commit batch
+                # is however many partitions finished since the last one
+                self._commit_partitions(done_now, per_part, run_id, run_time)
+                committed.update(done_now)
         return per_part, per_lang, committed
 
     # ------------------------------------------------------------------
-    def _commit_partition(self, pid: str, p: dict, run_id: str, run_time) -> None:
-        """Durably commit ONE completed partition: weiser-style metric
-        records per (partition x rule) + lineage counts, a per-partition
-        metric-store part file, then the fsynced manifest line. Kept
-        rows were already written by the map task, so after this commit
-        a crash cannot lose or double-process the partition."""
+    def _commit_partitions(self, pids: list[str], per_part: dict, run_id: str, run_time) -> None:
+        """Durably commit a group of completed partitions: weiser-style
+        metric records per (partition x rule) + lineage counts, ONE
+        metric-store part file and ONE fsynced manifest append for the
+        whole group. Kept rows were already written by the map tasks,
+        so after this commit a crash cannot lose or double-process any
+        of these partitions."""
+        for pid in pids:
+            self._insert_partition_records(pid, per_part[pid], run_id, run_time)
+        self.metric_store.flush(run_id)
+        self.manifest.mark(
+            [
+                {
+                    "partition_id": pid,
+                    "run_id": run_id,
+                    "n_input": per_part[pid]["n_rows"],
+                    "n_kept": per_part[pid]["n_kept"],
+                    "ts": datetime.now().isoformat(),
+                }
+                for pid in pids
+            ]
+        )
+
+    def _insert_partition_records(self, pid: str, p: dict, run_id: str, run_time) -> None:
         cond = self.config.partition_drop_condition
         thr = self.config.partition_drop_threshold
         scrub_names = [r.name for r in self.config.scrub if r.enabled]
@@ -426,18 +452,6 @@ class QualityPipeline:
                     "partition_id": pid,
                 }
             )
-        self.metric_store.flush(run_id)  # one part file per partition
-        self.manifest.mark(
-            [
-                {
-                    "partition_id": pid,
-                    "run_id": run_id,
-                    "n_input": p["n_rows"],
-                    "n_kept": p["n_kept"],
-                    "ts": datetime.now().isoformat(),
-                }
-            ]
-        )
 
     def load_kept(self) -> "ray.data.Dataset":
         return ray.data.read_parquet(self.data_dir)
