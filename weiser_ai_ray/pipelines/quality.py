@@ -12,9 +12,11 @@ streaming per-file quality filter over a Parquet corpus of source code
          algebra, regex scrub of kept rows, sha256 lineage, per-batch
          parquet write into the partition's output dir
     -> tiny per-(partition, lang) partial-count rows
-  driver: combine partials -> weiser-style metric records per
-  (partition x rule) into the Parquet metric store; per-partition
-  manifest commit for resume.
+  driver: STREAM the partial rows (iter_batches) and, as each input
+  partition's last partial arrives, durably commit it — weiser-style
+  metric records per (partition x rule) into the Parquet metric store
+  plus an fsynced manifest line — so a crashed run resumes from the
+  last completed partition, not from zero.
 
 Scale notes:
   - raw corpus rows are NEVER shuffled or materialized; the only
