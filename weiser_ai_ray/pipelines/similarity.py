@@ -129,46 +129,75 @@ def lsh_topk(
     """Approximate top-k: candidates restricted to vectors whose LSH
     bucket matches the query's bucket (or differs by one flipped bit per
     extra probe). Recall < 1.0 by design; compare against ann_topk for
-    the quality measurement."""
+    the quality measurement.
+
+    Fully distributed: only the QUERY rows are collected; the corpus is
+    scanned once per call by a map_batches stage that scores each batch
+    against the broadcast (query, wanted-buckets) table and emits k-row
+    partials — the driver merges k rows per query per batch, never the
+    corpus."""
+    import pyarrow.compute as pc
+
     stage = LshIndexStage(vec_col, id_col, bits=bits)
     indexed = ds.map_batches(
         lambda b: stage(b), batch_format="pyarrow", zero_copy_batch=True
     )
-    rows = indexed.take_all()
-    by_id = {r[id_col]: r for r in rows}
-    q_rows = sorted((by_id[q] for q in query_ids), key=lambda r: r[id_col])
-    want_buckets: dict[int, set[int]] = {}
+    qset = pa.array(sorted(set(query_ids)), type=pa.int64())
+
+    def pick_queries(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b[id_col], value_set=qset))
+
+    q_rows = sorted(
+        indexed.map_batches(pick_queries, batch_format="pyarrow", zero_copy_batch=True).take_all(),
+        key=lambda r: r[id_col],
+    )
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = _normalize(np.array([r[vec_col] for r in q_rows], dtype=np.float64))
+    want_buckets: list[np.ndarray] = []
     for r in q_rows:
         b = r["bucket"]
         buckets = {b}
         for p in range(probes - 1):
             buckets.add(b ^ (1 << (p % bits)))
-        want_buckets[r[id_col]] = buckets
+        want_buckets.append(np.array(sorted(buckets), dtype=np.int64))
+    ref = ray.put((q_ids, q_mat, want_buckets))
+
+    def score_stage(batch: pa.Table) -> pa.Table:
+        ids, qm, wanted = ray.get(ref)
+        b_ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
+        b_buckets = np.asarray(batch["bucket"].to_numpy(zero_copy_only=False))
+        b_mat = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        rows_q, rows_n, rows_s = [], [], []
+        for qi in range(len(ids)):
+            mask = np.isin(b_buckets, wanted[qi]) & (b_ids != ids[qi])
+            if not mask.any():
+                continue
+            cand_ids = b_ids[mask]
+            sims = b_mat[mask] @ qm[qi]
+            order = np.lexsort((cand_ids, -sims))[:k]
+            rows_q.extend([ids[qi]] * len(order))
+            rows_n.extend(cand_ids[order])
+            rows_s.extend(sims[order])
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, type=pa.int64()),
+                "neighbor_id": pa.array(rows_n, type=pa.int64()),
+                "score": pa.array(rows_s, type=pa.float64()),
+            }
+        )
+
+    partials = indexed.map_batches(
+        score_stage, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
 
     import pandas as pd
 
-    out = []
-    all_df = pd.DataFrame(
-        {
-            id_col: [r[id_col] for r in rows],
-            "bucket": [r["bucket"] for r in rows],
-        }
+    df = pd.DataFrame(partials, columns=["query_id", "neighbor_id", "score"])
+    df = df.sort_values(
+        ["query_id", "score", "neighbor_id"], ascending=[True, False, True]
     )
-    mat = _normalize(np.array([r[vec_col] for r in rows], dtype=np.float64))
-    ids_arr = np.array([r[id_col] for r in rows], dtype=np.int64)
-    for r in q_rows:
-        qid = r[id_col]
-        qv = _normalize(np.array([r[vec_col]], dtype=np.float64))[0]
-        cand_mask = all_df["bucket"].isin(want_buckets[qid]).to_numpy() & (ids_arr != qid)
-        cand_ids = ids_arr[cand_mask]
-        sims = mat[cand_mask] @ qv
-        order = np.lexsort((cand_ids, -sims))[:k]
-        for j in order:
-            out.append((qid, int(cand_ids[j]), float(sims[j])))
-    return pa.table(
-        {
-            "query_id": pa.array([o[0] for o in out], type=pa.int64()),
-            "neighbor_id": pa.array([o[1] for o in out], type=pa.int64()),
-            "score": pa.array([o[2] for o in out], type=pa.float64()),
-        }
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df.astype({"query_id": "int64", "neighbor_id": "int64", "score": "float64"}),
+        preserve_index=False,
     )
