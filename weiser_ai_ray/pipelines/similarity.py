@@ -58,12 +58,19 @@ def ann_topk(
     """Exact cosine top-k for the given query ids. Returns a pyarrow
     Table (query_id, neighbor_id, score) sorted by
     (query_id, -score, neighbor_id) — deterministic tie-break."""
-    q_rows = [
-        r
-        for r in ds.select_columns([id_col, vec_col]).take_all()
-        if r[id_col] in set(query_ids)
-    ]
-    q_rows.sort(key=lambda r: r[id_col])
+    import pyarrow.compute as pc
+
+    qset = pa.array(sorted(set(query_ids)), type=pa.int64())
+
+    def pick_queries(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b[id_col], value_set=qset))
+
+    q_rows = sorted(
+        ds.select_columns([id_col, vec_col])
+        .map_batches(pick_queries, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all(),
+        key=lambda r: r[id_col],
+    )
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     q_mat = _normalize(np.array([r[vec_col] for r in q_rows], dtype=np.float64))
     ref = ray.put((q_ids, q_mat))
