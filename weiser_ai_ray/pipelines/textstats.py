@@ -104,9 +104,24 @@ def detect_languages(ds: "ray.data.Dataset", concurrency=(1, 8)) -> "ray.data.Da
     )
 
 
+_FP_P = np.uint64(1000003)
+_FP_M31 = np.uint64((1 << 31) - 1)
+
+
+def _rolling_min_hash(t: str, k: int = 8) -> str:
+    """Winnowing-style fingerprint: min of a numpy rolling polynomial
+    hash over all k-char windows (vectorized; no per-window digest)."""
+    codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    m = codes.size - k + 1
+    h = np.zeros(m, dtype=np.uint64)
+    for j in range(k):  # k vector ops
+        h = (h * _FP_P + codes[j : j + m]) % _FP_M31
+    return f"{int(h.min()):016x}"
+
+
 def fingerprints(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Per-document fingerprints: md5 of the full text (exact identity)
-    plus a winnowing-style rolling-hash fingerprint (min sha-derived
+    plus a winnowing-style rolling-hash fingerprint (min polynomial
     hash over 8-char windows) for near-identity bucketing."""
 
     def per_batch(batch: pa.Table) -> pa.Table:
@@ -121,11 +136,7 @@ def fingerprints(ds: "ray.data.Dataset") -> "ray.data.Dataset":
             if len(t) < 8:
                 rolls.append(hashlib.sha256(t.encode("utf-8")).hexdigest()[:16])
             else:
-                best = min(
-                    hashlib.sha256(t[i : i + 8].encode("utf-8")).digest()[:8]
-                    for i in range(0, len(t) - 7, 4)
-                )
-                rolls.append(best.hex())
+                rolls.append(_rolling_min_hash(t))
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
