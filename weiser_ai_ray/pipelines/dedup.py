@@ -226,41 +226,51 @@ def _pairs_from_bucket_rows(rows: list[dict], id_col: str, with_cols: tuple = ()
     return pairs
 
 
-_TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-
-
-def _pairs_array_from_bucket_rows(rows: list[dict], id_col: str) -> np.ndarray:
-    """Vectorized variant for integer-id buckets: unique (a < b) pairs
-    as an int64 (N, 2) array. Bucket sizes repeat heavily (mostly 2-3),
-    so triu index templates are cached by size; dedup across buckets is
-    one np.unique instead of millions of Python tuple hashes."""
+def _close_pairs_by_bucket(
+    rows: list[dict], id_col: str, idx: dict, sigs32: np.ndarray, cut: float, tile: int = 256
+) -> np.ndarray:
+    """Unique (a < b) id pairs whose signature-estimated Jaccard >= cut,
+    computed bucket-by-bucket WITHOUT materializing the O(bucket^2)
+    candidate set: each bucket's members are compared in
+    (tile x tile x num_perm) boolean tiles (a few MB each), so a
+    templated corpus with multi-thousand-member buckets costs big SIMD
+    comparisons instead of millions of Python pair objects."""
     if not rows:
         return np.empty((0, 2), dtype=np.int64)
     buckets = np.array([r["bucket"] for r in rows])
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     order = np.lexsort((ids, buckets))
     buckets, ids = buckets[order], ids[order]
-    # group boundaries over the sorted bucket keys
     change = np.nonzero(buckets[1:] != buckets[:-1])[0] + 1
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [len(buckets)]))
-    chunks_a, chunks_b = [], []
+    pos_lut = np.array([idx[int(i)] for i in ids], dtype=np.int64)
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
     for s, e in zip(starts, ends):
-        k = e - s
-        if k < 2:
+        m = e - s
+        if m < 2:
             continue
-        tri = _TRIU_CACHE.get(k)
-        if tri is None:
-            tri = np.triu_indices(k, 1)
-            if len(_TRIU_CACHE) < 4096:
-                _TRIU_CACHE[k] = tri
-        seg = ids[s:e]
-        chunks_a.append(seg[tri[0]])
-        chunks_b.append(seg[tri[1]])
-    if not chunks_a:
+        member_ids = ids[s:e]
+        S = sigs32[pos_lut[s:e]]  # (m, num_perm)
+        for i0 in range(0, m, tile):
+            A = S[i0 : i0 + tile]
+            a_ids = member_ids[i0 : i0 + tile]
+            for j0 in range(i0, m, tile):
+                B = S[j0 : j0 + tile]
+                b_ids = member_ids[j0 : j0 + tile]
+                est = (A[:, None, :] == B[None, :, :]).mean(axis=2)
+                ai, bi = np.nonzero(est >= cut)
+                if i0 == j0:  # same tile: upper triangle only
+                    keep = ai < bi
+                    ai, bi = ai[keep], bi[keep]
+                if len(ai):
+                    out_a.append(a_ids[ai])
+                    out_b.append(b_ids[bi])
+    if not out_a:
         return np.empty((0, 2), dtype=np.int64)
-    a = np.concatenate(chunks_a)
-    b = np.concatenate(chunks_b)
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
     lo = np.minimum(a, b)
     hi = np.maximum(a, b)
     pairs = np.unique(np.stack([lo, hi], axis=1), axis=0)
@@ -305,14 +315,13 @@ def minhash_lsh_dedup_ids(
         concurrency=(1, 8),
     )
     dup_rows = collect_dup_buckets(band_rows, id_col)
-    pair_arr = _pairs_array_from_bucket_rows(dup_rows, id_col)
 
-    if not pair_arr.size:
+    if not dup_rows:
         all_ids = sorted(r[id_col] for r in ds.select_columns([id_col]).take_all())
         return all_ids, []
 
-    # verify candidates: fetch candidate texts with one filtered pass
-    cand_ids = [int(i) for i in np.unique(pair_arr)]
+    # fetch texts for every dup-bucket member with one filtered pass
+    cand_ids = sorted({int(r[id_col]) for r in dup_rows})
     ref = ray.put(cand_ids)
 
     def pick(batch: pa.Table) -> pa.Table:
@@ -324,35 +333,23 @@ def minhash_lsh_dedup_ids(
         for r in ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).take_all()
     }
     mh = MinHasher(shingle_k, num_perm)
-    # vectorized signature-estimate prefilter: J_est = matching minhash
-    # fraction; only pairs within a safety margin get the exact O(|doc|)
-    # set-Jaccard. Turns a pair blowup on templated corpora from minutes
-    # of Python set ops into one numpy comparison.
+    # signatures for every dup-bucket member (uint32-truncated: equality
+    # semantics unchanged at half the memory traffic)
     idx = {i: j for j, i in enumerate(cand_ids)}
     sigs = np.zeros((len(cand_ids), num_perm), dtype=np.uint64)
     for i in cand_ids:
         s = mh.signature(texts.get(i) or "")
         if s is not None:
             sigs[idx[i]] = s
-    if pair_arr.size:
-        id_arr = np.array(cand_ids, dtype=np.int64)  # sorted
-        # uint32-truncated signatures: equality semantics are unchanged
-        # (2^-32 truncation-collision odds per component) at half the
-        # memory traffic of the uint64 gather
-        sigs32 = sigs.astype(np.uint32)
-        # margin ~ sigma of the estimator (sqrt(J(1-J)/num_perm) ~= 0.04
-        # at 128 perms); chunked so the gathered sig matrices stay small
-        cut = max(jaccard_threshold - 0.05, 0.0)
-        kept_chunks = []
-        for s in range(0, len(pair_arr), 262144):
-            chunk = pair_arr[s : s + 262144]
-            ia = np.searchsorted(id_arr, chunk[:, 0])
-            ib = np.searchsorted(id_arr, chunk[:, 1])
-            est = (sigs32[ia] == sigs32[ib]).mean(axis=1)
-            kept_chunks.append(chunk[est >= cut])
-        close = np.concatenate(kept_chunks) if kept_chunks else pair_arr.reshape(0, 2)
-    else:
-        close = pair_arr.reshape(0, 2)
+    sigs32 = sigs.astype(np.uint32)
+    # per-bucket TILED pairwise signature estimate: J_est = matching
+    # minhash fraction, computed bucket-by-bucket in (256 x 256 x perm)
+    # tiles — the O(bucket^2) candidate pairs of templated corpora are
+    # never materialized; only pairs within the estimator's margin
+    # (sigma ~= sqrt(J(1-J)/num_perm) ~= 0.04 at 128 perms) survive to
+    # the exact O(|doc|) set-Jaccard.
+    cut = max(jaccard_threshold - 0.05, 0.0)
+    close = _close_pairs_by_bucket(dup_rows, id_col, idx, sigs32, cut)
     shingle_cache: dict = {}
 
     def _sh(i):
