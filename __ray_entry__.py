@@ -467,7 +467,7 @@ def q_multimodal_image_features(sf_dir: str) -> pa.Table:
     from weiser_ai_ray.stages.multimodal import ImageDecodeStage, make_multimodal_table
 
     tbl = make_multimodal_table(60)
-    ds = ray.data.from_arrow(tbl).filter(lambda r: r["kind"] == "image")
+    ds = ray.data.from_arrow(tbl).filter(expr="kind == 'image'")
     df = (
         ds.map_batches(
             ImageDecodeStage, fn_constructor_kwargs={"feature_dim": 8},
@@ -513,7 +513,7 @@ def q_multimodal_audio_frames(sf_dir: str) -> pa.Table:
     from weiser_ai_ray.stages.multimodal import AudioFrameSampleStage, make_multimodal_table
 
     tbl = make_multimodal_table(60)
-    ds = ray.data.from_arrow(tbl).filter(lambda r: r["kind"] == "audio")
+    ds = ray.data.from_arrow(tbl).filter(expr="kind == 'audio'")
     df = (
         ds.map_batches(
             AudioFrameSampleStage, fn_constructor_kwargs={"frames_per_second": 1},

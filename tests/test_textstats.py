@@ -83,7 +83,7 @@ class TestMultimodal:
         from weiser_ai_ray.stages.multimodal import ImageDecodeStage, make_multimodal_table
 
         tbl = make_multimodal_table(30)
-        ds = ray.data.from_arrow(tbl).filter(lambda r: r["kind"] == "image")
+        ds = ray.data.from_arrow(tbl).filter(expr="kind == 'image'")
         out = ds.map_batches(
             ImageDecodeStage,
             fn_constructor_kwargs={"feature_dim": 8},
@@ -118,7 +118,7 @@ class TestMultimodal:
         from weiser_ai_ray.stages.multimodal import AudioFrameSampleStage, make_multimodal_table
 
         tbl = make_multimodal_table(30)
-        ds = ray.data.from_arrow(tbl).filter(lambda r: r["kind"] == "audio")
+        ds = ray.data.from_arrow(tbl).filter(expr="kind == 'audio'")
         out = ds.map_batches(
             AudioFrameSampleStage,
             batch_format="pyarrow",
