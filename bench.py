@@ -105,6 +105,7 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
         _consume(qs[name](sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(timings.values()), 3)
+    f1, sha_rate = _north_rule_fidelity()
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     return {
         "metric": "headline_suite_sec",
@@ -113,7 +114,52 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "num_cpus": num_cpus,
+        "keep_drop_f1": f1,
+        "sha256_equal_rate": sha_rate,
     }
+
+
+def _north_rule_fidelity(n_rows: int = 20_000, seed: int = 7) -> tuple[float, float]:
+    """Headline north-rule metrics: keep/drop F1 vs the pure-python
+    oracle and sha256(scrubbed content) equality rate on kept rows,
+    over a dedicated deterministic corpus."""
+    from weiser_ai_ray.fixtures.corpus import generate_rows, write_corpus
+    from weiser_ai_ray.oracle import label_row
+    from weiser_ai_ray.pipelines.quality import QualityPipeline
+
+    d = f"/tmp/weiser_bench_f1_{n_rows}_{seed}"
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        shutil.rmtree(d, ignore_errors=True)
+        write_corpus(d, n_rows, seed=seed, n_files=8)
+        open(os.path.join(d, "_DONE"), "w").write("ok")
+    out = f"/tmp/weiser_bench_f1_out_{n_rows}_{seed}"
+    shutil.rmtree(out, ignore_errors=True)
+    qp = QualityPipeline(out)
+    qp.run(d)
+    kept = qp.load_kept().to_pandas()
+
+    rows = generate_rows(n_rows, seed)
+    oracle_kept, oracle_sha = set(), {}
+    for i in range(n_rows):
+        r = {k: rows[k][i] for k in rows}
+        lbl = label_row(r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+        key = (r["repo"], r["path"], r["commit"])
+        if lbl["keep"]:
+            oracle_kept.add(key)
+            oracle_sha[key] = lbl["content_sha256"]
+    engine_kept = set(zip(kept["repo"], kept["path"], kept["commit"]))
+    tp = len(engine_kept & oracle_kept)
+    fp = len(engine_kept - oracle_kept)
+    fn = len(oracle_kept - engine_kept)
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+    sha_by_key = {
+        (r.repo, r.path, r.commit): r.content_sha256 for r in kept.itertuples()
+    }
+    matches = sum(1 for k in engine_kept & oracle_kept if sha_by_key[k] == oracle_sha[k])
+    sha_rate = matches / max(tp, 1)
+    return round(f1, 6), round(sha_rate, 6)
 
 
 # ----------------------------------------------------------------------
