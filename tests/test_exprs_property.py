@@ -1,0 +1,134 @@
+"""Property-based parity: the expression compiler vs DuckDB on random
+expressions over a shared table (hypothesis). Covers arithmetic,
+comparisons, boolean composition, CASE, COALESCE/ABS/ROUND, IS NULL,
+and aggregate-at-top measures — the grammar the `numeric` check
+accepts."""
+
+import duckdb
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from weiser_ai_ray.exprs import eval_scalar, parse_expr
+
+TABLE = pa.table(
+    {
+        "a": pa.array([1, 2, None, -4, 5, 1000, -7, 0], type=pa.int64()),
+        "b": pa.array([0.5, None, 2.25, -3.5, 4.0, 0.0, -1.25, 9.75], type=pa.float64()),
+        "s": pa.array(["x", "y", None, "x", "zz", "", "y", "x"], type=pa.string()),
+    }
+)
+
+_CON = duckdb.connect()
+_CON.register("t", TABLE)
+
+
+def duck_rows(expr: str):
+    return [r[0] for r in _CON.execute(f"SELECT {expr} FROM t").fetchall()]
+
+
+def duck_scalar(expr: str):
+    return _CON.execute(f"SELECT {expr} FROM t").fetchone()[0]
+
+
+# -- expression grammar generator (always float-typed arithmetic to
+# sidestep int-division dialect differences, documented in exprs.py) --
+
+num_leaf = st.sampled_from(["b", "CAST(a AS DOUBLE)", "1.5", "0.25", "-2.0", "10.0"])
+cmp_op = st.sampled_from(["<", "<=", ">", ">=", "=", "!="])
+arith_op = st.sampled_from(["+", "-", "*"])
+
+
+@st.composite
+def num_expr(draw, depth=0):
+    if depth >= 2 or draw(st.booleans()):
+        return draw(num_leaf)
+    kind = draw(st.sampled_from(["bin", "abs", "round", "coalesce", "case"]))
+    left = draw(num_expr(depth=depth + 1))
+    if kind == "bin":
+        right = draw(num_expr(depth=depth + 1))
+        return f"({left} {draw(arith_op)} {right})"
+    if kind == "abs":
+        return f"ABS({left})"
+    if kind == "round":
+        return f"ROUND({left}, {draw(st.integers(0, 3))})"
+    if kind == "coalesce":
+        right = draw(num_expr(depth=depth + 1))
+        return f"COALESCE({left}, {right})"
+    cond = draw(bool_expr(depth=depth + 1))
+    right = draw(num_expr(depth=depth + 1))
+    return f"(CASE WHEN {cond} THEN {left} ELSE {right} END)"
+
+
+@st.composite
+def bool_expr(draw, depth=0):
+    if depth >= 2 or draw(st.booleans()):
+        left = draw(num_expr(depth=depth + 1))
+        right = draw(num_expr(depth=depth + 1))
+        return f"({left} {draw(cmp_op)} {right})"
+    kind = draw(st.sampled_from(["and", "or", "not", "isnull"]))
+    left = draw(bool_expr(depth=depth + 1))
+    if kind == "isnull":
+        col = draw(st.sampled_from(["a", "b", "s"]))
+        neg = draw(st.booleans())
+        return f"({col} IS {'NOT ' if neg else ''}NULL)"
+    if kind == "not":
+        return f"(NOT {left})"
+    right = draw(bool_expr(depth=depth + 1))
+    return f"({left} {kind.upper()} {right})"
+
+
+def _norm(v):
+    if v is None:
+        return None
+    return round(float(v), 9)
+
+
+class TestExpressionParity:
+    @settings(max_examples=120, deadline=None)
+    @given(num_expr())
+    def test_numeric_rowwise(self, expr):
+        got = eval_scalar(parse_expr(expr), TABLE)
+        got_list = (
+            got.to_pylist()
+            if isinstance(got, (pa.Array, pa.ChunkedArray))
+            else [got] * TABLE.num_rows
+        )
+        exp_list = duck_rows(expr)
+        assert [_norm(g) for g in got_list] == [_norm(x) for x in exp_list], expr
+
+    @settings(max_examples=80, deadline=None)
+    @given(bool_expr())
+    def test_boolean_rowwise(self, expr):
+        got = eval_scalar(parse_expr(expr), TABLE)
+        got_list = (
+            got.to_pylist()
+            if isinstance(got, (pa.Array, pa.ChunkedArray))
+            else [got] * TABLE.num_rows
+        )
+        exp_list = duck_rows(expr)
+        assert got_list == exp_list, expr
+
+    @settings(max_examples=60, deadline=None)
+    @given(num_expr(), st.sampled_from(["SUM", "MIN", "MAX", "AVG"]))
+    def test_aggregate_measures(self, inner, agg):
+        """Aggregate-at-top measures through the check engine's partial
+        framework (scalar path) vs DuckDB."""
+        from weiser_ai_ray.checks.base import _finalize_spec_scalar
+        from weiser_ai_ray.exprs import split_aggregates
+
+        expr = f"{agg}({inner})"
+        ast = parse_expr(expr)
+        final_ast, specs = split_aggregates(ast)
+        assert len(specs) == 1
+        # single-batch partial == whole-table aggregate
+        from weiser_ai_ray.checks.base import _PartialBatcher
+
+        pb = _PartialBatcher(specs, None, None, None, [], [])
+        parts = pb(TABLE).to_pylist()
+        got = _finalize_spec_scalar(specs[0], parts)
+        exp = duck_scalar(expr)
+        if exp is None or got is None:
+            assert exp is None and got is None, expr
+        else:
+            assert got == pytest.approx(float(exp), rel=1e-9, abs=1e-9), expr

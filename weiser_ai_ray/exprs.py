@@ -402,7 +402,10 @@ def eval_scalar(ast, table: pa.Table):
         rv = eval_scalar(r, table)
         return _binop(op, lv, rv)
     if kind == "func":
-        return _call_func(ast[1], ast[2], table)
+        out = _call_func(ast[1], ast[2], table)
+        # literal-only calls produce an Arrow scalar; normalize to a
+        # python value so callers see plain numbers for constant exprs
+        return out.as_py() if isinstance(out, pa.Scalar) else out
     if kind == "case":
         whens, els = ast[1], ast[2]
         result = eval_scalar(els, table) if els is not None else None
@@ -412,7 +415,8 @@ def eval_scalar(ast, table: pa.Table):
             val = eval_scalar(val_ast, table)
             cond = pc.fill_null(cond, False) if isinstance(cond, (pa.Array, pa.ChunkedArray)) else cond
             result = pc.if_else(cond, val, result)
-        return result
+        # all-scalar CASEs produce an Arrow scalar; normalize
+        return result.as_py() if isinstance(result, pa.Scalar) else result
     if kind == "isnull":
         v = eval_scalar(ast[1], table)
         out = pc.is_null(v)
@@ -440,6 +444,10 @@ def eval_scalar(ast, table: pa.Table):
 
 
 def _binop(op: str, lv, rv):
+    if isinstance(lv, pa.Scalar):
+        lv = lv.as_py()
+    if isinstance(rv, pa.Scalar):
+        rv = rv.as_py()
     larr = isinstance(lv, (pa.Array, pa.ChunkedArray))
     rarr = isinstance(rv, (pa.Array, pa.ChunkedArray))
     if not larr and not rarr:
@@ -491,7 +499,9 @@ def _call_func(name: str, args: list, table: pa.Table):
         return out
     if name == "round":
         nd = int(vals[1]) if len(vals) > 1 else 0
-        return pc.round(vals[0], ndigits=nd)
+        # SQL/DuckDB ROUND is half-away-from-zero; pyarrow defaults to
+        # banker's rounding (half-to-even)
+        return pc.round(vals[0], ndigits=nd, round_mode="half_towards_infinity")
     if name == "floor":
         return pc.floor(vals[0])
     if name == "ceil" or name == "ceiling":
