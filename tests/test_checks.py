@@ -242,3 +242,35 @@ class TestSqlDataset:
             run_check(catalog, tmp_store, name="bad", type="row_count",
                       dataset="SELECT a FROM t JOIN u ON a = b",
                       condition="gt", threshold=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMultiFormatSources:
+    """Catalog resolves csv/json tables alongside parquet (format by
+    extension; projection applied post-read for row formats)."""
+
+    @pytest.fixture()
+    def multi_root(self, tmp_path):
+        import json as _json
+
+        (tmp_path / "t_csv.csv").write_text("k,v\n1,10\n2,20\n3,30\n")
+        with open(tmp_path / "t_json.json", "w") as f:
+            for row in ({"k": 1, "v": 5}, {"k": 2, "v": 15}):
+                f.write(_json.dumps(row) + "\n")
+        return str(tmp_path)
+
+    def test_row_count_over_csv(self, multi_root, tmp_store):
+        cat = ParquetCatalog(root=multi_root)
+        res = run_check(cat, tmp_store, name="csvrc", type="row_count",
+                        dataset="t_csv", condition="gt", threshold=0)
+        assert res[0]["actual_value"] == 3.0
+
+    def test_sum_over_json(self, multi_root, tmp_store):
+        cat = ParquetCatalog(root=multi_root)
+        res = run_check(cat, tmp_store, name="jsum", type="sum",
+                        dataset="t_json", measure="v", condition="gt", threshold=0)
+        assert res[0]["actual_value"] == 20.0
+
+    def test_missing_table_raises(self, multi_root):
+        with pytest.raises(FileNotFoundError):
+            ParquetCatalog(root=multi_root).path("nope")

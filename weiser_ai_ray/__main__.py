@@ -71,6 +71,25 @@ def main(argv: list[str] | None = None) -> int:
         cfg = ctx["config"]
         print(f"Config is valid: {len(cfg.checks)} checks, "
               f"{len(cfg.datasources)} datasources, run_id={ctx['run_id']}")
+        # print each check's compiled plan: the equivalent SQL the
+        # reference would have pushed to the database (reference
+        # `weiser compile` validates + builds; we additionally show the
+        # generated aggregate text, which doubles as a DuckDB oracle)
+        from .checks import CheckFactory
+        from .state import ParquetMetricStore
+
+        store = ParquetMetricStore(cfg.connections[0].path, cfg.connections[0].tenant_id)
+        from .sources import ParquetCatalog
+
+        for check in cfg.checks:
+            dss = check.datasource if isinstance(check.datasource, list) else [check.datasource]
+            for ds_name in dss:
+                inst = CheckFactory.create_check(
+                    ctx["run_id"], check.model_copy(deep=True), ParquetCatalog(), ds_name, store
+                )
+                datasets = check.dataset if isinstance(check.dataset, list) else [check.dataset]
+                for dataset in datasets:
+                    print(f"  [{check.name}] @ {ds_name}: {inst.generated_sql(dataset)}")
         return 0
 
     _ensure_ray()

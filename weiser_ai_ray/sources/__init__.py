@@ -34,15 +34,31 @@ class ParquetCatalog:
             return self.tables[name]
         if self.root is None:
             raise KeyError(f"Table {name!r} not registered and catalog has no root")
-        p = os.path.join(self.root, f"{name}.parquet")
-        if not os.path.exists(p):
-            # allow directory-of-parquet layout too
-            d = os.path.join(self.root, name)
-            if os.path.isdir(d):
-                return d
-            raise FileNotFoundError(f"No parquet for table {name!r} at {p}")
-        return p
+        for ext in (".parquet", ".csv", ".json", ".jsonl"):
+            p = os.path.join(self.root, f"{name}{ext}")
+            if os.path.exists(p):
+                return p
+        # allow directory-of-parquet layout too
+        d = os.path.join(self.root, name)
+        if os.path.isdir(d):
+            return d
+        raise FileNotFoundError(
+            f"No parquet/csv/json for table {name!r} under {self.root}"
+        )
 
     def dataset(self, name: str, columns: Optional[Sequence[str]] = None) -> "ray.data.Dataset":
-        """Prune at the read: only the named columns leave storage."""
-        return ray.data.read_parquet(self.path(name), columns=list(columns) if columns else None)
+        """Prune at the read: only the named columns leave storage.
+        Format by extension — parquet (column pruning pushed into the
+        read), csv, json/jsonl (read whole, then projected; columnar
+        pruning at the source is a parquet-only property)."""
+        p = self.path(name)
+        cols = list(columns) if columns else None
+        if p.endswith(".csv"):
+            ds = ray.data.read_csv(p)
+        elif p.endswith(".json") or p.endswith(".jsonl"):
+            ds = ray.data.read_json(p)
+        else:
+            return ray.data.read_parquet(p, columns=cols)
+        if cols:
+            ds = ds.select_columns(cols)
+        return ds
