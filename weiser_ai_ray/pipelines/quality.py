@@ -103,7 +103,17 @@ class QualityRuleStage:
             if hit:
                 import time as _time
 
-                _time.sleep(2.0)  # let healthy partitions commit first
+                # deterministically crash AFTER at least one healthy
+                # partition has committed: poll the manifest (bounded)
+                manifest = os.path.join(os.path.dirname(self.data_dir), "manifest.jsonl")
+                deadline = _time.monotonic() + 30.0
+                while _time.monotonic() < deadline:
+                    try:
+                        if os.path.getsize(manifest) > 0:
+                            break
+                    except OSError:
+                        pass
+                    _time.sleep(0.2)
                 raise RuntimeError(f"fault injection: partition {sorted(hit)}")
         n = batch.num_rows
         values = self.rule_values(batch)
