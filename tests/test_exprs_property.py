@@ -132,3 +132,55 @@ class TestExpressionParity:
             assert exp is None and got is None, expr
         else:
             assert got == pytest.approx(float(exp), rel=1e-9, abs=1e-9), expr
+
+
+str_leaf = st.sampled_from(["s", "'x'", "'zz'", "''"])
+like_pat = st.sampled_from(["'x%'", "'%z'", "'%y%'", "'x'", "'%'", "'_'", "'z_'"])
+
+
+@st.composite
+def pred_expr(draw):
+    kind = draw(st.sampled_from(["like", "in_str", "in_int", "between", "strcmp"]))
+    if kind == "like":
+        neg = draw(st.booleans())
+        return f"(s {'NOT ' if neg else ''}LIKE {draw(like_pat)})"
+    if kind == "in_str":
+        neg = draw(st.booleans())
+        items = draw(st.lists(st.sampled_from(["'x'", "'y'", "'zz'", "''"]), min_size=1, max_size=3))
+        return f"(s {'NOT ' if neg else ''}IN ({', '.join(items)}))"
+    if kind == "in_int":
+        neg = draw(st.booleans())
+        items = draw(st.lists(st.integers(-5, 1001), min_size=1, max_size=4))
+        return f"(a {'NOT ' if neg else ''}IN ({', '.join(map(str, items))}))"
+    if kind == "between":
+        lo, hi = sorted((draw(st.integers(-10, 10)), draw(st.integers(-10, 10))))
+        neg = draw(st.booleans())
+        return f"(a {'NOT ' if neg else ''}BETWEEN {lo} AND {hi})"
+    return f"({draw(str_leaf)} {draw(cmp_op)} {draw(str_leaf)})"
+
+
+class TestPredicateParity:
+    @settings(max_examples=150, deadline=None)
+    @given(pred_expr())
+    def test_predicates_rowwise(self, expr):
+        got = eval_scalar(parse_expr(expr), TABLE)
+        got_list = (
+            got.to_pylist()
+            if isinstance(got, (pa.Array, pa.ChunkedArray))
+            else [got] * TABLE.num_rows
+        )
+        exp_list = duck_rows(expr)
+        assert got_list == exp_list, expr
+
+    @settings(max_examples=100, deadline=None)
+    @given(pred_expr(), pred_expr(), st.sampled_from(["AND", "OR"]))
+    def test_predicate_composition(self, p1, p2, op):
+        expr = f"({p1} {op} {p2})"
+        got = eval_scalar(parse_expr(expr), TABLE)
+        got_list = (
+            got.to_pylist()
+            if isinstance(got, (pa.Array, pa.ChunkedArray))
+            else [got] * TABLE.num_rows
+        )
+        exp_list = duck_rows(expr)
+        assert got_list == exp_list, expr
