@@ -461,6 +461,48 @@ def q_anomaly_mad(sf_dir: str) -> pa.Table:
     )
 
 
+def q_anomaly_mad_by_dataset(sf_dir: str) -> pa.Table:
+    """Per-dimension anomaly windows (reference anomaly.py:28-47): one
+    MAD z-score per distinct value of the first dimension."""
+    from datetime import datetime, timedelta
+
+    from weiser_ai_ray.checks import CheckFactory
+    from weiser_ai_ray.models import Check
+    from weiser_ai_ray.state import ParquetMetricStore
+
+    path = os.path.join(_ENTRY_TMP, "anomaly_dim_store")
+    shutil.rmtree(path, ignore_errors=True)
+    store = ParquetMetricStore(path)
+    t0 = datetime(2026, 3, 1)
+    series = {"orders": [10, 12, 10, 12, 10, 12, 300], "lineitem": [5, 5, 5, 6, 5, 6, 5]}
+    for ds_name, vals in series.items():
+        for i, v in enumerate(vals):
+            store.insert_results(
+                {
+                    "name": "hist", "type": "row_count", "condition": "gt", "threshold": 0,
+                    "actual_value": float(v), "check_id": "b" * 64, "dataset": ds_name,
+                    "datasource": "default", "success": True, "fail": False,
+                    "run_id": f"r{i}", "run_time": t0 + timedelta(days=i), "sql": "",
+                }
+            )
+    store.flush("seed")
+    chk = CheckFactory.create_check(
+        "entry-run",
+        Check(name="anomdim", type="anomaly", dataset="metrics", condition="le",
+              threshold=3, check_id="b" * 64, dimensions=["dataset"]),
+        _catalog(sf_dir), "default", store,
+    )
+    res = chk.run(False)
+    res.sort(key=lambda r: r["name"])
+    return pa.table(
+        {
+            "name": pa.array([r["name"] for r in res], type=pa.string()),
+            "actual_value": pa.array([round(float(r["actual_value"]), 6) for r in res], type=pa.float64()),
+            "success": pa.array([r["success"] for r in res], type=pa.bool_()),
+        }
+    )
+
+
 def q_multimodal_image_features(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -622,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_pipeline_metrics": q_quality_pipeline_metrics,
         "corpus_stats_by_lang": q_corpus_stats_by_lang,
         "anomaly_mad": q_anomaly_mad,
+        "anomaly_mad_by_dataset": q_anomaly_mad_by_dataset,
         "multimodal_image_features": q_multimodal_image_features,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "multimodal_audio_frames": q_multimodal_audio_frames,
