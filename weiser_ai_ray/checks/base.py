@@ -61,11 +61,6 @@ def _collect_columns(ast, out: set[str]) -> None:
                         _collect_columns(q, out)
 
 
-def _case_when_columns(ast, out):
-    # case node stores whens as list of (cond, val) tuples of tuples
-    pass
-
-
 class BaseCheck:
     """Template-method base mirroring reference BaseCheck (base.py:15-226).
 

@@ -174,7 +174,21 @@ class QualityRuleStage:
                 sel = kept_tbl.filter(pc.equal(kept_tbl["partition_id"], pid))
                 part_dir = os.path.join(self.data_dir, f"part={pid}")
                 os.makedirs(part_dir, exist_ok=True)
-                pq.write_table(sel, os.path.join(part_dir, f"batch-{uuid.uuid4().hex[:12]}.parquet"))
+                # IDEMPOTENT batch file name: derived from the batch's
+                # kept-row identity, so a Ray task retry (same input
+                # block -> same batch -> same name) OVERWRITES via
+                # atomic rename instead of accumulating duplicate rows
+                # inside a partition that later commits
+                h = hashlib.sha256(pid.encode())
+                for c in ("repo", "path", "commit", "content_sha256"):
+                    for chunk in sel[c].chunks:
+                        for buf in chunk.buffers():
+                            if buf is not None:
+                                h.update(buf)
+                name = f"batch-{h.hexdigest()[:20]}.parquet"
+                tmp = os.path.join(part_dir, f".{name}.tmp-{uuid.uuid4().hex[:8]}")
+                pq.write_table(sel, tmp)
+                os.replace(tmp, os.path.join(part_dir, name))
 
         # partial counts per (partition, lang) — all vectorized bincounts
         split = [k.split("\x1f", 1) for k in uniq_keys]
@@ -227,16 +241,25 @@ class QualityPipeline:
         return os.path.splitext(os.path.basename(path))[0]
 
     def build_dataset(self, files: list[str]) -> "ray.data.Dataset":
-        """One read TASK per input file (a file-list dataset mapped
-        through a per-file parquet reader): every row carries its
-        partition_id, blocks never span partitions, and row groups are
-        yielded as separate blocks so huge shards stream. A union of N
+        """One read TASK per input ROW GROUP (a task-list dataset mapped
+        through a per-row-group parquet reader): every row carries its
+        partition_id, blocks never span partitions, and a file with many
+        row groups fans out across the actor pool — so utilization no
+        longer caps at the file count when files < CPUs. A union of N
         per-file sub-datasets measured ~70 s of pure plan overhead at
         N=32 vs ~0 for this shape."""
-        items = [{"file": f} for f in files]
+        items = self._task_items(files)
         return ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
             _read_shard, batch_size=1, batch_format="pyarrow"
         )
+
+    @staticmethod
+    def _task_items(files: list[str]) -> list[dict]:
+        items = []
+        for f in files:
+            n_rg = pq.ParquetFile(f).metadata.num_row_groups
+            items.extend({"file": f, "rg": rg} for rg in range(max(n_rg, 1)))
+        return items
 
     # ------------------------------------------------------------------
     def run(
@@ -268,13 +291,19 @@ class QualityPipeline:
             os.path.join(self.data_dir, f"part={self.partition_id_for(f)}") for f in pending
         )
 
+        items = self._task_items(pending)
         if concurrency is None:
             # the read fuses into this stage (one operator), so the
-            # fixed-size pool should own every CPU of the session; a
-            # fixed (n, n) pool beats Ray's autoscaling ramp-up here
+            # fixed-size pool should own every CPU of the session (a
+            # fixed pool beats Ray's autoscaling ramp-up) — capped at
+            # the task count so actors never sit idle when row groups
+            # < CPUs (Ray warns and strands the excess otherwise)
             n = max(2, int(ray.cluster_resources().get("CPU", 8)))
+            n = max(2, min(n, len(items)))
             concurrency = (n, n)
-        ds = self.build_dataset(pending)
+        ds = ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
+            _read_shard, batch_size=1, batch_format="pyarrow"
+        )
         partials = ds.map_batches(
             QualityRuleStage,
             fn_constructor_args=(self.config, self.data_dir, write_output),
@@ -482,23 +511,34 @@ def _kill_leaked_stage_actors() -> None:
         from ray._raylet import ActorID
 
         core = ray._private.worker.global_worker.core_worker
+        # scope the reap to THIS job: a shared Ray session/cluster may
+        # be running other Ray Data pipelines whose healthy actor pools
+        # must not be torn down by our failure cleanup
+        job_id = ray.get_runtime_context().get_job_id()
         for info in _state.actors().values():
-            if info.get("State") == "ALIVE" and str(
-                info.get("ActorClassName", "")
-            ).startswith("MapWorker("):
+            if (
+                info.get("State") == "ALIVE"
+                and str(info.get("ActorClassName", "")).startswith("MapWorker(")
+                and str(info.get("JobID", "")) == job_id
+            ):
                 core.kill_actor(ActorID(bytes.fromhex(info["ActorID"])), True)
     except Exception:
         pass
 
 
 def _read_shard(batch: pa.Table):
-    """Read one corpus shard (batch holds exactly one file path) and
-    yield its row groups tagged with the shard's partition_id."""
+    """Read one corpus row group (batch holds exactly one (file, rg)
+    task) tagged with its shard's partition_id. One task per row group
+    keeps the actor pool full even when files < CPUs."""
     f = batch["file"][0].as_py()
+    rg = batch["rg"][0].as_py() if "rg" in batch.column_names else None
     pid = QualityPipeline.partition_id_for(f)
     pf = pq.ParquetFile(f)
-    for rg in range(pf.num_row_groups):
-        t = pf.read_row_group(rg)
+    if pf.num_row_groups == 0:
+        return
+    groups = range(pf.num_row_groups) if rg is None else [rg]
+    for g in groups:
+        t = pf.read_row_group(g)
         yield t.append_column(
             "partition_id", pa.array([pid] * t.num_rows, type=pa.string())
         )

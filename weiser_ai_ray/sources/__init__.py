@@ -56,7 +56,21 @@ class ParquetCatalog:
         if p.endswith(".csv"):
             ds = ray.data.read_csv(p)
         elif p.endswith(".json") or p.endswith(".jsonl"):
-            ds = ray.data.read_json(p)
+            # Arrow's JSON reader (behind read_json) is newline-delimited
+            # only; a standard array-of-objects .json document would fail
+            # at run time — detect it by the first non-space byte and
+            # load it eagerly (array docs are small config-ish tables)
+            with open(p, "rb") as f:
+                head = f.read(64).lstrip()
+            if head.startswith(b"["):
+                import json as _json
+
+                import pyarrow as _pa
+
+                with open(p) as f:
+                    ds = ray.data.from_arrow(_pa.Table.from_pylist(_json.load(f)))
+            else:
+                ds = ray.data.read_json(p)
         else:
             return ray.data.read_parquet(p, columns=cols)
         if cols:
