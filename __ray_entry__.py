@@ -276,6 +276,38 @@ def q_dedup_exact_documents(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+def q_dedup_exact_full_rows(sf_dir: str) -> pa.Table:
+    """Full-row exact dedup via the distributed winner semi-join
+    (groupby(hash).min(id) joined back on content_hash — no driver
+    broadcast of the survivor id set)."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = exact_dedup(ds, "text", "doc_id").to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["doc_id", "text", "lang", "source", "n_chars"]], preserve_index=False
+    )
+
+
+def q_count_distinct_by_status(sf_dir: str) -> pa.Table:
+    """Grouped count(distinct ...): two-level distinct-pair shuffle
+    (no per-batch set union on any single machine)."""
+    chk = _make_check(
+        sf_dir, name="cdg", type="numeric", dataset="orders",
+        measure="count(distinct o_custkey)", dimensions=["o_orderstatus"],
+        condition="gt", threshold=0,
+    )
+    rows = chk.compute("orders")
+    return pa.table(
+        {
+            "o_orderstatus": pa.array([r[0] for r in rows], type=pa.string()),
+            "n_cust": pa.array([int(r[1]) for r in rows], type=pa.int64()),
+        }
+    )
+
+
 def q_embedding_neardup(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -651,6 +683,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "not_empty_pct_events": q_not_empty_pct_events,
         "multi_dataset_counts": q_multi_dataset_counts,
         "dedup_exact_documents": q_dedup_exact_documents,
+        "dedup_exact_full_rows": q_dedup_exact_full_rows,
+        "count_distinct_by_status": q_count_distinct_by_status,
         "embedding_neardup": q_embedding_neardup,
         "token_stats_by_source": q_token_stats_by_source,
         "quality_scores_documents": q_quality_scores,
@@ -729,6 +763,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_exact_documents": (
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
+        ),
+        "dedup_exact_full_rows": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+            " WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)"
+            " ORDER BY doc_id"
+        ),
+        "count_distinct_by_status": (
+            "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust FROM orders"
+            " GROUP BY o_orderstatus ORDER BY o_orderstatus"
         ),
         "embedding_neardup": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b"

@@ -191,11 +191,38 @@ class TestMomentAggregates:
         for k, v in exp.items():
             assert got[k] == pytest.approx(v, rel=1e-9), k
 
-    def test_count_distinct_with_dimensions_raises(self, catalog, tmp_store):
-        with pytest.raises(NotImplementedError, match="distinct"):
-            run_check(catalog, tmp_store, name="cdd", type="numeric", dataset="orders",
+    def test_count_distinct_with_dimensions(self, catalog, tmp_store):
+        want = duck(
+            "SELECT o_orderstatus, count(DISTINCT o_custkey) FROM orders"
+            " GROUP BY 1 ORDER BY 1"
+        )
+        r = run_check(catalog, tmp_store, name="cdd", type="numeric", dataset="orders",
                       measure="count(distinct o_custkey)", dimensions=["o_orderstatus"],
                       condition="gt", threshold=0)
+        assert [float(v) for _k, v in want] == [float(x["actual_value"]) for x in r]
+        assert all(x["success"] for x in r)
+
+    def test_count_distinct_mixed_with_sum(self, catalog, tmp_store):
+        want = duck(
+            "SELECT o_orderstatus, count(DISTINCT o_custkey) + sum(o_totalprice) * 0"
+            " FROM orders GROUP BY 1 ORDER BY 1"
+        )
+        r = run_check(catalog, tmp_store, name="cdm", type="numeric", dataset="orders",
+                      measure="count(distinct o_custkey) + sum(o_totalprice) * 0",
+                      dimensions=["o_orderstatus"], condition="gt", threshold=0)
+        assert [float(v) for _k, v in want] == [float(x["actual_value"]) for x in r]
+
+    def test_count_distinct_grouped_all_null_group(self, catalog, tmp_store):
+        # props is null for some events rows; count(distinct) must drop
+        # nulls (SQL semantics) yet still emit the group when all rows
+        # of the group have null values
+        want = duck(
+            "SELECT event_type, count(DISTINCT props) FROM events GROUP BY 1 ORDER BY 1"
+        )
+        r = run_check(catalog, tmp_store, name="cdn", type="numeric", dataset="events",
+                      measure="count(distinct props)", dimensions=["event_type"],
+                      condition="ge", threshold=0)
+        assert [float(v) for _k, v in want] == [float(x["actual_value"]) for x in r]
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -63,6 +63,22 @@ class TestExactDedup:
         kept = exact_dedup(ds, "text", "doc_id").to_pandas()
         assert sorted(kept["doc_id"]) == [0] + list(range(2, 12))  # doc 1 == doc 0
 
+    def test_full_rows_match_duckdb(self, documents):
+        got = (
+            exact_dedup(documents, "text", "doc_id")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        want = con.execute(
+            f"SELECT * FROM '{SF_DIR}/documents.parquet' WHERE doc_id IN"
+            f" (SELECT min(doc_id) FROM '{SF_DIR}/documents.parquet' GROUP BY text)"
+            " ORDER BY doc_id"
+        ).fetch_df()
+        assert list(got["doc_id"]) == list(want["doc_id"])
+        assert list(got["text"]) == list(want["text"])
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestMinHashLsh:

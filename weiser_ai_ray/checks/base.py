@@ -233,41 +233,38 @@ class BaseCheck:
         else:
             ds = self.catalog.dataset(dataset, columns=sorted(needed) or None)
 
-        if group_keys and any(s.distinct for s in specs):
-            # plan-time rejection (not inside a Ray task): per-batch
-            # distinct counts cannot be summed across batches
-            raise NotImplementedError(
-                "count(distinct ...) with dimensions is not supported"
-            )
-        make_partials = _PartialBatcher(specs, filter_ast, td, td_alias, dims, group_keys)
-        partials = ds.map_batches(make_partials, batch_format="pyarrow", zero_copy_batch=True)
-
         if group_keys:
-            from ray.data.aggregate import Max, Min, Sum
-
-            aggs = []
-            for s in specs:
-                if s.fname in ("sum", "avg"):
-                    aggs.append(Sum(f"{s.key}__sum", alias_name=f"{s.key}__sum"))
-                    aggs.append(Sum(f"{s.key}__cnt", alias_name=f"{s.key}__cnt"))
-                elif s.fname == "count":
-                    aggs.append(Sum(f"{s.key}__cnt", alias_name=f"{s.key}__cnt"))
-                elif s.fname == "min":
-                    aggs.append(Min(f"{s.key}__min", alias_name=f"{s.key}__min"))
-                    aggs.append(Sum(f"{s.key}__cnt", alias_name=f"{s.key}__cnt"))
-                elif s.fname == "max":
-                    aggs.append(Max(f"{s.key}__max", alias_name=f"{s.key}__max"))
-                    aggs.append(Sum(f"{s.key}__cnt", alias_name=f"{s.key}__cnt"))
-                elif s.fname in _MOMENT_AGGS:
-                    aggs.append(Sum(f"{s.key}__sum", alias_name=f"{s.key}__sum"))
-                    aggs.append(Sum(f"{s.key}__sumsq", alias_name=f"{s.key}__sumsq"))
-                    aggs.append(Sum(f"{s.key}__cnt", alias_name=f"{s.key}__cnt"))
-                else:
-                    raise NotImplementedError(
-                        f"Grouped {s.fname}{' DISTINCT' if s.distinct else ''} not supported"
+            distinct_specs = [s for s in specs if s.distinct]
+            plain_specs = [s for s in specs if not s.distinct]
+            frames = []
+            if plain_specs:
+                make_partials = _PartialBatcher(
+                    plain_specs, filter_ast, td, td_alias, dims, group_keys
+                )
+                partials = ds.map_batches(
+                    make_partials, batch_format="pyarrow", zero_copy_batch=True
+                )
+                combined = partials.groupby(group_keys).aggregate(*_ray_aggs(plain_specs))
+                frames.append(combined.to_pandas())
+            for s in distinct_specs:
+                if s.fname != "count":
+                    raise NotImplementedError(f"Grouped {s.fname} DISTINCT not supported")
+                frames.append(
+                    self._grouped_distinct_count(
+                        ds, s, filter_ast, td, td_alias, group_keys
                     )
-            combined = partials.groupby(group_keys).aggregate(*aggs)
-            out = combined.sort(group_keys).to_pandas()
+                )
+            import functools
+
+            import pandas as pd
+
+            out = functools.reduce(
+                lambda a, b: pd.merge(a, b, on=group_keys, how="outer"), frames
+            )
+            for s in distinct_specs:
+                # groups whose values are all NULL have no distinct pairs
+                out[f"{s.key}__cnt"] = out[f"{s.key}__cnt"].fillna(0)
+            out = out.sort_values(group_keys).reset_index(drop=True)
             agg_cols: dict[str, Any] = {}
             for s in specs:
                 agg_cols[s.key] = _finalize_spec_vec(s, out)
@@ -283,6 +280,8 @@ class BaseCheck:
                 rows.append(tuple(keyvals) + (values[i],))
             return rows
         else:
+            make_partials = _PartialBatcher(specs, filter_ast, td, td_alias, dims, group_keys)
+            partials = ds.map_batches(make_partials, batch_format="pyarrow", zero_copy_batch=True)
             parts = partials.take_all()  # one tiny row per input batch
             agg_scalars: dict[str, Any] = {}
             for s in specs:
@@ -292,6 +291,89 @@ class BaseCheck:
             if isinstance(value, (pa.Array, pa.ChunkedArray)):
                 value = value.to_pylist()[0]
             return [(value,)]
+
+
+    def _grouped_distinct_count(self, ds, spec, filter_ast, td, td_alias, group_keys):
+        """count(distinct expr) per group, the scalable two-level shape:
+        per-batch DISTINCT (group, value) pairs (an Arrow group_by — the
+        shuffle moves deduplicated pairs, never rows), a global groupby
+        on (group, value) collapsing cross-batch repeats, then a count
+        per group. No set is ever held on one machine; at unbounded
+        value cardinality the same plan degrades gracefully because
+        every stage is streaming. Returns a pandas frame
+        (group_keys..., {key}__cnt)."""
+        val_col = f"{spec.key}__val"
+        emitter = _DistinctPairBatcher(spec, filter_ast, td, td_alias, group_keys, val_col)
+        pairs = ds.map_batches(emitter, batch_format="pyarrow", zero_copy_batch=True)
+        uniq = pairs.groupby(group_keys + [val_col]).count()
+        counts = uniq.groupby(group_keys).count()
+        df = counts.to_pandas()
+        cnt_col = [c for c in df.columns if c not in group_keys][0]
+        return df.rename(columns={cnt_col: f"{spec.key}__cnt"})
+
+
+def _ray_aggs(specs) -> list:
+    """Ray-native combine aggregates for the per-batch partial columns."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    aggs = []
+    for s in specs:
+        if s.fname in ("sum", "avg"):
+            aggs.append(Sum(f"{s.key}__sum", alias_name=f"{s.key}__sum"))
+            aggs.append(Sum(f"{s.key}__cnt", alias_name=f"{s.key}__cnt"))
+        elif s.fname == "count":
+            aggs.append(Sum(f"{s.key}__cnt", alias_name=f"{s.key}__cnt"))
+        elif s.fname == "min":
+            aggs.append(Min(f"{s.key}__min", alias_name=f"{s.key}__min"))
+            aggs.append(Sum(f"{s.key}__cnt", alias_name=f"{s.key}__cnt"))
+        elif s.fname == "max":
+            aggs.append(Max(f"{s.key}__max", alias_name=f"{s.key}__max"))
+            aggs.append(Sum(f"{s.key}__cnt", alias_name=f"{s.key}__cnt"))
+        elif s.fname in _MOMENT_AGGS:
+            aggs.append(Sum(f"{s.key}__sum", alias_name=f"{s.key}__sum"))
+            aggs.append(Sum(f"{s.key}__sumsq", alias_name=f"{s.key}__sumsq"))
+            aggs.append(Sum(f"{s.key}__cnt", alias_name=f"{s.key}__cnt"))
+        else:
+            raise NotImplementedError(f"Grouped {s.fname} not supported")
+    return aggs
+
+
+class _DistinctPairBatcher:
+    """Per-batch DISTINCT (group, value) pair emitter for grouped
+    count(distinct ...): nulls dropped (SQL semantics), batch-local
+    dedup via Arrow group_by so the shuffle is already deduplicated."""
+
+    def __init__(self, spec, filter_ast, td, td_alias, group_keys, val_col):
+        self.spec = spec
+        self.filter_ast = filter_ast
+        self.td = td
+        self.td_alias = td_alias
+        self.group_keys = group_keys
+        self.val_col = val_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = _prepare_batch(batch, self.filter_ast, self.td, self.td_alias)
+        v = eval_scalar(self.spec.arg_ast, batch)
+        if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+            v = pa.array([v] * batch.num_rows)
+        work = pa.table({**{k: batch[k] for k in self.group_keys}, self.val_col: v})
+        work = work.filter(pc.is_valid(work[self.val_col]))
+        return work.group_by(self.group_keys + [self.val_col]).aggregate([])
+
+
+def _prepare_batch(batch: pa.Table, filter_ast, td, td_alias) -> pa.Table:
+    """Shared batch prep: WHERE filter + time-dimension column."""
+    if filter_ast is not None:
+        mask = eval_scalar(filter_ast, batch)
+        if isinstance(mask, (pa.Array, pa.ChunkedArray)):
+            batch = batch.filter(pc.fill_null(mask, False))
+        elif not mask:
+            batch = batch.slice(0, 0)
+    if td is not None:
+        gran = td.granularity if isinstance(td.granularity, str) else td.granularity.value
+        col = date_trunc(gran, batch[td.name])
+        batch = batch.append_column(td_alias, col)
+    return batch
 
 
 class _PartialBatcher:
@@ -310,20 +392,7 @@ class _PartialBatcher:
         self.group_keys = group_keys
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.filter_ast is not None:
-            mask = eval_scalar(self.filter_ast, batch)
-            if isinstance(mask, (pa.Array, pa.ChunkedArray)):
-                batch = batch.filter(pc.fill_null(mask, False))
-            elif not mask:
-                batch = batch.slice(0, 0)
-        if self.td is not None:
-            gran = (
-                self.td.granularity
-                if isinstance(self.td.granularity, str)
-                else self.td.granularity.value
-            )
-            col = date_trunc(gran, batch[self.td.name])
-            batch = batch.append_column(self.td_alias, col)
+        batch = _prepare_batch(batch, self.filter_ast, self.td, self.td_alias)
 
         # compute per-spec argument columns
         arg_cols: dict[str, Any] = {}

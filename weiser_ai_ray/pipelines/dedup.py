@@ -5,24 +5,33 @@ training-data-pipeline operators:
 
   exact_dedup          hash-partitioned exact dedup: content hash added
                        per batch, groupby(hash).min(id) — the shuffle
-                       moves only (hash, id) pairs, never the text
+                       moves only (hash, id) pairs, never the text;
+                       full-row variant joins winners back by hash
+                       (distributed hash join, no id broadcast)
   minhash_lsh_dedup    char-shingle MinHash signatures -> LSH band
-                       rows -> groupby(band, band_hash) buckets ->
-                       candidate pairs -> exact Jaccard verify ->
+                       rows -> dup buckets via a count aggregate ->
+                       DISTRIBUTED per-bucket verify (tiled signature
+                       estimate + exact Jaccard inside map_groups
+                       workers) -> verified edges (tiny) -> driver
                        union-find -> survivors
   simhash_dedup        64-bit SimHash -> 4x16-bit band buckets ->
-                       hamming<=k verify -> survivors
+                       DISTRIBUTED per-bucket hamming verify -> edges
+                       -> driver union-find -> survivors
   ngram_jaccard_pairs  exact n-gram Jaccard within co-partitioned
-                       buckets (brute force per bucket)
-  embedding_neardup    cosine >= tau pairs: brute force vs a broadcast
-                       normalized matrix per batch (LSH-bucketed
-                       variant in similarity.py is the scale path)
+                       buckets (hashed-gram bitset verify per bucket)
+  embedding_neardup    cosine >= tau pairs: exact blocked all-pairs
+                       (block x block matmul tasks over object-store
+                       block refs — the driver never holds the matrix);
+                       LSH-bucketed top-k in similarity.py is the
+                       approximate scale path
 
-Scale notes: every operator shuffles only fixed-width digests/ids.
-Candidate verification re-reads only candidate texts (a tiny filtered
-read at web scale it would be a bucketed join; documented where used).
-All hashes are deterministic (sha256/crc-free: python's salted hash()
-is never used — cf. SURVEY.md §2.5 U3 trap).
+Scale notes: global shuffles carry only fixed-width digests/ids; texts
+move only for duplicate-bucket members (via a hash join keyed on id),
+and only verified EDGE PAIRS ever reach the driver — union-find over
+edges is driver-side because edges ≪ corpus. Driver-held sets and the
+assumption behind each are documented at their use sites. All hashes
+are deterministic (sha256-derived; python's salted hash() is never
+used — cf. SURVEY.md §2.5 U3 trap).
 """
 
 from __future__ import annotations
@@ -41,6 +50,57 @@ _MERSENNE = (1 << 61) - 1
 
 def _stable_hash64(s: str) -> int:
     return int.from_bytes(hashlib.sha256(s.encode("utf-8")).digest()[:8], "big")
+
+
+def _verify_partitions() -> int:
+    """Coarse partition count for bucket-verify shuffles: a few groups
+    per CPU so map_groups never degenerates into millions of tiny
+    groups (a Ray 2.49 pathology) while every core stays busy."""
+    try:
+        return max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 8
+
+
+def _bucket_part(bucket: str, nparts: int) -> int:
+    """Deterministic coarse partition of a bucket key (sha256-derived,
+    never python hash())."""
+    return int.from_bytes(hashlib.sha256(bucket.encode()).digest()[:4], "big") % nparts
+
+
+_KEYSET_CACHE: dict = {}
+
+
+def _cached_keyset(ref) -> set:
+    """Worker-process-global cache of a broadcast key set: the Arrow
+    array is fetched from the local object store and turned into a
+    python set ONCE per worker process, not once per task/batch."""
+    k = ref.hex()
+    cached = _KEYSET_CACHE.get(k)
+    if cached is None:
+        cached = set(ray.get(ref).to_pylist())
+        _KEYSET_CACHE.clear()  # hold at most one set per worker
+        _KEYSET_CACHE[k] = cached
+    return cached
+
+
+def _union_find_survivors(all_ids: list, edges) -> list:
+    """Min-id-per-cluster union-find over verified duplicate edges.
+    Driver-side by design: edges ≪ corpus (only verified duplicates)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [i for i in all_ids if find(i) == i]
 
 
 def add_content_hash(batch: pa.Table, text_col: str, out_col: str = "content_hash") -> pa.Table:
@@ -68,19 +128,33 @@ def exact_dedup_ids(ds: "ray.data.Dataset", text_col: str, id_col: str) -> "ray.
     return survivors.select_columns([id_col])
 
 
-def exact_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str) -> "ray.data.Dataset":
-    """Full surviving rows. The survivor id set is collected on the
-    driver and broadcast (ray.put) into a semi-join filter — right for
-    id sets that fit driver memory; at 10^12 scale swap the broadcast
-    for a bucketed hash join on the id (same groupby partitioning)."""
-    ids = sorted(r[id_col] for r in exact_dedup_ids(ds, text_col, id_col).take_all())
-    ref = ray.put(ids)
+def exact_dedup(
+    ds: "ray.data.Dataset", text_col: str, id_col: str, num_partitions: Optional[int] = None
+) -> "ray.data.Dataset":
+    """Full surviving rows via a hash-partitioned SEMI-JOIN: the winner
+    (content_hash, min id) table — one row per distinct text, computed
+    by the digest-only groupby — is hash-joined back to the rows on
+    content_hash and the min-id row kept. Nothing is collected on or
+    broadcast from the driver, so the plan holds when the survivor set
+    itself exceeds driver memory (the round-1 id-broadcast did not)."""
+    from ray.data.aggregate import Min
 
-    def keep(batch: pa.Table) -> pa.Table:
-        idset = pa.array(ray.get(ref))
-        return batch.filter(pc.is_in(batch[id_col], value_set=idset))
+    nparts = num_partitions or _verify_partitions()
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, text_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+    winners = (
+        hashed.select_columns(["content_hash", id_col])
+        .groupby("content_hash")
+        .aggregate(Min(id_col, alias_name="__keep_id"))
+    )
+    joined = hashed.join(winners, join_type="inner", num_partitions=nparts, on=("content_hash",))
 
-    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    def keep_winner(batch: pa.Table) -> pa.Table:
+        out = batch.filter(pc.equal(batch[id_col], batch["__keep_id"]))
+        return out.drop_columns(["content_hash", "__keep_id"])
+
+    return joined.map_batches(keep_winner, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ----------------------------------------------------------------------
@@ -127,6 +201,9 @@ class MinHasher:
         return h
 
     def signature(self, text: Optional[str]) -> Optional[np.ndarray]:
+        """uint32 signature (uint64 minima truncated: equality semantics
+        preserved up to a 2^-32 collision chance, which the exact-verify
+        pass absorbs, at half the shuffle width)."""
         hs = self.shingle_hashes(text)
         if hs is None or hs.size == 0:
             return None
@@ -137,144 +214,203 @@ class MinHasher:
             chunk = hs[s : s + 16384]
             perm = (self.a[:, None] * chunk[None, :] + self.b[:, None]) % mers
             np.minimum(sig, perm.min(axis=1), out=sig)
-        return sig
+        return sig.astype(np.uint32)
+
+    def band_buckets(self, sig32: np.ndarray, bands: int) -> list[str]:
+        """Band keys: band index + sha256 of that band's uint32 slice
+        (one sha256 per doc-band, never per shingle)."""
+        r = self.num_perm // bands
+        return [
+            f"{b}:{hashlib.sha256(sig32[b * r : (b + 1) * r].tobytes()).hexdigest()[:16]}"
+            for b in range(bands)
+        ]
 
 
 class MinHashBandStage:
-    """Explodes each doc into (bucket, id) rows; bucket = band index +
-    sha256 of that band's signature slice (one sha256 per doc-band,
-    never per shingle)."""
+    """Pass-1 actor-pool stage (fused with the read): signature -> LSH
+    band keys -> (bucket, id) rows. Only fixed-width digests leave the
+    stage; the MinHasher is built once per actor."""
 
     def __init__(self, text_col: str, id_col: str, shingle_k: int, num_perm: int, bands: int):
-        assert num_perm % bands == 0
         self.text_col = text_col
         self.id_col = id_col
         self.bands = bands
-        self.rows_per_band = num_perm // bands
         self.mh = MinHasher(shingle_k, num_perm)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
-        buckets, out_ids = [], []
-        for i, t in zip(ids, texts):
+        out_bk, out_id = [], []
+        for i, t in zip(ids, batch[self.text_col].to_pylist()):
             sig = self.mh.signature(t)
             if sig is None:
                 continue
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                buckets.append(f"{b}:{hashlib.sha256(chunk.tobytes()).hexdigest()[:16]}")
-                out_ids.append(i)
+            for bk in self.mh.band_buckets(sig, self.bands):
+                out_bk.append(bk)
+                out_id.append(i)
         return pa.table(
-            {
-                "bucket": pa.array(buckets, type=pa.string()),
-                self.id_col: pa.array(out_ids),
-            }
+            {"bucket": pa.array(out_bk, pa.string()), self.id_col: pa.array(out_id, pa.int64())}
         )
 
 
-def collect_dup_buckets(band_rows: "ray.data.Dataset", id_col: str, extra_cols: tuple = ()) -> list[dict]:
-    """Rows of buckets with >= 2 members, collected to the driver.
+def _dup_bucket_keys(band_rows: "ray.data.Dataset") -> Optional[pa.Array]:
+    """Bucket keys with >= 2 members, as one Arrow string array.
 
-    Two vectorized passes instead of groupby().map_groups over millions
-    of (mostly singleton) buckets: (1) a native count aggregate per
-    bucket, (2) an is_in semi-join filter against the multi-member
-    bucket keys. Partitioning assumption (documented): duplicate
-    buckets are a small fraction of the corpus — the broadcast key set
-    and the collected rows are O(duplicates), never O(corpus). At
-    10^12 rows the driver collect becomes a bucketed join, but the
-    count+filter shape is unchanged."""
-    # band_rows is consumed twice (count + semi-join filter); it holds
-    # only fixed-width digests/ids, so materializing is cheap and avoids
-    # recomputing the signature stage.
-    band_rows = band_rows.materialize()
+    A native count aggregate per bucket (the shuffle carries only
+    digest keys), then a vectorized count>1 filter. Driver-held set is
+    O(duplicate clusters) — the documented duplicates ≪ corpus
+    assumption; members, texts and verification never touch the
+    driver."""
     counts = band_rows.groupby("bucket").count()
     count_col = [c for c in counts.schema().names if c != "bucket"][0]
 
     def only_dups(b: pa.Table) -> pa.Table:
         return b.filter(pc.greater(b[count_col], 1)).select(["bucket"])
 
-    dup_keys = [
-        r["bucket"]
-        for r in counts.map_batches(only_dups, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    parts = [
+        b["bucket"]
+        for b in counts.map_batches(
+            only_dups, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
     ]
-    if not dup_keys:
-        return []
-    ref = ray.put(dup_keys)
-
-    def pick(b: pa.Table) -> pa.Table:
-        keys = pa.array(ray.get(ref), type=pa.string())
-        return b.filter(pc.is_in(b["bucket"], value_set=keys))
-
-    return band_rows.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    if not parts:
+        return None
+    return pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in parts])
 
 
-def _pairs_from_bucket_rows(rows: list[dict], id_col: str, with_cols: tuple = ()) -> set[tuple]:
-    """Candidate pairs (a < b) within each bucket, driver-side over the
-    (small) duplicate-bucket rows."""
-    by_bucket: dict = {}
-    for r in rows:
-        by_bucket.setdefault(r["bucket"], []).append(
-            (r[id_col],) + tuple(r[c] for c in with_cols)
-        )
-    pairs: set[tuple] = set()
-    for members in by_bucket.values():
-        members = sorted(set(members))
-        for ai in range(len(members)):
-            for bi in range(ai + 1, len(members)):
-                pairs.add((members[ai], members[bi]))
-    return pairs
-
-
-def _close_pairs_by_bucket(
-    rows: list[dict], id_col: str, idx: dict, sigs32: np.ndarray, cut: float, tile: int = 256
-) -> np.ndarray:
-    """Unique (a < b) id pairs whose signature-estimated Jaccard >= cut,
-    computed bucket-by-bucket WITHOUT materializing the O(bucket^2)
-    candidate set: each bucket's members are compared in
-    (tile x tile x num_perm) boolean tiles (a few MB each), so a
-    templated corpus with multi-thousand-member buckets costs big SIMD
-    comparisons instead of millions of Python pair objects."""
-    if not rows:
-        return np.empty((0, 2), dtype=np.int64)
-    buckets = np.array([r["bucket"] for r in rows])
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    order = np.lexsort((ids, buckets))
-    buckets, ids = buckets[order], ids[order]
-    change = np.nonzero(buckets[1:] != buckets[:-1])[0] + 1
-    starts = np.concatenate(([0], change))
-    ends = np.concatenate((change, [len(buckets)]))
-    pos_lut = np.array([idx[int(i)] for i in ids], dtype=np.int64)
+def _close_pairs_tiled(
+    member_ids: np.ndarray, sigs32: np.ndarray, cut: float, tile: int = 256
+) -> tuple[np.ndarray, np.ndarray]:
+    """(a_idx, b_idx) position pairs within ONE bucket whose
+    signature-estimated Jaccard >= cut, computed in
+    (tile x tile x num_perm) boolean tiles so a multi-thousand-member
+    bucket costs big SIMD comparisons, never O(m^2) Python pairs."""
+    m = len(member_ids)
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
-    for s, e in zip(starts, ends):
-        m = e - s
-        if m < 2:
-            continue
-        member_ids = ids[s:e]
-        S = sigs32[pos_lut[s:e]]  # (m, num_perm)
-        for i0 in range(0, m, tile):
-            A = S[i0 : i0 + tile]
-            a_ids = member_ids[i0 : i0 + tile]
-            for j0 in range(i0, m, tile):
-                B = S[j0 : j0 + tile]
-                b_ids = member_ids[j0 : j0 + tile]
-                est = (A[:, None, :] == B[None, :, :]).mean(axis=2)
-                ai, bi = np.nonzero(est >= cut)
-                if i0 == j0:  # same tile: upper triangle only
-                    keep = ai < bi
-                    ai, bi = ai[keep], bi[keep]
-                if len(ai):
-                    out_a.append(a_ids[ai])
-                    out_b.append(b_ids[bi])
+    for i0 in range(0, m, tile):
+        A = sigs32[i0 : i0 + tile]
+        for j0 in range(i0, m, tile):
+            B = sigs32[j0 : j0 + tile]
+            est = (A[:, None, :] == B[None, :, :]).mean(axis=2)
+            ai, bi = np.nonzero(est >= cut)
+            ai = ai + i0
+            bi = bi + j0
+            keep = ai < bi
+            ai, bi = ai[keep], bi[keep]
+            if len(ai):
+                out_a.append(ai)
+                out_b.append(bi)
     if not out_a:
-        return np.empty((0, 2), dtype=np.int64)
-    a = np.concatenate(out_a)
-    b = np.concatenate(out_b)
-    lo = np.minimum(a, b)
-    hi = np.maximum(a, b)
-    pairs = np.unique(np.stack([lo, hi], axis=1), axis=0)
-    return pairs[pairs[:, 0] != pairs[:, 1]]
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
+class _DupTextEmit:
+    """Pass-2 actor-pool stage over the RAW documents: recompute the
+    signature (the price of a fully streaming plan — no corpus-sized
+    materialization and no hash join; at petabyte scale you would
+    persist the pass-1 (id, sig) table as parquet instead) and, for
+    each doc hitting >= 1 duplicate bucket, emit one row PER VERIFY
+    PARTITION (part, bucket-list, id, sig, text) — the doc's sig+text
+    travel to each coarse partition at most once, not once per bucket,
+    and non-duplicate docs emit nothing."""
+
+    def __init__(self, keys_ref, text_col: str, id_col: str, shingle_k: int, num_perm: int, bands: int, nparts: int):
+        self.keys_ref = keys_ref
+        self.text_col = text_col
+        self.id_col = id_col
+        self.mh = MinHasher(shingle_k, num_perm)
+        self.bands = bands
+        self.nparts = nparts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = _cached_keyset(self.keys_ref)
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        out_part, out_buckets, out_ids, out_sigs, out_texts = [], [], [], [], []
+        for i, t in zip(ids, texts):
+            sig = self.mh.signature(t)
+            if sig is None:
+                continue
+            per_part: dict[int, list[str]] = {}
+            for bk in self.mh.band_buckets(sig, self.bands):
+                if bk in keys:
+                    per_part.setdefault(_bucket_part(bk, self.nparts), []).append(bk)
+            if not per_part:
+                continue
+            sb = sig.tobytes()
+            for part, bks in per_part.items():
+                out_part.append(part)
+                out_buckets.append("\x1f".join(sorted(bks)))
+                out_ids.append(i)
+                out_sigs.append(sb)
+                out_texts.append(t)
+        return pa.table(
+            {
+                "part": pa.array(out_part, type=pa.int32()),
+                "buckets": pa.array(out_buckets, type=pa.string()),
+                self.id_col: pa.array(out_ids, type=pa.int64()),
+                "sig": pa.array(out_sigs, type=pa.binary()),
+                self.text_col: pa.array(out_texts, type=pa.large_string()),
+            }
+        )
+
+
+class _MinHashBucketVerifier:
+    """Per-partition verify (runs INSIDE map_groups workers): for each
+    bucket, tiled signature-estimate prefilter, then exact set-Jaccard
+    on the candidate pairs' texts. Emits only verified edges."""
+
+    def __init__(self, id_col: str, text_col: str, shingle_k: int, num_perm: int, threshold: float, cut: float):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.mh = MinHasher(shingle_k, num_perm)
+        self.threshold = threshold
+        self.cut = cut
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        ids = np.asarray(group[self.id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        sigs = np.stack(
+            [np.frombuffer(s, dtype=np.uint32) for s in group["sig"].to_pylist()]
+        )
+        texts = group[self.text_col].to_pylist()
+        by_bucket: dict[str, list[int]] = {}
+        for row, blist in enumerate(group["buckets"].to_pylist()):
+            for bk in blist.split("\x1f"):
+                by_bucket.setdefault(bk, []).append(row)
+        cand: set[tuple[int, int]] = set()
+        for members in by_bucket.values():
+            if len(members) < 2:
+                continue
+            # dedupe a doc appearing once per (id) — rows unique per id
+            pos = np.array(sorted(set(members)), dtype=np.int64)
+            ai, bi = _close_pairs_tiled(ids[pos], sigs[pos], self.cut)
+            for a, b in zip(pos[ai], pos[bi]):
+                ia, ib = int(ids[a]), int(ids[b])
+                if ia != ib:
+                    cand.add((min(ia, ib), max(ia, ib)) if ia > ib else (ia, ib))
+        if not cand:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        row_of = {int(i): r for r, i in enumerate(ids)}
+        shingle_cache: dict[int, set] = {}
+
+        def sh(i: int) -> set:
+            if i not in shingle_cache:
+                shingle_cache[i] = self.mh.shingles(texts[row_of[i]] or "")
+            return shingle_cache[i]
+
+        out_a, out_b = [], []
+        for a, b in sorted(cand):
+            if _jaccard(sh(a), sh(b)) >= self.threshold:
+                out_a.append(a)
+                out_b.append(b)
+        return pa.table(
+            {"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64())}
+        )
 
 
 def _jaccard(a: set, b: set) -> float:
@@ -291,95 +427,77 @@ def minhash_lsh_dedup_ids(
     num_perm: int = 128,
     bands: int = 16,
     jaccard_threshold: float = 0.8,
+    prefilter_sigmas: float = 3.0,
 ) -> tuple[list, list[tuple]]:
     """Returns (surviving_ids_sorted, verified_duplicate_pairs).
 
-    shingle -> minhash -> band explode -> count-aggregate dup buckets
-    -> candidate pairs -> vectorized signature-estimate prefilter ->
-    exact-Jaccard verify on surviving candidate texts -> union-find
-    keeping the min id per duplicate cluster.
+    A fully STREAMING two-pass plan (no corpus-sized materialization,
+    no hash join):
+      pass 1  read -> signature -> band keys, shuffling only (bucket,
+              id) digests; duplicate buckets found with a count
+              aggregate;
+      pass 2  read -> signature again (the recompute buys streaming
+              purity; persist the (id, sig) table as parquet instead
+              when signatures dominate compute) -> docs hitting a dup
+              bucket emit (part, buckets, id, sig, text) once per
+              coarse verify partition -> per-bucket verify INSIDE
+              map_groups workers (tiled signature-estimate prefilter,
+              then exact set-Jaccard) -> verified edges (tiny) to the
+              driver -> union-find -> survivors.
 
     Band geometry r = num_perm/bands = 8 keeps the false-candidate rate
     low on templated corpora (P[collide | J=0.5] ≈ 6% vs ≈ 64% at r=4)
     while detecting J >= 0.8 pairs with P ≈ 95%.
 
-    Partitioning assumption: candidate clusters (not the corpus) fit on
-    the driver; texts are re-read only for candidate ids via a filtered
-    pass. At 10^12 scale the verify becomes a bucketed join keyed on
-    candidate-pair hash; the band groupby already co-locates buckets."""
+    The estimate prefilter cut sits ``prefilter_sigmas`` estimator
+    standard deviations (sigma = sqrt(J(1-J)/num_perm) ≈ 0.035 at 128
+    perms) BELOW the threshold, so true pairs just above threshold are
+    not silently dropped by estimator noise; lower it for less exact-
+    verify work at a quantified recall cost.
+
+    Driver-held state and its scale contract: dup-bucket KEYS
+    (O(duplicate clusters)), verified edges (O(true duplicates)), and
+    the returned id list itself. Texts and signatures are never
+    collected on the driver; dup texts shuffle worker-to-worker at most
+    min(bands, nparts) times each."""
+    # plain TASK stages (instances, not actor classes): the MinHasher
+    # is ~2 KB of numpy constants, so per-task pickling is free and the
+    # stage parallelizes to every input block/CPU with no pool sizing
     band_rows = ds.map_batches(
-        MinHashBandStage,
-        fn_constructor_args=(text_col, id_col, shingle_k, num_perm, bands),
+        MinHashBandStage(text_col, id_col, shingle_k, num_perm, bands),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
-    dup_rows = collect_dup_buckets(band_rows, id_col)
-
-    if not dup_rows:
-        all_ids = sorted(r[id_col] for r in ds.select_columns([id_col]).take_all())
-        return all_ids, []
-
-    # fetch texts for every dup-bucket member with one filtered pass
-    cand_ids = sorted({int(r[id_col]) for r in dup_rows})
-    ref = ray.put(cand_ids)
-
-    def pick(batch: pa.Table) -> pa.Table:
-        wanted = pa.array(ray.get(ref))
-        return batch.filter(pc.is_in(batch[id_col], value_set=wanted)).select([id_col, text_col])
-
-    texts = {
-        r[id_col]: r[text_col]
-        for r in ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).take_all()
-    }
-    mh = MinHasher(shingle_k, num_perm)
-    # signatures for every dup-bucket member (uint32-truncated: equality
-    # semantics unchanged at half the memory traffic)
-    idx = {i: j for j, i in enumerate(cand_ids)}
-    sigs = np.zeros((len(cand_ids), num_perm), dtype=np.uint64)
-    for i in cand_ids:
-        s = mh.signature(texts.get(i) or "")
-        if s is not None:
-            sigs[idx[i]] = s
-    sigs32 = sigs.astype(np.uint32)
-    # per-bucket TILED pairwise signature estimate: J_est = matching
-    # minhash fraction, computed bucket-by-bucket in (256 x 256 x perm)
-    # tiles — the O(bucket^2) candidate pairs of templated corpora are
-    # never materialized; only pairs within the estimator's margin
-    # (sigma ~= sqrt(J(1-J)/num_perm) ~= 0.04 at 128 perms) survive to
-    # the exact O(|doc|) set-Jaccard.
-    cut = max(jaccard_threshold - 0.05, 0.0)
-    close = _close_pairs_by_bucket(dup_rows, id_col, idx, sigs32, cut)
-    shingle_cache: dict = {}
-
-    def _sh(i):
-        if i not in shingle_cache:
-            shingle_cache[i] = mh.shingles(texts.get(i) or "")
-        return shingle_cache[i]
-
-    verified = [
-        (int(a), int(b))
-        for a, b in close
-        if _jaccard(_sh(int(a)), _sh(int(b))) >= jaccard_threshold
-    ]
-
-    # union-find: survivor = min id of each duplicate cluster
-    parent: dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in verified:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
+    dup_keys = _dup_bucket_keys(band_rows)
 
     all_ids = sorted(r[id_col] for r in ds.select_columns([id_col]).take_all())
-    survivors = [i for i in all_ids if find(i) == i]
+    if dup_keys is None:
+        return all_ids, []
+
+    nparts = _verify_partitions()
+    keys_ref = ray.put(dup_keys)
+    dup_rows = ds.map_batches(
+        _DupTextEmit(keys_ref, text_col, id_col, shingle_k, num_perm, bands, nparts),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    cut = max(
+        jaccard_threshold
+        - prefilter_sigmas * float(np.sqrt(jaccard_threshold * (1 - jaccard_threshold) / num_perm)),
+        0.0,
+    )
+    verifier = _MinHashBucketVerifier(id_col, text_col, shingle_k, num_perm, jaccard_threshold, cut)
+
+    def verify_bucket_group(group: pa.Table) -> pa.Table:
+        return verifier(group)
+
+    edges_ds = dup_rows.groupby("part").map_groups(verify_bucket_group, batch_format="pyarrow")
+    # verified edges only — tiny by contract; dedupe pairs seen in
+    # multiple buckets/partitions
+    edge_rows = edges_ds.take_all()
+    verified = sorted({(int(r["id_a"]), int(r["id_b"])) for r in edge_rows})
+    survivors = _union_find_survivors(all_ids, verified)
     return survivors, verified
 
 
@@ -435,6 +553,48 @@ class SimHashStage:
         )
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+class _SimHashBucketVerifier:
+    """Per-partition hamming verify inside map_groups workers: per
+    bucket, pairwise XOR + byte-LUT popcount in numpy tiles."""
+
+    def __init__(self, id_col: str, max_hamming: int):
+        self.id_col = id_col
+        self.max_hamming = max_hamming
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[self.id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        hs = np.asarray(group["simhash"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        buckets = np.array(group["bucket"].to_pylist())
+        order = np.lexsort((ids, buckets))
+        ids, hs, buckets = ids[order], hs[order], buckets[order]
+        change = np.nonzero(buckets[1:] != buckets[:-1])[0] + 1
+        starts = np.concatenate(([0], change)) if len(buckets) else np.array([], dtype=np.int64)
+        ends = np.concatenate((change, [len(buckets)])) if len(buckets) else starts
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            mids, mhs = ids[s:e], hs[s:e]
+            xor = mhs[:, None] ^ mhs[None, :]
+            dist = _POP8[xor.view(np.uint8).reshape(m, m, 8)].sum(axis=2)
+            ai, bi = np.nonzero(dist <= self.max_hamming)
+            keep = mids[ai] < mids[bi]
+            out_a.append(mids[ai][keep])
+            out_b.append(mids[bi][keep])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            }
+        )
+
+
 def simhash_dedup_ids(
     ds: "ray.data.Dataset",
     text_col: str,
@@ -442,15 +602,18 @@ def simhash_dedup_ids(
     max_hamming: int = 3,
 ) -> tuple[list, list[tuple]]:
     """SimHash near-dup: band each 64-bit hash into 4x16-bit keys
-    (a pair within hamming<=3 must agree on >=1 band), bucket via
-    groupby, verify hamming distance, union-find to survivors."""
+    (a pair within hamming<=3 must agree on >=1 band), dup buckets via
+    a count aggregate, then DISTRIBUTED per-bucket hamming verify in
+    map_groups workers — only verified edges reach the driver for
+    union-find. The whole payload is fixed-width (bucket key, id,
+    8-byte hash); texts never leave the signature stage."""
     sims = ds.map_batches(
-        SimHashStage,
-        fn_constructor_args=(text_col, id_col),
+        SimHashStage(text_col, id_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
-    )
+    ).materialize()  # fixed-width rows, consumed twice
+
+    nparts = _verify_partitions()
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -472,31 +635,42 @@ def simhash_dedup_ids(
         )
 
     banded = sims.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    dup_rows = collect_dup_buckets(banded, id_col)
-    pairs = set()
-    for (ia, ha), (ib, hb) in _pairs_from_bucket_rows(dup_rows, id_col, with_cols=("simhash",)):
-        if ia != ib and bin(int(ha) ^ int(hb)).count("1") <= max_hamming:
-            lo, hi = (ia, ib) if ia < ib else (ib, ia)
-            pairs.add((int(lo), int(hi)))
-    parent: dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in sorted(pairs):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
+    dup_keys = _dup_bucket_keys(banded.select_columns(["bucket", id_col]))
     all_ids = sorted(r[id_col] for r in ds.select_columns([id_col]).take_all())
-    return [i for i in all_ids if find(i) == i], sorted(pairs)
+    if dup_keys is None:
+        return all_ids, []
+    keys_ref = ray.put(dup_keys)
+
+    class _PickDup:
+        def __init__(self):
+            self._keys: Optional[pa.Array] = None
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if self._keys is None:
+                self._keys = ray.get(keys_ref)
+            out = b.filter(pc.is_in(b["bucket"], value_set=self._keys))
+            part = pa.array(
+                [_bucket_part(bk, nparts) for bk in out["bucket"].to_pylist()],
+                type=pa.int32(),
+            )
+            return out.append_column("part", part)
+
+    dup_rows = banded.map_batches(
+        _PickDup(), batch_format="pyarrow", zero_copy_batch=True
+    )
+    verifier = _SimHashBucketVerifier(id_col, max_hamming)
+
+    def verify_hamming_group(group: pa.Table) -> pa.Table:
+        return verifier(group)
+
+    edges_ds = dup_rows.groupby("part").map_groups(verify_hamming_group, batch_format="pyarrow")
+    edge_rows = edges_ds.take_all()
+    pairs = sorted({(int(r["id_a"]), int(r["id_b"])) for r in edge_rows})
+    return _union_find_survivors(all_ids, pairs), pairs
 
 
 # ----------------------------------------------------------------------
-# Embedding cosine near-dup (brute force vs broadcast matrix)
+# Embedding cosine near-dup (exact blocked all-pairs)
 
 
 def embedding_neardup_pairs(
@@ -504,33 +678,43 @@ def embedding_neardup_pairs(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
+    rows_per_block: int = 8192,
 ) -> "ray.data.Dataset":
     """All pairs (id_a < id_b) with cosine similarity >= threshold.
 
-    The full normalized matrix is broadcast once via ray.put and each
-    batch computes a (batch x all) float64 matmul — the right plan while
-    one side fits in the object store; the LSH-bucketed variant
-    (similarity.lsh_buckets) is the 10^12-row path."""
-    rows = ds.select_columns([id_col, vec_col]).take_all()
-    rows.sort(key=lambda r: r[id_col])
-    ids = np.array([r[id_col] for r in rows])
-    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    mat = mat / norms[:, None]
-    ref = ray.put((ids, mat))
+    Exact blocked all-pairs: the (id, normalized-vector) table is
+    materialized as OBJECT-STORE blocks (to_arrow_refs — block refs
+    only; the driver never holds the matrix), refs are grouped into
+    ~rows_per_block superblocks, and one Ray task per superblock pair
+    (i <= j) computes a float64 matmul tile and emits the >=threshold
+    pairs. Exact all-pairs is inherently O((N/B)^2) tasks — the right
+    plan while N^2 compute is affordable; the LSH-bucketed variant
+    (similarity.lsh_topk) is the approximate 10^12-row path. Work is
+    distributed, streaming, and memory-bounded by (B x B) tiles."""
+    norm_ds = ds.map_batches(
+        lambda b: _normalize_block(b, id_col, vec_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    refs = norm_ds.to_arrow_refs()
+    # group refs into superblocks of ~rows_per_block rows so tiny input
+    # blocks don't explode into thousands of trivial pair tasks
+    total = norm_ds.count()
+    k = max(1, min(len(refs), -(-total // rows_per_block))) if refs else 0
+    groups = [list(g) for g in np.array_split(np.array(refs, dtype=object), k)] if k else []
+    groups = [g for g in groups if g]
 
-    def batch_pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
-        b_ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
-        b_mat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
-        n = np.linalg.norm(b_mat, axis=1)
-        n[n == 0] = 1.0
-        b_mat = b_mat / n[:, None]
-        sims = b_mat @ all_mat.T
+    @ray.remote
+    def block_pair(a_refs, b_refs, same: bool) -> pa.Table:
+        a_tbl = pa.concat_tables(ray.get(list(a_refs)))
+        b_tbl = a_tbl if same else pa.concat_tables(ray.get(list(b_refs)))
+        a_ids, a_mat = _ids_mat(a_tbl, id_col)
+        b_ids, b_mat = (a_ids, a_mat) if same else _ids_mat(b_tbl, id_col)
+        if a_mat.size == 0 or b_mat.size == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        sims = a_mat @ b_mat.T
         ia, ib = np.nonzero(sims >= threshold)
-        left = b_ids[ia]
-        right = all_ids[ib]
+        left, right = a_ids[ia], b_ids[ib]
         keep = left < right
         return pa.table(
             {
@@ -539,11 +723,157 @@ def embedding_neardup_pairs(
             }
         )
 
-    return ds.map_batches(batch_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    tasks = []
+    for i in range(len(groups)):
+        for j in range(i, len(groups)):
+            tasks.append(block_pair.remote(groups[i], groups[j], i == j))
+    if not tasks:
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        )
+    return ray.data.from_arrow_refs(tasks)
+
+
+def _ids_mat(tbl: pa.Table, id_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy-ish (ids, matrix) from a normalized block: the
+    fixed-size-list column flattens to one contiguous float64 buffer."""
+    ids = np.asarray(tbl[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+    col = tbl["__nvec"].combine_chunks()
+    dim = col.type.list_size
+    mat = col.flatten().to_numpy(zero_copy_only=False).reshape(len(col), dim)
+    return ids, mat
+
+
+def _normalize_block(batch: pa.Table, id_col: str, vec_col: str) -> pa.Table:
+    mat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+    if mat.size:
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        nvec = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.ravel(), type=pa.float64()), mat.shape[1]
+        )
+    else:
+        nvec = pa.array([], type=pa.list_(pa.float64(), 1))
+    return pa.table({id_col: batch[id_col], "__nvec": nvec})
 
 
 # ----------------------------------------------------------------------
 # Exact n-gram Jaccard within buckets
+
+
+class _NgramHashStage:
+    """Per-row sorted UNIQUE word-n-gram hashes (uint64, sha256-derived
+    word hashes folded by a rolling polynomial) — the bucket shuffle
+    moves fixed-width digests, never text."""
+
+    def __init__(self, text_col: str, id_col: str, bucket_col: str, n: int):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.bucket_col = bucket_col
+        self.n = n
+        self._word_cache: dict[str, int] = {}
+
+    def _word_hash(self, w: str) -> int:
+        h = self._word_cache.get(w)
+        if h is None:
+            h = _stable_hash64(w)
+            if len(self._word_cache) < 500_000:
+                self._word_cache[w] = h
+        return h
+
+    def grams(self, text: Optional[str]) -> np.ndarray:
+        toks = (text or "").split()
+        m = len(toks) - self.n + 1
+        if m <= 0:
+            return np.empty(0, dtype=np.uint64)
+        ws = np.array([self._word_hash(w) for w in toks], dtype=np.uint64)
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(self.n):
+            h = h * _POLY_P + ws[j : j + m]
+        return np.unique(h)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grams = [self.grams(t) for t in batch[self.text_col].to_pylist()]
+        return pa.table(
+            {
+                self.bucket_col: batch[self.bucket_col],
+                self.id_col: batch[self.id_col],
+                "grams": pa.array([g.tolist() for g in grams], type=pa.list_(pa.uint64())),
+            }
+        )
+
+
+class _NgramBucketVerifier:
+    """Exact pairwise Jaccard within one bucket group, vectorized:
+    grams mapped to a local dense vocabulary, docs packed into numpy
+    bitsets, pairwise intersections via byte-LUT popcount tiles."""
+
+    def __init__(self, id_col: str, threshold: float, tile: int = 512):
+        self.id_col = id_col
+        self.threshold = threshold
+        self.tile = tile
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[self.id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        grams = [np.asarray(g, dtype=np.uint64) for g in group["grams"].to_pylist()]
+        grams = [grams[i] for i in order]
+        m = len(ids)
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if m < 2:
+            return empty
+        vocab = np.unique(np.concatenate(grams)) if any(len(g) for g in grams) else np.empty(0, np.uint64)
+        nbits = len(vocab)
+        nbytes = max((nbits + 7) // 8, 1)
+        packed = np.zeros((m, nbytes), dtype=np.uint8)
+        sizes = np.zeros(m, dtype=np.int64)
+        for r, g in enumerate(grams):
+            sizes[r] = len(g)
+            if len(g):
+                pos = np.searchsorted(vocab, g)
+                bits = np.zeros(nbytes * 8, dtype=np.uint8)
+                bits[pos] = 1
+                packed[r] = np.packbits(bits)
+        out_a, out_b, out_j = [], [], []
+        t = self.tile
+        for i0 in range(0, m, t):
+            A = packed[i0 : i0 + t]
+            for j0 in range(i0, m, t):
+                B = packed[j0 : j0 + t]
+                inter = _POP8[A[:, None, :] & B[None, :, :]].sum(axis=2, dtype=np.int64)
+                union = sizes[i0 : i0 + t][:, None] + sizes[j0 : j0 + t][None, :] - inter
+                jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+                ai, bi = np.nonzero(jac >= self.threshold)
+                ga, gb = ai + i0, bi + j0
+                keep = ga < gb
+                ga, gb, v = ga[keep], gb[keep], jac[ai[keep], bi[keep]]
+                if len(ga):
+                    out_a.append(ids[ga])
+                    out_b.append(ids[gb])
+                    out_j.append(v)
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        j = np.concatenate(out_j)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        order = np.lexsort((hi, lo))
+        return pa.table(
+            {
+                "id_a": pa.array(lo[order], type=pa.int64()),
+                "id_b": pa.array(hi[order], type=pa.int64()),
+                "jaccard": pa.array(j[order], type=pa.float64()),
+            }
+        )
 
 
 def ngram_jaccard_pairs(
@@ -554,34 +884,24 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> "ray.data.Dataset":
-    """Brute-force word n-gram Jaccard WITHIN each bucket_col group.
+    """Exact word n-gram Jaccard WITHIN each bucket_col group.
+
+    Arrow-native end to end: per-batch hashing reduces each doc to
+    sorted unique uint64 gram digests (the bucket shuffle never moves
+    text), and the per-bucket O(g^2) verify is a packed-bitset popcount
+    over numpy tiles — no per-row Python in the pairwise step.
 
     Partitioning assumption (documented per the task contract): groups
     of bucket_col are small enough for O(g^2) verify; the caller picks
     the bucket key (e.g. (source, lang))."""
-
-    def per_group(group):
-        import pandas as pd
-
-        def grams(t):
-            toks = (t or "").split()
-            return {tuple(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))}
-
-        rows = sorted(zip(group[id_col].tolist(), group[text_col].tolist()))
-        sets = [(i, grams(t)) for i, t in rows]
-        out = []
-        for ai in range(len(sets)):
-            for bi in range(ai + 1, len(sets)):
-                (ia, sa), (ib, sb) = sets[ai], sets[bi]
-                j = _jaccard(sa, sb)
-                if j >= threshold:
-                    out.append((ia, ib, j))
-        if not out:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"]).astype(
-            {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
-        )
-
-    return ds.select_columns([bucket_col, id_col, text_col]).groupby(bucket_col).map_groups(
-        per_group, batch_format="pandas"
+    hashed = ds.map_batches(
+        _NgramHashStage(text_col, id_col, bucket_col, n),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
+    verifier = _NgramBucketVerifier(id_col, threshold)
+
+    def verify_ngram_group(group: pa.Table) -> pa.Table:
+        return verifier(group)
+
+    return hashed.groupby(bucket_col).map_groups(verify_ngram_group, batch_format="pyarrow")
