@@ -805,9 +805,46 @@ def oracle_sql() -> dict[str, str]:
             "  FROM q, embeddings x WHERE x.vec_id != q.vec_id"
             " ) WHERE rn <= 5 ORDER BY query_id, rn"
         ),
+        # the anomaly checks read the engine's own metric store, but the
+        # seeded history is a fixed constant — so the window + MAD math
+        # (median, MAD, 0.6745 z, the reference's int(MAD)!=0 guard,
+        # reference anomaly.py:85-96) is expressible as DuckDB SQL over
+        # a VALUES CTE and hash-checked end to end
+        "anomaly_mad": (
+            "WITH hist AS (SELECT CAST(v AS DOUBLE) AS v, i FROM (VALUES"
+            "  (10.0,1),(14.0,2),(10.0,3),(14.0,4),"
+            "  (10.0,5),(14.0,6),(10.0,7),(500.0,8)) t(v, i)),"
+            " stats AS (SELECT median(v) AS med,"
+            "  median(abs(v - (SELECT median(v) FROM hist))) AS mad,"
+            "  (SELECT v FROM hist ORDER BY i DESC LIMIT 1) AS last,"
+            "  count(*) AS n FROM hist)"
+            " SELECT 'anom' AS name, CAST(last AS DOUBLE) AS actual_value,"
+            "  (n >= 5 AND (CASE WHEN trunc(mad) != 0"
+            "   THEN 0.6745 * (last - med) / mad ELSE 0 END) <= 3) AS success"
+            " FROM stats"
+        ),
+        "anomaly_mad_by_dataset": (
+            "WITH hist AS (SELECT ds, CAST(v AS DOUBLE) AS v, i FROM (VALUES"
+            "  ('orders',10.0,1),('orders',12.0,2),('orders',10.0,3),('orders',12.0,4),"
+            "  ('orders',10.0,5),('orders',12.0,6),('orders',300.0,7),"
+            "  ('lineitem',5.0,1),('lineitem',5.0,2),('lineitem',5.0,3),('lineitem',6.0,4),"
+            "  ('lineitem',5.0,5),('lineitem',6.0,6),('lineitem',5.0,7)) t(ds, v, i)),"
+            " med AS (SELECT ds, median(v) AS med, count(*) AS n FROM hist GROUP BY ds),"
+            " mad AS (SELECT h.ds, median(abs(h.v - m.med)) AS mad"
+            "  FROM hist h JOIN med m ON h.ds = m.ds GROUP BY h.ds),"
+            " lastv AS (SELECT ds, v AS last FROM (SELECT ds, v,"
+            "  row_number() OVER (PARTITION BY ds ORDER BY i DESC) AS rn FROM hist)"
+            "  WHERE rn = 1)"
+            " SELECT 'anomdim_dataset_' || m.ds AS name,"
+            "  CAST(ROUND(l.last, 6) AS DOUBLE) AS actual_value,"
+            "  (m.n >= 5 AND (CASE WHEN trunc(d.mad) != 0"
+            "   THEN 0.6745 * (l.last - m.med) / d.mad ELSE 0 END) <= 3) AS success"
+            " FROM med m JOIN mad d ON m.ds = d.ds JOIN lastv l ON m.ds = l.ds"
+            " ORDER BY name"
+        ),
         # lsh_topk, langid_documents, minhash/simhash dedup, the corpus
-        # quality pipeline, anomaly and multimodal queries are
-        # intentionally omitted: approximate / model-driven / stateful
-        # operators (driver records rows-only checks; correctness is
-        # covered by the oracle-labeler and parity tests in tests/).
+        # quality pipeline and multimodal queries are intentionally
+        # omitted: approximate / model-driven / stateful operators
+        # (driver records rows-only checks; correctness is covered by
+        # the oracle-labeler and parity tests in tests/).
     }

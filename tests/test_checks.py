@@ -191,6 +191,37 @@ class TestMomentAggregates:
         for k, v in exp.items():
             assert got[k] == pytest.approx(v, rel=1e-9), k
 
+    def test_stddev_large_mean_small_spread(self, tmp_store, tmp_path):
+        # epoch-timestamp-scale values: raw (sum, sumsq) partials
+        # catastrophically cancel in float64; (n, mean, M2) + Chan
+        # combine must stay at DuckDB (Welford) accuracy
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = np.random.RandomState(7)
+        vals = 1.7e9 + rng.normal(0, 100.0, size=20_000)
+        grp = rng.randint(0, 3, size=20_000)
+        tbl = pa.table({"v": vals, "g": grp.astype("int64")})
+        pq.write_table(tbl, tmp_path / "big.parquet", row_group_size=1000)
+        cat = ParquetCatalog(tables={"big": str(tmp_path / "big.parquet")})
+        import duckdb as _dd
+
+        exp = _dd.sql(
+            f"SELECT stddev(v) FROM '{tmp_path}/big.parquet'"
+        ).fetchone()[0]
+        res = run_check(cat, tmp_store, name="bm", type="numeric", dataset="big",
+                        measure="stddev(v)", condition="gt", threshold=0)
+        assert res[0]["actual_value"] == pytest.approx(exp, rel=1e-6)
+        expg = dict(
+            _dd.sql(f"SELECT g, stddev(v) FROM '{tmp_path}/big.parquet' GROUP BY 1").fetchall()
+        )
+        resg = run_check(cat, tmp_store, name="bmg", type="numeric", dataset="big",
+                         measure="stddev(v)", dimensions=["g"], condition="gt", threshold=0)
+        for r in resg:
+            g = int(r["name"].replace("bmg_g_", ""))
+            assert r["actual_value"] == pytest.approx(expg[g], rel=1e-6), g
+
     def test_count_distinct_with_dimensions(self, catalog, tmp_store):
         want = duck(
             "SELECT o_orderstatus, count(DISTINCT o_custkey) FROM orders"

@@ -330,9 +330,7 @@ def _ray_aggs(specs) -> list:
             aggs.append(Max(f"{s.key}__max", alias_name=f"{s.key}__max"))
             aggs.append(Sum(f"{s.key}__cnt", alias_name=f"{s.key}__cnt"))
         elif s.fname in _MOMENT_AGGS:
-            aggs.append(Sum(f"{s.key}__sum", alias_name=f"{s.key}__sum"))
-            aggs.append(Sum(f"{s.key}__sumsq", alias_name=f"{s.key}__sumsq"))
-            aggs.append(Sum(f"{s.key}__cnt", alias_name=f"{s.key}__cnt"))
+            aggs.append(_moment_aggfn(s.key))
         else:
             raise NotImplementedError(f"Grouped {s.fname} not supported")
     return aggs
@@ -434,17 +432,16 @@ class _PartialBatcher:
                     rename.append((f"{s.key}_{s.fname}", f"{s.key}__{s.fname}"))
                     rename.append((f"{s.key}_count", f"{s.key}__cnt"))
                 elif s.fname in _MOMENT_AGGS:
-                    sq = pc.multiply(
-                        pc.cast(arg_cols[s.key], pa.float64(), safe=False),
-                        pc.cast(arg_cols[s.key], pa.float64(), safe=False),
-                    )
-                    work = work.append_column(f"{s.key}_sq", sq)
-                    gb_aggs.append((s.key, "sum"))
-                    gb_aggs.append((f"{s.key}_sq", "sum"))
+                    # (count, mean, M2) partials — Chan's parallel
+                    # combine is numerically stable where raw
+                    # (sum, sumsq) partials catastrophically cancel
+                    # for large-mean/small-spread columns
                     gb_aggs.append((s.key, "count"))
-                    rename.append((f"{s.key}_sum", f"{s.key}__sum"))
-                    rename.append((f"{s.key}_sq_sum", f"{s.key}__sumsq"))
+                    gb_aggs.append((s.key, "mean"))
+                    gb_aggs.append((s.key, "variance"))
                     rename.append((f"{s.key}_count", f"{s.key}__cnt"))
+                    rename.append((f"{s.key}_mean", f"{s.key}__mean"))
+                    rename.append((f"{s.key}_variance", f"{s.key}__var0"))
                 else:
                     raise NotImplementedError(f"Grouped {s.fname} not supported")
             grouped = work.group_by(self.group_keys).aggregate(gb_aggs)
@@ -462,6 +459,16 @@ class _PartialBatcher:
                     c = pc.cast(c, pa.int64())
                 elif name.endswith("__sum") or name.endswith("__sumsq"):
                     c = pc.cast(c, pa.float64(), safe=False)
+                elif name.endswith("__mean"):
+                    c = pc.fill_null(pc.cast(c, pa.float64(), safe=False), 0.0)
+                elif name.endswith("__var0"):
+                    # arrow variance is the ddof=0 estimator; M2 = var0 * n
+                    base = name[: -len("__var0")]
+                    cntf = pc.cast(grouped[f"{base}__cnt"], pa.float64())
+                    c = pc.multiply(
+                        pc.fill_null(pc.cast(c, pa.float64(), safe=False), 0.0), cntf
+                    )
+                    name = f"{base}__m2"
                 cols[name] = c
             return pa.table(cols)
 
@@ -492,12 +499,22 @@ class _PartialBatcher:
                 row[f"{s.key}__cnt"] = [cnt]
             elif s.fname in _MOMENT_AGGS:
                 arr = pc.cast(arg_cols[s.key], pa.float64(), safe=False)
-                cnt = len(arr) - arr.null_count
-                row[f"{s.key}__sum"] = [float(pc.sum(arr).as_py() or 0.0)]
-                row[f"{s.key}__sumsq"] = [
-                    float(pc.sum(pc.multiply(arr, arr)).as_py() or 0.0)
-                ]
+                v = pc.drop_null(arr).to_numpy(zero_copy_only=False)
+                cnt = len(v)
+                if cnt:
+                    # center on the first value so the batch mean is
+                    # computed over small offsets, not 1e9-scale sums
+                    c = float(v[0])
+                    vc = v - c
+                    off = float(vc.mean())
+                    mean = c + off
+                    m2 = float(np.sum((vc - off) ** 2))
+                else:
+                    mean = 0.0
+                    m2 = 0.0
                 row[f"{s.key}__cnt"] = [cnt]
+                row[f"{s.key}__mean"] = [mean]
+                row[f"{s.key}__m2"] = [m2]
             else:
                 raise NotImplementedError(f"{s.fname} not supported")
         return pa.table(row)
@@ -509,16 +526,47 @@ class _PartialBatcher:
 _MOMENT_AGGS = {"stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop"}
 
 
-def _moment_value(fname: str, total: float, sumsq: float, cnt: float):
+def _chan_merge(a, b):
+    """Chan et al. parallel combine of (n, mean, M2) accumulators."""
+    n1, m1, s1 = a
+    n2, m2, s2 = b
+    n = n1 + n2
+    if n == 0:
+        return (0.0, 0.0, 0.0)
+    d = m2 - m1
+    return (n, m1 + d * (n2 / n), s1 + s2 + d * d * (n1 * n2 / n))
+
+
+def _moment_aggfn(key: str):
+    """Ray AggregateFn combining per-batch (n, mean, M2) partial rows
+    with Chan's merge — the distributed-stable replacement for summing
+    raw (sum, sumsq) columns."""
+    from ray.data.aggregate import AggregateFn
+
+    def acc(a, row):
+        return _chan_merge(
+            a, (float(row[f"{key}__cnt"]), float(row[f"{key}__mean"]), float(row[f"{key}__m2"]))
+        )
+
+    return AggregateFn(
+        init=lambda k: (0.0, 0.0, 0.0),
+        merge=_chan_merge,
+        accumulate_row=acc,
+        finalize=lambda a: list(a),
+        name=f"{key}__mom",
+    )
+
+
+def _moment_value(fname: str, cnt: float, mean: float, m2: float):
     if fname in ("stddev", "stddev_samp", "var_samp", "variance"):
         if cnt < 2:
             return None
-        var = (sumsq - total * total / cnt) / (cnt - 1)
+        var = m2 / (cnt - 1)
     else:
         if cnt < 1:
             return None
-        var = (sumsq - total * total / cnt) / cnt
-    var = max(var, 0.0)  # guard FP cancellation below zero
+        var = m2 / cnt
+    var = max(var, 0.0)
     return float(np.sqrt(var)) if fname.startswith("stddev") else float(var)
 
 
@@ -544,9 +592,17 @@ def _finalize_spec_scalar(spec: AggSpec, parts: list[dict]) -> Any:
             return None
         return float(min(vals) if spec.fname == "min" else max(vals))
     if spec.fname in _MOMENT_AGGS:
-        total = sum(p.get(f"{spec.key}__sum", 0.0) for p in parts)
-        sumsq = sum(p.get(f"{spec.key}__sumsq", 0.0) for p in parts)
-        return _moment_value(spec.fname, total, sumsq, cnt)
+        acc = (0.0, 0.0, 0.0)
+        for p in parts:
+            acc = _chan_merge(
+                acc,
+                (
+                    float(p.get(f"{spec.key}__cnt", 0)),
+                    float(p.get(f"{spec.key}__mean", 0.0)),
+                    float(p.get(f"{spec.key}__m2", 0.0)),
+                ),
+            )
+        return _moment_value(spec.fname, *acc)
     raise NotImplementedError(spec.fname)
 
 
@@ -554,6 +610,16 @@ def _finalize_spec_vec(spec: AggSpec, df) -> np.ndarray:
     """Combine grouped partials (pandas frame from the small groupby)."""
     if spec.fname == "count":
         return df[f"{spec.key}__cnt"].to_numpy(dtype="float64")
+    if spec.fname in _MOMENT_AGGS:
+        return np.array(
+            [
+                v
+                if (v := _moment_value(spec.fname, *map(float, m))) is not None
+                else np.nan
+                for m in df[f"{spec.key}__mom"]
+            ],
+            dtype=np.float64,
+        )
     cnt = df[f"{spec.key}__cnt"].to_numpy(dtype="float64")
     if spec.fname in ("sum", "avg"):
         total = df[f"{spec.key}__sum"].to_numpy(dtype="float64")
@@ -564,15 +630,4 @@ def _finalize_spec_vec(spec: AggSpec, df) -> np.ndarray:
     if spec.fname in ("min", "max"):
         v = df[f"{spec.key}__{spec.fname}"].to_numpy(dtype="float64")
         return np.where(cnt > 0, v, np.nan)
-    if spec.fname in _MOMENT_AGGS:
-        total = df[f"{spec.key}__sum"].to_numpy(dtype="float64")
-        sumsq = df[f"{spec.key}__sumsq"].to_numpy(dtype="float64")
-        out = np.array(
-            [
-                v if (v := _moment_value(spec.fname, t, sq, c)) is not None else np.nan
-                for t, sq, c in zip(total, sumsq, cnt)
-            ],
-            dtype=np.float64,
-        )
-        return out
     raise NotImplementedError(spec.fname)

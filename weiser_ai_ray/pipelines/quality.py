@@ -71,11 +71,15 @@ class QualityRuleStage:
     """Actor-pool stage: all models/regexes built ONCE per actor."""
 
     def __init__(self, config: QualityConfig, data_dir: str, write_output: bool = True):
+        from ..stages.model_loader import load_model
+
         self.config = config
         self.data_dir = data_dir
         self.write_output = write_output
-        self.langid = LangIdModel()
-        self.lm = BigramLM()
+        # real models (fastText / KenLM) are a config entry away; the
+        # frozen stand-ins remain the default and the test oracle
+        self.langid = load_model(config.langid_model, LangIdModel)
+        self.lm = load_model(config.perplexity_model, BigramLM)
         self.scrubber = Scrubber(config.scrub)
         self.rules = [r for r in config.rules if r.enabled]
 

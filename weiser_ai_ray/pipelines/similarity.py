@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -79,18 +80,50 @@ def ann_topk(
         ids, mat = ray.get(ref)
         return _batch_scores(batch, vec_col, id_col, ids, mat, k)
 
-    partials = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True).take_all()
-    # driver merge: global top-k per query with deterministic tie-break
-    import pandas as pd
+    partials = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    # distributed merge: the per-batch k-row partials reduce to the
+    # global top-k per query INSIDE map_groups workers (queries are few,
+    # so the shuffle is k x batches rows); the driver only collects the
+    # final k rows per query
+    return _global_topk(partials, k, drop_self=not include_self)
 
-    df = pd.DataFrame(partials)
-    if not include_self:
-        df = df[df["query_id"] != df["neighbor_id"]]
-    df = df.sort_values(
-        ["query_id", "score", "neighbor_id"], ascending=[True, False, True]
+
+def _global_topk(partials: "ray.data.Dataset", k: int, drop_self: bool) -> pa.Table:
+    """Fold per-batch top-k partials into the global top-k per query
+    with a distributed groupby(query_id).map_groups reduce — driver
+    memory is k rows per query, independent of the number of input
+    blocks. Deterministic (query_id, -score, neighbor_id) tie-break."""
+
+    def topk_group(group: pa.Table) -> pa.Table:
+        q = np.asarray(group["query_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        n = np.asarray(group["neighbor_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        sc = np.asarray(group["score"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        if drop_self:
+            keep = q != n
+            q, n, sc = q[keep], n[keep], sc[keep]
+        order = np.lexsort((n, -sc))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array(q[order], type=pa.int64()),
+                "neighbor_id": pa.array(n[order], type=pa.int64()),
+                "score": pa.array(sc[order], type=pa.float64()),
+            }
+        )
+
+    rows = partials.groupby("query_id").map_groups(
+        topk_group, batch_format="pyarrow"
+    ).take_all()
+    out = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("score", pa.float64())]
+        ),
     )
-    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    idx = pc.sort_indices(
+        out,
+        sort_keys=[("query_id", "ascending"), ("score", "descending"), ("neighbor_id", "ascending")],
+    )
+    return out.take(idx)
 
 
 class LshIndexStage:
@@ -195,16 +228,5 @@ def lsh_topk(
 
     partials = indexed.map_batches(
         score_stage, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
-
-    import pandas as pd
-
-    df = pd.DataFrame(partials, columns=["query_id", "neighbor_id", "score"])
-    df = df.sort_values(
-        ["query_id", "score", "neighbor_id"], ascending=[True, False, True]
     )
-    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    return pa.Table.from_pandas(
-        df.astype({"query_id": "int64", "neighbor_id": "int64", "score": "float64"}),
-        preserve_index=False,
-    )
+    return _global_topk(partials, k, drop_self=False)

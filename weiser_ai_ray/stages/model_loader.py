@@ -1,0 +1,131 @@
+"""Config-driven model loading for the quality pipeline's scorers.
+
+The north star names fastText lid.176 for language-ID and a KenLM
+n-gram LM for perplexity; neither binary exists in this sandbox, so the
+engine defaults to the spec-frozen deterministic stand-ins
+(stages/langid.py, stages/perplexity.py). This registry makes the real
+models a CONFIG change, not a code change: a ``QualityConfig`` may set
+
+    langid_model:     {kind: "fasttext", path: "/models/lid.176.bin"}
+    perplexity_model: {kind: "kenlm",    path: "/models/web.arpa.bin"}
+
+and ``QualityRuleStage`` resolves them here once per actor. Loaders for
+"fasttext" and "kenlm" are pre-registered behind import guards (they
+raise a clear error when the library is absent); any other scorer can be
+plugged via ``register_loader`` as long as the returned object honours
+the stage contract:
+
+    langid:     detect_many(list[str|None]) -> (list[str], list[float])
+    perplexity: ppl_many(list[str|None])    -> np.ndarray[float64]
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+from pydantic import BaseModel
+
+MODEL_LOADERS: dict[str, Callable[[str], Any]] = {}
+
+
+class ModelRef(BaseModel):
+    """A config-addressable model: loader kind + filesystem path."""
+
+    kind: str
+    path: str
+
+
+def register_loader(kind: str):
+    """Register (or override) a loader for ``kind``; the loader takes a
+    path and returns a stage-contract scorer."""
+
+    def deco(fn: Callable[[str], Any]):
+        MODEL_LOADERS[kind] = fn
+        return fn
+
+    return deco
+
+
+def load_model(ref: Optional["ModelRef | dict"], default_factory: Callable[[], Any]) -> Any:
+    """Resolve a config model reference, falling back to the frozen
+    deterministic stand-in when no reference is configured."""
+    if ref is None:
+        return default_factory()
+    if isinstance(ref, dict):
+        ref = ModelRef(**ref)
+    loader = MODEL_LOADERS.get(ref.kind)
+    if loader is None:
+        raise KeyError(
+            f"No model loader registered for kind {ref.kind!r} "
+            f"(registered: {sorted(MODEL_LOADERS)})"
+        )
+    return loader(ref.path)
+
+
+# ----------------------------------------------------------------------
+# Built-in loaders (import-guarded: the libraries are optional)
+
+
+@register_loader("fasttext")
+def _load_fasttext(path: str):
+    try:
+        import fasttext  # type: ignore[import-not-found]
+    except ImportError as e:  # pragma: no cover - library absent in sandbox
+        raise RuntimeError(
+            "langid_model kind 'fasttext' requires the fasttext package; "
+            "install it or remove the config entry to use the built-in scorer"
+        ) from e
+    return _FastTextAdapter(fasttext.load_model(path))
+
+
+class _FastTextAdapter:
+    """Adapts fastText ``predict`` to the stage's detect_many contract
+    (labels are '__label__xx')."""
+
+    def __init__(self, model):
+        self.model = model
+
+    def detect_many(self, contents):
+        langs, scores = [], []
+        for c in contents:
+            if not c:
+                langs.append("unknown")
+                scores.append(0.0)
+                continue
+            labels, probs = self.model.predict(c.replace("\n", " "), k=1)
+            langs.append(labels[0].removeprefix("__label__") if labels else "unknown")
+            scores.append(float(probs[0]) if len(probs) else 0.0)
+        return langs, scores
+
+
+@register_loader("kenlm")
+def _load_kenlm(path: str):
+    try:
+        import kenlm  # type: ignore[import-not-found]
+    except ImportError as e:  # pragma: no cover - library absent in sandbox
+        raise RuntimeError(
+            "perplexity_model kind 'kenlm' requires the kenlm package; "
+            "install it or remove the config entry to use the built-in scorer"
+        ) from e
+    return _KenLMAdapter(kenlm.Model(path))
+
+
+class _KenLMAdapter:
+    """Adapts a KenLM model to the stage's ppl_many contract
+    (perplexity = 10^(-logprob/words))."""
+
+    def __init__(self, model):
+        self.model = model
+
+    def ppl_many(self, contents):
+        import numpy as np
+
+        out = np.empty(len(contents), dtype=np.float64)
+        for i, c in enumerate(contents):
+            if not c:
+                out[i] = np.nan
+                continue
+            text = c.replace("\n", " ")
+            words = max(len(text.split()), 1)
+            out[i] = 10.0 ** (-self.model.score(text) / words)
+        return out

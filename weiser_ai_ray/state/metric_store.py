@@ -87,6 +87,7 @@ class ParquetMetricStore:
         self.path = path
         self.tenant_id = tenant_id
         self._buffer: list[dict] = []
+        self._files_cache: Optional[list[str]] = None
         os.makedirs(path, exist_ok=True)
 
     # -- writes -----------------------------------------------------------
@@ -110,22 +111,37 @@ class ParquetMetricStore:
         part = os.path.join(out_dir, f"part-{uuid.uuid4().hex[:8]}.parquet")
         pq.write_table(table, part)
         self._buffer = []
+        self._files_cache = None  # new part invalidates the listing
         return part
 
     # -- reads ------------------------------------------------------------
+    def _files(self) -> list[str]:
+        if self._files_cache is None:
+            files = []
+            for root, _dirs, fnames in os.walk(self.path):
+                files.extend(os.path.join(root, f) for f in fnames if f.endswith(".parquet"))
+            self._files_cache = sorted(files)
+        return self._files_cache
+
     def _dataset(self) -> Optional[pads.Dataset]:
-        files = []
-        for root, _dirs, fnames in os.walk(self.path):
-            files.extend(os.path.join(root, f) for f in fnames if f.endswith(".parquet"))
+        files = self._files()
         if not files:
             return None
         return pads.dataset(files, schema=METRICS_SCHEMA)
 
-    def read_all(self) -> pa.Table:
+    def _scan(self, filter=None, columns=None) -> pa.Table:
+        """Predicate/column pushdown into the parquet scan: the filter
+        expression prunes row groups via parquet statistics and only the
+        requested columns are decoded — summary/window/dashboard reads
+        no longer lift the whole store off disk."""
         ds = self._dataset()
         if ds is None:
-            return METRICS_SCHEMA.empty_table()
-        return ds.to_table()
+            tbl = METRICS_SCHEMA.empty_table()
+            return tbl.select(columns) if columns else tbl
+        return ds.to_table(filter=filter, columns=columns)
+
+    def read_all(self) -> pa.Table:
+        return self._scan()
 
     @staticmethod
     def migrate_table(table: pa.Table) -> pa.Table:
@@ -143,7 +159,7 @@ class ParquetMetricStore:
         return pa.table(cols, schema=METRICS_SCHEMA)
 
     def max_run_time(self):
-        tbl = self.read_all()
+        tbl = self._scan(columns=["run_time"])
         if tbl.num_rows == 0:
             return None
         return pc.max(tbl["run_time"]).as_py()
@@ -179,6 +195,7 @@ class ParquetMetricStore:
         out_dir = os.path.join(self.path, "run_id=imported")
         os.makedirs(out_dir, exist_ok=True)
         pq.write_table(incoming, os.path.join(out_dir, f"part-{uuid.uuid4().hex[:8]}.parquet"))
+        self._files_cache = None
         return incoming.num_rows
 
     def query_window(
@@ -190,11 +207,15 @@ class ParquetMetricStore:
         """Anomaly history window (reference anomaly.py:115-144): rows
         where check_id LIKE '<prefix>%', ordered by run_time ASC, limited
         to ``limit``; returns [(dim?, actual_value, run_time), ...]."""
-        tbl = self.read_all()
+        cols = ["actual_value", "run_time", "check_id"]
+        if dimensions:
+            cols.append(dimensions[0])
+        tbl = self._scan(
+            filter=pc.starts_with(pc.field("check_id"), check_id_prefix),
+            columns=list(dict.fromkeys(cols)),
+        )
         if tbl.num_rows == 0:
             return []
-        mask = pc.starts_with(tbl["check_id"], check_id_prefix)
-        tbl = tbl.filter(mask)
         tbl = tbl.sort_by([("run_time", "ascending")])
         if tbl.num_rows > limit:
             tbl = tbl.slice(0, limit)
@@ -206,20 +227,18 @@ class ParquetMetricStore:
 
     def summary(self, run_id: str) -> dict:
         """Run summary parity with duckdb.py:503-518."""
-        tbl = self.read_all()
-        if tbl.num_rows:
-            tbl = tbl.filter(pc.equal(tbl["run_id"], run_id))
+        tbl = self._scan(
+            filter=pc.equal(pc.field("run_id"), run_id), columns=["success"]
+        )
         n = tbl.num_rows
         succ = int(pc.sum(pc.cast(tbl["success"], pa.int64())).as_py() or 0) if n else 0
         return {"count": n, "success": succ, "fail": n - succ}
 
     def failures(self, run_id: str, limit: int = 20) -> pa.Table:
         """First ``limit`` failing records of a run (duckdb.py:521-529)."""
-        tbl = self.read_all()
-        if tbl.num_rows:
-            tbl = tbl.filter(
-                pc.and_(pc.equal(tbl["run_id"], run_id), pc.equal(tbl["success"], False))
-            )
+        tbl = self._scan(
+            filter=(pc.field("run_id") == run_id) & (pc.field("success") == False)  # noqa: E712
+        )
         return tbl.slice(0, limit)
 
     def last_values(self) -> pa.Table:
@@ -230,7 +249,7 @@ class ParquetMetricStore:
         (count, count_success, count_fail, max_value, last_value,
         last_run_time). Computed with a vectorized sort + group-take —
         the metrics table is small by contract."""
-        tbl = self.read_all()
+        tbl = self._scan(columns=["check_id", "run_time", "success", "actual_value"])
         if tbl.num_rows == 0:
             return pa.table(
                 {
@@ -272,7 +291,7 @@ class ParquetMetricStore:
         Streamlit layer's DATE_TRUNC('day') + status groupby,
         /root/reference/weiser-ui/app.py:29-120): one row per
         (day, success) with its record count, day ascending."""
-        tbl = self.read_all()
+        tbl = self._scan(columns=["run_time", "success"])
         if tbl.num_rows == 0:
             return pa.table(
                 {
@@ -301,6 +320,7 @@ class ParquetMetricStore:
         at true scale this would be ray read_parquet -> repartition ->
         write_parquet over the store directory."""
         tbl = self.read_all()
+        self._files_cache = None
         if tbl.num_rows == 0:
             return
         for root, _dirs, fnames in os.walk(self.path):
