@@ -308,6 +308,24 @@ def q_count_distinct_by_status(sf_dir: str) -> pa.Table:
     )
 
 
+def q_sum_distinct_by_status(sf_dir: str) -> pa.Table:
+    """Grouped sum(distinct ...): the distinct-pair shuffle collapsed by
+    a second groupby, then summed per group — same two-level streaming
+    shape as count(distinct), no driver-held value sets."""
+    chk = _make_check(
+        sf_dir, name="sdg", type="numeric", dataset="orders",
+        measure="sum(distinct o_custkey)", dimensions=["o_orderstatus"],
+        condition="gt", threshold=0,
+    )
+    rows = chk.compute("orders")
+    return pa.table(
+        {
+            "o_orderstatus": pa.array([r[0] for r in rows], type=pa.string()),
+            "sum_cust": pa.array([float(r[1]) for r in rows], type=pa.float64()),
+        }
+    )
+
+
 def q_embedding_neardup(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -372,6 +390,22 @@ def q_lsh_topk(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     out = lsh_topk(ds, [0, 7, 42, 99], k=5, bits=3, probes=2).to_pandas()
     return pa.Table.from_pandas(out[["query_id", "neighbor_id"]], preserve_index=False)
+
+
+def q_ivf_topk(sf_dir: str) -> pa.Table:
+    """IVF (k-means inverted-file) ANN — full-probe mode, so the result
+    is the EXACT cosine top-k and shares ann_topk's DuckDB oracle
+    semantics; the (ncells, nprobe) knobs trade recall for compute at
+    scale (rows-only variants covered by recall tests)."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.similarity import ivf_topk
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = ivf_topk(ds, [0, 7, 42, 99], k=5, ncells=8, nprobe=8).to_pandas()
+    return pa.Table.from_pandas(
+        out[["query_id", "neighbor_id"]], preserve_index=False
+    )
 
 
 def q_langid_documents(sf_dir: str) -> pa.Table:
@@ -557,8 +591,9 @@ def q_multimodal_image_features(sf_dir: str) -> pa.Table:
 
 def q_ngram_jaccard_documents(sf_dir: str) -> pa.Table:
     """Exact word-bigram Jaccard pairs within (source, lang) buckets
-    (brute force per co-partitioned bucket; rows-only — set Jaccard has
-    no tractable ANSI-SQL form)."""
+    (brute force per co-partitioned bucket); oracle-checked against a
+    DuckDB list_intersect/list_distinct formulation of the same set
+    Jaccard."""
     import ray.data
 
     from weiser_ai_ray.pipelines.dedup import ngram_jaccard_pairs
@@ -685,12 +720,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_exact_full_rows": q_dedup_exact_full_rows,
         "count_distinct_by_status": q_count_distinct_by_status,
+        "sum_distinct_by_status": q_sum_distinct_by_status,
         "embedding_neardup": q_embedding_neardup,
         "token_stats_by_source": q_token_stats_by_source,
         "quality_scores_documents": q_quality_scores,
         "fingerprint_md5": q_fingerprint_md5,
         "ann_topk": q_ann_topk,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "langid_documents": q_langid_documents,
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "simhash_dedup_documents": q_simhash_dedup_documents,
@@ -773,6 +810,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust FROM orders"
             " GROUP BY o_orderstatus ORDER BY o_orderstatus"
         ),
+        "sum_distinct_by_status": (
+            "SELECT o_orderstatus,"
+            " CAST(SUM(DISTINCT o_custkey) AS DOUBLE) AS sum_cust FROM orders"
+            " GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        ),
         "embedding_neardup": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b"
             " FROM embeddings a, embeddings b"
@@ -795,6 +837,51 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fingerprint_md5": "SELECT doc_id, md5(text) AS md5 FROM documents ORDER BY doc_id",
         "ann_topk": (
+            "WITH q AS (SELECT * FROM embeddings WHERE vec_id IN (0, 7, 42, 99))"
+            " SELECT query_id, neighbor_id FROM ("
+            "  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,"
+            "   list_cosine_similarity(q.embedding::DOUBLE[], x.embedding::DOUBLE[]) AS score,"
+            "   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY"
+            "    list_cosine_similarity(q.embedding::DOUBLE[], x.embedding::DOUBLE[]) DESC,"
+            "    x.vec_id) AS rn"
+            "  FROM q, embeddings x WHERE x.vec_id != q.vec_id"
+            " ) WHERE rn <= 5 ORDER BY query_id, rn"
+        ),
+        # word-bigram set Jaccard in pure SQL: token lists via
+        # regexp_split (python str.split() semantics: any whitespace
+        # run, empties dropped), bigrams via list_transform over
+        # generate_series, set ops via list_distinct/list_intersect;
+        # jaccard division is int->double in both engines (IEEE
+        # deterministic), rounded to 6 digits on both sides
+        "ngram_jaccard_documents": (
+            "WITH toks AS ("
+            " SELECT doc_id, source || '|' || lang AS bucket,"
+            "  list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),"
+            "              x -> x != '') AS w"
+            " FROM documents"
+            "), grams AS ("
+            " SELECT doc_id, bucket,"
+            "  CASE WHEN len(w) >= 2"
+            "   THEN list_distinct(list_transform(generate_series(1, len(w) - 1),"
+            "                                     i -> w[i] || ' ' || w[i + 1]))"
+            "   ELSE [] END AS g"
+            " FROM toks"
+            "), pairs AS ("
+            " SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            "  len(list_intersect(a.g, b.g)) AS inter,"
+            "  len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS uni"
+            " FROM grams a JOIN grams b ON a.bucket = b.bucket AND a.doc_id < b.doc_id"
+            ")"
+            " SELECT id_a, id_b,"
+            "  round(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 1.0 END, 6)"
+            "   AS jaccard"
+            " FROM pairs"
+            " WHERE (CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 1.0 END) >= 0.5"
+            " ORDER BY id_a, id_b"
+        ),
+        # full-probe IVF degenerates to exact brute force, so it shares
+        # the exact cosine-top-k oracle
+        "ivf_topk": (
             "WITH q AS (SELECT * FROM embeddings WHERE vec_id IN (0, 7, 42, 99))"
             " SELECT query_id, neighbor_id FROM ("
             "  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,"

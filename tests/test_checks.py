@@ -255,6 +255,56 @@ class TestMomentAggregates:
                       condition="ge", threshold=0)
         assert [float(v) for _k, v in want] == [float(x["actual_value"]) for x in r]
 
+    def test_sum_distinct_scalar(self, catalog, tmp_store):
+        want = duck("SELECT sum(DISTINCT o_custkey) FROM orders")[0][0]
+        r = run_check(catalog, tmp_store, name="sd", type="numeric", dataset="orders",
+                      measure="sum(distinct o_custkey)", condition="gt", threshold=0)
+        assert float(r[0]["actual_value"]) == pytest.approx(float(want), rel=1e-12)
+
+    def test_avg_distinct_scalar(self, catalog, tmp_store):
+        want = duck("SELECT avg(DISTINCT o_custkey) FROM orders")[0][0]
+        r = run_check(catalog, tmp_store, name="ad", type="numeric", dataset="orders",
+                      measure="avg(distinct o_custkey)", condition="gt", threshold=0)
+        assert float(r[0]["actual_value"]) == pytest.approx(float(want), rel=1e-12)
+
+    def test_stddev_distinct_scalar(self, catalog, tmp_store):
+        want = duck("SELECT stddev(DISTINCT o_custkey) FROM orders")[0][0]
+        r = run_check(catalog, tmp_store, name="sdd", type="numeric", dataset="orders",
+                      measure="stddev(distinct o_custkey)", condition="gt", threshold=0)
+        assert float(r[0]["actual_value"]) == pytest.approx(float(want), rel=1e-9)
+
+    def test_sum_distinct_with_dimensions(self, catalog, tmp_store):
+        want = duck(
+            "SELECT o_orderstatus, sum(DISTINCT o_custkey) FROM orders"
+            " GROUP BY 1 ORDER BY 1"
+        )
+        r = run_check(catalog, tmp_store, name="sdg", type="numeric", dataset="orders",
+                      measure="sum(distinct o_custkey)", dimensions=["o_orderstatus"],
+                      condition="gt", threshold=0)
+        assert [float(v) for _k, v in want] == pytest.approx(
+            [float(x["actual_value"]) for x in r], rel=1e-12)
+
+    def test_stddev_distinct_with_dimensions(self, catalog, tmp_store):
+        want = duck(
+            "SELECT o_orderstatus, stddev(DISTINCT o_custkey) FROM orders"
+            " GROUP BY 1 ORDER BY 1"
+        )
+        r = run_check(catalog, tmp_store, name="sddg", type="numeric", dataset="orders",
+                      measure="stddev(distinct o_custkey)", dimensions=["o_orderstatus"],
+                      condition="gt", threshold=0)
+        assert [float(v) for _k, v in want] == pytest.approx(
+            [float(x["actual_value"]) for x in r], rel=1e-9)
+
+    def test_min_distinct_is_plain_min(self, catalog, tmp_store):
+        want = duck(
+            "SELECT o_orderstatus, min(o_totalprice) FROM orders GROUP BY 1 ORDER BY 1"
+        )
+        r = run_check(catalog, tmp_store, name="mdg", type="numeric", dataset="orders",
+                      measure="min(distinct o_totalprice)", dimensions=["o_orderstatus"],
+                      condition="gt", threshold=0)
+        assert [float(v) for _k, v in want] == pytest.approx(
+            [float(x["actual_value"]) for x in r], rel=1e-12)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestSqlDataset:

@@ -6,7 +6,7 @@ import pytest
 import ray.data
 
 from tests.conftest import SF_DIR
-from weiser_ai_ray.pipelines.similarity import ann_topk, lsh_topk
+from weiser_ai_ray.pipelines.similarity import ann_topk, ivf_topk, lsh_topk
 
 
 def exact_oracle(query_ids, k):
@@ -61,3 +61,33 @@ class TestAnnTopk:
         assert recall >= 0.15, recall
         # and every returned neighbor must be a real row, not the query
         assert (approx["query_id"] != approx["neighbor_id"]).all()
+
+    def test_ivf_full_probe_is_exact(self):
+        # nprobe == ncells degenerates to brute force: must equal ann_topk
+        ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        queries = [0, 7, 42]
+        got = ivf_topk(ds, queries, k=5, ncells=8, nprobe=8).to_pandas()
+        want = exact_oracle(queries, 5)
+        for q in queries:
+            assert got[got["query_id"] == q]["neighbor_id"].tolist() == want[q], q
+
+    def test_ivf_recall_beats_cell_fraction(self):
+        # probing 4/16 cells must recall far more than 4/16 of true
+        # neighbors: k-means cells concentrate each query's neighborhood
+        ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        queries = list(range(0, 50, 5))
+        exact = exact_oracle(queries, 5)
+        approx = ivf_topk(ds, queries, k=5, ncells=16, nprobe=4).to_pandas()
+        hits = total = 0
+        for q in queries:
+            got_n = set(approx[approx["query_id"] == q]["neighbor_id"].tolist())
+            hits += len(got_n & set(exact[q]))
+            total += len(exact[q])
+        assert hits / total >= 0.4, hits / total
+        assert (approx["query_id"] != approx["neighbor_id"]).all()
+
+    def test_ivf_deterministic(self):
+        ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        a = ivf_topk(ds, [0, 7], k=3, ncells=8, nprobe=2).to_pandas()
+        b = ivf_topk(ds, [0, 7], k=3, ncells=8, nprobe=2).to_pandas()
+        assert a.equals(b)

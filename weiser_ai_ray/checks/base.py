@@ -234,8 +234,11 @@ class BaseCheck:
             ds = self.catalog.dataset(dataset, columns=sorted(needed) or None)
 
         if group_keys:
-            distinct_specs = [s for s in specs if s.distinct]
-            plain_specs = [s for s in specs if not s.distinct]
+            # min/max(DISTINCT x) == min/max(x): demote to the plain path
+            distinct_specs = [
+                s for s in specs if s.distinct and s.fname not in ("min", "max")
+            ]
+            plain_specs = [s for s in specs if s not in distinct_specs]
             frames = []
             if plain_specs:
                 make_partials = _PartialBatcher(
@@ -247,12 +250,8 @@ class BaseCheck:
                 combined = partials.groupby(group_keys).aggregate(*_ray_aggs(plain_specs))
                 frames.append(combined.to_pandas())
             for s in distinct_specs:
-                if s.fname != "count":
-                    raise NotImplementedError(f"Grouped {s.fname} DISTINCT not supported")
                 frames.append(
-                    self._grouped_distinct_count(
-                        ds, s, filter_ast, td, td_alias, group_keys
-                    )
+                    self._grouped_distinct(ds, s, filter_ast, td, td_alias, group_keys)
                 )
             import functools
 
@@ -262,8 +261,22 @@ class BaseCheck:
                 lambda a, b: pd.merge(a, b, on=group_keys, how="outer"), frames
             )
             for s in distinct_specs:
-                # groups whose values are all NULL have no distinct pairs
-                out[f"{s.key}__cnt"] = out[f"{s.key}__cnt"].fillna(0)
+                # groups whose values are all NULL have no distinct
+                # pairs: count 0; sum/avg NULL (cnt==0 finalizes NaN);
+                # moment partials need a neutral (0, 0, 0) accumulator
+                cnt_col = f"{s.key}__cnt"
+                if cnt_col in out.columns:
+                    out[cnt_col] = out[cnt_col].fillna(0)
+                mom_col = f"{s.key}__mom"
+                if mom_col in out.columns:
+                    # pandas holds each (n, mean, M2) partial as a list/
+                    # ndarray; a group missing from the distinct frame
+                    # merges as NaN/None -> neutral accumulator
+                    out[mom_col] = out[mom_col].apply(
+                        lambda m: (0.0, 0.0, 0.0)
+                        if m is None or (np.isscalar(m) and pd.isna(m))
+                        else m
+                    )
             out = out.sort_values(group_keys).reset_index(drop=True)
             agg_cols: dict[str, Any] = {}
             for s in specs:
@@ -293,23 +306,26 @@ class BaseCheck:
             return [(value,)]
 
 
-    def _grouped_distinct_count(self, ds, spec, filter_ast, td, td_alias, group_keys):
-        """count(distinct expr) per group, the scalable two-level shape:
-        per-batch DISTINCT (group, value) pairs (an Arrow group_by — the
-        shuffle moves deduplicated pairs, never rows), a global groupby
-        on (group, value) collapsing cross-batch repeats, then a count
-        per group. No set is ever held on one machine; at unbounded
-        value cardinality the same plan degrades gracefully because
-        every stage is streaming. Returns a pandas frame
-        (group_keys..., {key}__cnt)."""
+    def _grouped_distinct(self, ds, spec, filter_ast, td, td_alias, group_keys):
+        """agg(DISTINCT expr) per group — count/sum/avg/stddev/variance
+        — in the scalable two-level shape: per-batch DISTINCT
+        (group, value) pairs (an Arrow group_by — the shuffle moves
+        deduplicated pairs, never rows), a global groupby on
+        (group, value) collapsing cross-batch repeats, then the PLAIN
+        grouped aggregation machinery over the collapsed pair table
+        (an aggregate over the distinct pairs IS the distinct
+        aggregate). No set is ever held on one machine; at unbounded
+        value cardinality the plan degrades gracefully because every
+        stage streams. Returns a pandas frame
+        (group_keys..., {key}__... partial columns)."""
         val_col = f"{spec.key}__val"
         emitter = _DistinctPairBatcher(spec, filter_ast, td, td_alias, group_keys, val_col)
         pairs = ds.map_batches(emitter, batch_format="pyarrow", zero_copy_batch=True)
         uniq = pairs.groupby(group_keys + [val_col]).count()
-        counts = uniq.groupby(group_keys).count()
-        df = counts.to_pandas()
-        cnt_col = [c for c in df.columns if c not in group_keys][0]
-        return df.rename(columns={cnt_col: f"{spec.key}__cnt"})
+        plain = AggSpec(spec.key, spec.fname, ("col", val_col), False)
+        batcher = _PartialBatcher([plain], None, None, None, group_keys, group_keys)
+        partials = uniq.map_batches(batcher, batch_format="pyarrow", zero_copy_batch=True)
+        return partials.groupby(group_keys).aggregate(*_ray_aggs([plain])).to_pandas()
 
 
 def _ray_aggs(specs) -> list:
@@ -475,7 +491,13 @@ class _PartialBatcher:
         # ungrouped: one partial row for this batch
         row: dict[str, list] = {}
         for s in self.specs:
-            if s.fname in ("sum", "avg"):
+            if s.distinct and s.fname not in ("min", "max"):
+                # per-batch distinct VALUE SETS with a driver set-union
+                # combine (same contract as scalar count(distinct)): the
+                # union set is driver-held, documented at the finalizer
+                uniq = pc.unique(pc.drop_null(arg_cols[s.key]))
+                row[f"{s.key}__set"] = [uniq.to_pylist()]
+            elif s.fname in ("sum", "avg"):
                 arr = arg_cols[s.key]
                 cnt = len(arr) - arr.null_count
                 row[f"{s.key}__sum"] = [
@@ -571,13 +593,30 @@ def _moment_value(fname: str, cnt: float, mean: float, m2: float):
 
 
 def _finalize_spec_scalar(spec: AggSpec, parts: list[dict]) -> Any:
-    """Combine per-batch partial rows (driver-side; list is tiny)."""
-    if spec.fname == "count":
-        if spec.distinct:
-            seen: set = set()
-            for p in parts:
-                seen.update(p.get(f"{spec.key}__set") or [])
+    """Combine per-batch partial rows (driver-side; list is tiny).
+
+    DISTINCT aggregates union the per-batch distinct-value sets here —
+    the union is driver-held, sized by VALUE CARDINALITY (not rows); the
+    grouped path streams instead (see _grouped_distinct)."""
+    if spec.distinct and spec.fname not in ("min", "max"):
+        seen: set = set()
+        for p in parts:
+            seen.update(p.get(f"{spec.key}__set") or [])
+        if spec.fname == "count":
             return float(len(seen))
+        if not seen:
+            return None
+        vals = np.array(sorted(seen), dtype=np.float64)
+        if spec.fname == "sum":
+            return float(vals.sum())
+        if spec.fname == "avg":
+            return float(vals.mean())
+        if spec.fname in _MOMENT_AGGS:
+            n = len(vals)
+            m2 = float(((vals - vals.mean()) ** 2).sum())
+            return _moment_value(spec.fname, n, float(vals.mean()), m2)
+        raise NotImplementedError(f"{spec.fname} DISTINCT")
+    if spec.fname == "count":
         return float(sum(p.get(f"{spec.key}__cnt", 0) for p in parts))
     cnt = sum(p.get(f"{spec.key}__cnt", 0) for p in parts)
     if spec.fname in ("sum", "avg"):

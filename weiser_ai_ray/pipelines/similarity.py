@@ -9,6 +9,13 @@
                   (multi-probe by flipping one bit) — the scale path:
                   score cost drops from O(N) to O(N / 2^bits * probes)
                   per query at some recall loss.
+  ivf_topk        IVF (inverted-file) variant: k-means centroids trained
+                  on a bounded sample (driver-side — the sample is
+                  O(sample_n x dim), never the corpus), broadcast once;
+                  rows assign to their nearest centroid cell per batch,
+                  queries probe their nprobe closest cells. Candidate
+                  cost is O(N * nprobe / ncells) per query; recall
+                  rises with nprobe (nprobe == ncells is exact).
 """
 
 from __future__ import annotations
@@ -229,4 +236,134 @@ def lsh_topk(
     partials = indexed.map_batches(
         score_stage, batch_format="pyarrow", zero_copy_batch=True
     )
+    return _global_topk(partials, k, drop_self=False)
+
+
+# ----------------------------------------------------------------------
+# IVF (inverted-file with k-means coarse quantizer)
+
+
+def _kmeans_cosine(sample: np.ndarray, ncells: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means over a NORMALIZED sample.
+
+    kmeans++-style seeded init, then Lloyd iterations with cosine
+    assignment; centroids re-normalized each step. Empty cells re-seed
+    to the worst-assigned point so every cell stays live. Runs on the
+    driver over the bounded sample only — O(sample_n x ncells x dim)."""
+    rng = np.random.RandomState(seed)
+    n = sample.shape[0]
+    ncells = min(ncells, n)
+    # kmeans++ init: first centroid = deterministic first point, then
+    # farthest-in-cosine sampling weighted by (1 - best_sim)
+    cents = [sample[0]]
+    best = sample @ cents[0]
+    for _ in range(1, ncells):
+        w = np.maximum(1.0 - best, 1e-12)
+        pick = int(rng.choice(n, p=w / w.sum()))
+        cents.append(sample[pick])
+        best = np.maximum(best, sample @ cents[-1])
+    C = np.stack(cents)
+    for _ in range(iters):
+        assign = np.argmax(sample @ C.T, axis=1)
+        for c in range(ncells):
+            members = sample[assign == c]
+            if len(members) == 0:
+                worst = int(np.argmin(np.max(sample @ C.T, axis=1)))
+                C[c] = sample[worst]
+                continue
+            v = members.sum(axis=0)
+            nv = np.linalg.norm(v)
+            C[c] = v / nv if nv > 0 else C[c]
+    return C
+
+
+def ivf_topk(
+    ds: "ray.data.Dataset",
+    query_ids: list[int],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    ncells: int = 16,
+    nprobe: int = 4,
+    sample_n: int = 4096,
+    seed: int = 7,
+) -> pa.Table:
+    """Approximate top-k via an inverted file: candidates restricted to
+    the query's ``nprobe`` nearest k-means cells. ``nprobe == ncells``
+    degenerates to exact brute force; recall/compute is tuned by the
+    (ncells, nprobe) pair.
+
+    Scale shape: the TRAIN step reads only ``sample_n`` rows
+    (``ds.limit`` — at petabyte scale substitute a per-shard
+    reservoir sample; the quantizer only needs a sketch of the
+    distribution). The centroid matrix (ncells x dim) is broadcast by
+    ``ray.put`` once; assignment and scoring are stateless per-batch
+    matmuls; partial top-k rows (k per query per batch) reduce to the
+    global answer inside ``groupby(query_id)`` workers. Neither the
+    corpus nor the scores ever land on the driver."""
+    sample_rows = ds.select_columns([vec_col]).limit(sample_n).take_all()
+    sample = _normalize(np.array([r[vec_col] for r in sample_rows], dtype=np.float64))
+    C = _kmeans_cosine(sample, ncells, seed)
+    cents_ref = ray.put(C)
+
+    def assign_stage(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        mat = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        cell = np.argmax(mat @ cents.T, axis=1).astype(np.int64) if mat.size else np.empty(0, np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+                "cell": pa.array(cell, type=pa.int64()),
+            }
+        )
+
+    indexed = ds.select_columns([id_col, vec_col]).map_batches(
+        assign_stage, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    qset = pa.array(sorted(set(query_ids)), type=pa.int64())
+
+    def pick_queries(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b[id_col], value_set=qset))
+
+    q_rows = sorted(
+        ds.select_columns([id_col, vec_col])
+        .map_batches(pick_queries, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all(),
+        key=lambda r: r[id_col],
+    )
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = _normalize(np.array([r[vec_col] for r in q_rows], dtype=np.float64))
+    npb = min(nprobe, C.shape[0])
+    # nprobe closest cells per query, deterministic tie-break by cell id
+    qsims = q_mat @ C.T
+    probe = np.argsort(-qsims, axis=1, kind="stable")[:, :npb]
+    ref = ray.put((q_ids, q_mat, probe))
+
+    def score_stage(batch: pa.Table) -> pa.Table:
+        ids, qm, probes = ray.get(ref)
+        b_ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
+        b_cells = np.asarray(batch["cell"].to_numpy(zero_copy_only=False))
+        b_mat = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        rows_q, rows_n, rows_s = [], [], []
+        for qi in range(len(ids)):
+            mask = np.isin(b_cells, probes[qi]) & (b_ids != ids[qi])
+            if not mask.any():
+                continue
+            cand_ids = b_ids[mask]
+            sims = b_mat[mask] @ qm[qi]
+            order = np.lexsort((cand_ids, -sims))[:k]
+            rows_q.extend([ids[qi]] * len(order))
+            rows_n.extend(cand_ids[order])
+            rows_s.extend(sims[order])
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, type=pa.int64()),
+                "neighbor_id": pa.array(rows_n, type=pa.int64()),
+                "score": pa.array(rows_s, type=pa.float64()),
+            }
+        )
+
+    partials = indexed.map_batches(score_stage, batch_format="pyarrow", zero_copy_batch=True)
     return _global_topk(partials, k, drop_self=False)
