@@ -171,8 +171,10 @@ class MinHasher:
     Shingle hashing: rolling polynomial hash over unicode code points
     (Horner mod 2^31-1 — all numpy, no per-shingle Python). Permutations
     h_i(x) = (a_i * x + b_i) mod (2^61 - 1) with a_i < 2^30 so a_i * x
-    fits uint64. Min over the shingle MULTISET equals min over the set,
-    so no dedup pass is needed. Built once per actor."""
+    fits uint64; the mod uses the Mersenne shift-add fold (bit-identical
+    to %). Min over the shingle MULTISET equals min over the set, so
+    shingle hashes are deduped BEFORE the 128-perm pass (a cheap sort
+    saves permuting repeats). Built once per actor."""
 
     def __init__(self, shingle_k: int = 5, num_perm: int = 64, seed: int = 1729):
         self.k = shingle_k
@@ -200,6 +202,20 @@ class MinHasher:
             h = (h * _POLY_P + codes[j : j + m]) % m31
         return h
 
+    def _perm_min(self, hs: np.ndarray, starts: np.ndarray) -> np.ndarray:
+        """(num_perm x n_segments) minima of the permuted hashes, one
+        segment per doc. (a*x + b) mod (2^61 - 1) via the Mersenne
+        shift-add fold — bit-identical to ``%`` (a < 2^30 and x < 2^31
+        keep a*x + b < 2^62) at a fraction of uint64 modulo's cost."""
+        m = np.uint64(_MERSENNE)
+        z = np.multiply(self.a[:, None], hs[None, :])
+        z += self.b[:, None]
+        t = z >> np.uint64(61)
+        z &= m
+        z += t
+        np.subtract(z, m, out=z, where=z >= m)  # in-place: bus-bound box
+        return np.minimum.reduceat(z, starts, axis=1)
+
     def signature(self, text: Optional[str]) -> Optional[np.ndarray]:
         """uint32 signature (uint64 minima truncated: equality semantics
         preserved up to a 2^-32 collision chance, which the exact-verify
@@ -207,14 +223,57 @@ class MinHasher:
         hs = self.shingle_hashes(text)
         if hs is None or hs.size == 0:
             return None
-        mers = np.uint64(_MERSENNE)
+        # min over the multiset == min over the set: dedupe first so the
+        # 128-perm arithmetic runs once per DISTINCT shingle (sorting
+        # small ints is far cheaper than permuting repeats)
+        hs = np.unique(hs)
         sig = np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
         # chunk so the (num_perm x chunk) matrix stays small for huge docs
         for s in range(0, hs.size, 16384):
-            chunk = hs[s : s + 16384]
-            perm = (self.a[:, None] * chunk[None, :] + self.b[:, None]) % mers
-            np.minimum(sig, perm.min(axis=1), out=sig)
+            part = self._perm_min(hs[s : s + 16384], np.array([0]))
+            np.minimum(sig, part[:, 0], out=sig)
         return sig.astype(np.uint32)
+
+    def signatures_batch(self, texts: list) -> list:
+        """Signatures for a whole batch in few big SIMD passes: per-doc
+        shingle hashes are concatenated and permuted TOGETHER, with
+        ``np.minimum.reduceat`` folding per-doc segment minima — one
+        (num_perm x ~16k) kernel per chunk of docs instead of one numpy
+        call chain per doc. Returns a list aligned with ``texts``
+        (None for empty/None docs); identical values to signature()."""
+        per_doc = [
+            np.unique(h) if h is not None and h.size else h
+            for h in (self.shingle_hashes(t) for t in texts)
+        ]
+        out: list = [None] * len(texts)
+        # greedy-pack docs into ~16k-hash chunks (doc boundaries kept)
+        idxs: list[int] = []
+        lens: list[int] = []
+        budget = 0
+        def flush():
+            nonlocal idxs, lens, budget
+            if not idxs:
+                return
+            hs = np.concatenate([per_doc[i] for i in idxs])
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.int64)
+            mins = self._perm_min(hs, starts)
+            for c, i in enumerate(idxs):
+                out[i] = mins[:, c].astype(np.uint32)
+            idxs, lens, budget = [], [], 0
+        for i, hs in enumerate(per_doc):
+            if hs is None or hs.size == 0:
+                continue
+            # huge docs fall back to the chunked single-doc path
+            if hs.size > 16384:
+                out[i] = self.signature(texts[i])
+                continue
+            idxs.append(i)
+            lens.append(hs.size)
+            budget += hs.size
+            if budget >= 16384:
+                flush()
+        flush()
+        return out
 
     def band_buckets(self, sig32: np.ndarray, bands: int) -> list[str]:
         """Band keys: band index + sha256 of that band's uint32 slice
@@ -239,9 +298,9 @@ class MinHashBandStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
+        sigs = self.mh.signatures_batch(batch[self.text_col].to_pylist())
         out_bk, out_id = [], []
-        for i, t in zip(ids, batch[self.text_col].to_pylist()):
-            sig = self.mh.signature(t)
+        for i, sig in zip(ids, sigs):
             if sig is None:
                 continue
             for bk in self.mh.band_buckets(sig, self.bands):
@@ -328,9 +387,9 @@ class _DupTextEmit:
         keys = _cached_keyset(self.keys_ref)
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
+        sigs = self.mh.signatures_batch(texts)
         out_part, out_buckets, out_ids, out_sigs, out_texts = [], [], [], [], []
-        for i, t in zip(ids, texts):
-            sig = self.mh.signature(t)
+        for i, t, sig in zip(ids, texts, sigs):
             if sig is None:
                 continue
             per_part: dict[int, list[str]] = {}
