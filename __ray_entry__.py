@@ -326,6 +326,25 @@ def q_sum_distinct_by_status(sf_dir: str) -> pa.Table:
     )
 
 
+def q_median_price_by_status(sf_dir: str) -> pa.Table:
+    """Exact distributed median: per-batch value-count partials, a
+    (group, value) count shuffle bounded by value cardinality, weighted
+    median inside map_groups workers (DuckDB quantile_cont(0.5)
+    interpolation)."""
+    chk = _make_check(
+        sf_dir, name="medg", type="numeric", dataset="orders",
+        measure="median(o_totalprice)", dimensions=["o_orderstatus"],
+        condition="gt", threshold=0,
+    )
+    rows = chk.compute("orders")
+    return pa.table(
+        {
+            "o_orderstatus": pa.array([r[0] for r in rows], type=pa.string()),
+            "median_price": pa.array([float(r[1]) for r in rows], type=pa.float64()),
+        }
+    )
+
+
 def q_embedding_neardup(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -721,6 +740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_full_rows": q_dedup_exact_full_rows,
         "count_distinct_by_status": q_count_distinct_by_status,
         "sum_distinct_by_status": q_sum_distinct_by_status,
+        "median_price_by_status": q_median_price_by_status,
         "embedding_neardup": q_embedding_neardup,
         "token_stats_by_source": q_token_stats_by_source,
         "quality_scores_documents": q_quality_scores,
@@ -813,6 +833,11 @@ def oracle_sql() -> dict[str, str]:
         "sum_distinct_by_status": (
             "SELECT o_orderstatus,"
             " CAST(SUM(DISTINCT o_custkey) AS DOUBLE) AS sum_cust FROM orders"
+            " GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        ),
+        "median_price_by_status": (
+            "SELECT o_orderstatus,"
+            " CAST(median(o_totalprice) AS DOUBLE) AS median_price FROM orders"
             " GROUP BY o_orderstatus ORDER BY o_orderstatus"
         ),
         "embedding_neardup": (

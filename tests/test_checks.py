@@ -295,6 +295,88 @@ class TestMomentAggregates:
         assert [float(v) for _k, v in want] == pytest.approx(
             [float(x["actual_value"]) for x in r], rel=1e-9)
 
+    def test_median_scalar(self, catalog, tmp_store):
+        want = duck("SELECT median(o_totalprice) FROM orders")[0][0]
+        r = run_check(catalog, tmp_store, name="med", type="numeric", dataset="orders",
+                      measure="median(o_totalprice)", condition="gt", threshold=0)
+        assert float(r[0]["actual_value"]) == pytest.approx(float(want), rel=1e-12)
+
+    def test_median_grouped_and_filtered(self, catalog, tmp_store):
+        want = duck(
+            "SELECT o_orderstatus, median(o_totalprice) FROM orders"
+            " WHERE o_totalprice > 100000 GROUP BY 1 ORDER BY 1"
+        )
+        r = run_check(catalog, tmp_store, name="medg", type="numeric", dataset="orders",
+                      measure="median(o_totalprice)", dimensions=["o_orderstatus"],
+                      filter="o_totalprice > 100000", condition="gt", threshold=0)
+        assert [float(v) for _k, v in want] == pytest.approx(
+            [float(x["actual_value"]) for x in r], rel=1e-12)
+
+    def test_median_distinct_grouped(self, catalog, tmp_store):
+        want = duck(
+            "SELECT o_orderstatus, median(DISTINCT o_custkey) FROM orders"
+            " GROUP BY 1 ORDER BY 1"
+        )
+        r = run_check(catalog, tmp_store, name="medd", type="numeric", dataset="orders",
+                      measure="median(distinct o_custkey)", dimensions=["o_orderstatus"],
+                      condition="gt", threshold=0)
+        assert [float(v) for _k, v in want] == pytest.approx(
+            [float(x["actual_value"]) for x in r], rel=1e-12)
+
+    def test_median_even_and_odd_counts(self, tmp_path, tmp_store):
+        # interpolation: even count averages the two middles (DuckDB
+        # quantile_cont(0.5)); odd count is the exact middle element
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table({"g": ["a"] * 4 + ["b"] * 3,
+                        "v": pa.array([1, 3, 5, 100, 2, 9, 4], pa.int64())})
+        pq.write_table(tbl, str(tmp_path / "t.parquet"))
+        cat = ParquetCatalog(root=str(tmp_path))
+        r = run_check(cat, tmp_store, name="m", type="numeric", dataset="t",
+                      measure="median(v)", dimensions=["g"],
+                      condition="gt", threshold=0)
+        got = {x["name"].split("_")[-1]: float(x["actual_value"]) for x in r}
+        assert got == {"a": 4.0, "b": 4.0}
+
+    def test_distinct_dedup_across_blocks(self, tmp_path, tmp_store):
+        # values repeat ACROSS parquet row groups (=> across Ray blocks/
+        # batches): the two-level distinct plan must collapse
+        # cross-batch repeats, not just batch-local ones
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        n = 5000  # > default batch size so the partial batcher sees
+        # several batches, each containing every distinct value
+        vals = [(i * 7) % 13 for i in range(n)]  # 13 distinct, everywhere
+        grps = ["g%d" % (i % 3) for i in range(n)]
+        tbl = pa.table({"grp": pa.array(grps), "v": pa.array(vals, pa.int64())})
+        pq.write_table(tbl, str(tmp_path / "t.parquet"), row_group_size=256)
+        cat = ParquetCatalog(root=str(tmp_path))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW t AS SELECT * FROM '{tmp_path}/t.parquet'")
+        for measure, sql in [
+            ("count(distinct v)", "SELECT grp, count(DISTINCT v) FROM t GROUP BY 1 ORDER BY 1"),
+            ("sum(distinct v)", "SELECT grp, sum(DISTINCT v) FROM t GROUP BY 1 ORDER BY 1"),
+            ("avg(distinct v)", "SELECT grp, avg(DISTINCT v) FROM t GROUP BY 1 ORDER BY 1"),
+            ("stddev(distinct v)", "SELECT grp, stddev(DISTINCT v) FROM t GROUP BY 1 ORDER BY 1"),
+        ]:
+            want = con.execute(sql).fetchall()
+            r = run_check(cat, tmp_store, name="x", type="numeric", dataset="t",
+                          measure=measure, dimensions=["grp"],
+                          condition="ge", threshold=0)
+            assert [float(v) for _g, v in want] == pytest.approx(
+                [float(x["actual_value"]) for x in r], rel=1e-9), measure
+        # scalar path: per-batch sets unioned at the driver
+        for measure, sql in [
+            ("sum(distinct v)", "SELECT sum(DISTINCT v) FROM t"),
+            ("stddev(distinct v)", "SELECT stddev(DISTINCT v) FROM t"),
+        ]:
+            want = con.execute(sql).fetchall()[0][0]
+            r = run_check(cat, tmp_store, name="y", type="numeric", dataset="t",
+                          measure=measure, condition="ge", threshold=0)
+            assert float(r[0]["actual_value"]) == pytest.approx(float(want), rel=1e-9), measure
+
     def test_min_distinct_is_plain_min(self, catalog, tmp_store):
         want = duck(
             "SELECT o_orderstatus, min(o_totalprice) FROM orders GROUP BY 1 ORDER BY 1"

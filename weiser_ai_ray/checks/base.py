@@ -234,11 +234,15 @@ class BaseCheck:
             ds = self.catalog.dataset(dataset, columns=sorted(needed) or None)
 
         if group_keys:
-            # min/max(DISTINCT x) == min/max(x): demote to the plain path
-            distinct_specs = [
-                s for s in specs if s.distinct and s.fname not in ("min", "max")
+            # min/max(DISTINCT x) == min/max(x): demote to the plain path;
+            # median (distinct or not) runs its own value-count plan
+            special_specs = [
+                s
+                for s in specs
+                if s.fname == "median"
+                or (s.distinct and s.fname not in ("min", "max"))
             ]
-            plain_specs = [s for s in specs if s not in distinct_specs]
+            plain_specs = [s for s in specs if s not in special_specs]
             frames = []
             if plain_specs:
                 make_partials = _PartialBatcher(
@@ -249,10 +253,15 @@ class BaseCheck:
                 )
                 combined = partials.groupby(group_keys).aggregate(*_ray_aggs(plain_specs))
                 frames.append(combined.to_pandas())
-            for s in distinct_specs:
-                frames.append(
-                    self._grouped_distinct(ds, s, filter_ast, td, td_alias, group_keys)
-                )
+            for s in special_specs:
+                if s.fname == "median":
+                    frames.append(
+                        self._grouped_median(ds, s, filter_ast, td, td_alias, group_keys)
+                    )
+                else:
+                    frames.append(
+                        self._grouped_distinct(ds, s, filter_ast, td, td_alias, group_keys)
+                    )
             import functools
 
             import pandas as pd
@@ -260,7 +269,7 @@ class BaseCheck:
             out = functools.reduce(
                 lambda a, b: pd.merge(a, b, on=group_keys, how="outer"), frames
             )
-            for s in distinct_specs:
+            for s in special_specs:
                 # groups whose values are all NULL have no distinct
                 # pairs: count 0; sum/avg NULL (cnt==0 finalizes NaN);
                 # moment partials need a neutral (0, 0, 0) accumulator
@@ -327,6 +336,47 @@ class BaseCheck:
         partials = uniq.map_batches(batcher, batch_format="pyarrow", zero_copy_batch=True)
         return partials.groupby(group_keys).aggregate(*_ray_aggs([plain])).to_pandas()
 
+    def _grouped_median(self, ds, spec, filter_ast, td, td_alias, group_keys):
+        """median(expr) per group, exact, DuckDB quantile_cont(0.5)
+        semantics (interpolated middle). Per-batch (group, value, count)
+        partials (an Arrow group_by — repeats collapse before the
+        shuffle), a global groupby summing counts per (group, value),
+        then the weighted median inside map_groups workers over the
+        value-count table. Shuffle and worker memory are bounded by
+        VALUE CARDINALITY per group, never row count. median(DISTINCT)
+        sets every weight to 1. Returns a pandas frame
+        (group_keys..., {key}__median)."""
+        from ray.data.aggregate import Sum
+
+        val_col = f"{spec.key}__val"
+        cnt_col = f"{spec.key}__vc"
+        med_col = f"{spec.key}__median"
+        emitter = _ValueCountBatcher(spec, filter_ast, td, td_alias, group_keys, val_col, cnt_col)
+        pairs = ds.map_batches(emitter, batch_format="pyarrow", zero_copy_batch=True)
+        merged = pairs.groupby(group_keys + [val_col]).aggregate(
+            Sum(cnt_col, alias_name=cnt_col)
+        )
+        distinct = spec.distinct
+
+        def med_group(g: pa.Table) -> pa.Table:
+            vals = np.asarray(g[val_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+            cnts = (
+                np.ones(len(vals), dtype=np.int64)
+                if distinct
+                else np.asarray(g[cnt_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+            )
+            order = np.argsort(vals, kind="stable")
+            m = _weighted_median(vals[order], cnts[order])
+            out = {k: g[k].slice(0, 1) for k in group_keys}
+            out[med_col] = pa.array([m], pa.float64())
+            return pa.table(out)
+
+        return (
+            merged.groupby(group_keys)
+            .map_groups(med_group, batch_format="pyarrow")
+            .to_pandas()
+        )
+
 
 def _ray_aggs(specs) -> list:
     """Ray-native combine aggregates for the per-batch partial columns."""
@@ -373,6 +423,56 @@ class _DistinctPairBatcher:
         work = pa.table({**{k: batch[k] for k in self.group_keys}, self.val_col: v})
         work = work.filter(pc.is_valid(work[self.val_col]))
         return work.group_by(self.group_keys + [self.val_col]).aggregate([])
+
+
+class _ValueCountBatcher:
+    """Per-batch (group, value, count) partials for exact median: the
+    batch-local Arrow group_by collapses repeats so the shuffle carries
+    value-cardinality rows, each with its multiplicity."""
+
+    def __init__(self, spec, filter_ast, td, td_alias, group_keys, val_col, cnt_col):
+        self.spec = spec
+        self.filter_ast = filter_ast
+        self.td = td
+        self.td_alias = td_alias
+        self.group_keys = group_keys
+        self.cols = (val_col, cnt_col)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        val_col, cnt_col = self.cols
+        batch = _prepare_batch(batch, self.filter_ast, self.td, self.td_alias)
+        v = eval_scalar(self.spec.arg_ast, batch)
+        if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+            v = pa.array([v] * batch.num_rows)
+        work = pa.table(
+            {
+                **{k: batch[k] for k in self.group_keys},
+                val_col: v,
+                "__one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        work = work.filter(pc.is_valid(work[val_col]))
+        g = work.group_by(self.group_keys + [val_col]).aggregate([("__one", "sum")])
+        idx = g.column_names.index("__one_sum")
+        return g.rename_columns(
+            [cnt_col if i == idx else n for i, n in enumerate(g.column_names)]
+        )
+
+
+def _weighted_median(vals_sorted: np.ndarray, cnts: np.ndarray):
+    """Interpolated median of the expanded multiset (DuckDB
+    quantile_cont(0.5)): average of the two middle elements for even
+    total count, the exact middle for odd."""
+    if len(vals_sorted) == 0:
+        return None
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    if n == 0:
+        return None
+    k1, k2 = (n - 1) // 2, n // 2
+    v1 = vals_sorted[np.searchsorted(cum, k1 + 1)]
+    v2 = vals_sorted[np.searchsorted(cum, k2 + 1)]
+    return (float(v1) + float(v2)) / 2.0
 
 
 def _prepare_batch(batch: pa.Table, filter_ast, td, td_alias) -> pa.Table:
@@ -497,6 +597,12 @@ class _PartialBatcher:
                 # union set is driver-held, documented at the finalizer
                 uniq = pc.unique(pc.drop_null(arg_cols[s.key]))
                 row[f"{s.key}__set"] = [uniq.to_pylist()]
+            elif s.fname == "median":
+                # per-batch value counts; the driver merges counters
+                # (value-cardinality bound, same contract as DISTINCT)
+                vc = pc.value_counts(pc.drop_null(arg_cols[s.key]))
+                row[f"{s.key}__vals"] = [vc.field("values").to_pylist()]
+                row[f"{s.key}__cnts"] = [vc.field("counts").to_pylist()]
             elif s.fname in ("sum", "avg"):
                 arr = arg_cols[s.key]
                 cnt = len(arr) - arr.null_count
@@ -615,7 +721,23 @@ def _finalize_spec_scalar(spec: AggSpec, parts: list[dict]) -> Any:
             n = len(vals)
             m2 = float(((vals - vals.mean()) ** 2).sum())
             return _moment_value(spec.fname, n, float(vals.mean()), m2)
+        if spec.fname == "median":
+            return _weighted_median(vals, np.ones(len(vals), dtype=np.int64))
         raise NotImplementedError(f"{spec.fname} DISTINCT")
+    if spec.fname == "median":
+        from collections import Counter
+
+        ctr: Counter = Counter()
+        for p in parts:
+            for v, c in zip(
+                p.get(f"{spec.key}__vals") or [], p.get(f"{spec.key}__cnts") or []
+            ):
+                ctr[v] += c
+        if not ctr:
+            return None
+        vals = np.array(sorted(ctr), dtype=np.float64)
+        cnts = np.array([ctr[v] for v in sorted(ctr)], dtype=np.int64)
+        return _weighted_median(vals, cnts)
     if spec.fname == "count":
         return float(sum(p.get(f"{spec.key}__cnt", 0) for p in parts))
     cnt = sum(p.get(f"{spec.key}__cnt", 0) for p in parts)
@@ -647,6 +769,8 @@ def _finalize_spec_scalar(spec: AggSpec, parts: list[dict]) -> Any:
 
 def _finalize_spec_vec(spec: AggSpec, df) -> np.ndarray:
     """Combine grouped partials (pandas frame from the small groupby)."""
+    if spec.fname == "median":
+        return df[f"{spec.key}__median"].to_numpy(dtype="float64")
     if spec.fname == "count":
         return df[f"{spec.key}__cnt"].to_numpy(dtype="float64")
     if spec.fname in _MOMENT_AGGS:

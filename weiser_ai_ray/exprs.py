@@ -103,6 +103,9 @@ _AGG_FUNCS = {
     # moment aggregates (DuckDB names: stddev == stddev_samp,
     # variance == var_samp); partials are (sum, sumsq, cnt)
     "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop",
+    # exact distributed median (continuous/interpolated, DuckDB
+    # semantics): value-count pair shuffle + weighted-median finalize
+    "median",
 }
 
 
