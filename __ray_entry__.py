@@ -457,6 +457,19 @@ def q_simhash_dedup_documents(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(survivors, type=pa.int64())})
 
 
+def q_minhash_dedup_full_rows(sf_dir: str) -> pa.Table:
+    """Scale-path variant: Dataset-in/Dataset-out, the driver never
+    holds the corpus id list (loser-set anti-filter only)."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.dedup import minhash_lsh_dedup
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    rows = minhash_lsh_dedup(ds, "text", "doc_id")
+    df = rows.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df[["doc_id", "source", "lang"]], preserve_index=False)
+
+
 # ---- corpus quality pipeline (flagship; rows-only checks) ----
 
 
@@ -750,6 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": q_ivf_topk,
         "langid_documents": q_langid_documents,
         "minhash_dedup_documents": q_minhash_dedup_documents,
+        "minhash_dedup_full_rows": q_minhash_dedup_full_rows,
         "simhash_dedup_documents": q_simhash_dedup_documents,
         "quality_pipeline_kept": q_quality_pipeline_kept,
         "quality_pipeline_metrics": q_quality_pipeline_metrics,

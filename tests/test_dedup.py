@@ -11,8 +11,10 @@ from weiser_ai_ray.pipelines.dedup import (
     embedding_neardup_pairs,
     exact_dedup,
     exact_dedup_ids,
+    minhash_lsh_dedup,
     minhash_lsh_dedup_ids,
     ngram_jaccard_pairs,
+    simhash_dedup,
     simhash_dedup_ids,
 )
 
@@ -102,6 +104,16 @@ class TestMinHashLsh:
         assert survivors == [1, 2, 3]
         assert pairs == []
 
+    def test_dataset_variant_matches_ids(self):
+        """The scale path (loser anti-filter, no corpus id collection)
+        keeps exactly the ids the driver-side union-find keeps."""
+        ds = near_dup_dataset()
+        survivors, _ = minhash_lsh_dedup_ids(ds, "text", "doc_id", jaccard_threshold=0.7)
+        rows = minhash_lsh_dedup(ds, "text", "doc_id", jaccard_threshold=0.7)
+        assert sorted(r["doc_id"] for r in rows.take_all()) == survivors
+        # full rows, original schema preserved
+        assert set(rows.schema().names) == {"doc_id", "text"}
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestSimHash:
@@ -111,6 +123,12 @@ class TestSimHash:
         assert 1 not in survivors
         for i in range(5, 12):
             assert i in survivors
+
+    def test_dataset_variant_matches_ids(self):
+        ds = near_dup_dataset()
+        survivors, _ = simhash_dedup_ids(ds, "text", "doc_id")
+        rows = simhash_dedup(ds, "text", "doc_id")
+        assert sorted(r["doc_id"] for r in rows.take_all()) == survivors
 
 
 @pytest.mark.usefixtures("ray_session")

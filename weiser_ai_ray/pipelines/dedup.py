@@ -84,9 +84,11 @@ def _cached_keyset(ref) -> set:
     return cached
 
 
-def _union_find_survivors(all_ids: list, edges) -> list:
-    """Min-id-per-cluster union-find over verified duplicate edges.
-    Driver-side by design: edges ≪ corpus (only verified duplicates)."""
+def _union_find_losers(edges) -> set:
+    """Ids ELIMINATED by min-id-per-cluster union-find over verified
+    duplicate edges: every component member except its minimum. Only
+    ids that appear in an edge can lose, so this is O(edges) driver
+    state — never O(corpus)."""
     parent: dict = {}
 
     def find(x):
@@ -95,12 +97,36 @@ def _union_find_survivors(all_ids: list, edges) -> list:
             x = parent[x]
         return x
 
+    nodes: set = set()
     for a, b in edges:
+        nodes.add(a)
+        nodes.add(b)
         ra, rb = find(a), find(b)
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    return [i for i in all_ids if find(i) == i]
+    return {x for x in nodes if find(x) != x}
+
+
+def _union_find_survivors(all_ids: list, edges) -> list:
+    """Min-id-per-cluster union-find over verified duplicate edges.
+    Driver-side by design: edges ≪ corpus (only verified duplicates)."""
+    losers = _union_find_losers(edges)
+    return [i for i in all_ids if i not in losers]
+
+
+def _drop_ids(ds: "ray.data.Dataset", id_col: str, losers: set) -> "ray.data.Dataset":
+    """Anti-filter a dataset by a (small) eliminated-id set: the ids are
+    broadcast ONCE as an Arrow array in the object store; each batch
+    filter fetches it zero-copy from the local store."""
+    if not losers:
+        return ds
+    losers_ref = ray.put(pa.array(sorted(losers)))
+
+    def drop(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(pc.is_in(b[id_col], value_set=ray.get(losers_ref))))
+
+    return ds.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def add_content_hash(batch: pa.Table, text_col: str, out_col: str = "content_hash") -> pa.Table:
@@ -516,9 +542,50 @@ def minhash_lsh_dedup_ids(
 
     Driver-held state and its scale contract: dup-bucket KEYS
     (O(duplicate clusters)), verified edges (O(true duplicates)), and
-    the returned id list itself. Texts and signatures are never
-    collected on the driver; dup texts shuffle worker-to-worker at most
-    min(bands, nparts) times each."""
+    the returned id list itself — use ``minhash_lsh_dedup`` (Dataset in,
+    Dataset out) when the corpus id list exceeds driver memory. Texts
+    and signatures are never collected on the driver; dup texts shuffle
+    worker-to-worker at most min(bands, nparts) times each."""
+    verified = _minhash_verified_edges(
+        ds, text_col, id_col, shingle_k, num_perm, bands, jaccard_threshold, prefilter_sigmas
+    )
+    all_ids = sorted(r[id_col] for r in ds.select_columns([id_col]).take_all())
+    return _union_find_survivors(all_ids, verified), verified
+
+
+def minhash_lsh_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+    num_perm: int = 128,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    prefilter_sigmas: float = 3.0,
+) -> "ray.data.Dataset":
+    """Full surviving ROWS as a Dataset — the 100-TB path. Same plan as
+    ``minhash_lsh_dedup_ids`` but the driver never sees the corpus id
+    list: union-find over the verified edges yields the LOSER set
+    (O(true duplicates)), which is broadcast once and anti-filtered in
+    a streaming map_batches pass. Driver state is edges + losers only."""
+    verified = _minhash_verified_edges(
+        ds, text_col, id_col, shingle_k, num_perm, bands, jaccard_threshold, prefilter_sigmas
+    )
+    return _drop_ids(ds, id_col, _union_find_losers(verified))
+
+
+def _minhash_verified_edges(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    num_perm: int,
+    bands: int,
+    jaccard_threshold: float,
+    prefilter_sigmas: float,
+) -> list[tuple]:
+    """Sorted verified duplicate edge pairs (id_a < id_b); see
+    minhash_lsh_dedup_ids for the streaming two-pass plan."""
     # plain TASK stages (instances, not actor classes): the MinHasher
     # is ~2 KB of numpy constants, so per-task pickling is free and the
     # stage parallelizes to every input block/CPU with no pool sizing
@@ -528,10 +595,8 @@ def minhash_lsh_dedup_ids(
         zero_copy_batch=True,
     )
     dup_keys = _dup_bucket_keys(band_rows)
-
-    all_ids = sorted(r[id_col] for r in ds.select_columns([id_col]).take_all())
     if dup_keys is None:
-        return all_ids, []
+        return []
 
     nparts = _verify_partitions()
     keys_ref = ray.put(dup_keys)
@@ -555,9 +620,7 @@ def minhash_lsh_dedup_ids(
     # verified edges only — tiny by contract; dedupe pairs seen in
     # multiple buckets/partitions
     edge_rows = edges_ds.take_all()
-    verified = sorted({(int(r["id_a"]), int(r["id_b"])) for r in edge_rows})
-    survivors = _union_find_survivors(all_ids, verified)
-    return survivors, verified
+    return sorted({(int(r["id_a"]), int(r["id_b"])) for r in edge_rows})
 
 
 # ----------------------------------------------------------------------
@@ -665,7 +728,31 @@ def simhash_dedup_ids(
     a count aggregate, then DISTRIBUTED per-bucket hamming verify in
     map_groups workers — only verified edges reach the driver for
     union-find. The whole payload is fixed-width (bucket key, id,
-    8-byte hash); texts never leave the signature stage."""
+    8-byte hash); texts never leave the signature stage. The returned
+    id list is driver-held — use ``simhash_dedup`` (Dataset out) when
+    the corpus id list exceeds driver memory."""
+    pairs = _simhash_verified_edges(ds, text_col, id_col, max_hamming)
+    all_ids = sorted(r[id_col] for r in ds.select_columns([id_col]).take_all())
+    return _union_find_survivors(all_ids, pairs), pairs
+
+
+def simhash_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> "ray.data.Dataset":
+    """Full surviving ROWS as a Dataset — the 100-TB path: verified
+    hamming edges -> driver union-find LOSER set (O(true duplicates))
+    -> broadcast anti-filter; the corpus id list never reaches the
+    driver."""
+    pairs = _simhash_verified_edges(ds, text_col, id_col, max_hamming)
+    return _drop_ids(ds, id_col, _union_find_losers(pairs))
+
+
+def _simhash_verified_edges(
+    ds: "ray.data.Dataset", text_col: str, id_col: str, max_hamming: int
+) -> list[tuple]:
     sims = ds.map_batches(
         SimHashStage(text_col, id_col),
         batch_format="pyarrow",
@@ -695,9 +782,8 @@ def simhash_dedup_ids(
 
     banded = sims.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
     dup_keys = _dup_bucket_keys(banded.select_columns(["bucket", id_col]))
-    all_ids = sorted(r[id_col] for r in ds.select_columns([id_col]).take_all())
     if dup_keys is None:
-        return all_ids, []
+        return []
     keys_ref = ray.put(dup_keys)
 
     class _PickDup:
@@ -724,8 +810,7 @@ def simhash_dedup_ids(
 
     edges_ds = dup_rows.groupby("part").map_groups(verify_hamming_group, batch_format="pyarrow")
     edge_rows = edges_ds.take_all()
-    pairs = sorted({(int(r["id_a"]), int(r["id_b"])) for r in edge_rows})
-    return _union_find_survivors(all_ids, pairs), pairs
+    return sorted({(int(r["id_a"]), int(r["id_b"])) for r in edge_rows})
 
 
 # ----------------------------------------------------------------------
