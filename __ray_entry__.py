@@ -26,6 +26,16 @@ import pyarrow as pa
 _ENTRY_TMP = "/tmp/weiser_ray_entry"
 
 
+def __rps(path: str, columns=None, cache: bool = False):
+    """read_parquet with guaranteed downstream parallelism (single-row-
+    group test files otherwise arrive as ONE block and serialize every
+    map stage); no-op split at real scale — see sources.read_parquet_split.
+    cache=True for queries that consume the input more than once."""
+    from weiser_ai_ray.sources import read_parquet_split
+
+    return read_parquet_split(path, columns=columns, cache=cache)
+
+
 # ----------------------------------------------------------------------
 # helpers
 
@@ -271,7 +281,7 @@ def q_dedup_exact_documents(sf_dir: str) -> pa.Table:
 
     from weiser_ai_ray.pipelines.dedup import exact_dedup_ids
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"))
     ids = sorted(r["doc_id"] for r in exact_dedup_ids(ds, "text", "doc_id").take_all())
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
@@ -284,7 +294,7 @@ def q_dedup_exact_full_rows(sf_dir: str) -> pa.Table:
 
     from weiser_ai_ray.pipelines.dedup import exact_dedup
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), cache=True)
     df = exact_dedup(ds, "text", "doc_id").to_pandas().sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(
         df[["doc_id", "text", "lang", "source", "n_chars"]], preserve_index=False
@@ -350,7 +360,7 @@ def q_embedding_neardup(sf_dir: str) -> pa.Table:
 
     from weiser_ai_ray.pipelines.dedup import embedding_neardup_pairs
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = __rps(os.path.join(sf_dir, "embeddings.parquet"))
     out = embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.35).to_pandas()
     out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -361,7 +371,7 @@ def q_token_stats_by_source(sf_dir: str) -> pa.Table:
 
     from weiser_ai_ray.pipelines.textstats import token_count_stats
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"))
     df = token_count_stats(ds, "source").to_pandas().sort_values("source").reset_index(drop=True)
     df["n_docs"] = df["n_docs"].astype("int64")
     df["total_tokens"] = df["total_tokens"].astype("int64")
@@ -374,7 +384,7 @@ def q_quality_scores(sf_dir: str) -> pa.Table:
 
     from weiser_ai_ray.pipelines.textstats import quality_scores
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"))
     df = quality_scores(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
     df = df[["doc_id", "n_chars_text", "n_tokens", "punct_ratio"]]
     df["punct_ratio"] = df["punct_ratio"].round(8)
@@ -386,7 +396,7 @@ def q_fingerprint_md5(sf_dir: str) -> pa.Table:
 
     from weiser_ai_ray.pipelines.textstats import fingerprints
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"))
     df = fingerprints(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(df[["doc_id", "md5"]], preserve_index=False)
 
@@ -396,7 +406,7 @@ def q_ann_topk(sf_dir: str) -> pa.Table:
 
     from weiser_ai_ray.pipelines.similarity import ann_topk
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = __rps(os.path.join(sf_dir, "embeddings.parquet"), cache=True)
     out = ann_topk(ds, [0, 7, 42, 99], k=5).to_pandas()
     return pa.Table.from_pandas(out[["query_id", "neighbor_id"]], preserve_index=False)
 
@@ -406,7 +416,7 @@ def q_lsh_topk(sf_dir: str) -> pa.Table:
 
     from weiser_ai_ray.pipelines.similarity import lsh_topk
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = __rps(os.path.join(sf_dir, "embeddings.parquet"), cache=True)
     out = lsh_topk(ds, [0, 7, 42, 99], k=5, bits=3, probes=2).to_pandas()
     return pa.Table.from_pandas(out[["query_id", "neighbor_id"]], preserve_index=False)
 
@@ -420,7 +430,7 @@ def q_ivf_topk(sf_dir: str) -> pa.Table:
 
     from weiser_ai_ray.pipelines.similarity import ivf_topk
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = __rps(os.path.join(sf_dir, "embeddings.parquet"), cache=True)
     out = ivf_topk(ds, [0, 7, 42, 99], k=5, ncells=8, nprobe=8).to_pandas()
     return pa.Table.from_pandas(
         out[["query_id", "neighbor_id"]], preserve_index=False
@@ -432,7 +442,7 @@ def q_langid_documents(sf_dir: str) -> pa.Table:
 
     from weiser_ai_ray.pipelines.textstats import detect_languages
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"))
     df = detect_languages(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(df[["doc_id", "detected_lang"]], preserve_index=False)
 
@@ -442,7 +452,7 @@ def q_minhash_dedup_documents(sf_dir: str) -> pa.Table:
 
     from weiser_ai_ray.pipelines.dedup import minhash_lsh_dedup_ids
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), cache=True)
     survivors, _pairs = minhash_lsh_dedup_ids(ds, "text", "doc_id")
     return pa.table({"doc_id": pa.array(survivors, type=pa.int64())})
 
@@ -452,7 +462,7 @@ def q_simhash_dedup_documents(sf_dir: str) -> pa.Table:
 
     from weiser_ai_ray.pipelines.dedup import simhash_dedup_ids
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), cache=True)
     survivors, _pairs = simhash_dedup_ids(ds, "text", "doc_id")
     return pa.table({"doc_id": pa.array(survivors, type=pa.int64())})
 
@@ -464,7 +474,7 @@ def q_minhash_dedup_full_rows(sf_dir: str) -> pa.Table:
 
     from weiser_ai_ray.pipelines.dedup import minhash_lsh_dedup
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), cache=True)
     rows = minhash_lsh_dedup(ds, "text", "doc_id")
     df = rows.to_pandas().sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(df[["doc_id", "source", "lang"]], preserve_index=False)
@@ -630,7 +640,7 @@ def q_ngram_jaccard_documents(sf_dir: str) -> pa.Table:
 
     from weiser_ai_ray.pipelines.dedup import ngram_jaccard_pairs
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"))
 
     def add_bucket(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

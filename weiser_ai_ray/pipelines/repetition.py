@@ -1,0 +1,237 @@
+"""Repetition / boilerplate analytics and windowed sessionization.
+
+Not in the reference (SURVEY.md §2.8) — first-class training-data
+operators in the style of Gopher/MassiveText quality filtering
+(Rae et al. 2021, arXiv:2112.11446 §A1.1) and RefinedWeb boilerplate
+detection:
+
+  repetition_scores  per-document duplicate-n-gram and top-word
+                     fractions — fully vectorized (one np.unique pass
+                     over (row, word-code) keys per batch, no per-row
+                     Python), no shuffle
+  top_ngrams         corpus-wide exact top-k word n-grams: per-batch
+                     pre-aggregated (gram, count) partials -> groupby
+                     sum -> sort desc -> limit k; the shuffle carries
+                     counted digests, never raw text
+  sessionize         gap-based sessions over an events stream:
+                     hash-partition by user bucket, vectorized
+                     per-partition break/cumsum — the windowed
+                     aggregate the Dataset API lacks natively
+
+Scale notes: repetition_scores is embarrassingly parallel;
+top_ngrams' groupby cardinality is the distinct-gram count (pre-
+aggregation shrinks each block to its distinct grams first);
+sessionize shuffles each event row exactly once, keyed on a coarse
+user-hash bucket so group count stays ~cluster-sized instead of
+one group per user (millions of tiny groups is a Ray 2.49 sort-
+aggregate pathology).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+_WS = r"\s+"
+
+
+def _word_rows(batch_text: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray, int, np.ndarray]:
+    """(row_ids, word_codes, n_codes, flat_words) for a batch: words are
+    whitespace-split (empties dropped — python str.split semantics),
+    integer-coded via one np.unique over the flattened batch."""
+    text = pc.coalesce(batch_text, pa.scalar("", type=pa.string()))
+    words = pc.split_pattern_regex(text, _WS)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = np.asarray(words.flatten().to_pylist(), dtype=object)
+    counts = np.asarray(pc.list_value_length(words).to_numpy(zero_copy_only=False), dtype=np.int64)
+    row_ids = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    keep = flat != ""
+    flat, row_ids = flat[keep], row_ids[keep]
+    if len(flat) == 0:
+        return row_ids, np.empty(0, dtype=np.int64), 0, flat
+    uniq, codes = np.unique(flat, return_inverse=True)
+    return row_ids, codes.astype(np.int64), len(uniq), flat
+
+
+def _gram_keys(
+    row_ids: np.ndarray, codes: np.ndarray, ncodes: int, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(gram_row_ids, gram_keys, gram_start_pos) for word n-grams within
+    each row: adjacent code windows folded into one int64 key
+    (collision-free — codes < ncodes and the fold stays under 2^63 for
+    realistic batch vocabularies); start positions index the flat word
+    array."""
+    empty = np.empty(0, dtype=np.int64)
+    if n < 2 or len(codes) < n:
+        return empty, empty, empty
+    key = codes[: len(codes) - n + 1].copy()
+    same = row_ids[: len(codes) - n + 1] == row_ids[n - 1 :]
+    for j in range(1, n):
+        key = key * ncodes + codes[j : len(codes) - n + 1 + j]
+    pos = np.nonzero(same)[0]
+    return row_ids[pos], key[same], pos
+
+
+def _per_row_dup_frac(grow: np.ndarray, gkey: np.ndarray, n_rows: int) -> np.ndarray:
+    """1 - distinct/total n-grams per row (0 for rows without grams)."""
+    total = np.bincount(grow, minlength=n_rows).astype(np.float64)
+    if len(gkey):
+        pair = np.unique(np.stack([grow, gkey]), axis=1)
+        distinct = np.bincount(pair[0], minlength=n_rows).astype(np.float64)
+    else:
+        distinct = np.zeros(n_rows)
+    out = np.zeros(n_rows)
+    nz = total > 0
+    out[nz] = 1.0 - distinct[nz] / total[nz]
+    return out
+
+
+def repetition_scores(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Per-document repetition features (Gopher §A1.1 style):
+    top_word_frac (most-frequent-word share), dup_2gram_frac and
+    dup_3gram_frac (1 - distinct/total word n-grams)."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        row_ids, codes, ncodes, _ = _word_rows(batch[text_col])
+        total = np.bincount(row_ids, minlength=n).astype(np.float64)
+        top = np.zeros(n)
+        if len(codes):
+            pair_key = row_ids * ncodes + codes
+            uk, cnt = np.unique(pair_key, return_counts=True)
+            np.maximum.at(top, uk // ncodes, cnt)
+        top_frac = np.divide(top, total, out=np.zeros(n), where=total > 0)
+        g2r, g2k, _ = _gram_keys(row_ids, codes, max(ncodes, 1), 2)
+        g3r, g3k, _ = _gram_keys(row_ids, codes, max(ncodes, 1), 3)
+        dup2 = _per_row_dup_frac(g2r, g2k, n)
+        dup3 = _per_row_dup_frac(g3r, g3k, n)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "top_word_frac": pa.array(np.round(top_frac, 8)),
+                "dup_2gram_frac": pa.array(np.round(dup2, 8)),
+                "dup_3gram_frac": pa.array(np.round(dup3, 8)),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_ngrams(
+    ds: "ray.data.Dataset", n: int = 2, k: int = 20, text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Corpus-wide EXACT top-k word n-grams by occurrence count
+    (boilerplate / template detection). Per-batch partials shrink each
+    block to its distinct grams before the groupby-sum shuffle; ties
+    break on gram text ascending for a deterministic result."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        row_ids, codes, ncodes, flat = _word_rows(batch[text_col])
+        _, gkey, gpos = _gram_keys(row_ids, codes, max(ncodes, 1), n)
+        if not len(gkey):
+            return pa.table({"gram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+        # rebuild gram STRINGS only for the batch-distinct keys
+        order = np.argsort(gkey, kind="stable")
+        gkey_s = gkey[order]
+        first = np.ones(len(gkey_s), dtype=bool)
+        first[1:] = gkey_s[1:] != gkey_s[:-1]
+        rep_pos = gpos[order[first]]  # one flat-array start per distinct gram
+        cnts = np.diff(np.concatenate([np.nonzero(first)[0], [len(gkey_s)]]))
+        grams = flat[rep_pos]
+        for j in range(1, n):
+            grams = grams + " " + flat[rep_pos + j]
+        return pa.table(
+            {
+                "gram": pa.array(list(grams), type=pa.string()),
+                "cnt": pa.array(cnts, type=pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return counts.sort(["cnt", "gram"], descending=[True, False]).limit(k)
+
+
+def sessionize(
+    events: "ray.data.Dataset",
+    gap_minutes: float = 30.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    nparts: int | None = None,
+) -> "ray.data.Dataset":
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds ``gap_minutes``. Returns one row per
+    session (user_id, session_idx, session_start, session_end,
+    n_events). Events shuffle ONCE, keyed on a coarse user-hash bucket;
+    the per-partition work is a vectorized sort + break/cumsum (ties in
+    ts are session-assignment-invariant: a zero gap never breaks)."""
+    if nparts is None:
+        try:
+            nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            nparts = 8
+    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # splitmix-style spread so sequential user ids don't skew buckets
+        h = (uid * np.int64(-7046029254386353131)) & np.int64(0x7FFFFFFFFFFFFFFF)
+        return pa.table(
+            {
+                "__part": pa.array((h % nparts).astype(np.int32)),
+                user_col: batch[user_col],
+                ts_col: batch[ts_col],
+            }
+        )
+
+    def sessions(group: pa.Table) -> pa.Table:
+        uid = group[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group[ts_col].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        if len(uid) == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], pa.int64()),
+                    "session_idx": pa.array([], pa.int64()),
+                    "session_start": pa.array([], pa.timestamp("us")),
+                    "session_end": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        brk = np.ones(len(uid), dtype=np.int64)
+        same_user = uid[1:] == uid[:-1]
+        brk[1:] = (~same_user | (ts[1:] - ts[:-1] > gap_us)).astype(np.int64)
+        sess = np.cumsum(brk) - 1  # global session number within partition
+        # per-user 0-based index: subtract each user's first session number
+        user_starts = np.concatenate([[0], np.nonzero(~same_user)[0] + 1])
+        seg_len = np.diff(np.concatenate([user_starts, [len(uid)]]))
+        sess_idx = sess - np.repeat(sess[user_starts], seg_len)
+        # aggregate per (global) session id — rows are sorted, so
+        # boundaries are where brk==1
+        starts = np.nonzero(brk)[0]
+        ends = np.concatenate([starts[1:], [len(uid)]])
+        return pa.table(
+            {
+                user_col: pa.array(uid[starts]),
+                "session_idx": pa.array(sess_idx[starts]),
+                "session_start": pa.array(ts[starts].astype("datetime64[us]")),
+                "session_end": pa.array(ts[ends - 1].astype("datetime64[us]")),
+                "n_events": pa.array(ends - starts),
+            }
+        )
+
+    return (
+        events.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(sessions, batch_format="pyarrow")
+    )

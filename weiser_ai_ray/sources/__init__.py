@@ -17,6 +17,51 @@ import ray.data
 from ..models import ParquetDatasource
 
 
+def read_parquet_split(
+    path: str,
+    columns: Optional[Sequence[str]] = None,
+    min_tasks: Optional[int] = None,
+    cache: bool = False,
+) -> "ray.data.Dataset":
+    """read_parquet that guarantees downstream map parallelism.
+
+    Ray splits parquet reads at ROW-GROUP granularity: a single file
+    written with one row group arrives as ONE block, silently
+    serializing every downstream map_batches stage regardless of
+    cluster size. This helper counts row-group fragments from parquet
+    FOOTER metadata only (early-exit once >= min_tasks, so a 100-TB
+    directory never enumerates far) and, only when the input is
+    under-split, inserts one shuffle-free ``repartition`` to ~2 blocks
+    per CPU. At scale the fragment count clears the bar immediately
+    and this is a pure read."""
+    cols = list(columns) if columns else None
+    ds = ray.data.read_parquet(path, columns=cols)
+    try:
+        want = min_tasks or max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        want = min_tasks or 8
+    try:
+        import pyarrow.dataset as pads
+
+        frags = 0
+        nbytes = 0
+        for f in pads.dataset(path, format="parquet").get_fragments():
+            md = f.metadata
+            frags += md.num_row_groups
+            nbytes += sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
+            if frags >= want:
+                return ds
+    except Exception:
+        return ds
+    split = ds.repartition(want * 2)
+    if cache and nbytes <= 1 << 30:
+        # multi-pass callers (two-pass dedup, query+corpus ANN scans)
+        # opt in to pinning the split blocks in the object store so the
+        # read+repartition doesn't re-run once per consumption
+        return split.materialize()
+    return split
+
+
 class ParquetCatalog:
     """Maps logical table names to parquet paths under a root directory
     (``<root>/<name>.parquet`` by default, overridable per table)."""
@@ -72,7 +117,7 @@ class ParquetCatalog:
             else:
                 ds = ray.data.read_json(p)
         else:
-            return ray.data.read_parquet(p, columns=cols)
+            return read_parquet_split(p, columns=cols)
         if cols:
             ds = ds.select_columns(cols)
         return ds
