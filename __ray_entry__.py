@@ -437,6 +437,38 @@ def q_ivf_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def q_repetition_scores(sf_dir: str) -> pa.Table:
+    from weiser_ai_ray.pipelines.repetition import repetition_scores
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"))
+    df = repetition_scores(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_top_2grams(sf_dir: str) -> pa.Table:
+    from weiser_ai_ray.pipelines.repetition import top_ngrams
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"))
+    return top_ngrams(ds, n=2, k=20).to_pandas().pipe(pa.Table.from_pandas, preserve_index=False)
+
+
+def q_sessionize_events(sf_dir: str) -> pa.Table:
+    from weiser_ai_ray.pipelines.repetition import sessionize
+
+    ds = __rps(os.path.join(sf_dir, "events.parquet"))
+    df = (
+        sessionize(ds, gap_minutes=30)
+        .to_pandas()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+    # epoch microseconds on both sides (string formats differ on
+    # fractional seconds between engines)
+    df["session_start"] = df["session_start"].astype("int64")
+    df["session_end"] = df["session_end"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_langid_documents(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -771,6 +803,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "repetition_scores_documents": q_repetition_scores,
+        "top_2grams_documents": q_top_2grams,
+        "sessionize_events": q_sessionize_events,
         "langid_documents": q_langid_documents,
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "minhash_dedup_full_rows": q_minhash_dedup_full_rows,
@@ -885,6 +920,55 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents ORDER BY doc_id"
         ),
         "fingerprint_md5": "SELECT doc_id, md5(text) AS md5 FROM documents ORDER BY doc_id",
+        # Gopher-style per-doc repetition features; word split matches
+        # python str.split (whitespace runs, empties dropped)
+        "repetition_scores_documents": (
+            "WITH toks AS (SELECT doc_id,"
+            " list_filter(regexp_split_to_array(coalesce(text,''),'\\s+'), x->x!='') w"
+            " FROM documents),"
+            " u AS (SELECT doc_id, unnest(w) AS word FROM toks),"
+            " c AS (SELECT doc_id, word, count(*) cnt FROM u GROUP BY 1,2),"
+            " twf AS (SELECT doc_id, round(max(cnt)::DOUBLE/sum(cnt),8) top_word_frac"
+            "  FROM c GROUP BY doc_id),"
+            " g AS (SELECT doc_id,"
+            "  CASE WHEN len(w)>=2 THEN list_transform(generate_series(1,len(w)-1),"
+            "   i->w[i]||' '||w[i+1]) ELSE [] END g2,"
+            "  CASE WHEN len(w)>=3 THEN list_transform(generate_series(1,len(w)-2),"
+            "   i->w[i]||' '||w[i+1]||' '||w[i+2]) ELSE [] END g3"
+            "  FROM toks),"
+            " d AS (SELECT doc_id,"
+            "  round(CASE WHEN len(g2)>0 THEN 1.0 - len(list_distinct(g2))::DOUBLE/len(g2)"
+            "   ELSE 0 END,8) dup_2gram_frac,"
+            "  round(CASE WHEN len(g3)>0 THEN 1.0 - len(list_distinct(g3))::DOUBLE/len(g3)"
+            "   ELSE 0 END,8) dup_3gram_frac"
+            "  FROM g)"
+            " SELECT twf.doc_id AS doc_id, top_word_frac, dup_2gram_frac, dup_3gram_frac"
+            " FROM twf JOIN d ON twf.doc_id = d.doc_id ORDER BY 1"
+        ),
+        "top_2grams_documents": (
+            "WITH toks AS (SELECT"
+            " list_filter(regexp_split_to_array(coalesce(text,''),'\\s+'), x->x!='') w"
+            " FROM documents),"
+            " g AS (SELECT unnest(CASE WHEN len(w)>=2 THEN"
+            "  list_transform(generate_series(1,len(w)-1), i->w[i]||' '||w[i+1])"
+            "  ELSE [] END) gram FROM toks)"
+            " SELECT gram, count(*)::BIGINT cnt FROM g GROUP BY gram"
+            " ORDER BY cnt DESC, gram LIMIT 20"
+        ),
+        # gap-based sessionization (30-min inactivity breaks); epoch-us
+        # timestamps on both sides
+        "sessionize_events": (
+            "WITH d AS (SELECT user_id, ts,"
+            "  CASE WHEN lag(ts) OVER w IS NULL"
+            "   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END brk"
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+            " s AS (SELECT user_id, ts, sum(brk) OVER"
+            "  (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 session_idx"
+            "  FROM d)"
+            " SELECT user_id, session_idx, epoch_us(min(ts)) AS session_start,"
+            "  epoch_us(max(ts)) AS session_end, count(*)::BIGINT n_events"
+            " FROM s GROUP BY 1,2 ORDER BY 1,2"
+        ),
         "ann_topk": (
             "WITH q AS (SELECT * FROM embeddings WHERE vec_id IN (0, 7, 42, 99))"
             " SELECT query_id, neighbor_id FROM ("

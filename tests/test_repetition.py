@@ -1,0 +1,125 @@
+"""Repetition / top-ngram / sessionization operators vs DuckDB oracles
+and edge-case fixtures."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from tests.conftest import SF_DIR
+from weiser_ai_ray.pipelines.repetition import repetition_scores, sessionize, top_ngrams
+
+
+def docs(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), type=pa.int64()),
+                "text": pa.array(rows, type=pa.string()),
+            }
+        )
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRepetitionScores:
+    def test_edge_cases(self):
+        out = (
+            repetition_scores(docs([None, "", "word", "a a a a", "x y x y x y"]))
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        # null/empty/one-word docs: no grams, zero fractions
+        assert out["dup_2gram_frac"].tolist()[:3] == [0.0, 0.0, 0.0]
+        assert out["top_word_frac"].tolist()[:2] == [0.0, 0.0]
+        assert out["top_word_frac"].tolist()[2] == 1.0
+        # "a a a a": top word 4/4, 2-grams ['a a']x3 -> 1 - 1/3
+        assert out["top_word_frac"].tolist()[3] == 1.0
+        assert abs(out["dup_2gram_frac"].tolist()[3] - (1 - 1 / 3)) < 1e-8
+        # "x y x y x y": 2-grams [xy,yx,xy,yx,xy] -> 1 - 2/5
+        assert abs(out["dup_2gram_frac"].tolist()[4] - (1 - 2 / 5)) < 1e-8
+
+    def test_matches_duckdb(self):
+        got = (
+            repetition_scores(ray.data.read_parquet(f"{SF_DIR}/documents.parquet"))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = duckdb.connect().execute(
+            f"""
+            WITH toks AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(coalesce(text,''),'\\s+'), x->x!='') w
+              FROM '{SF_DIR}/documents.parquet'),
+            u AS (SELECT doc_id, unnest(w) AS word FROM toks),
+            c AS (SELECT doc_id, word, count(*) cnt FROM u GROUP BY 1,2)
+            SELECT doc_id, round(max(cnt)::DOUBLE/sum(cnt),8) top_word_frac
+            FROM c GROUP BY doc_id ORDER BY doc_id
+            """
+        ).fetch_df()
+        assert np.allclose(got["top_word_frac"], want["top_word_frac"], atol=1e-9)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTopNgrams:
+    def test_exact_counts_and_tiebreak(self):
+        out = top_ngrams(docs(["b a b a", "b a c", None, ""]), n=2, k=3).to_pandas()
+        # grams: "b a"x3, "a b"x1, "a c"x1 -> ties break on gram asc
+        assert out["gram"].tolist() == ["b a", "a b", "a c"]
+        assert out["cnt"].tolist() == [3, 1, 1]
+
+    def test_trigram(self):
+        out = top_ngrams(docs(["a b c a b c"]), n=3, k=2).to_pandas()
+        assert out["gram"].tolist()[0] == "a b c"
+        assert out["cnt"].tolist()[0] == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSessionize:
+    def test_matches_duckdb(self):
+        se = (
+            sessionize(ray.data.read_parquet(f"{SF_DIR}/events.parquet"), gap_minutes=30)
+            .to_pandas()
+            .sort_values(["user_id", "session_idx"])
+            .reset_index(drop=True)
+        )
+        ws = duckdb.connect().execute(
+            f"""
+            WITH d AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END brk
+              FROM '{SF_DIR}/events.parquet'
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts, sum(brk) OVER
+              (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 session_idx
+              FROM d)
+            SELECT user_id, session_idx, min(ts) session_start, max(ts) session_end,
+              count(*)::BIGINT n_events
+            FROM s GROUP BY 1,2 ORDER BY 1,2
+            """
+        ).fetch_df()
+        assert len(se) == len(ws)
+        assert se["user_id"].astype(int).tolist() == ws["user_id"].astype(int).tolist()
+        assert se["session_idx"].astype(int).tolist() == ws["session_idx"].astype(int).tolist()
+        assert se["n_events"].astype(int).tolist() == ws["n_events"].astype(int).tolist()
+        assert se["session_start"].astype("int64").tolist() == [
+            int(t.value // 1000) for t in ws["session_start"]
+        ]
+
+    def test_single_event_sessions(self):
+        import datetime
+
+        t0 = datetime.datetime(2025, 1, 1)
+        ev = ray.data.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([1, 1, 2], type=pa.int64()),
+                    "ts": pa.array(
+                        [t0, t0 + datetime.timedelta(hours=2), t0], type=pa.timestamp("us")
+                    ),
+                }
+            )
+        )
+        out = sessionize(ev, gap_minutes=30).to_pandas().sort_values(["user_id", "session_idx"])
+        assert out["n_events"].tolist() == [1, 1, 1]
+        assert out["session_idx"].tolist() == [0, 1, 0]
