@@ -355,6 +355,31 @@ def q_median_price_by_status(sf_dir: str) -> pa.Table:
     )
 
 
+def q_p90_price_by_status(sf_dir: str) -> pa.Table:
+    """Exact distributed quantile_cont(0.9) (same value-count plan as
+    median, generalized to any q; quantile_disc supported too)."""
+    chk = _make_check(
+        sf_dir, name="p90g", type="numeric", dataset="orders",
+        measure="quantile_cont(o_totalprice, 0.9)", dimensions=["o_orderstatus"],
+        condition="gt", threshold=0,
+    )
+    rows = chk.compute("orders")
+    return pa.table(
+        {
+            "o_orderstatus": pa.array([r[0] for r in rows], type=pa.string()),
+            "p90_price": pa.array([round(float(r[1]), 4) for r in rows], type=pa.float64()),
+        }
+    )
+
+
+def q_p95_disc_quantity(sf_dir: str) -> pa.Table:
+    return _scalar_check(
+        sf_dir, "p95_qty", False, round_to=3, name="p95", type="numeric",
+        dataset="lineitem", measure="quantile_disc(l_quantity, 0.95)",
+        condition="gt", threshold=0,
+    )
+
+
 def q_embedding_neardup(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -796,6 +821,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_distinct_by_status": q_count_distinct_by_status,
         "sum_distinct_by_status": q_sum_distinct_by_status,
         "median_price_by_status": q_median_price_by_status,
+        "p90_price_by_status": q_p90_price_by_status,
+        "p95_disc_quantity": q_p95_disc_quantity,
         "embedding_neardup": q_embedding_neardup,
         "token_stats_by_source": q_token_stats_by_source,
         "quality_scores_documents": q_quality_scores,
@@ -898,6 +925,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderstatus,"
             " CAST(median(o_totalprice) AS DOUBLE) AS median_price FROM orders"
             " GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        ),
+        "p90_price_by_status": (
+            "SELECT o_orderstatus,"
+            " ROUND(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 4) AS p90_price"
+            " FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        ),
+        "p95_disc_quantity": (
+            "SELECT ROUND(CAST(quantile_disc(l_quantity, 0.95) AS DOUBLE), 3) AS p95_qty"
+            " FROM lineitem"
         ),
         "embedding_neardup": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b"

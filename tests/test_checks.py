@@ -323,6 +323,39 @@ class TestMomentAggregates:
         assert [float(v) for _k, v in want] == pytest.approx(
             [float(x["actual_value"]) for x in r], rel=1e-12)
 
+    @pytest.mark.parametrize("q", [0.0, 0.1, 0.25, 0.5, 0.9, 0.99, 1.0])
+    def test_quantile_cont_scalar(self, catalog, tmp_store, q):
+        want = duck(f"SELECT quantile_cont(o_totalprice, {q}) FROM orders")[0][0]
+        r = run_check(catalog, tmp_store, name="qc", type="numeric", dataset="orders",
+                      measure=f"quantile_cont(o_totalprice, {q})",
+                      condition="ge", threshold=0)
+        assert float(r[0]["actual_value"]) == pytest.approx(float(want), rel=1e-12)
+
+    @pytest.mark.parametrize("q", [0.0, 0.25, 0.5, 0.75, 0.95, 1.0])
+    def test_quantile_disc_scalar(self, catalog, tmp_store, q):
+        want = duck(f"SELECT quantile_disc(o_totalprice, {q}) FROM orders")[0][0]
+        r = run_check(catalog, tmp_store, name="qd", type="numeric", dataset="orders",
+                      measure=f"quantile_disc(o_totalprice, {q})",
+                      condition="ge", threshold=0)
+        assert float(r[0]["actual_value"]) == float(want)
+
+    def test_quantile_grouped(self, catalog, tmp_store):
+        want = duck(
+            "SELECT o_orderstatus, quantile_cont(o_totalprice, 0.9) FROM orders"
+            " GROUP BY 1 ORDER BY 1"
+        )
+        r = run_check(catalog, tmp_store, name="qg", type="numeric", dataset="orders",
+                      measure="quantile_cont(o_totalprice, 0.9)",
+                      dimensions=["o_orderstatus"], condition="gt", threshold=0)
+        assert [float(v) for _k, v in want] == pytest.approx(
+            [float(x["actual_value"]) for x in r], rel=1e-12)
+
+    def test_quantile_bad_param_rejected(self, catalog, tmp_store):
+        with pytest.raises(Exception):
+            run_check(catalog, tmp_store, name="qb", type="numeric", dataset="orders",
+                      measure="quantile_cont(o_totalprice, 1.5)",
+                      condition="gt", threshold=0)
+
     def test_median_even_and_odd_counts(self, tmp_path, tmp_store):
         # interpolation: even count averages the two middles (DuckDB
         # quantile_cont(0.5)); odd count is the exact middle element

@@ -239,7 +239,7 @@ class BaseCheck:
             special_specs = [
                 s
                 for s in specs
-                if s.fname == "median"
+                if s.fname in _QUANTILE_AGGS
                 or (s.distinct and s.fname not in ("min", "max"))
             ]
             plain_specs = [s for s in specs if s not in special_specs]
@@ -254,7 +254,7 @@ class BaseCheck:
                 combined = partials.groupby(group_keys).aggregate(*_ray_aggs(plain_specs))
                 frames.append(combined.to_pandas())
             for s in special_specs:
-                if s.fname == "median":
+                if s.fname in _QUANTILE_AGGS:
                     frames.append(
                         self._grouped_median(ds, s, filter_ast, td, td_alias, group_keys)
                     )
@@ -337,15 +337,14 @@ class BaseCheck:
         return partials.groupby(group_keys).aggregate(*_ray_aggs([plain])).to_pandas()
 
     def _grouped_median(self, ds, spec, filter_ast, td, td_alias, group_keys):
-        """median(expr) per group, exact, DuckDB quantile_cont(0.5)
-        semantics (interpolated middle). Per-batch (group, value, count)
-        partials (an Arrow group_by — repeats collapse before the
-        shuffle), a global groupby summing counts per (group, value),
-        then the weighted median inside map_groups workers over the
-        value-count table. Shuffle and worker memory are bounded by
-        VALUE CARDINALITY per group, never row count. median(DISTINCT)
-        sets every weight to 1. Returns a pandas frame
-        (group_keys..., {key}__median)."""
+        """median/quantile_cont/quantile_disc(expr) per group, exact,
+        DuckDB semantics. Per-batch (group, value, count) partials (an
+        Arrow group_by — repeats collapse before the shuffle), a global
+        groupby summing counts per (group, value), then the weighted
+        quantile inside map_groups workers over the value-count table.
+        Shuffle and worker memory are bounded by VALUE CARDINALITY per
+        group, never row count. DISTINCT sets every weight to 1.
+        Returns a pandas frame (group_keys..., {key}__median)."""
         from ray.data.aggregate import Sum
 
         val_col = f"{spec.key}__val"
@@ -357,6 +356,7 @@ class BaseCheck:
             Sum(cnt_col, alias_name=cnt_col)
         )
         distinct = spec.distinct
+        q, interp = _q_of(spec)
 
         def med_group(g: pa.Table) -> pa.Table:
             vals = np.asarray(g[val_col].to_numpy(zero_copy_only=False), dtype=np.float64)
@@ -366,7 +366,7 @@ class BaseCheck:
                 else np.asarray(g[cnt_col].to_numpy(zero_copy_only=False), dtype=np.int64)
             )
             order = np.argsort(vals, kind="stable")
-            m = _weighted_median(vals[order], cnts[order])
+            m = _weighted_quantile(vals[order], cnts[order], q, interp)
             out = {k: g[k].slice(0, 1) for k in group_keys}
             out[med_col] = pa.array([m], pa.float64())
             return pa.table(out)
@@ -459,20 +459,31 @@ class _ValueCountBatcher:
         )
 
 
-def _weighted_median(vals_sorted: np.ndarray, cnts: np.ndarray):
-    """Interpolated median of the expanded multiset (DuckDB
-    quantile_cont(0.5)): average of the two middle elements for even
-    total count, the exact middle for odd."""
+def _weighted_quantile(vals_sorted: np.ndarray, cnts: np.ndarray, q: float, interp: bool):
+    """Quantile of the expanded sorted multiset, DuckDB semantics:
+    quantile_cont interpolates linearly at position q*(n-1);
+    quantile_disc returns the element at index ceil(q*n)-1 (inverse
+    CDF). median == quantile_cont(0.5)."""
     if len(vals_sorted) == 0:
         return None
     cum = np.cumsum(cnts)
     n = int(cum[-1])
     if n == 0:
         return None
-    k1, k2 = (n - 1) // 2, n // 2
-    v1 = vals_sorted[np.searchsorted(cum, k1 + 1)]
-    v2 = vals_sorted[np.searchsorted(cum, k2 + 1)]
-    return (float(v1) + float(v2)) / 2.0
+    if interp:
+        pos = q * (n - 1)
+        k1 = int(np.floor(pos))
+        k2 = int(np.ceil(pos))
+        frac = pos - k1
+        v1 = float(vals_sorted[np.searchsorted(cum, k1 + 1)])
+        v2 = float(vals_sorted[np.searchsorted(cum, k2 + 1)])
+        return v1 * (1.0 - frac) + v2 * frac
+    k = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
+    return float(vals_sorted[np.searchsorted(cum, k + 1)])
+
+
+def _weighted_median(vals_sorted: np.ndarray, cnts: np.ndarray):
+    return _weighted_quantile(vals_sorted, cnts, 0.5, True)
 
 
 def _prepare_batch(batch: pa.Table, filter_ast, td, td_alias) -> pa.Table:
@@ -597,7 +608,7 @@ class _PartialBatcher:
                 # union set is driver-held, documented at the finalizer
                 uniq = pc.unique(pc.drop_null(arg_cols[s.key]))
                 row[f"{s.key}__set"] = [uniq.to_pylist()]
-            elif s.fname == "median":
+            elif s.fname in _QUANTILE_AGGS:
                 # per-batch value counts; the driver merges counters
                 # (value-cardinality bound, same contract as DISTINCT)
                 vc = pc.value_counts(pc.drop_null(arg_cols[s.key]))
@@ -652,6 +663,14 @@ class _PartialBatcher:
 # semantics — stddev/variance default to the SAMPLE estimator, NULL when
 # cnt < 2 (or < 1 for _pop)
 _MOMENT_AGGS = {"stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop"}
+_QUANTILE_AGGS = {"median", "quantile_cont", "quantile_disc"}
+
+
+def _q_of(spec) -> tuple[float, bool]:
+    """(quantile, interpolate?) for a quantile-family AggSpec."""
+    if spec.fname == "median":
+        return 0.5, True
+    return float(spec.param), spec.fname == "quantile_cont"
 
 
 def _chan_merge(a, b):
@@ -721,10 +740,10 @@ def _finalize_spec_scalar(spec: AggSpec, parts: list[dict]) -> Any:
             n = len(vals)
             m2 = float(((vals - vals.mean()) ** 2).sum())
             return _moment_value(spec.fname, n, float(vals.mean()), m2)
-        if spec.fname == "median":
-            return _weighted_median(vals, np.ones(len(vals), dtype=np.int64))
+        if spec.fname in _QUANTILE_AGGS:
+            return _weighted_quantile(vals, np.ones(len(vals), dtype=np.int64), *_q_of(spec))
         raise NotImplementedError(f"{spec.fname} DISTINCT")
-    if spec.fname == "median":
+    if spec.fname in _QUANTILE_AGGS:
         from collections import Counter
 
         ctr: Counter = Counter()
@@ -737,7 +756,7 @@ def _finalize_spec_scalar(spec: AggSpec, parts: list[dict]) -> Any:
             return None
         vals = np.array(sorted(ctr), dtype=np.float64)
         cnts = np.array([ctr[v] for v in sorted(ctr)], dtype=np.int64)
-        return _weighted_median(vals, cnts)
+        return _weighted_quantile(vals, cnts, *_q_of(spec))
     if spec.fname == "count":
         return float(sum(p.get(f"{spec.key}__cnt", 0) for p in parts))
     cnt = sum(p.get(f"{spec.key}__cnt", 0) for p in parts)
@@ -769,7 +788,7 @@ def _finalize_spec_scalar(spec: AggSpec, parts: list[dict]) -> Any:
 
 def _finalize_spec_vec(spec: AggSpec, df) -> np.ndarray:
     """Combine grouped partials (pandas frame from the small groupby)."""
-    if spec.fname == "median":
+    if spec.fname in _QUANTILE_AGGS:
         return df[f"{spec.key}__median"].to_numpy(dtype="float64")
     if spec.fname == "count":
         return df[f"{spec.key}__cnt"].to_numpy(dtype="float64")

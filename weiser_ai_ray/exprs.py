@@ -94,7 +94,7 @@ def tokenize(text: str) -> list[Token]:
 
 # ----------------------------------------------------------------------
 # AST: tuples ("lit", v) ("col", name) ("bin", op, l, r) ("un", op, e)
-# ("func", name, [args]) ("agg", name, arg_or_None, distinct)
+# ("func", name, [args]) ("agg", name, arg_or_None, distinct[, param])
 # ("cast", e, type) ("case", [(cond, val)...], else) ("isnull", e, negate)
 # ("in", e, [lits], negate) ("like", e, pat, negate) ("between", e, lo, hi)
 
@@ -103,10 +103,14 @@ _AGG_FUNCS = {
     # moment aggregates (DuckDB names: stddev == stddev_samp,
     # variance == var_samp); partials are (sum, sumsq, cnt)
     "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop",
-    # exact distributed median (continuous/interpolated, DuckDB
-    # semantics): value-count pair shuffle + weighted-median finalize
-    "median",
+    # exact distributed median / quantiles (DuckDB semantics):
+    # value-count pair shuffle + weighted-quantile finalize.
+    # quantile_cont interpolates at q*(n-1); quantile_disc returns the
+    # multiset element at ceil(q*n)-1 (inverse CDF)
+    "median", "quantile_cont", "quantile_disc",
 }
+
+_PARAM_AGGS = {"quantile_cont", "quantile_disc"}  # agg(expr, q-literal)
 
 
 class Parser:
@@ -304,6 +308,16 @@ class Parser:
                     while self.accept("op", ","):
                         args.append(self.parse_or())
                     self.expect("op", ")")
+                if fname in _PARAM_AGGS:
+                    if len(args) != 2:
+                        raise ValueError(f"{fname} takes (expr, quantile)")
+                    p = args[1]
+                    if p[0] != "lit" or not isinstance(p[1], (int, float)):
+                        raise ValueError(f"{fname} quantile must be a numeric literal")
+                    q = float(p[1])
+                    if not 0.0 <= q <= 1.0:
+                        raise ValueError(f"{fname} quantile must be in [0, 1]")
+                    return ("agg", fname, args[0], distinct, q)
                 if fname in _AGG_FUNCS:
                     if len(args) != 1:
                         raise ValueError(f"{fname} takes one argument")
@@ -523,13 +537,14 @@ def _call_func(name: str, args: list, table: pa.Table):
 class AggSpec:
     """One primitive aggregate appearing in a measure expression."""
 
-    __slots__ = ("key", "fname", "arg_ast", "distinct")
+    __slots__ = ("key", "fname", "arg_ast", "distinct", "param")
 
-    def __init__(self, key: str, fname: str, arg_ast, distinct: bool):
+    def __init__(self, key: str, fname: str, arg_ast, distinct: bool, param=None):
         self.key = key
         self.fname = fname
         self.arg_ast = arg_ast
         self.distinct = distinct
+        self.param = param  # quantile q for quantile_cont/_disc
 
 
 def split_aggregates(ast):
@@ -542,7 +557,9 @@ def split_aggregates(ast):
             return node
         if node[0] == "agg":
             key = f"_agg{len(specs)}"
-            specs.append(AggSpec(key, node[1], node[2], node[3]))
+            specs.append(
+                AggSpec(key, node[1], node[2], node[3], node[4] if len(node) > 4 else None)
+            )
             return ("col", key)
         if node[0] == "case":
             whens = [(walk(c), walk(v)) for c, v in node[1]]
