@@ -336,6 +336,58 @@ def q_sum_distinct_by_status(sf_dir: str) -> pa.Table:
     )
 
 
+_JOIN_REV_SQL = (
+    "SELECT n.n_name AS nation, l.l_extendedprice * (1 - l.l_discount) AS rev "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "WHERE o.o_orderstatus = 'F'"
+)
+
+
+def q_sql_join_revenue_by_nation(sf_dir: str) -> pa.Table:
+    """Dataset-as-SQL with JOINs (TPC-H Q5 shape): three broadcast hash
+    joins (dim tables ray.put once, Acero Table.join per Arrow batch —
+    no shuffle), then a grouped numeric check over the view."""
+    chk = _make_check(
+        sf_dir, name="jrev", type="numeric", dataset=_JOIN_REV_SQL,
+        measure="sum(rev)", dimensions=["nation"], condition="gt", threshold=0,
+    )
+    rows = chk.compute(_JOIN_REV_SQL)
+    return pa.table(
+        {
+            "nation": pa.array([r[0] for r in rows], type=pa.string()),
+            "rev": pa.array([round(float(r[1]), 2) for r in rows], type=pa.float64()),
+        }
+    )
+
+
+def q_join_shuffle_qty_by_status(sf_dir: str) -> pa.Table:
+    """Big⋈big hash-shuffle join (Dataset.join, both sides partitioned
+    on the key) followed by a Ray groupby aggregate — the scale path a
+    fact⋈fact join takes when neither side fits a broadcast."""
+    from weiser_ai_ray.exprs import parse_select
+    from weiser_ai_ray.joins import build_view_dataset
+    from weiser_ai_ray.sources import ParquetCatalog
+
+    v = parse_select(
+        "SELECT o.o_orderstatus AS status, l.l_quantity AS qty "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    )
+    cat = ParquetCatalog(root=sf_dir)
+    ds = build_view_dataset(v, cat, broadcast_limit=0)  # force the shuffle path
+    from ray.data.aggregate import Sum
+
+    out = ds.groupby("status").aggregate(Sum("qty", alias_name="sum_qty")).take_all()
+    out.sort(key=lambda r: r["status"])
+    return pa.table(
+        {
+            "status": pa.array([r["status"] for r in out], type=pa.string()),
+            "sum_qty": pa.array([round(float(r["sum_qty"]), 3) for r in out], type=pa.float64()),
+        }
+    )
+
+
 def q_median_price_by_status(sf_dir: str) -> pa.Table:
     """Exact distributed median: per-batch value-count partials, a
     (group, value) count shuffle bounded by value cardinality, weighted
@@ -820,6 +872,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_full_rows": q_dedup_exact_full_rows,
         "count_distinct_by_status": q_count_distinct_by_status,
         "sum_distinct_by_status": q_sum_distinct_by_status,
+        "sql_join_revenue_by_nation": q_sql_join_revenue_by_nation,
+        "join_shuffle_qty_by_status": q_join_shuffle_qty_by_status,
         "median_price_by_status": q_median_price_by_status,
         "p90_price_by_status": q_p90_price_by_status,
         "p95_disc_quantity": q_p95_disc_quantity,
@@ -920,6 +974,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderstatus,"
             " CAST(SUM(DISTINCT o_custkey) AS DOUBLE) AS sum_cust FROM orders"
             " GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        ),
+        "sql_join_revenue_by_nation": (
+            "SELECT n.n_name AS nation,"
+            " ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev"
+            " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+            " JOIN customer c ON o.o_custkey = c.c_custkey"
+            " JOIN nation n ON c.c_nationkey = n.n_nationkey"
+            " WHERE o.o_orderstatus = 'F' GROUP BY 1 ORDER BY 1"
+        ),
+        "join_shuffle_qty_by_status": (
+            "SELECT o.o_orderstatus AS status,"
+            " ROUND(CAST(SUM(l.l_quantity) AS DOUBLE), 3) AS sum_qty"
+            " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+            " GROUP BY 1 ORDER BY 1"
         ),
         "median_price_by_status": (
             "SELECT o_orderstatus,"

@@ -461,9 +461,16 @@ class TestSqlDataset:
         assert got == {k: float(v) for k, v in exp.items()}
 
     def test_unsupported_sql_raises(self, catalog, tmp_store):
+        # GROUP BY inside a dataset view is still plan-time rejected
+        # (joins are supported since round 2 — see test_joins.py)
         with pytest.raises(ValueError):
             run_check(catalog, tmp_store, name="bad", type="row_count",
-                      dataset="SELECT a FROM t JOIN u ON a = b",
+                      dataset="SELECT a FROM t GROUP BY a",
+                      condition="gt", threshold=0)
+        # non-equi JOIN ON is plan-time rejected
+        with pytest.raises(ValueError):
+            run_check(catalog, tmp_store, name="bad2", type="row_count",
+                      dataset="SELECT a FROM t JOIN u ON t.a < u.b",
                       condition="gt", threshold=0)
 
 

@@ -1,0 +1,201 @@
+"""Dataset-as-SQL JOIN views: parser, broadcast + shuffle physical
+plans, left-outer semantics, name resolution, check integration.
+Oracle: DuckDB over the same parquet."""
+
+import os
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from weiser_ai_ray.exprs import parse_select
+from weiser_ai_ray.joins import build_view_dataset
+from weiser_ai_ray.sources import ParquetCatalog
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str, root: str = SF):
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation", "region"):
+        p = os.path.join(root, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con.execute(sql).df()
+
+
+# ---------------------------------------------------------------- parser
+
+
+def test_parse_join_basic():
+    v = parse_select(
+        "SELECT a.x AS x FROM t1 a JOIN t2 b ON a.k = b.k LEFT OUTER JOIN t3 ON b.j = t3.j"
+    )
+    assert v.table == "t1" and v.alias == "a"
+    assert [(j.table, j.alias, j.join_type) for j in v.joins] == [
+        ("t2", "b", "inner"),
+        ("t3", None, "left outer"),
+    ]
+    assert v.joins[0].on_pairs == [("a.k", "b.k")]
+
+
+def test_parse_join_compound_on_and_where():
+    v = parse_select(
+        "SELECT x FROM t1 JOIN t2 ON t1.a = t2.a AND t1.b = t2.b WHERE x > 1"
+    )
+    assert v.joins[0].on_pairs == [("t1.a", "t2.a"), ("t1.b", "t2.b")]
+    assert v.where_ast is not None
+
+
+def test_parse_join_rejects_non_equi():
+    with pytest.raises(ValueError):
+        parse_select("SELECT x FROM t1 JOIN t2 ON t1.a < t2.a")
+
+
+def test_tables_key_matches_reference_format():
+    # U2 parity: sqlglot str(Table) renders "name AS alias"
+    # (/root/reference/weiser/checks/base.py:113-116)
+    v = parse_select("SELECT x FROM t1 a JOIN t2 ON a.k = t2.k")
+    assert v.tables_key() == "t1 AS a_t2"
+    assert parse_select("SELECT x FROM t1").tables_key() == "t1"
+
+
+# ------------------------------------------------------------- execution
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_broadcast_join_matches_duckdb():
+    v = parse_select(
+        "SELECT n.n_name AS nation, r.r_name AS region FROM nation n "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey"
+    )
+    df = (
+        build_view_dataset(v, ParquetCatalog(root=SF))
+        .to_pandas()
+        .sort_values(["nation", "region"])
+        .reset_index(drop=True)
+    )
+    exp = _duck(
+        "SELECT n.n_name AS nation, r.r_name AS region FROM nation n "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey ORDER BY 1, 2"
+    )
+    assert (df.values == exp.values).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shuffle_join_matches_duckdb():
+    v = parse_select(
+        "SELECT c.c_custkey AS ck, o.o_totalprice AS tp "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    )
+    # broadcast_limit=0 forces the Dataset.join hash-shuffle path
+    df = (
+        build_view_dataset(v, ParquetCatalog(root=SF), broadcast_limit=0)
+        .to_pandas()
+        .sort_values(["ck", "tp"])
+        .reset_index(drop=True)
+    )
+    exp = _duck(
+        "SELECT c.c_custkey AS ck, o.o_totalprice AS tp FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY 1, 2"
+    )
+    assert len(df) == len(exp)
+    assert (df["ck"].values == exp["ck"].values).all()
+    assert np.allclose(df["tp"].values, exp["tp"].values)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_left_outer_join_null_padding(tmp_path):
+    left = pa.table({"k": [1, 2, 3, 4], "lv": ["a", "b", "c", "d"]})
+    right = pa.table({"k": [1, 3], "rv": [10.0, 30.0]})
+    pq.write_table(left, tmp_path / "l.parquet")
+    pq.write_table(right, tmp_path / "r.parquet")
+    cat = ParquetCatalog(root=str(tmp_path))
+    v = parse_select(
+        "SELECT l.lv AS lv, r.rv AS rv FROM l LEFT JOIN r ON l.k = r.k"
+    )
+    df = build_view_dataset(v, cat).to_pandas().sort_values("lv").reset_index(drop=True)
+    assert df["rv"].isna().sum() == 2
+    assert df.loc[df["lv"] == "a", "rv"].iloc[0] == 10.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_referenced_right_key_survives_join(tmp_path):
+    # Acero coalesces right keys away; the __jk rename must keep a
+    # referenced key column alive as payload (incl. left-outer nulls)
+    left = pa.table({"k": [1, 2], "lv": [5, 6]})
+    right = pa.table({"rk": [1, 9], "rv": [100, 900]})
+    pq.write_table(left, tmp_path / "l.parquet")
+    pq.write_table(right, tmp_path / "r.parquet")
+    cat = ParquetCatalog(root=str(tmp_path))
+    v = parse_select("SELECT l.k AS k, r.rk AS rk FROM l LEFT JOIN r ON l.k = r.rk")
+    df = build_view_dataset(v, cat).to_pandas().sort_values("k").reset_index(drop=True)
+    assert df["k"].tolist() == [1, 2]
+    assert df["rk"].tolist()[0] == 1 and np.isnan(df["rk"].tolist()[1])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ambiguous_unqualified_column_raises(tmp_path):
+    pq.write_table(pa.table({"k": [1], "v": [1]}), tmp_path / "a.parquet")
+    pq.write_table(pa.table({"k": [1], "v": [2]}), tmp_path / "b.parquet")
+    cat = ParquetCatalog(root=str(tmp_path))
+    v = parse_select("SELECT v AS v FROM a JOIN b ON a.k = b.k")
+    with pytest.raises(ValueError, match="Ambiguous"):
+        build_view_dataset(v, cat)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_colliding_columns_qualified_refs(tmp_path):
+    # same column name in both tables: qualified refs resolve to the
+    # internal alias__col names and both values come through
+    pq.write_table(pa.table({"k": [1, 2], "v": [10, 20]}), tmp_path / "a.parquet")
+    pq.write_table(pa.table({"k": [1, 2], "v": [100, 200]}), tmp_path / "b.parquet")
+    cat = ParquetCatalog(root=str(tmp_path))
+    v = parse_select("SELECT a.v AS av, b.v AS bv FROM a JOIN b ON a.k = b.k")
+    df = build_view_dataset(v, cat).to_pandas().sort_values("av").reset_index(drop=True)
+    assert df["av"].tolist() == [10, 20] and df["bv"].tolist() == [100, 200]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_star_join_and_restrict():
+    cat = ParquetCatalog(root=SF)
+    v = parse_select("SELECT * FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey")
+    df = build_view_dataset(v, cat).to_pandas()
+    assert set(df.columns) == {"n_nationkey", "n_name", "n_regionkey", "r_regionkey", "r_name"}
+    slim = build_view_dataset(v, cat, star_restrict={"n_name"}).to_pandas()
+    assert list(slim.columns) == ["n_name"] and len(slim) == len(df)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_check_over_join_view_matches_duckdb(tmp_store):
+    from weiser_ai_ray.checks import CheckFactory
+    from weiser_ai_ray.models import Check
+
+    sql = (
+        "SELECT n.n_name AS nation, c.c_acctbal AS bal FROM customer c "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey"
+    )
+    chk = CheckFactory.create_check(
+        "run-j",
+        Check(
+            name="join_bal",
+            type="numeric",
+            dataset=sql,
+            measure="sum(bal)",
+            dimensions=["nation"],
+            condition="gt",
+            threshold=-1e18,
+        ),
+        ParquetCatalog(root=SF),
+        "default",
+        tmp_store,
+    )
+    rows = sorted(chk.compute(sql))
+    exp = _duck(
+        "SELECT n.n_name AS nation, SUM(c.c_acctbal) AS s FROM customer c "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1 ORDER BY 1"
+    )
+    assert [r[0] for r in rows] == exp["nation"].tolist()
+    assert np.allclose([float(r[1]) for r in rows], exp["s"].values)

@@ -101,7 +101,7 @@ class BaseCheck:
         # table list from the parse tree, not the raw SQL
         # (/root/reference/weiser/checks/base.py:113-116)
         if is_sql_dataset(dataset):
-            dataset = parse_select(dataset).table
+            dataset = parse_select(dataset).tables_key()
         return generate_check_id(self.datasource, check_name, dataset)
 
     def generated_sql(self, dataset: str) -> str:
@@ -120,7 +120,10 @@ class BaseCheck:
             select = list(self.check.dimensions) + select
             group = group + list(self.check.dimensions)
         select.append(self.measure_sql())
-        sql = f"SELECT {', '.join(select)} FROM {dataset}"
+        # SQL-text datasets are wrapped as a subquery alias `dataset_`,
+        # matching the reference (base.py:178-182 parse_dataset)
+        from_clause = f"({dataset}) AS dataset_" if is_sql_dataset(dataset) else dataset
+        sql = f"SELECT {', '.join(select)} FROM {from_clause}"
         if self.check.filter:
             sql += f" WHERE {self.check.filter}"
         if group:
@@ -227,9 +230,18 @@ class BaseCheck:
             # (reference wraps it as a subquery, base.py:178-182);
             # pruning reads only the view's required input columns.
             view = parse_select(dataset)
-            base_cols = sorted(view.required_columns() | (needed if view.star else set()))
-            ds = self.catalog.dataset(view.table, columns=base_cols or None)
-            ds = ds.map_batches(view.apply, batch_format="pyarrow", zero_copy_batch=True)
+            if view.joins:
+                from ..joins import build_view_dataset
+
+                ds = build_view_dataset(
+                    view,
+                    self.catalog,
+                    star_restrict=(needed if view.star else None),
+                )
+            else:
+                base_cols = sorted(view.required_columns() | (needed if view.star else set()))
+                ds = self.catalog.dataset(view.table, columns=base_cols or None)
+                ds = ds.map_batches(view.apply, batch_format="pyarrow", zero_copy_batch=True)
         else:
             ds = self.catalog.dataset(dataset, columns=sorted(needed) or None)
 

@@ -587,17 +587,42 @@ def has_aggregate(ast) -> bool:
 # (/root/reference/weiser/checks/base.py:178-182). Here the same SELECT
 # text compiles to a projection+filter view over the table's Dataset —
 # supported subset: SELECT <expr [AS alias]>[, ...] | * FROM <table>
-# [WHERE <pred>], no joins/groupby/nesting (raise otherwise).
+# [[LEFT [OUTER]|INNER] JOIN <table> [alias] ON <equi-conds>]*
+# [WHERE <pred>], no groupby/nesting (raise otherwise). Join physical
+# planning (broadcast vs hash-shuffle) lives in weiser_ai_ray/joins.py.
+
+
+class JoinClause:
+    __slots__ = ("table", "alias", "join_type", "on_pairs")
+
+    def __init__(self, table, alias, join_type, on_pairs):
+        self.table = table
+        self.alias = alias  # None if unaliased
+        self.join_type = join_type  # "inner" | "left outer"
+        # list[(ref_a, ref_b)] raw column refs as written (either side
+        # may belong to any earlier table; resolution happens at build)
+        self.on_pairs = on_pairs
 
 
 class SelectView:
-    __slots__ = ("projections", "table", "where_ast", "star")
+    __slots__ = ("projections", "table", "where_ast", "star", "alias", "joins")
 
-    def __init__(self, projections, table, where_ast, star):
+    def __init__(self, projections, table, where_ast, star, alias=None, joins=None):
         self.projections = projections  # list[(alias, ast)]
         self.table = table
         self.where_ast = where_ast
         self.star = star
+        self.alias = alias  # base-table alias, None if unaliased
+        self.joins = joins or []
+
+    def tables_key(self) -> str:
+        """U2 parity: the reference hashes '_'.join(str(t) for t in
+        parsed.find_all(Table)) where sqlglot renders an aliased table
+        as 'name AS alias' (/root/reference/weiser/checks/base.py:113-116)."""
+        parts = [self.table + (f" AS {self.alias}" if self.alias else "")]
+        for j in self.joins:
+            parts.append(j.table + (f" AS {j.alias}" if j.alias else ""))
+        return "_".join(parts)
 
     def required_columns(self) -> set[str]:
         out: set[str] = set()
@@ -679,7 +704,65 @@ def parse_select(sql: str) -> SelectView:
     t = p.next()
     if not (t.kind == "ident" and t.value.lower() == "from"):
         raise ValueError("Expected FROM in dataset SQL")
+
+    _STOP = {"where", "join", "left", "inner", "on", "outer"}
+
+    def maybe_alias() -> Optional[str]:
+        nxt = p.peek()
+        if nxt and nxt.kind == "kw" and nxt.value == "as":
+            p.next()
+            return p.expect("ident").value
+        if nxt and nxt.kind == "ident" and nxt.value.lower() not in _STOP:
+            return p.next().value
+        return None
+
+    def ident_lower() -> Optional[str]:
+        nxt = p.peek()
+        return nxt.value.lower() if nxt and nxt.kind == "ident" else None
+
     table = p.expect("ident").value
+    base_alias = maybe_alias()
+    joins: list[JoinClause] = []
+    while ident_lower() in ("join", "left", "inner"):
+        w = p.next().value.lower()
+        jt = "inner"
+        if w == "left":
+            if ident_lower() == "outer":
+                p.next()
+            jt = "left outer"
+            w = p.next().value.lower()
+        elif w == "inner":
+            w = p.next().value.lower()
+        if w != "join":
+            raise ValueError("Expected JOIN in dataset SQL")
+        rtable = p.expect("ident").value
+        ralias = maybe_alias()
+        t = p.next()
+        if not (t.kind == "ident" and t.value.lower() == "on"):
+            raise ValueError("Expected ON after JOIN in dataset SQL")
+        on_ast = p.parse_or()
+        pairs: list[tuple[str, str]] = []
+
+        def decompose(ast):
+            if not isinstance(ast, tuple):
+                raise ValueError("JOIN ON must be AND of column equalities")
+            if ast[0] == "bin" and ast[1] == "and":
+                decompose(ast[2])
+                decompose(ast[3])
+                return
+            if (
+                ast[0] == "bin"
+                and ast[1] in ("=", "==", "eq")
+                and ast[2][0] == "col"
+                and ast[3][0] == "col"
+            ):
+                pairs.append((ast[2][1], ast[3][1]))
+                return
+            raise ValueError("JOIN ON must be AND of column equalities")
+
+        decompose(on_ast)
+        joins.append(JoinClause(rtable, ralias, jt, pairs))
+
     where_ast = None
     nxt = p.peek()
     if nxt is not None:
@@ -691,4 +774,4 @@ def parse_select(sql: str) -> SelectView:
             raise ValueError(f"Unsupported trailing SQL: {p.peek()}")
     if not star and any(has_aggregate(ast) for _a, ast in projections):
         raise ValueError("Aggregates are not allowed in dataset SQL projections")
-    return SelectView(projections, table, where_ast, star)
+    return SelectView(projections, table, where_ast, star, base_alias, joins)

@@ -1,0 +1,299 @@
+"""Physical planning for dataset-as-SQL JOINs.
+
+The reference accepts any SQL the database can run and executes joins
+inside the warehouse (/root/reference/weiser/checks/base.py:178-182,
+189-226). Ray-Data-first equivalents, chosen per join by right-side
+size from parquet FOOTER bytes only:
+
+- **broadcast hash join** (right side <= ``broadcast_limit``, the
+  dimension-table case): the right table is read once column-pruned,
+  put in the object store ONCE (``ray.put``), and every left Arrow
+  batch joins against it zero-copy via pyarrow Acero
+  (``pa.Table.join``) inside ``map_batches`` — no shuffle, streaming
+  and backpressure preserved, O(batch) memory per task.
+- **hash-shuffle join** (right side larger): ``ray.data.Dataset.join``
+  — the all-to-all scale path for big⋈big; both sides hash-partition
+  on the key so no single worker sees more than one partition.
+
+Partitioning assumption (documented contract): a broadcast side must
+fit a worker heap; the footer-size check enforces it, anything larger
+takes the shuffle path automatically.
+
+Name resolution: every column is mapped to a unique *internal* name —
+the bare column name when it appears in exactly one FROM-chain table,
+else ``<alias>__<col>``. Right-side join keys are renamed to
+``<internal>__jk`` before the join (Acero coalesces right keys away;
+the rename keeps a referenced key column alive as a plain payload
+column), so downstream expressions never need rewriting per join.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .exprs import SelectView, eval_scalar
+
+BROADCAST_LIMIT = 256 << 20  # bytes of parquet-footer (uncompressed) size
+
+
+class _Resolver:
+    """Maps raw column refs (``col`` or ``alias.col``) from the parsed
+    view to (scope index, internal name)."""
+
+    def __init__(self, view: SelectView, catalog):
+        entries = [(view.alias or view.table, view.table)]
+        for j in view.joins:
+            entries.append((j.alias or j.table, j.table))
+        keys = [k for k, _t in entries]
+        if len(set(keys)) != len(keys):
+            raise ValueError(f"Duplicate table alias in dataset SQL: {keys}")
+        self.scopes = []  # (key, table, cols)
+        col_count: dict[str, int] = {}
+        for key, tbl in entries:
+            cols = list(catalog.schema_columns(tbl))
+            self.scopes.append((key, tbl, cols))
+            for c in cols:
+                col_count[c] = col_count.get(c, 0) + 1
+        self._count = col_count
+
+    def internal(self, scope_idx: int, col: str) -> str:
+        key = self.scopes[scope_idx][0]
+        return col if self._count.get(col, 0) == 1 else f"{key}__{col}"
+
+    def resolve(self, raw: str) -> tuple[int, str, str]:
+        """raw ref -> (scope index, raw column, internal name)."""
+        if "." in raw:
+            alias, col = raw.split(".", 1)
+            for i, (key, _tbl, cols) in enumerate(self.scopes):
+                if key == alias:
+                    if col not in cols:
+                        raise ValueError(f"Column {col!r} not in table {key!r}")
+                    return i, col, self.internal(i, col)
+            raise ValueError(f"Unknown table alias {alias!r} in {raw!r}")
+        hits = [i for i, (_k, _t, cols) in enumerate(self.scopes) if raw in cols]
+        if not hits:
+            raise ValueError(f"Unknown column {raw!r} in dataset SQL")
+        if len(hits) > 1:
+            names = [self.scopes[i][0] for i in hits]
+            raise ValueError(f"Ambiguous column {raw!r} (in tables {names})")
+        return hits[0], raw, self.internal(hits[0], raw)
+
+
+def _rewrite(ast, resolver: _Resolver, needed: list[set]):
+    """Rewrite col refs to internal names, recording per-scope needs."""
+    if not isinstance(ast, tuple):
+        return ast
+    if ast[0] == "col":
+        i, raw, internal = resolver.resolve(ast[1])
+        needed[i].add(raw)
+        return ("col", internal)
+    out = [ast[0]]
+    for part in ast[1:]:
+        if isinstance(part, tuple):
+            out.append(_rewrite(part, resolver, needed))
+        elif isinstance(part, list):
+            out.append(
+                [
+                    _rewrite(p, resolver, needed) if isinstance(p, tuple) else p
+                    for p in part
+                ]
+            )
+        else:
+            out.append(part)
+    return tuple(out)
+
+
+def _rename_batch_fn(mapping: dict[str, str]):
+    """raw->internal rename as a zero-copy batch transform."""
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns([mapping.get(n, n) for n in b.column_names])
+
+    return rename
+
+
+def _broadcast_join_fn(ref, left_keys, right_keys, join_type):
+    def bjoin(b: pa.Table) -> pa.Table:
+        right = ray.get(ref)  # zero-copy from the local object store
+        return b.join(
+            right,
+            keys=left_keys,
+            right_keys=right_keys,
+            join_type=join_type,
+            use_threads=False,
+        )
+
+    return bjoin
+
+
+def _final_stage_fn(where_ast, projections, star_cols):
+    def finish(b: pa.Table) -> pa.Table:
+        if where_ast is not None:
+            mask = eval_scalar(where_ast, b)
+            if isinstance(mask, (pa.Array, pa.ChunkedArray)):
+                b = b.filter(pc.fill_null(mask, False))
+            elif not mask:
+                b = b.slice(0, 0)
+        if star_cols is not None:
+            return b.select([c for c in star_cols if c in b.column_names])
+        cols = {}
+        for alias, ast in projections:
+            v = eval_scalar(ast, b)
+            if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                v = pa.array([v] * b.num_rows)
+            cols[alias] = v
+        return pa.table(cols)
+
+    return finish
+
+
+def build_view_dataset(
+    view: SelectView,
+    catalog,
+    star_restrict=None,
+    broadcast_limit: int = BROADCAST_LIMIT,
+    project: bool = True,
+) -> "ray.data.Dataset":
+    """Compile a parsed SelectView (with joins) to a Ray Dataset.
+
+    ``star_restrict``: for ``SELECT *`` views, the subset of output
+    column names a downstream check actually reads — pruning then
+    happens at the parquet read instead of shipping every column of
+    every joined table. ``project=False`` skips the final projection so
+    a caller can evaluate its own expressions over the joined internal
+    columns (then col refs must use internal names via
+    ``rewrite_for_view``).
+    """
+    if not view.joins:
+        raise ValueError("build_view_dataset is for views with JOINs")
+    resolver = _Resolver(view, catalog)
+    needed: list[set] = [set() for _ in resolver.scopes]
+
+    projections = [(a, _rewrite(ast, resolver, needed)) for a, ast in view.projections]
+    where_ast = (
+        _rewrite(view.where_ast, resolver, needed) if view.where_ast is not None else None
+    )
+
+    # Orient each ON pair: exactly one side belongs to the join's own
+    # scope (the right side), the other to an earlier scope.
+    join_plans = []  # (scope_idx, left_internals, right_raws, join_type)
+    for jidx, j in enumerate(view.joins):
+        s = jidx + 1
+        lks, rks = [], []
+        for a, b in j.on_pairs:
+            ia, rawa, inta = resolver.resolve(a)
+            ib, rawb, intb = resolver.resolve(b)
+            if ia == s and ib < s:
+                rks.append(rawa)
+                lks.append(intb)
+                needed[ib].add(rawb)
+            elif ib == s and ia < s:
+                rks.append(rawb)
+                lks.append(inta)
+                needed[ia].add(rawa)
+            else:
+                raise ValueError(
+                    f"JOIN ON pair ({a}, {b}) must link table "
+                    f"{resolver.scopes[s][0]!r} to an earlier table"
+                )
+        join_plans.append((s, lks, rks, j.join_type))
+
+    star_cols: Optional[list] = None
+    if view.star:
+        if star_restrict is not None:
+            star_cols = []
+            for name in sorted(star_restrict):
+                i, raw, internal = resolver.resolve(name)
+                needed[i].add(raw)
+                star_cols.append(internal)
+        else:
+            star_cols = []
+            for i, (_k, _t, cols) in enumerate(resolver.scopes):
+                needed[i].update(cols)
+                star_cols.extend(resolver.internal(i, c) for c in cols)
+
+    # ---- base table: pruned streaming read, rename to internal names
+    base_key, base_tbl, _cols = resolver.scopes[0]
+    base_raw = sorted(needed[0])
+    ds = catalog.dataset(base_tbl, columns=base_raw or None)
+    base_map = {c: resolver.internal(0, c) for c in base_raw}
+    if any(k != v for k, v in base_map.items()):
+        ds = ds.map_batches(
+            _rename_batch_fn(base_map), batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # ---- joins, in order
+    for (s, left_keys, right_raws, join_type), j in zip(join_plans, view.joins):
+        payload_raw = sorted(needed[s])  # referenced downstream (may incl. keys)
+        read_raw = sorted(set(payload_raw) | set(right_raws))
+        # key columns renamed to <internal>__jk so Acero's key-coalesce
+        # never eats a referenced column; referenced keys stay as payload
+        rename = {}
+        for c in read_raw:
+            internal = resolver.internal(s, c)
+            rename[c] = f"{internal}__jk" if c in right_raws else internal
+        right_keys = [f"{resolver.internal(s, c)}__jk" for c in right_raws]
+        dup_keys = [
+            (f"{resolver.internal(s, c)}__jk", resolver.internal(s, c))
+            for c in right_raws
+            if c in payload_raw
+        ]
+
+        size = catalog.size_bytes(j.table, cap=broadcast_limit)
+        if size is not None and size <= broadcast_limit:
+            import pyarrow.dataset as pads
+
+            right = pads.dataset(catalog.path(j.table), format="parquet").to_table(
+                columns=read_raw
+            )
+            right = right.rename_columns([rename[n] for n in right.column_names])
+            for src, dst in dup_keys:
+                right = right.append_column(dst, right[src])
+            ref = ray.put(right)
+            ds = ds.map_batches(
+                _broadcast_join_fn(ref, left_keys, right_keys, join_type),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        else:
+            rds = catalog.dataset(j.table, columns=read_raw)
+
+            def _prep(b: pa.Table, _rename=dict(rename), _dups=list(dup_keys)) -> pa.Table:
+                b = b.rename_columns([_rename.get(n, n) for n in b.column_names])
+                for src, dst in _dups:
+                    b = b.append_column(dst, b[src])
+                return b
+
+            rds = rds.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+            try:
+                nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+            except Exception:
+                nparts = 8
+            ds = ds.join(
+                rds,
+                join_type="left_outer" if join_type == "left outer" else "inner",
+                num_partitions=nparts,
+                on=tuple(left_keys),
+                right_on=tuple(right_keys),
+            )
+
+    if not project:
+        return ds
+
+    return ds.map_batches(
+        _final_stage_fn(where_ast, projections, star_cols),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def rewrite_for_view(ast, view: SelectView, catalog):
+    """Rewrite an expression AST's column refs to the internal names of
+    a joined view built with ``project=False``."""
+    resolver = _Resolver(view, catalog)
+    needed = [set() for _ in resolver.scopes]
+    return _rewrite(ast, resolver, needed)

@@ -91,6 +91,39 @@ class ParquetCatalog:
             f"No parquet/csv/json for table {name!r} under {self.root}"
         )
 
+    def schema_columns(self, name: str) -> list[str]:
+        """Column names for a table, read from parquet FOOTER metadata
+        only (no data IO); non-parquet formats fall back to a lazy
+        Dataset schema fetch (reads one file)."""
+        p = self.path(name)
+        if p.endswith(".parquet") or os.path.isdir(p):
+            import pyarrow.dataset as pads
+
+            return list(pads.dataset(p, format="parquet").schema.names)
+        return list(self.dataset(name).schema().names)
+
+    def size_bytes(self, name: str, cap: Optional[int] = None) -> Optional[int]:
+        """Uncompressed byte size from parquet footers, early-exiting
+        once ``cap`` is exceeded (a 100-TB table never enumerates far).
+        None when the format has no cheap size (csv/json)."""
+        p = self.path(name)
+        if not (p.endswith(".parquet") or os.path.isdir(p)):
+            return None
+        try:
+            import pyarrow.dataset as pads
+
+            total = 0
+            for f in pads.dataset(p, format="parquet").get_fragments():
+                md = f.metadata
+                total += sum(
+                    md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+                )
+                if cap is not None and total > cap:
+                    return total
+            return total
+        except Exception:
+            return None
+
     def dataset(self, name: str, columns: Optional[Sequence[str]] = None) -> "ray.data.Dataset":
         """Prune at the read: only the named columns leave storage.
         Format by extension — parquet (column pruning pushed into the
