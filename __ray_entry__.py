@@ -388,6 +388,69 @@ def q_join_shuffle_qty_by_status(sf_dir: str) -> pa.Table:
     )
 
 
+def q_asof_latest_click(sf_dir: str) -> pa.Table:
+    """Backward as-of join (operator Ray Data lacks): for every event,
+    the user's most recent click at-or-before it — broadcast plan,
+    vectorized pandas.merge_asof per Arrow batch, ties broken by max
+    event_id so the result is deterministic."""
+    import ray.data
+    from weiser_ai_ray.pipelines.asof import asof_join
+
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    clicks = events.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "ts", "value"]
+    )
+    j = asof_join(
+        events.select_columns(["event_id", "user_id", "ts"]),
+        clicks,
+        key="user_id", left_ts="ts", right_ts="ts",
+        tiebreak="event_id", how="inner", suffix="_c",
+    )
+    df = j.to_pandas().sort_values("event_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "event_id": pa.array(df["event_id"], type=pa.int64()),
+            "prior_click": pa.array(df["event_id_c"], type=pa.int64()),
+            "prior_value": pa.array([round(float(v), 6) for v in df["value"]], type=pa.float64()),
+        }
+    )
+
+
+def q_sample_topk_per_source(sf_dir: str) -> pa.Table:
+    """Deterministic per-group sample: 5 docs per source ordered by
+    md5(doc_id) — partial top-k per batch, partials-only combine."""
+    import ray.data
+    from weiser_ai_ray.pipelines.sampling import add_md5_of, topk_per_group
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    ds = add_md5_of(docs, "doc_id", "h")
+    out = topk_per_group(ds, "source", ["h", "doc_id"], k=5).to_pandas()
+    out = out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "source": pa.array(out["source"], type=pa.string()),
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+        }
+    )
+
+
+def q_top_docs_by_length(sf_dir: str) -> pa.Table:
+    """Global top-k without a full sort shuffle: per-batch partial
+    top-k, driver merges only k x blocks rows."""
+    import ray.data
+    from weiser_ai_ray.pipelines.sampling import global_topk
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    t = global_topk(docs, ["n_chars", "doc_id"], k=50, ascending=[False, True])
+    return t.select(["doc_id", "n_chars"])
+
+
 def q_median_price_by_status(sf_dir: str) -> pa.Table:
     """Exact distributed median: per-batch value-count partials, a
     (group, value) count shuffle bounded by value cardinality, weighted
@@ -874,6 +937,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sum_distinct_by_status": q_sum_distinct_by_status,
         "sql_join_revenue_by_nation": q_sql_join_revenue_by_nation,
         "join_shuffle_qty_by_status": q_join_shuffle_qty_by_status,
+        "asof_latest_click": q_asof_latest_click,
+        "sample_topk_per_source": q_sample_topk_per_source,
+        "top_docs_by_length": q_top_docs_by_length,
         "median_price_by_status": q_median_price_by_status,
         "p90_price_by_status": q_p90_price_by_status,
         "p95_disc_quantity": q_p95_disc_quantity,
@@ -988,6 +1054,26 @@ def oracle_sql() -> dict[str, str]:
             " ROUND(CAST(SUM(l.l_quantity) AS DOUBLE), 3) AS sum_qty"
             " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
             " GROUP BY 1 ORDER BY 1"
+        ),
+        "asof_latest_click": (
+            "SELECT event_id, prior_click, prior_value FROM ("
+            " SELECT e.event_id, c.event_id AS prior_click,"
+            " ROUND(c.value, 6) AS prior_value,"
+            " row_number() OVER (PARTITION BY e.event_id"
+            " ORDER BY c.ts DESC, c.event_id DESC) AS rn"
+            " FROM events e JOIN events c ON e.user_id = c.user_id"
+            " AND c.ts <= e.ts AND c.event_type = 'click')"
+            " WHERE rn = 1 ORDER BY event_id"
+        ),
+        "sample_topk_per_source": (
+            "SELECT source, doc_id FROM ("
+            " SELECT source, doc_id, row_number() OVER (PARTITION BY source"
+            " ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn"
+            " FROM documents) WHERE rn <= 5 ORDER BY source, doc_id"
+        ),
+        "top_docs_by_length": (
+            "SELECT doc_id, n_chars FROM documents"
+            " ORDER BY n_chars DESC, doc_id LIMIT 50"
         ),
         "median_price_by_status": (
             "SELECT o_orderstatus,"

@@ -1,0 +1,169 @@
+"""As-of join (broadcast + shuffle plans) and deterministic sampling
+operators vs DuckDB window-SQL oracles."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _oracle_asof():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    return con.execute(
+        """
+        SELECT event_id, prior_click, prior_value FROM (
+          SELECT e.event_id, c.event_id AS prior_click, c.value AS prior_value,
+            row_number() OVER (PARTITION BY e.event_id
+                               ORDER BY c.ts DESC, c.event_id DESC) rn
+          FROM events e JOIN events c ON e.user_id = c.user_id
+            AND c.ts <= e.ts AND c.event_type = 'click')
+        WHERE rn = 1 ORDER BY event_id
+        """
+    ).df()
+
+
+def _run_asof(**kw):
+    import ray.data
+    from weiser_ai_ray.pipelines.asof import asof_join
+
+    events = ray.data.read_parquet(f"{SF_DIR}/events.parquet")
+    clicks = events.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "ts", "value"]
+    )
+    j = asof_join(
+        events.select_columns(["event_id", "user_id", "ts"]),
+        clicks,
+        key="user_id", left_ts="ts", right_ts="ts",
+        tiebreak="event_id", how="inner", suffix="_c", **kw,
+    )
+    return j.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAsofJoin:
+    def test_broadcast_matches_window_oracle(self):
+        df = _run_asof()
+        exp = _oracle_asof()
+        assert len(df) == len(exp)
+        assert (df["event_id"].values == exp["event_id"].values).all()
+        assert (df["event_id_c"].values == exp["prior_click"].values).all()
+        assert np.allclose(df["value"].values, exp["prior_value"].values)
+
+    def test_shuffle_matches_window_oracle(self):
+        df = _run_asof(broadcast_limit=0, right_size_hint=10**12)
+        exp = _oracle_asof()
+        assert len(df) == len(exp)
+        assert (df["event_id"].values == exp["event_id"].values).all()
+        assert (df["event_id_c"].values == exp["prior_click"].values).all()
+
+    def test_left_asof_keeps_unmatched(self):
+        import ray.data
+        from weiser_ai_ray.pipelines.asof import asof_join
+
+        left = ray.data.from_arrow(
+            pa.table(
+                {
+                    "id": [1, 2, 3],
+                    "k": [7, 7, 8],
+                    "t": pa.array([10, 20, 5], type=pa.int64()),
+                }
+            )
+        )
+        right = ray.data.from_arrow(
+            pa.table({"k": [7], "t": pa.array([15], type=pa.int64()), "p": ["x"]})
+        )
+        df = (
+            asof_join(left, right, key="k", left_ts="t", right_ts="t", how="left")
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        assert len(df) == 3
+        assert df["p"].isna().tolist() == [True, False, True]
+        assert df.loc[1, "p"] == "x"
+
+    def test_tie_breaks_to_max_tiebreak(self):
+        import ray.data
+        from weiser_ai_ray.pipelines.asof import asof_join
+
+        left = ray.data.from_arrow(pa.table({"id": [1], "k": [1], "t": [100]}))
+        right = ray.data.from_arrow(
+            pa.table({"rid": [5, 9, 2], "k": [1, 1, 1], "t": [100, 100, 100]})
+        )
+        df = asof_join(
+            left, right, key="k", left_ts="t", right_ts="t",
+            tiebreak="rid", how="inner",
+        ).to_pandas()
+        assert df["rid"].tolist() == [9]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSampling:
+    def test_topk_per_group_matches_qualify(self):
+        import ray.data
+        from weiser_ai_ray.pipelines.sampling import add_md5_of, topk_per_group
+
+        docs = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "source"]
+        )
+        out = (
+            topk_per_group(add_md5_of(docs, "doc_id", "h"), "source", ["h", "doc_id"], 3)
+            .to_pandas()
+            .sort_values(["source", "doc_id"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        exp = con.execute(
+            """SELECT source, doc_id FROM (
+                 SELECT source, doc_id, row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rn
+                 FROM documents) WHERE rn <= 3 ORDER BY source, doc_id"""
+        ).df()
+        assert (out["doc_id"].values == exp["doc_id"].values).all()
+        assert (out["source"].values == exp["source"].values).all()
+
+    def test_topk_stable_across_block_layouts(self):
+        # determinism contract: same result no matter how input is split
+        import ray.data
+        from weiser_ai_ray.pipelines.sampling import add_md5_of, topk_per_group
+
+        docs = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "source"]
+        )
+        a = (
+            topk_per_group(add_md5_of(docs, "doc_id", "h"), "source", ["h", "doc_id"], 4)
+            .to_pandas().sort_values(["source", "doc_id"]).reset_index(drop=True)
+        )
+        b = (
+            topk_per_group(
+                add_md5_of(docs.repartition(13), "doc_id", "h"), "source", ["h", "doc_id"], 4
+            )
+            .to_pandas().sort_values(["source", "doc_id"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_global_topk_matches_order_by_limit(self):
+        import ray.data
+        from weiser_ai_ray.pipelines.sampling import global_topk
+
+        docs = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        t = global_topk(docs, ["n_chars", "doc_id"], 10, ascending=[False, True])
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        exp = con.execute(
+            "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ).df()
+        assert t.to_pandas()[["doc_id", "n_chars"]].values.tolist() == exp.values.tolist()

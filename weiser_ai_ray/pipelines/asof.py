@@ -1,0 +1,181 @@
+"""As-of (backward inequality) join — an operator Ray Data lacks.
+
+For every left row, find the single right row with the same key and the
+greatest right timestamp <= the left timestamp (ties broken by the
+greatest tiebreak value, so results are fully deterministic). The
+reference has no joins at all (user SQL is passed through to the
+database, README.md:106-117); this is a new-engine operator for
+point-in-time feature lookups (e.g. "the user's latest prior event").
+
+Two physical plans, chosen by right-side size (same policy as
+weiser_ai_ray/joins.py):
+
+- **broadcast** (right side small): the right table is sorted once by
+  timestamp, put in the object store ONCE, and each left Arrow batch
+  runs a vectorized ``pandas.merge_asof`` (C merge over sorted arrays)
+  against it inside ``map_batches`` — no shuffle, streaming preserved.
+- **shuffle** (both sides big): both sides are hash-partitioned on the
+  key (schemas padded to a common layout with a side tag), co-grouped
+  with ``groupby(part).map_groups``, and each partition runs the same
+  sorted ``merge_asof``.
+
+Partitioning assumption (documented contract): all right rows of one
+key must co-locate — as-of cannot salt hot keys, so a single key's
+right rows must fit one worker. Null keys/timestamps are dropped from
+both sides (SQL inner/left join-key semantics).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+BROADCAST_LIMIT = 256 << 20
+
+
+def _sorted_right_frame(
+    tbl: pa.Table, key: str, ts: str, tiebreak: Optional[str]
+) -> pd.DataFrame:
+    df = tbl.to_pandas()
+    df = df[df[key].notna() & df[ts].notna()]
+    order = [ts, tiebreak] if tiebreak else [ts]
+    # merge_asof(direction="backward") picks the LAST right row with
+    # ts <= left ts in sort order, so sorting ties ascending by the
+    # tiebreak makes the match "greatest tiebreak among greatest ts"
+    return df.sort_values(order, kind="mergesort").reset_index(drop=True)
+
+
+def _asof_merge(
+    left: pd.DataFrame,
+    right_sorted: pd.DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    how: str,
+    suffix: str,
+) -> pd.DataFrame:
+    left = left[left[key].notna() & left[left_ts].notna()]
+    ls = left.sort_values(left_ts, kind="mergesort")
+    # "__asof_m" marks matched rows — immune to column-name overlap
+    # between the sides (e.g. self-joins where every name collides)
+    right_sorted = right_sorted.assign(__asof_m=np.int8(1))
+    out = pd.merge_asof(
+        ls,
+        right_sorted,
+        left_on=left_ts,
+        right_on=right_ts,
+        left_by=key,
+        right_by=key,
+        direction="backward",
+        suffixes=("", suffix),
+        allow_exact_matches=True,
+    )
+    if how == "inner":
+        out = out[out["__asof_m"].notna()]
+    return out.drop(columns=["__asof_m"])
+
+
+def asof_join(
+    left_ds: "ray.data.Dataset",
+    right_ds: "ray.data.Dataset",
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    *,
+    tiebreak: Optional[str] = None,
+    how: str = "inner",
+    suffix: str = "_r",
+    broadcast_limit: int = BROADCAST_LIMIT,
+    right_size_hint: Optional[int] = None,
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Backward as-of join of two Datasets on ``key``.
+
+    The right side must share ``key``; other overlapping column names
+    get ``suffix``. ``right_size_hint`` (bytes) selects the plan when
+    given; otherwise the right side is materialized and sized.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+
+    if right_size_hint is None or right_size_hint <= broadcast_limit:
+        right_mat = right_ds.materialize()
+        size = right_size_hint if right_size_hint is not None else right_mat.size_bytes()
+        if size is not None and size <= broadcast_limit:
+            right_tbl = pa.concat_tables(
+                [ray.get(r) for r in right_mat.to_arrow_refs()], promote_options="default"
+            )
+            right_frame = _sorted_right_frame(right_tbl, key, right_ts, tiebreak)
+            ref = ray.put(right_frame)
+
+            def bmerge(b: pd.DataFrame) -> pd.DataFrame:
+                return _asof_merge(
+                    b, ray.get(ref), key, left_ts, right_ts, how, suffix
+                )
+
+            return left_ds.map_batches(bmerge, batch_format="pandas")
+        right_ds = right_mat  # fall through to shuffle with the sized copy
+
+    return _asof_join_shuffle(
+        left_ds, right_ds, key, left_ts, right_ts, tiebreak, how, suffix, num_partitions
+    )
+
+
+def _asof_join_shuffle(
+    left_ds, right_ds, key, left_ts, right_ts, tiebreak, how, suffix, num_partitions
+):
+    try:
+        nparts = num_partitions or max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        nparts = num_partitions or 8
+
+    lschema = left_ds.schema()
+    rschema = right_ds.schema()
+    lcols = list(lschema.names)
+    # right columns that collide with left names (other than the key)
+    # carry the suffix BEFORE the union, so the common layout is unique
+    rmap = {
+        c: (c if c == key else (f"{c}{suffix}" if c in lcols else c))
+        for c in rschema.names
+    }
+    rts = rmap[right_ts]
+    rtb = rmap[tiebreak] if tiebreak else None
+    types = {n: lschema.base_schema.field(n).type for n in lcols}
+    for c, renamed in rmap.items():
+        types.setdefault(renamed, rschema.base_schema.field(c).type)
+    all_cols = lcols + [rmap[c] for c in rschema.names if rmap[c] not in lcols]
+
+    def pad(side: int, names_map: dict, ts_name: str):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.rename_columns([names_map.get(n, n) for n in b.column_names])
+            import pyarrow.compute as pc
+
+            keep = pc.and_kleene(b[key].is_valid(), b[ts_name].is_valid())
+            b = b.filter(keep)
+            cols = {
+                c: (b[c] if c in b.column_names else pa.nulls(b.num_rows, type=types[c]))
+                for c in all_cols
+            }
+            out = pa.table(cols)
+            out = out.append_column("__side", pa.array(np.full(b.num_rows, side, np.int8)))
+            part = np.abs(pc.cast(b[key], pa.int64()).to_numpy(zero_copy_only=False)) % nparts
+            return out.append_column("__part", pa.array(part.astype(np.int64)))
+
+        return fn
+
+    lpad = left_ds.map_batches(pad(0, {}, left_ts), batch_format="pyarrow")
+    rpad = right_ds.map_batches(pad(1, rmap, rts), batch_format="pyarrow")
+    combined = lpad.union(rpad)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        left = df.loc[df["__side"] == 0, lcols]
+        right = df.loc[df["__side"] == 1, [rmap[c] for c in rmap]]
+        order = [rts, rtb] if rtb else [rts]
+        right = right.sort_values(order, kind="mergesort").reset_index(drop=True)
+        return _asof_merge(left, right, key, left_ts, rts, how, suffix)
+
+    return combined.groupby("__part").map_groups(per_part, batch_format="pandas")

@@ -1,0 +1,91 @@
+"""Deterministic sampling / top-k operators for corpus curation.
+
+The reference has no sampling of user data (only the `sample` command's
+synthetic-history generator, /root/reference/weiser/runner/__init__.py:52-116);
+these are new-engine operators a training-data pipeline needs: pick a
+reproducible per-source subset, or the global best rows by a score —
+without ever materializing more than k rows per group anywhere.
+
+Both are two-stage partial top-k plans:
+
+1. ``map_batches`` keeps at most k rows per group per batch (vectorized
+   pandas sort + groupby.head — no shuffle, output bounded by
+   k x groups x blocks);
+2. the (tiny) partials are combined: per-group via one
+   ``groupby(group).map_groups`` head-k (hash shuffle of partials
+   only), global via a driver merge of k x blocks rows.
+
+Determinism: ordering keys break ties explicitly (callers should end
+the key list with a unique column), so results are reproducible across
+block layouts and cluster sizes — hash-ordering by md5(id) gives a
+uniform "random but stable" sample (a SQL-expressible oracle:
+``QUALIFY row_number() OVER (... ORDER BY md5(...)) <= k``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Sequence
+
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def add_md5_of(ds: "ray.data.Dataset", col: str, out_col: str) -> "ray.data.Dataset":
+    """Append md5(CAST(col AS VARCHAR)) as a hex-string column —
+    byte-identical to DuckDB's md5() over the same varchar."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        vals = b[col].to_pylist()
+        digests = [
+            None if v is None else hashlib.md5(str(v).encode()).hexdigest() for v in vals
+        ]
+        return b.append_column(out_col, pa.array(digests, type=pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _head_k(df: pd.DataFrame, group: str, order: Sequence[str], ascending, k: int):
+    s = df.sort_values(list(order), ascending=ascending, kind="mergesort")
+    return s.groupby(group, sort=False).head(k)
+
+
+def topk_per_group(
+    ds: "ray.data.Dataset",
+    group: str,
+    order: Sequence[str],
+    k: int,
+    ascending: bool | Sequence[bool] = True,
+) -> "ray.data.Dataset":
+    """First k rows per ``group`` ordered by ``order`` — streaming
+    partial top-k per batch, then a partials-only combine shuffle."""
+    asc = ascending if isinstance(ascending, (list, tuple)) else [ascending] * len(order)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return _head_k(df, group, order, list(asc), k)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return _head_k(df, group, order, list(asc), k)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby(group).map_groups(combine, batch_format="pandas")
+
+
+def global_topk(
+    ds: "ray.data.Dataset",
+    order: Sequence[str],
+    k: int,
+    ascending: bool | Sequence[bool] = True,
+) -> pa.Table:
+    """Global first-k by ``order``: per-batch partial top-k, then one
+    driver merge of k x blocks rows (never the dataset) — the pattern
+    to use instead of ``ds.sort(...).limit(k)``'s full shuffle."""
+    asc = ascending if isinstance(ascending, (list, tuple)) else [ascending] * len(order)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(list(order), ascending=list(asc), kind="mergesort").head(k)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.sort_values(list(order), ascending=list(asc), kind="mergesort").head(k)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
