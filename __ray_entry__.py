@@ -388,6 +388,30 @@ def q_join_shuffle_qty_by_status(sf_dir: str) -> pa.Table:
     )
 
 
+def q_customers_no_p_orders(sf_dir: str) -> pa.Table:
+    """Anti join (NOT EXISTS): customers with no pending order —
+    per-block key dedup, one broadcast distinct-key set, streaming
+    is_in filter (Dataset.join left_anti when the key set outgrows the
+    broadcast limit)."""
+    import ray.data
+    from weiser_ai_ray.joins import semi_anti_join
+
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    )
+    p_orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_orderstatus"]
+    ).filter(expr="o_orderstatus == 'P'")
+    out = semi_anti_join(customer, p_orders, "c_custkey", "o_custkey", anti=True)
+    df = out.to_pandas().sort_values("c_custkey").reset_index(drop=True)
+    return pa.table(
+        {
+            "c_custkey": pa.array(df["c_custkey"], type=pa.int64()),
+            "c_name": pa.array(df["c_name"], type=pa.string()),
+        }
+    )
+
+
 def q_asof_latest_click(sf_dir: str) -> pa.Table:
     """Backward as-of join (operator Ray Data lacks): for every event,
     the user's most recent click at-or-before it — broadcast plan,
@@ -937,6 +961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sum_distinct_by_status": q_sum_distinct_by_status,
         "sql_join_revenue_by_nation": q_sql_join_revenue_by_nation,
         "join_shuffle_qty_by_status": q_join_shuffle_qty_by_status,
+        "customers_no_p_orders": q_customers_no_p_orders,
         "asof_latest_click": q_asof_latest_click,
         "sample_topk_per_source": q_sample_topk_per_source,
         "top_docs_by_length": q_top_docs_by_length,
@@ -1054,6 +1079,11 @@ def oracle_sql() -> dict[str, str]:
             " ROUND(CAST(SUM(l.l_quantity) AS DOUBLE), 3) AS sum_qty"
             " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
             " GROUP BY 1 ORDER BY 1"
+        ),
+        "customers_no_p_orders": (
+            "SELECT c_custkey, c_name FROM customer"
+            " WHERE c_custkey NOT IN (SELECT o_custkey FROM orders"
+            " WHERE o_orderstatus = 'P') ORDER BY c_custkey"
         ),
         "asof_latest_click": (
             "SELECT event_id, prior_click, prior_value FROM ("

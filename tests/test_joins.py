@@ -169,6 +169,42 @@ def test_star_join_and_restrict():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_semi_anti_join_both_plans():
+    import ray.data
+
+    from weiser_ai_ray.joins import semi_anti_join
+
+    customer = ray.data.read_parquet(
+        os.path.join(SF, "customer.parquet"), columns=["c_custkey"]
+    )
+    p_orders = ray.data.read_parquet(
+        os.path.join(SF, "orders.parquet"), columns=["o_custkey", "o_orderstatus"]
+    ).filter(expr="o_orderstatus == 'P'")
+    exp_anti = set(
+        _duck(
+            "SELECT c_custkey FROM customer WHERE c_custkey NOT IN"
+            " (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')"
+        )["c_custkey"]
+    )
+    exp_semi = set(
+        _duck(
+            "SELECT c_custkey FROM customer WHERE c_custkey IN"
+            " (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')"
+        )["c_custkey"]
+    )
+    for limit in (256 << 20, 0):  # broadcast plan, then forced shuffle plan
+        anti = semi_anti_join(
+            customer, p_orders, "c_custkey", "o_custkey", anti=True, broadcast_limit=limit
+        ).to_pandas()
+        semi = semi_anti_join(
+            customer, p_orders, "c_custkey", "o_custkey", anti=False, broadcast_limit=limit
+        ).to_pandas()
+        assert set(anti["c_custkey"]) == exp_anti
+        assert set(semi["c_custkey"]) == exp_semi
+        assert len(semi) == len(exp_semi)  # semi join must not duplicate rows
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_check_over_join_view_matches_duckdb(tmp_store):
     from weiser_ai_ray.checks import CheckFactory
     from weiser_ai_ray.models import Check

@@ -291,6 +291,59 @@ def build_view_dataset(
     )
 
 
+def semi_anti_join(
+    left_ds: "ray.data.Dataset",
+    right_ds: "ray.data.Dataset",
+    left_key: str,
+    right_key: str,
+    anti: bool = False,
+    broadcast_limit: int = BROADCAST_LIMIT,
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Set-membership joins (EXISTS / NOT EXISTS): keep left rows whose
+    key does (semi) or does not (anti) appear on the right.
+
+    Broadcast plan (default while the DISTINCT right key set is small):
+    keys are deduplicated per block in workers, the distinct set is put
+    in the object store once, and the left side streams through an
+    ``is_in`` filter — no shuffle, no row duplication. Large key sets
+    fall back to ``Dataset.join`` left_semi/left_anti hash shuffle."""
+    keyds = right_ds.select_columns([right_key]).map_batches(
+        lambda b: pa.table({right_key: pc.unique(b[right_key])}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    mat = keyds.materialize()
+    size = mat.size_bytes()
+    if size is not None and size <= broadcast_limit:
+        keys = pc.unique(
+            pa.concat_tables([ray.get(r) for r in mat.to_arrow_refs()])[right_key]
+        )
+        ref = ray.put(keys)
+
+        def filt(b: pa.Table) -> pa.Table:
+            mask = pc.is_in(b[left_key], value_set=ray.get(ref))
+            if anti:
+                mask = pc.invert(pc.fill_null(mask, False))
+            else:
+                mask = pc.fill_null(mask, False)
+            return b.filter(mask)
+
+        return left_ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+    try:
+        nparts = num_partitions or max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        nparts = num_partitions or 8
+    return left_ds.join(
+        mat,
+        join_type="left_anti" if anti else "left_semi",
+        num_partitions=nparts,
+        on=(left_key,),
+        right_on=(right_key,),
+    )
+
+
 def rewrite_for_view(ast, view: SelectView, catalog):
     """Rewrite an expression AST's column refs to the internal names of
     a joined view built with ``project=False``."""
