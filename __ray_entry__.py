@@ -388,6 +388,30 @@ def q_join_shuffle_qty_by_status(sf_dir: str) -> pa.Table:
     )
 
 
+def q_approx_distinct_orderkey(sf_dir: str) -> pa.Table:
+    """HyperLogLog approximate count(distinct): sketch registers (2^p
+    bytes per block x group) are the only shuffle payload — the scale
+    path where the exact distinct-pair shuffle would BE the dataset.
+    No SQL oracle (approximation); accuracy gated in tests/test_sketches.py
+    (<5% of exact at p=14, deterministic across block layouts)."""
+    import ray.data
+    from weiser_ai_ray.pipelines.sketches import approx_count_distinct_by
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_returnflag"]
+    )
+    t = approx_count_distinct_by(li, "l_returnflag", "l_orderkey", p=14)
+    df = t.to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(df["l_returnflag"], type=pa.string()),
+            "approx_distinct": pa.array(
+                [float(round(v, 1)) for v in df["approx_distinct"]], type=pa.float64()
+            ),
+        }
+    )
+
+
 def q_customers_no_p_orders(sf_dir: str) -> pa.Table:
     """Anti join (NOT EXISTS): customers with no pending order —
     per-block key dedup, one broadcast distinct-key set, streaming
@@ -962,6 +986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_join_revenue_by_nation": q_sql_join_revenue_by_nation,
         "join_shuffle_qty_by_status": q_join_shuffle_qty_by_status,
         "customers_no_p_orders": q_customers_no_p_orders,
+        "approx_distinct_orderkey": q_approx_distinct_orderkey,
         "asof_latest_click": q_asof_latest_click,
         "sample_topk_per_source": q_sample_topk_per_source,
         "top_docs_by_length": q_top_docs_by_length,

@@ -1,0 +1,78 @@
+"""HyperLogLog approximate distinct counts: accuracy vs exact DuckDB,
+determinism across block layouts, null semantics."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tests.conftest import SF_DIR
+
+from weiser_ai_ray.pipelines.sketches import (
+    approx_count_distinct,
+    approx_count_distinct_by,
+    hash64_column,
+)
+
+
+def _exact(sql):
+    con = duckdb.connect()
+    for t in ("lineitem", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con.execute(sql).fetchall()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHll:
+    def test_global_within_error_bound(self):
+        import ray.data
+
+        li = ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey"])
+        est = approx_count_distinct(li, "l_orderkey", p=14)
+        exact = _exact("SELECT count(DISTINCT l_orderkey) FROM lineitem")[0][0]
+        # p=14 -> sigma ~0.8%; 5 sigma guard band
+        assert abs(est - exact) / exact < 0.05
+
+    def test_string_column(self):
+        import ray.data
+
+        docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["text"])
+        est = approx_count_distinct(docs, "text", p=14)
+        exact = _exact("SELECT count(DISTINCT text) FROM documents")[0][0]
+        assert abs(est - exact) / exact < 0.05
+
+    def test_grouped_within_error_bound(self):
+        import ray.data
+
+        li = ray.data.read_parquet(
+            f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+        )
+        got = (
+            approx_count_distinct_by(li, "l_returnflag", "l_orderkey", p=12)
+            .to_pandas()
+            .set_index("l_returnflag")["approx_distinct"]
+        )
+        for flag, exact in _exact(
+            "SELECT l_returnflag, count(DISTINCT l_orderkey) FROM lineitem GROUP BY 1"
+        ):
+            assert abs(got[flag] - exact) / exact < 0.1
+
+    def test_deterministic_across_block_layouts(self):
+        import ray.data
+
+        li = ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey"])
+        a = approx_count_distinct(li, "l_orderkey", p=12)
+        b = approx_count_distinct(li.repartition(17), "l_orderkey", p=12)
+        assert a == b  # register max-merge is order/layout independent
+
+    def test_nulls_dropped_like_sql(self):
+        import ray.data
+
+        t = pa.table({"x": pa.array([1, 1, 2, None, None], type=pa.int64())})
+        est = approx_count_distinct(ray.data.from_arrow(t), "x", p=14)
+        assert round(est) == 2
+
+    def test_hash64_deterministic_and_mixed(self):
+        col = pa.chunked_array([pa.array([1, 2, 3], type=pa.int64())])
+        h1, h2 = hash64_column(col), hash64_column(col)
+        assert (h1 == h2).all() and len(np.unique(h1)) == 3

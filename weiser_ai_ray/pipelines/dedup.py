@@ -346,9 +346,12 @@ def _dup_bucket_keys(band_rows: "ray.data.Dataset") -> Optional[pa.Array]:
     assumption; members, texts and verification never touch the
     driver."""
     counts = band_rows.groupby("bucket").count()
-    count_col = [c for c in counts.schema().names if c != "bucket"][0]
 
     def only_dups(b: pa.Table) -> pa.Table:
+        # resolve the count column per batch: calling counts.schema()
+        # here would EXECUTE the whole upstream band+aggregate plan a
+        # second time (schema fetch runs the pipeline to take 1 row)
+        count_col = [c for c in b.column_names if c != "bucket"][0]
         return b.filter(pc.greater(b[count_col], 1)).select(["bucket"])
 
     parts = [

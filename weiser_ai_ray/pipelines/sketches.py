@@ -1,0 +1,136 @@
+"""Sketches: approximate distinct counting for unbounded cardinality.
+
+The exact distributed count(distinct) in checks/base.py shuffles one
+row per DISTINCT (group, value) pair — exact, but at 10^12 unique
+values the shuffle is the dataset. HyperLogLog is the scale path: a
+fixed 2^p-byte register array per (batch x group), max-merged — the
+shuffle payload is O(groups x 2^p) bytes regardless of row count,
+with ~1.04/sqrt(2^p) relative error (p=14 -> ~0.8%).
+
+Everything is vectorized: values are hashed to 64 bits in one pass
+(polars xxhash for strings, splitmix64 in numpy for ints), register
+ranks come from ``np.frexp`` (exact for the 50-bit remainder), and
+per-batch registers fold with ``np.maximum.at``. Deterministic for a
+given (seed, p) — results are reproducible across block layouts and
+cluster sizes.
+
+Estimator: the classic HLL alpha-corrected harmonic mean with
+linear-counting fallback below 2.5m (Flajolet et al., 2007; the
+64-bit-hash variant needs no large-range correction).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — a well-mixed 64-bit hash for
+    integer keys (public-domain constant set)."""
+    z = x.astype(np.uint64, copy=True)
+    z += np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def hash64_column(col: "pa.ChunkedArray | pa.Array", seed: int = 0) -> np.ndarray:
+    """64-bit hashes of a column's non-null values (nulls dropped,
+    matching SQL count(distinct) semantics)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = arr.drop_null()
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if pa.types.is_integer(arr.type):
+        vals = arr.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return _splitmix64(vals + np.uint64(seed))
+    import polars as pl
+
+    s = pl.from_arrow(arr)
+    return s.hash(seed=seed).to_numpy().astype(np.uint64)
+
+
+def _registers_from_hashes(h: np.ndarray, p: int) -> np.ndarray:
+    m = 1 << p
+    reg = np.zeros(m, dtype=np.uint8)
+    if h.size == 0:
+        return reg
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rem = (h << np.uint64(p)) >> np.uint64(p)  # low 64-p bits
+    # rank = leading-zero count within (64-p) bits, + 1.
+    # frexp gives the exact floor(log2): rem = mant * 2^exp, exp-1 =
+    # floor(log2(rem)); rem < 2^50 so float64 is exact
+    _mant, exp = np.frexp(rem.astype(np.float64))
+    flog = exp.astype(np.int64) - 1  # rem==0 -> flog == -1
+    rank = ((64 - p) - flog).astype(np.uint8)  # rem==0 -> 64-p+1
+    np.maximum.at(reg, idx, rank)
+    return reg
+
+
+def _estimate(reg: np.ndarray) -> float:
+    m = reg.size
+    est = _alpha(m) * m * m / np.sum(np.ldexp(1.0, -reg.astype(np.int64)))
+    zeros = int(np.count_nonzero(reg == 0))
+    if est <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)
+    return float(est)
+
+
+def approx_count_distinct(
+    ds: "ray.data.Dataset", col: str, p: int = 14, seed: int = 0
+) -> float:
+    """Approximate global distinct count: one 2^p-byte register block
+    per input block reaches the driver (never values), max-merged."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        reg = _registers_from_hashes(hash64_column(b[col], seed), p)
+        return pa.table({"reg": pa.array([reg.tobytes()], type=pa.binary())})
+
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for b in ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        for buf in b["reg"].to_pylist():
+            np.maximum(merged, np.frombuffer(buf, dtype=np.uint8), out=merged)
+    return _estimate(merged)
+
+
+def approx_count_distinct_by(
+    ds: "ray.data.Dataset", group: str, col: str, p: int = 12, seed: int = 0
+) -> pa.Table:
+    """Grouped approximate distinct count: per-batch per-group register
+    blocks (groups x 2^p bytes), then one groupby shuffle of sketches —
+    payload independent of value cardinality."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_r = [], []
+        for g, sub in df.groupby(group, sort=False, dropna=False):
+            h = hash64_column(pa.Array.from_pandas(sub[col]), seed)
+            out_g.append(g)
+            out_r.append(_registers_from_hashes(h, p).tobytes())
+        return pd.DataFrame({group: out_g, "reg": out_r})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        merged = np.zeros(1 << p, dtype=np.uint8)
+        for buf in df["reg"]:
+            np.maximum(merged, np.frombuffer(buf, dtype=np.uint8), out=merged)
+        return pd.DataFrame(
+            {group: [df[group].iloc[0]], "approx_distinct": [_estimate(merged)]}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return pa.Table.from_pandas(
+        partials.groupby(group).map_groups(combine, batch_format="pandas").to_pandas(),
+        preserve_index=False,
+    )
