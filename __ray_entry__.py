@@ -388,6 +388,34 @@ def q_join_shuffle_qty_by_status(sf_dir: str) -> pa.Table:
     )
 
 
+def q_props_k_stats_by_type(sf_dir: str) -> pa.Table:
+    """JSON field extraction (events.props -> $.k as int) feeding a
+    grouped aggregate — streaming map_batches decode, typed nulls on
+    parse failure, Ray groupby combine."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from weiser_ai_ray.pipelines.jsonops import extract_json_field
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
+    )
+    ds = extract_json_field(ev, "props", "k", "k", type="int")
+    rows = (
+        ds.groupby("event_type")
+        .aggregate(Sum("k", alias_name="sum_k"), Count("k", alias_name="n_k"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["event_type"])
+    return pa.table(
+        {
+            "event_type": pa.array([r["event_type"] for r in rows], type=pa.string()),
+            "sum_k": pa.array([int(r["sum_k"]) for r in rows], type=pa.int64()),
+            "n_k": pa.array([int(r["n_k"]) for r in rows], type=pa.int64()),
+        }
+    )
+
+
 def q_approx_distinct_orderkey(sf_dir: str) -> pa.Table:
     """HyperLogLog approximate count(distinct): sketch registers (2^p
     bytes per block x group) are the only shuffle payload — the scale
@@ -987,6 +1015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_shuffle_qty_by_status": q_join_shuffle_qty_by_status,
         "customers_no_p_orders": q_customers_no_p_orders,
         "approx_distinct_orderkey": q_approx_distinct_orderkey,
+        "props_k_stats_by_type": q_props_k_stats_by_type,
         "asof_latest_click": q_asof_latest_click,
         "sample_topk_per_source": q_sample_topk_per_source,
         "top_docs_by_length": q_top_docs_by_length,
@@ -1104,6 +1133,12 @@ def oracle_sql() -> dict[str, str]:
             " ROUND(CAST(SUM(l.l_quantity) AS DOUBLE), 3) AS sum_qty"
             " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
             " GROUP BY 1 ORDER BY 1"
+        ),
+        "props_k_stats_by_type": (
+            "SELECT event_type,"
+            " SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,"
+            " COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_k"
+            " FROM events GROUP BY 1 ORDER BY 1"
         ),
         "customers_no_p_orders": (
             "SELECT c_custkey, c_name FROM customer"

@@ -1,0 +1,73 @@
+"""JSON field extraction: typed casts, null semantics on bad input,
+oracle parity vs DuckDB json_extract."""
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from tests.conftest import SF_DIR
+
+from weiser_ai_ray.pipelines.jsonops import extract_json_field
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJsonExtract:
+    def test_matches_duckdb_json_extract(self):
+        import ray.data
+
+        ev = ray.data.read_parquet(
+            f"{SF_DIR}/events.parquet", columns=["event_id", "props"]
+        )
+        got = (
+            extract_json_field(ev, "props", "k", "k", type="int")
+            .select_columns(["event_id", "k"])
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+        )
+        exp = con.execute(
+            "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k"
+            " FROM events ORDER BY event_id"
+        ).df()
+        assert (got["event_id"].values == exp["event_id"].values).all()
+        assert got["k"].equals(exp["k"].astype(got["k"].dtype))
+
+    def test_bad_json_and_missing_key_become_null(self):
+        import ray.data
+
+        t = pa.table(
+            {
+                "j": [
+                    '{"k": 3}',
+                    "not json",
+                    '{"other": 1}',
+                    None,
+                    '[1,2]',
+                    '{"k": null}',
+                ]
+            }
+        )
+        out = (
+            extract_json_field(ray.data.from_arrow(t), "j", "k", "k", type="int")
+            .to_pandas()["k"]
+        )
+        assert out.tolist()[0] == 3
+        assert out.isna().tolist() == [False, True, True, True, True, True]
+
+    def test_string_and_float_types(self):
+        import ray.data
+
+        t = pa.table({"j": ['{"k": 1.5, "s": "ab"}']})
+        f = extract_json_field(ray.data.from_arrow(t), "j", "k", "kf", type="float").to_pandas()
+        s = extract_json_field(ray.data.from_arrow(t), "j", "s", "ks", type="string").to_pandas()
+        assert f["kf"].iloc[0] == 1.5 and s["ks"].iloc[0] == "ab"
+
+    def test_unknown_type_raises(self):
+        import ray.data
+
+        with pytest.raises(ValueError):
+            extract_json_field(ray.data.range(1), "id", "k", "o", type="bool")

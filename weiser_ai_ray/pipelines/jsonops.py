@@ -1,0 +1,55 @@
+"""JSON property extraction over string columns.
+
+Semi-structured event payloads (the ``events.props`` column) carry
+JSON text; checks and aggregates need typed fields out of it. The
+reference delegates this to database JSON functions inside user SQL;
+here it is a streaming batch transform: one ``json.loads`` (CPython's
+C parser) per row inside ``map_batches``, emitting a typed Arrow
+column. Unparseable/missing values become null (matching
+``json_extract``'s SQL semantics), so downstream aggregates keep SQL
+null behavior.
+
+This is intentionally the row-wise exception to the no-row-loops rule:
+JSON decode has no Arrow kernel in this environment, and the loop body
+is a single C call; the surrounding pipeline (filter, group, combine)
+stays vectorized.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import pyarrow as pa
+import ray
+
+
+def extract_json_field(
+    ds: "ray.data.Dataset",
+    col: str,
+    key: str,
+    out_col: str,
+    type: str = "string",
+) -> "ray.data.Dataset":
+    """Append ``out_col`` = the top-level ``key`` of the JSON document
+    in ``col``, cast to ``type`` ("string" | "int" | "float")."""
+    if type not in ("string", "int", "float"):
+        raise ValueError(f"Unsupported JSON field type {type!r}")
+    pa_type = {"string": pa.string(), "int": pa.int64(), "float": pa.float64()}[type]
+    caster = {"string": str, "int": int, "float": float}[type]
+
+    def fn(b: pa.Table) -> pa.Table:
+        out: list[Optional[object]] = []
+        for v in b[col].to_pylist():
+            if v is None:
+                out.append(None)
+                continue
+            try:
+                doc = json.loads(v)
+                val = doc.get(key) if isinstance(doc, dict) else None
+                out.append(None if val is None else caster(val))
+            except (ValueError, TypeError):
+                out.append(None)
+        return b.append_column(out_col, pa.array(out, type=pa_type))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

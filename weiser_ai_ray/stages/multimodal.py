@@ -32,6 +32,54 @@ MULTIMODAL_SCHEMA = pa.schema(
     ]
 )
 
+# ----------------------------------------------------------------------
+# Pluggable decoders (same registry pattern as stages/model_loader.py):
+# a PIL/ffmpeg-bearing environment gets real decode via CONFIG, not a
+# code change. A decoder is  fn(payload: bytes, meta: dict, **opts) ->
+# np.ndarray  (image: feature vector; audio: PCM frame array).
+
+IMAGE_DECODERS: dict = {}
+AUDIO_DECODERS: dict = {}
+
+
+def register_image_decoder(kind: str):
+    def deco(fn):
+        IMAGE_DECODERS[kind] = fn
+        return fn
+
+    return deco
+
+
+def register_audio_decoder(kind: str):
+    def deco(fn):
+        AUDIO_DECODERS[kind] = fn
+        return fn
+
+    return deco
+
+
+@register_image_decoder("stub")
+def _stub_image_decoder(payload: bytes, meta: dict, feature_dim: int = 16, **_):
+    return _fake_features(payload, feature_dim)
+
+
+@register_image_decoder("pil")
+def _pil_image_decoder(payload: bytes, meta: dict, feature_dim: int = 16, resize_to=(64, 64), **_):
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover - PIL absent in sandbox
+        raise NotImplementedError(
+            "image decoder kind 'pil' requires Pillow, which is not installed"
+        ) from e
+    import io
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize(resize_to)
+    arr = np.asarray(img, dtype=np.float64).ravel()
+    # mean-pool down to feature_dim buckets
+    pad = (-arr.size) % feature_dim
+    arr = np.pad(arr, (0, pad))
+    return arr.reshape(feature_dim, -1).mean(axis=1) / 255.0
+
 
 def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic stand-in feature vector derived from the payload
@@ -47,23 +95,36 @@ class ImageDecodeStage:
     """Actor-pool stage: decode + resize + feature-extract images.
 
     Real decode requires an image library (PIL/opencv) that is NOT in
-    this container. With ``use_stub=False`` the stage raises
-    NotImplementedError at decode time; with the default
-    ``use_stub=True`` it emits deterministic fake features so the
-    plumbing (schema, batching, actor lifecycle) is fully exercised."""
+    this container. The decoder is resolved from the registry above by
+    ``decoder`` kind once per actor: the default "stub" emits
+    deterministic fake features so the plumbing (schema, batching,
+    actor lifecycle) is fully exercised; "pil" (pre-registered behind
+    an import guard) or any ``register_image_decoder`` plugin gives
+    real features without code edits. ``use_stub=False`` selects "pil"
+    for backward compatibility."""
 
-    def __init__(self, feature_dim: int = 16, resize_to: tuple[int, int] = (64, 64), use_stub: bool = True):
+    def __init__(
+        self,
+        feature_dim: int = 16,
+        resize_to: tuple[int, int] = (64, 64),
+        use_stub: bool = True,
+        decoder: str | None = None,
+    ):
         self.feature_dim = feature_dim
         self.resize_to = resize_to
-        self.use_stub = use_stub
-        # real model/library load would happen HERE, once per actor
+        kind = decoder or ("stub" if use_stub else "pil")
+        if kind not in IMAGE_DECODERS:
+            raise KeyError(
+                f"No image decoder registered for kind {kind!r} "
+                f"(registered: {sorted(IMAGE_DECODERS)})"
+            )
+        # decoder (and any library/model it needs) resolved HERE, once per actor
+        self._decode = IMAGE_DECODERS[kind]
 
     def decode(self, payload: bytes, meta: dict) -> np.ndarray:
-        if not self.use_stub:
-            raise NotImplementedError(
-                "image decode requires PIL/opencv which is unavailable in this sandbox"
-            )
-        return _fake_features(payload, self.feature_dim)
+        return self._decode(
+            payload, meta, feature_dim=self.feature_dim, resize_to=self.resize_to
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []
@@ -86,13 +147,20 @@ class ImageDecodeStage:
 class AudioFrameSampleStage:
     """Actor-pool stage: sample fixed-rate frames from audio payloads.
 
-    STUB: emits one deterministic frame fingerprint per second of
-    claimed duration (from meta.duration_s); a real implementation
-    would decode PCM and window it."""
+    The default "stub" decoder emits one deterministic frame
+    fingerprint per second of claimed duration (from meta.duration_s);
+    a real PCM decoder plugs in via ``register_audio_decoder`` without
+    code edits (``use_stub=False`` demands a registered "real" kind)."""
 
-    def __init__(self, frames_per_second: int = 1, use_stub: bool = True):
+    def __init__(self, frames_per_second: int = 1, use_stub: bool = True, decoder: str | None = None):
         self.fps = frames_per_second
-        self.use_stub = use_stub
+        kind = decoder or ("stub" if use_stub else "real")
+        if kind != "stub" and kind not in AUDIO_DECODERS:
+            raise NotImplementedError(
+                f"audio decoder kind {kind!r} is not registered in this environment"
+            )
+        self.use_stub = kind == "stub"
+        self._decode = AUDIO_DECODERS.get(kind)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, frame_idx, fps = [], [], []
