@@ -205,6 +205,55 @@ def test_semi_anti_join_both_plans():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_null_keys_follow_sql_semantics(tmp_path):
+    # inner/left joins: null keys never match; semi/anti follow
+    # EXISTS/NOT EXISTS (null left key has no match -> anti keeps it)
+    import ray.data
+
+    from weiser_ai_ray.joins import semi_anti_join
+
+    pq.write_table(
+        pa.table({"k": [1, None, 2, None], "lv": ["a", "b", "c", "d"]}),
+        tmp_path / "l.parquet",
+    )
+    pq.write_table(
+        pa.table({"k": [1, None], "rv": [10.0, 99.0]}), tmp_path / "r.parquet"
+    )
+    cat = ParquetCatalog(root=str(tmp_path))
+    v = parse_select("SELECT l.lv AS lv, r.rv AS rv FROM l JOIN r ON l.k = r.k")
+    for limit in (256 << 20, 0):
+        df = build_view_dataset(v, cat, broadcast_limit=limit).to_pandas()
+        assert df.values.tolist() == [["a", 10.0]]
+    v2 = parse_select("SELECT l.lv AS lv, r.rv AS rv FROM l LEFT JOIN r ON l.k = r.k")
+    df2 = build_view_dataset(v2, cat).to_pandas().sort_values("lv")
+    assert df2["rv"].isna().tolist() == [False, True, True, True]
+    lds = ray.data.read_parquet(str(tmp_path / "l.parquet"))
+    rds = ray.data.read_parquet(str(tmp_path / "r.parquet"))
+    assert sorted(semi_anti_join(lds, rds, "k", "k").to_pandas()["lv"]) == ["a"]
+    assert sorted(semi_anti_join(lds, rds, "k", "k", anti=True).to_pandas()["lv"]) == [
+        "b", "c", "d",
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semi_join_empty_right_side(tmp_path):
+    import ray.data
+
+    from weiser_ai_ray.joins import semi_anti_join
+
+    pq.write_table(pa.table({"k": [1, 2], "lv": ["a", "b"]}), tmp_path / "l.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([], type=pa.int64())}), tmp_path / "r.parquet"
+    )
+    lds = ray.data.read_parquet(str(tmp_path / "l.parquet"))
+    rds = ray.data.read_parquet(str(tmp_path / "r.parquet"))
+    assert semi_anti_join(lds, rds, "k", "k").count() == 0
+    assert sorted(semi_anti_join(lds, rds, "k", "k", anti=True).to_pandas()["lv"]) == [
+        "a", "b",
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_check_over_join_view_matches_duckdb(tmp_store):
     from weiser_ai_ray.checks import CheckFactory
     from weiser_ai_ray.models import Check

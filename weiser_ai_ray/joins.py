@@ -309,15 +309,28 @@ def semi_anti_join(
     ``is_in`` filter — no shuffle, no row duplication. Large key sets
     fall back to ``Dataset.join`` left_semi/left_anti hash shuffle."""
     keyds = right_ds.select_columns([right_key]).map_batches(
-        lambda b: pa.table({right_key: pc.unique(b[right_key])}),
+        # null right keys dropped: EXISTS/NOT EXISTS semantics (a null
+        # never matches), unlike SQL's NOT IN null-poisoning
+        lambda b: pa.table({right_key: pc.unique(b[right_key]).drop_null()}),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
     mat = keyds.materialize()
     size = mat.size_bytes()
     if size is not None and size <= broadcast_limit:
+        blocks = [
+            t
+            for t in (ray.get(r) for r in mat.to_arrow_refs())
+            if t.num_rows and right_key in t.column_names
+        ]
+        if not blocks:
+            if anti:
+                return left_ds
+            return left_ds.map_batches(
+                lambda b: b.slice(0, 0), batch_format="pyarrow", zero_copy_batch=True
+            )
         keys = pc.unique(
-            pa.concat_tables([ray.get(r) for r in mat.to_arrow_refs()])[right_key]
+            pa.concat_tables(blocks, promote_options="default")[right_key]
         )
         ref = ray.put(keys)
 
