@@ -733,11 +733,10 @@ def q_minhash_dedup_full_rows(sf_dir: str) -> pa.Table:
 
 def q_quality_pipeline_kept(sf_dir: str) -> pa.Table:
     qp = _run_quality(sf_dir, "qp_kept")
-    df = qp.load_kept().to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
-    return pa.Table.from_pandas(
-        df[["repo", "path", "commit", "lang", "content_sha256", "detected_lang"]],
-        preserve_index=False,
-    )
+    cols = ["repo", "path", "commit", "lang", "content_sha256", "detected_lang"]
+    # prune at the read: the kept text column never leaves storage here
+    df = qp.load_kept(columns=cols).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df[cols], preserve_index=False)
 
 
 def q_quality_pipeline_metrics(sf_dir: str) -> pa.Table:

@@ -498,8 +498,10 @@ class QualityPipeline:
                 }
             )
 
-    def load_kept(self) -> "ray.data.Dataset":
-        return ray.data.read_parquet(self.data_dir)
+    def load_kept(self, columns=None) -> "ray.data.Dataset":
+        """Kept rows as a Dataset. Pass ``columns`` to prune at the
+        read — metadata consumers must not lift the text column."""
+        return ray.data.read_parquet(self.data_dir, columns=list(columns) if columns else None)
 
 
 def _kill_leaked_stage_actors() -> None:
