@@ -514,6 +514,71 @@ def q_sample_topk_per_source(sf_dir: str) -> pa.Table:
     )
 
 
+def q_sample_fraction_docs(sf_dir: str) -> pa.Table:
+    """Deterministic hash-Bernoulli sample (~25% of documents): kept
+    iff md5(doc_id) < the fraction's hex threshold — stable across
+    block layouts and reruns; streaming filter, no shuffle."""
+    import ray.data
+    from weiser_ai_ray.pipelines.sampling import sample_fraction
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    out = sample_fraction(docs, "doc_id", 0.25).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out[["doc_id", "source"]], preserve_index=False)
+
+
+def q_window_15min_events(sf_dir: str) -> pa.Table:
+    """Tumbling 15-minute window aggregate per event_type: per-batch
+    Arrow pre-aggregation, then a (window x type x blocks)-row groupby
+    — events never shuffle."""
+    from weiser_ai_ray.pipelines.windows import tumbling_window_agg
+
+    ev = __rps(os.path.join(sf_dir, "events.parquet"))
+    df = tumbling_window_agg(ev, "ts", 15, ["event_type"], "value").to_pandas()
+    df = df.sort_values(["window_start_us", "event_type"]).reset_index(drop=True)
+    df["sum_value"] = df["sum_value"].round(6)
+    df["avg_value"] = df["avg_value"].round(6)
+    return pa.Table.from_pandas(
+        df[["window_start_us", "event_type", "n_events", "sum_value", "avg_value"]],
+        preserve_index=False,
+    )
+
+
+def q_rolling_avg_user_value(sf_dir: str) -> pa.Table:
+    """Per-user rolling mean over the last 4 events (ROWS frame):
+    one coarse user-bucket shuffle + vectorized prefix-sum."""
+    from weiser_ai_ray.pipelines.windows import rolling_avg_per_key
+
+    ev = __rps(os.path.join(sf_dir, "events.parquet"))
+    df = rolling_avg_per_key(ev, "user_id", "ts", "event_id", "value", 4).to_pandas()
+    df = df.sort_values("event_id").reset_index(drop=True)
+    df["rolling_avg"] = df["rolling_avg"].round(6)
+    return pa.Table.from_pandas(
+        df[["event_id", "user_id", "rolling_avg"]], preserve_index=False
+    )
+
+
+def q_zscore_orders(sf_dir: str) -> pa.Table:
+    """Group-relative z-score of order totals within status: tiny
+    Chan-merged moment partials broadcast once, applied streaming —
+    zero row shuffles."""
+    import ray.data
+    from weiser_ai_ray.pipelines.windows import zscore_by_group
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    df = zscore_by_group(orders, "o_orderstatus", "o_totalprice", "o_orderkey").to_pandas()
+    df = df.sort_values("o_orderkey").reset_index(drop=True)
+    df["zscore"] = df["zscore"].round(6)
+    return pa.Table.from_pandas(
+        df[["o_orderkey", "o_orderstatus", "zscore"]], preserve_index=False
+    )
+
+
 def q_top_docs_by_length(sf_dir: str) -> pa.Table:
     """Global top-k without a full sort shuffle: per-batch partial
     top-k, driver merges only k x blocks rows."""
@@ -1017,6 +1082,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k_stats_by_type": q_props_k_stats_by_type,
         "asof_latest_click": q_asof_latest_click,
         "sample_topk_per_source": q_sample_topk_per_source,
+        "sample_fraction_docs": q_sample_fraction_docs,
+        "window_15min_events": q_window_15min_events,
+        "rolling_avg_user_value": q_rolling_avg_user_value,
+        "zscore_orders": q_zscore_orders,
         "top_docs_by_length": q_top_docs_by_length,
         "median_price_by_status": q_median_price_by_status,
         "p90_price_by_status": q_p90_price_by_status,
@@ -1159,6 +1228,32 @@ def oracle_sql() -> dict[str, str]:
             " SELECT source, doc_id, row_number() OVER (PARTITION BY source"
             " ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn"
             " FROM documents) WHERE rn <= 5 ORDER BY source, doc_id"
+        ),
+        "sample_fraction_docs": (
+            "SELECT doc_id, source FROM documents"
+            f" WHERE md5(CAST(doc_id AS VARCHAR)) < '{format(int(0.25 * (1 << 128)), '032x')}'"
+            " ORDER BY doc_id"
+        ),
+        # tumbling 15-minute windows keyed on floored epoch-us starts
+        # (integer keys dodge timestamp formatting across engines)
+        "window_15min_events": (
+            "SELECT (epoch_us(ts)//900000000)*900000000 AS window_start_us,"
+            " event_type, count(*)::BIGINT AS n_events,"
+            " round(sum(value),6) AS sum_value, round(avg(value),6) AS avg_value"
+            " FROM events GROUP BY 1,2 ORDER BY 1,2"
+        ),
+        "rolling_avg_user_value": (
+            "SELECT event_id, user_id,"
+            " round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+            "  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),6) AS rolling_avg"
+            " FROM events ORDER BY event_id"
+        ),
+        "zscore_orders": (
+            "SELECT o_orderkey, o_orderstatus,"
+            " round((o_totalprice - avg(o_totalprice) OVER w)"
+            "  / nullif(stddev_samp(o_totalprice) OVER w, 0), 6) AS zscore"
+            " FROM orders WINDOW w AS (PARTITION BY o_orderstatus)"
+            " ORDER BY o_orderkey"
         ),
         "top_docs_by_length": (
             "SELECT doc_id, n_chars FROM documents"

@@ -1,0 +1,173 @@
+"""Windowed aggregates + fraction sampling vs DuckDB window SQL."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("events", "orders", "documents"):
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def test_tumbling_window_matches_duckdb(ray_session, con):
+    import ray.data
+
+    from weiser_ai_ray.pipelines.windows import tumbling_window_agg
+
+    ev = ray.data.read_parquet(f"{SF_DIR}/events.parquet")
+    r = tumbling_window_agg(ev, "ts", 15, ["event_type"], "value").to_pandas()
+    r = r.sort_values(["window_start_us", "event_type"]).reset_index(drop=True)
+    r["sum_value"] = r["sum_value"].round(6)
+    r["avg_value"] = r["avg_value"].round(6)
+    o = con.sql(
+        "SELECT (epoch_us(ts)//900000000)*900000000 AS window_start_us, event_type,"
+        " count(*)::BIGINT n_events, round(sum(value),6) sum_value,"
+        " round(avg(value),6) avg_value FROM events GROUP BY 1,2 ORDER BY 1,2"
+    ).df()
+    pd.testing.assert_frame_equal(r, o)
+
+
+def test_tumbling_window_null_values_drop_from_avg(ray_session):
+    import ray.data
+
+    from weiser_ai_ray.pipelines.windows import tumbling_window_agg
+
+    t = pa.table(
+        {
+            "ts": pa.array(
+                np.array([0, 1, 10**9], dtype="datetime64[us]"), pa.timestamp("us")
+            ),
+            "g": ["a", "a", "a"],
+            "v": pa.array([1.0, None, None], pa.float64()),
+        }
+    )
+    out = (
+        tumbling_window_agg(ray.data.from_arrow(t), "ts", 15, ["g"], "v")
+        .to_pandas()
+        .sort_values("window_start_us")
+        .reset_index(drop=True)
+    )
+    # window 0: two rows, one non-null -> avg over the single value;
+    # window 1: all-null -> sum 0 convention from null-skipping sum, avg NULL
+    assert out["n_events"].tolist() == [2, 1]
+    assert out["avg_value"].tolist()[0] == 1.0
+    assert pd.isna(out["avg_value"].tolist()[1])
+
+
+def test_rolling_avg_matches_duckdb_window(ray_session, con):
+    import ray.data
+
+    from weiser_ai_ray.pipelines.windows import rolling_avg_per_key
+
+    ev = ray.data.read_parquet(f"{SF_DIR}/events.parquet")
+    r = rolling_avg_per_key(ev, "user_id", "ts", "event_id", "value", 4).to_pandas()
+    r = r.sort_values("event_id").reset_index(drop=True)
+    r["rolling_avg"] = r["rolling_avg"].round(6)
+    o = con.sql(
+        "SELECT event_id, user_id, round(avg(value) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),6)"
+        " rolling_avg FROM events ORDER BY event_id"
+    ).df()
+    pd.testing.assert_frame_equal(r[["event_id", "user_id", "rolling_avg"]], o)
+
+
+def test_rolling_avg_partition_invariant(ray_session):
+    """Same answer regardless of block layout / partition count."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.windows import rolling_avg_per_key
+
+    ev = ray.data.read_parquet(f"{SF_DIR}/events.parquet")
+    a = (
+        rolling_avg_per_key(ev, "user_id", "ts", "event_id", "value", 3, nparts=2)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        rolling_avg_per_key(
+            ev.repartition(7), "user_id", "ts", "event_id", "value", 3, nparts=13
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_zscore_matches_duckdb_window(ray_session, con):
+    import ray.data
+
+    from weiser_ai_ray.pipelines.windows import zscore_by_group
+
+    orders = ray.data.read_parquet(f"{SF_DIR}/orders.parquet")
+    r = zscore_by_group(orders, "o_orderstatus", "o_totalprice", "o_orderkey").to_pandas()
+    r = r.sort_values("o_orderkey").reset_index(drop=True)
+    r["zscore"] = r["zscore"].round(6)
+    o = con.sql(
+        "SELECT o_orderkey, o_orderstatus, round((o_totalprice -"
+        " avg(o_totalprice) OVER w) / nullif(stddev_samp(o_totalprice) OVER w,0),6)"
+        " zscore FROM orders WINDOW w AS (PARTITION BY o_orderstatus)"
+        " ORDER BY o_orderkey"
+    ).df()
+    pd.testing.assert_frame_equal(r[["o_orderkey", "o_orderstatus", "zscore"]], o)
+
+
+def test_zscore_degenerate_groups(ray_session):
+    """Single-row group and zero-variance group -> NULL z (SQL NULLIF)."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.windows import zscore_by_group
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "g": ["solo", "flat", "flat", "flat"],
+            "v": pa.array([5.0, 2.0, 2.0, 2.0], pa.float64()),
+        }
+    )
+    out = (
+        zscore_by_group(ray.data.from_arrow(t), "g", "v", "id")
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert out["zscore"].isna().all()
+
+
+def test_sample_fraction_matches_md5_oracle(ray_session, con):
+    import ray.data
+
+    from weiser_ai_ray.pipelines.sampling import sample_fraction
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(sample_fraction(docs, "doc_id", 0.25).to_pandas()["doc_id"])
+    thr = format(int(0.25 * (1 << 128)), "032x")
+    want = [
+        x[0]
+        for x in con.sql(
+            f"SELECT doc_id FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < '{thr}'"
+            " ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert got == want
+    # deterministic: a rerun picks the identical rows
+    again = sorted(sample_fraction(docs, "doc_id", 0.25).to_pandas()["doc_id"])
+    assert got == again
+
+
+def test_sample_fraction_bounds(ray_session):
+    import ray.data
+
+    from weiser_ai_ray.pipelines.sampling import sample_fraction
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert sample_fraction(docs, "doc_id", 0.0).count() == 0
+    assert sample_fraction(docs, "doc_id", 1.0).count() == docs.count()

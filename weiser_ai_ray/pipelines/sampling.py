@@ -46,6 +46,30 @@ def add_md5_of(ds: "ray.data.Dataset", col: str, out_col: str) -> "ray.data.Data
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def sample_fraction(ds: "ray.data.Dataset", col: str, fraction: float) -> "ray.data.Dataset":
+    """Deterministic ~``fraction`` Bernoulli sample keyed on
+    md5(CAST(col AS VARCHAR)): a row is kept iff its digest falls below
+    the fraction's point on the uniform [0, 16^32) hex line. Stable
+    across block layouts, cluster sizes, and reruns (same rows every
+    time — resumable pipelines can re-derive the sample), and
+    SQL-expressible: ``WHERE md5(CAST(col AS VARCHAR)) < '<hex>'``.
+    Streaming one-pass filter; no shuffle."""
+    frac = min(max(float(fraction), 0.0), 1.0)
+    threshold = format(int(frac * (1 << 128)), "032x")[:32] if frac < 1.0 else "g" * 32
+
+    def keep(b: pa.Table) -> pa.Table:
+        vals = b[col].to_pylist()
+        mask = pa.array(
+            [
+                v is not None and hashlib.md5(str(v).encode()).hexdigest() < threshold
+                for v in vals
+            ]
+        )
+        return b.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _head_k(df: pd.DataFrame, group: str, order: Sequence[str], ascending, k: int):
     s = df.sort_values(list(order), ascending=ascending, kind="mergesort")
     return s.groupby(group, sort=False).head(k)

@@ -1,0 +1,275 @@
+"""Windowed aggregates: tumbling time windows, per-key rolling rows
+windows, and group-relative normalization.
+
+Not in the reference (its only time notion is the metric-history MAD
+window, /root/reference/weiser/checks/anomaly.py:115-144); these are
+the stream-shaped aggregates a training-data/events pipeline needs,
+each expressed as a Ray Data composition with an ANSI-SQL window
+oracle:
+
+  tumbling_window_agg  fixed-size time buckets (count/sum/avg per
+                       window x group): per-batch Arrow pre-aggregate
+                       -> small groupby sum — the shuffle carries one
+                       row per (window, group) per block, never events
+  rolling_avg_per_key  moving average over the last k rows per key
+                       (ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW):
+                       one hash shuffle on a coarse key bucket, then a
+                       vectorized sort + prefix-sum per partition
+  zscore_by_group      per-row (x - mean_g) / stddev_g: tiny per-batch
+                       moment partials (Chan-merged on the driver —
+                       numerically stable where sum/sumsq cancels),
+                       broadcast once, applied in a streaming pass
+
+Scale notes: tumbling windows pre-aggregate before the shuffle, so
+exchange volume is O(windows x groups x blocks); rolling windows move
+each event row exactly once, bucketed so group count stays
+cluster-sized (same layout as repetition.sessionize); zscore's shuffle
+is zero — group stats are partials-only and the apply pass streams.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+_US_PER_MIN = 60 * 1_000_000
+
+
+def _ts_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    return (
+        col.cast(pa.timestamp("us"))
+        .to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]")
+        .astype(np.int64)
+    )
+
+
+def tumbling_window_agg(
+    ds: "ray.data.Dataset",
+    ts_col: str,
+    every_minutes: float,
+    group_cols: list[str],
+    value_col: str,
+) -> "ray.data.Dataset":
+    """Count / sum / avg of ``value_col`` per fixed ``every_minutes``
+    window x ``group_cols``. Window key is the floored epoch-us start
+    (``window_start_us``), avoiding timezone/format ambiguity across
+    engines. SQL-null semantics: null values drop out of sum/avg but
+    windows are keyed on every event row's timestamp."""
+    every_us = np.int64(round(every_minutes * _US_PER_MIN))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch[ts_col])
+        win = (ts // every_us) * every_us
+        v = batch[value_col]
+        keyed = pa.table(
+            {
+                "window_start_us": pa.array(win),
+                **{g: batch[g] for g in group_cols},
+                "__v": pc.cast(v, pa.float64()),
+                "__nn": pc.cast(pc.is_valid(v), pa.int64()),
+            }
+        )
+        agg = keyed.group_by(["window_start_us", *group_cols]).aggregate(
+            [("__v", "sum"), ("__nn", "sum"), ([], "count_all")]
+        )
+        return agg.rename_columns(
+            ["window_start_us", *group_cols, "sum_value", "n_nonnull", "n_events"]
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    combined = parts.groupby(["window_start_us", *group_cols]).aggregate(
+        Sum("sum_value", alias_name="sum_value"),
+        Sum("n_nonnull", alias_name="n_nonnull"),
+        Sum("n_events", alias_name="n_events"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nn = batch["n_nonnull"]
+        avg = pc.if_else(
+            pc.greater(nn, 0),
+            pc.divide(pc.cast(batch["sum_value"], pa.float64()), pc.cast(nn, pa.float64())),
+            pa.scalar(None, pa.float64()),
+        )
+        return pa.table(
+            {
+                "window_start_us": batch["window_start_us"],
+                **{g: batch[g] for g in batch.column_names if g not in
+                   ("window_start_us", "sum_value", "n_nonnull", "n_events")},
+                "n_events": pc.cast(batch["n_events"], pa.int64()),
+                "sum_value": pc.cast(batch["sum_value"], pa.float64()),
+                "avg_value": avg,
+            }
+        )
+
+    return combined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def rolling_avg_per_key(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    window_rows: int,
+    nparts: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-row mean of ``value_col`` over the last ``window_rows`` rows
+    (including the current one) per ``key_col``, ordered by
+    ``(ts_col, id_col)`` — i.e. ``AVG(v) OVER (PARTITION BY key ORDER
+    BY ts, id ROWS BETWEEN window_rows-1 PRECEDING AND CURRENT ROW)``.
+
+    Events shuffle ONCE on a coarse key-hash bucket (cluster-sized
+    group count, not one group per key); the per-partition work is one
+    lexsort + prefix-sum. Returns (id, key, rolling_avg)."""
+    if nparts is None:
+        try:
+            nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            nparts = 8
+    k = int(window_rows)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        kv = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (kv * np.int64(-7046029254386353131)) & np.int64(0x7FFFFFFFFFFFFFFF)
+        return pa.table(
+            {
+                "__part": pa.array((h % nparts).astype(np.int32)),
+                key_col: batch[key_col],
+                ts_col: batch[ts_col],
+                id_col: batch[id_col],
+                value_col: pc.cast(batch[value_col], pa.float64()),
+            }
+        )
+
+    def roll(group: pa.Table) -> pa.Table:
+        key = group[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_us(group[ts_col])
+        rid = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = group[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(key)
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    key_col: pa.array([], pa.int64()),
+                    "rolling_avg": pa.array([], pa.float64()),
+                }
+            )
+        order = np.lexsort((rid, ts, key))
+        key, ts, rid, val = key[order], ts[order], rid[order], val[order]
+        # segment starts (new key) -> frame lower bound clipped to the
+        # segment; rolling sum from an exclusive prefix sum
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = key[1:] != key[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(n), 0))
+        idx = np.arange(n)
+        lo = np.maximum(seg_start, idx - (k - 1))
+        csum = np.concatenate([[0.0], np.cumsum(val)])
+        rsum = csum[idx + 1] - csum[lo]
+        cnt = idx + 1 - lo
+        return pa.table(
+            {
+                id_col: pa.array(rid),
+                key_col: pa.array(key),
+                "rolling_avg": pa.array(rsum / cnt),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(roll, batch_format="pyarrow")
+    )
+
+
+def _chan_merge(a: tuple, b: tuple) -> tuple:
+    """Chan's parallel (count, mean, M2) combine — stable where raw
+    (sum, sumsq) partials catastrophically cancel."""
+    na, ma, m2a = a
+    nb, mb, m2b = b
+    n = na + nb
+    if n == 0:
+        return (0.0, 0.0, 0.0)
+    d = mb - ma
+    return (n, ma + d * nb / n, m2a + m2b + d * d * na * nb / n)
+
+
+def zscore_by_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> "ray.data.Dataset":
+    """Per-row sample z-score of ``value_col`` within its ``group_col``
+    group: ``(v - mean_g) / stddev_samp_g`` (NULL when the group has
+    <2 rows or zero variance, matching SQL division-by-zero-free
+    window semantics via NULLIF).
+
+    Two passes, zero row shuffles: pass 1 reduces each batch to one
+    (count, mean, M2) moment row per group (Chan-merged driver-side —
+    partial count is O(groups x blocks)); the tiny stats map is
+    ray.put once and applied in a streaming pass 2."""
+
+    def moments(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        v = pc.cast(batch[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        g, v = g[ok], v[ok]
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                    "mean": pa.array([], pa.float64()),
+                    "m2": pa.array([], pa.float64()),
+                }
+            )
+        uniq, inv = np.unique(g.astype(str), return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        s = np.bincount(inv, weights=v, minlength=len(uniq))
+        mean = s / cnt
+        m2 = np.bincount(inv, weights=(v - mean[inv]) ** 2, minlength=len(uniq))
+        return pa.table(
+            {
+                "g": pa.array(uniq.tolist(), pa.string()),
+                "cnt": pa.array(cnt),
+                "mean": pa.array(mean),
+                "m2": pa.array(m2),
+            }
+        )
+
+    parts = ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    stats: dict[str, tuple] = {}
+    for r in parts:
+        stats[r["g"]] = _chan_merge(
+            stats.get(r["g"], (0.0, 0.0, 0.0)), (float(r["cnt"]), r["mean"], r["m2"])
+        )
+    final = {
+        g: (m, float(np.sqrt(m2 / (n - 1))) if n > 1 else None)
+        for g, (n, m, m2) in stats.items()
+    }
+    # broadcast once: workers ray.get from their local object store
+    stats_ref = ray.put(final)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        g = batch[group_col].to_numpy(zero_copy_only=False).astype(str)
+        v = pc.cast(batch[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        mean = np.array([st.get(x, (np.nan, None))[0] for x in g])
+        sd = np.array([(st.get(x, (np.nan, None))[1] or np.nan) for x in g])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (v - mean) / np.where(sd == 0.0, np.nan, sd)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                group_col: batch[group_col],
+                "zscore": pa.array(z, from_pandas=True),  # NaN -> null
+            }
+        )
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
