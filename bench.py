@@ -228,12 +228,17 @@ def run_scaling(sf_dir: str, lo: int, hi: int, n_rows: int = 3_000_000) -> dict:
 
     ray.shutdown()  # workers own their sessions
     me = os.path.abspath(__file__)
-    results = {}
     trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
-    for cpus in (lo, hi):
-        out = f"/tmp/weiser_bench_scaling_{cpus}"
-        best = None
-        for _ in range(trials):  # best-of-N: the sandbox VM is noisy (±20%)
+    # legs INTERLEAVED per trial (lo, hi, lo, hi, ...): the sandbox VM's
+    # host-level contention drifts on a minutes scale (observed >2x
+    # swings on identical runs), so running all lo trials then all hi
+    # trials lets one leg land entirely in a bad window and corrupt the
+    # ratio; interleaving gives both legs the same weather, and best-of-N
+    # picks each leg's least-contended sample
+    best: dict = {lo: None, hi: None}
+    for _ in range(trials):
+        for cpus in (lo, hi):
+            out = f"/tmp/weiser_bench_scaling_{cpus}"
             proc = subprocess.run(
                 [sys.executable, me, "--_worker", corpus_dir, str(cpus), out],
                 capture_output=True,
@@ -244,12 +249,12 @@ def run_scaling(sf_dir: str, lo: int, hi: int, n_rows: int = 3_000_000) -> dict:
                 sys.stderr.write(proc.stderr[-4000:])
                 raise RuntimeError(f"scaling worker at {cpus} cpus failed")
             payload = json.loads(proc.stdout.strip().splitlines()[-1])
-            if best is None or payload["elapsed"] < best:
-                best = payload["elapsed"]
-        results[cpus] = {
-            "sec": round(best, 3),
-            "files_per_sec": round(n_rows / best, 1),
-        }
+            if best[cpus] is None or payload["elapsed"] < best[cpus]:
+                best[cpus] = payload["elapsed"]
+    results = {
+        cpus: {"sec": round(b, 3), "files_per_sec": round(n_rows / b, 1)}
+        for cpus, b in best.items()
+    }
     factor = hi / lo
     speedup = results[hi]["files_per_sec"] / results[lo]["files_per_sec"]
     efficiency = round(speedup / factor, 3)
