@@ -1014,6 +1014,90 @@ def q_metrics_last_values(sf_dir: str) -> pa.Table:
     return store.last_values().sort_by("check_id")
 
 
+def q_decontaminate_documents(sf_dir: str) -> pa.Table:
+    """GPT-3-style n-gram decontamination: docs sharing any word
+    3-gram with the 'benchmark' blocklist (doc_id % 97 == 0) are
+    dropped. Blocklist gram hashes broadcast once; the corpus streams
+    through one filter pass — no shuffle."""
+    import ray.data
+    from weiser_ai_ray.pipelines.decontam import decontaminate
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+
+    def _is_bl(b, want):
+        import numpy as np
+        import pyarrow as _pa
+
+        m = b["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0
+        return b.filter(_pa.array(m if want else ~m))
+
+    blocklist = docs.map_batches(
+        lambda b: _is_bl(b, True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    corpus = docs.map_batches(
+        lambda b: _is_bl(b, False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    kept = decontaminate(corpus, blocklist, "text", n=3, min_overlap=1)
+    out = kept.select_columns(["doc_id"]).to_pandas().sort_values("doc_id")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def q_dedup_segments_documents(sf_dir: str) -> pa.Table:
+    """RefinedWeb-style duplicated-segment removal: every copy of a
+    segment occurring > 1 time corpus-wide is removed and the doc
+    rebuilt. The synthetic corpus is single-line, so ' the ' stands in
+    for the newline separator (43 duplicated segments at sf0.01); the
+    plan shuffles segment hashes only."""
+    import ray.data
+    from weiser_ai_ray.pipelines.decontam import dedup_segments
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    out = dedup_segments(docs, "text", "doc_id", separator=" the ", max_count=1)
+    pdf = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        pdf[["doc_id", "clean_text", "n_removed"]], preserve_index=False
+    )
+
+
+def q_pack_documents(sf_dir: str) -> pa.Table:
+    """Concat-and-chunk packing offsets (512-token chunks): a
+    distributed exclusive prefix-sum in doc_id order — per-range token
+    totals exclusive-scanned on the driver, offsets broadcast, final
+    offsets emitted per range with no global sort."""
+    import ray.data
+    from weiser_ai_ray.pipelines.packing import concat_chunk_pack
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    out = concat_chunk_pack(docs, "text", "doc_id", chunk_tokens=512)
+    pdf = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        pdf[["doc_id", "n_tok", "start_off", "end_off", "chunk_first", "chunk_last"]],
+        preserve_index=False,
+    )
+
+
+def q_shuffle_rank_documents(sf_dir: str) -> pa.Table:
+    """Deterministic global shuffle rank (seed 17): md5-keyed uniform
+    range partition, per-range counts exclusive-scanned on the driver,
+    ranks assigned per range — no global sort."""
+    import ray.data
+    from weiser_ai_ray.pipelines.sampling import deterministic_shuffle_rank
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    out = (
+        deterministic_shuffle_rank(docs, "doc_id", seed=17)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out[["doc_id", "shuffle_rank"]], preserve_index=False)
+
+
 def q_corpus_stats_by_repo(sf_dir: str) -> pa.Table:
     """Per-repo corpus statistics over the power-law synthetic corpus
     (the skew showcase: partial counts inside map_batches, then a tiny
@@ -1114,6 +1198,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio_frames": q_multimodal_audio_frames,
         "metrics_last_values": q_metrics_last_values,
         "corpus_stats_by_repo": q_corpus_stats_by_repo,
+        "decontaminate_documents": q_decontaminate_documents,
+        "dedup_segments_documents": q_dedup_segments_documents,
+        "pack_documents": q_pack_documents,
+        "shuffle_rank_documents": q_shuffle_rank_documents,
     }
 
 
@@ -1435,6 +1523,49 @@ def oracle_sql() -> dict[str, str]:
             "   THEN 0.6745 * (l.last - m.med) / d.mad ELSE 0 END) <= 3) AS success"
             " FROM med m JOIN mad d ON m.ds = d.ds JOIN lastv l ON m.ds = l.ds"
             " ORDER BY name"
+        ),
+        "decontaminate_documents": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),"
+            " ex AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i"
+            "  FROM toks WHERE len(w) >= 3),"
+            " grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM ex),"
+            " bl AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)"
+            " SELECT d.doc_id FROM documents d"
+            " WHERE d.doc_id % 97 <> 0"
+            "  AND NOT EXISTS (SELECT 1 FROM grams gr JOIN bl USING (g)"
+            "   WHERE gr.doc_id = d.doc_id)"
+            " ORDER BY d.doc_id"
+        ),
+        "dedup_segments_documents": (
+            "WITH ex AS (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i"
+            "  FROM (SELECT doc_id, string_split(text, ' the ') AS ls FROM documents)),"
+            " segs AS (SELECT doc_id, i, ls[i] AS seg FROM ex),"
+            " cnt AS (SELECT seg, COUNT(*) AS c FROM segs GROUP BY seg),"
+            " kept AS (SELECT s.doc_id, s.i, s.seg FROM segs s JOIN cnt USING (seg)"
+            "  WHERE c <= 1),"
+            " reb AS (SELECT doc_id, string_agg(seg, ' the ' ORDER BY i) AS clean_text,"
+            "  COUNT(*) AS n_kept FROM kept GROUP BY doc_id)"
+            " SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text,"
+            "  CAST(len(string_split(d.text, ' the ')) - COALESCE(r.n_kept, 0) AS BIGINT)"
+            "   AS n_removed"
+            " FROM documents d LEFT JOIN reb r USING (doc_id) ORDER BY d.doc_id"
+        ),
+        "pack_documents": (
+            "WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok"
+            "  FROM documents),"
+            " s AS (SELECT doc_id, n_tok, COALESCE(SUM(n_tok) OVER (ORDER BY doc_id"
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off FROM t)"
+            " SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,"
+            "  CAST(start_off AS BIGINT) AS start_off,"
+            "  CAST(start_off + n_tok AS BIGINT) AS end_off,"
+            "  CAST(start_off // 512 AS BIGINT) AS chunk_first,"
+            "  CAST((start_off + n_tok - 1) // 512 AS BIGINT) AS chunk_last"
+            " FROM s ORDER BY doc_id"
+        ),
+        "shuffle_rank_documents": (
+            "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY"
+            " md5('17-' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)"
+            " AS shuffle_rank FROM documents ORDER BY doc_id"
         ),
         # lsh_topk, langid_documents, minhash/simhash dedup, the corpus
         # quality pipeline and multimodal queries are intentionally

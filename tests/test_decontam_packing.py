@@ -1,0 +1,227 @@
+"""Decontamination, duplicated-segment removal, and concat-chunk
+packing vs DuckDB SQL (same statements the driver oracle runs)."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    return c
+
+
+def test_decontaminate_matches_duckdb(ray_session, con):
+    import ray.data
+
+    from weiser_ai_ray.pipelines.decontam import decontaminate
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+
+    def _part(b, want):
+        import numpy as np
+
+        m = b["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0
+        return b.filter(pa.array(m if want else ~m))
+
+    bl = docs.map_batches(lambda b: _part(b, True), batch_format="pyarrow")
+    corpus = docs.map_batches(lambda b: _part(b, False), batch_format="pyarrow")
+    kept = (
+        decontaminate(corpus, bl, "text", n=3, min_overlap=1)
+        .select_columns(["doc_id"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    o = con.sql(
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),"
+        " ex AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i"
+        "  FROM toks WHERE len(w) >= 3),"
+        " grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM ex),"
+        " bl AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)"
+        " SELECT d.doc_id FROM documents d WHERE d.doc_id % 97 <> 0"
+        "  AND NOT EXISTS (SELECT 1 FROM grams gr JOIN bl USING (g)"
+        "   WHERE gr.doc_id = d.doc_id) ORDER BY d.doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(kept, o)
+    # something was actually filtered and something survived
+    n_corpus = corpus.count()
+    assert 0 < len(kept) < n_corpus
+
+
+def test_decontaminate_min_overlap_relaxes(ray_session):
+    import ray.data
+
+    from weiser_ai_ray.pipelines.decontam import decontaminate
+
+    corpus = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2], "text": ["a b c d e", "a b c x a b c d y"]})
+    )
+    bl = ray.data.from_arrow(pa.table({"doc_id": [0], "text": ["a b c d"]}))
+    # doc 1 shares 2 grams ("a b c","b c d"), doc 2 shares 3 occurrences
+    # of blocklist grams; min_overlap=3 keeps doc 1 only
+    kept = decontaminate(corpus, bl, "text", n=3, min_overlap=3).to_pandas()
+    assert kept["doc_id"].tolist() == [1]
+
+
+def test_dedup_segments_matches_duckdb(ray_session, con):
+    import ray.data
+
+    from weiser_ai_ray.pipelines.decontam import dedup_segments
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    r = (
+        dedup_segments(docs, "text", "doc_id", separator=" the ", max_count=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[["doc_id", "clean_text", "n_removed"]]
+    )
+    o = con.sql(
+        "WITH ex AS (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i"
+        "  FROM (SELECT doc_id, string_split(text, ' the ') AS ls FROM documents)),"
+        " segs AS (SELECT doc_id, i, ls[i] AS seg FROM ex),"
+        " cnt AS (SELECT seg, COUNT(*) AS c FROM segs GROUP BY seg),"
+        " kept AS (SELECT s.doc_id, s.i, s.seg FROM segs s JOIN cnt USING (seg) WHERE c <= 1),"
+        " reb AS (SELECT doc_id, string_agg(seg, ' the ' ORDER BY i) AS clean_text,"
+        "  COUNT(*) AS n_kept FROM kept GROUP BY doc_id)"
+        " SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text,"
+        "  CAST(len(string_split(d.text, ' the ')) - COALESCE(r.n_kept, 0) AS BIGINT)"
+        "   AS n_removed"
+        " FROM documents d LEFT JOIN reb r USING (doc_id) ORDER BY d.doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(r, o)
+    assert r["n_removed"].sum() > 0  # non-trivial on this corpus
+
+
+def test_dedup_segments_removes_all_copies(ray_session):
+    import ray.data
+
+    from weiser_ai_ray.pipelines.decontam import dedup_segments
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["dup\nunique one", "dup\nunique two", "only here"],
+            }
+        )
+    )
+    out = (
+        dedup_segments(docs, "text", "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["clean_text"].tolist() == ["unique one", "unique two", "only here"]
+    assert out["n_removed"].tolist() == [1, 1, 0]
+
+
+def test_pack_documents_matches_duckdb(ray_session, con):
+    import ray.data
+
+    from weiser_ai_ray.pipelines.packing import concat_chunk_pack
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    r = (
+        concat_chunk_pack(docs, "text", "doc_id", chunk_tokens=512)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[
+            ["doc_id", "n_tok", "start_off", "end_off", "chunk_first", "chunk_last"]
+        ]
+    )
+    o = con.sql(
+        "WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),"
+        " s AS (SELECT doc_id, n_tok, COALESCE(SUM(n_tok) OVER (ORDER BY doc_id"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off FROM t)"
+        " SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,"
+        "  CAST(start_off AS BIGINT) AS start_off,"
+        "  CAST(start_off + n_tok AS BIGINT) AS end_off,"
+        "  CAST(start_off // 512 AS BIGINT) AS chunk_first,"
+        "  CAST((start_off + n_tok - 1) // 512 AS BIGINT) AS chunk_last"
+        " FROM s ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(r, o)
+    # offsets form a contiguous token stream in id order
+    assert (r["start_off"].iloc[1:].to_numpy() == r["end_off"].iloc[:-1].to_numpy()).all()
+
+
+def test_pack_chunk_spans(ray_session):
+    import ray.data
+
+    from weiser_ai_ray.pipelines.packing import concat_chunk_pack
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [10, 20, 30],
+                # 3, 4, 6 tokens; chunk size 5
+                "text": ["a b c", "d e f g", "h i j k l m"],
+            }
+        )
+    )
+    out = (
+        concat_chunk_pack(docs, "text", "doc_id", chunk_tokens=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["start_off"].tolist() == [0, 3, 7]
+    assert out["end_off"].tolist() == [3, 7, 13]
+    assert out["chunk_first"].tolist() == [0, 0, 1]
+    assert out["chunk_last"].tolist() == [0, 1, 2]
+
+
+def test_shuffle_rank_matches_duckdb(ray_session, con):
+    import ray.data
+
+    from weiser_ai_ray.pipelines.sampling import deterministic_shuffle_rank
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+    r = (
+        deterministic_shuffle_rank(docs, "doc_id", seed=17)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[["doc_id", "shuffle_rank"]]
+    )
+    o = con.sql(
+        "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY"
+        " md5('17-' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)"
+        " AS shuffle_rank FROM documents ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(r, o)
+
+
+def test_shuffle_rank_is_seeded_permutation(ray_session):
+    import ray.data
+
+    from weiser_ai_ray.pipelines.sampling import deterministic_shuffle_rank
+
+    docs = ray.data.from_arrow(pa.table({"doc_id": list(range(100))}))
+    a = (
+        deterministic_shuffle_rank(docs, "doc_id", seed=1)
+        .to_pandas()
+        .sort_values("doc_id")["shuffle_rank"]
+        .tolist()
+    )
+    b = (
+        deterministic_shuffle_rank(docs, "doc_id", seed=2)
+        .to_pandas()
+        .sort_values("doc_id")["shuffle_rank"]
+        .tolist()
+    )
+    assert sorted(a) == list(range(100)) and sorted(b) == list(range(100))
+    assert a != b  # different seeds shuffle differently
+    # rerun with the same seed reproduces exactly
+    a2 = (
+        deterministic_shuffle_rank(docs, "doc_id", seed=1)
+        .to_pandas()
+        .sort_values("doc_id")["shuffle_rank"]
+        .tolist()
+    )
+    assert a == a2

@@ -1,0 +1,224 @@
+"""Test-set decontamination and corpus-wide segment (line) dedup.
+
+Not in the reference (SURVEY.md §2.8) — standard large-scale
+training-corpus hygiene operators (cf. the GPT-3 / PaLM 13-gram
+decontamination procedure and RefinedWeb / Gopher duplicated-line
+removal), each expressed as a broadcast-filter plan:
+
+  decontaminate     drop corpus docs sharing >= ``min_overlap`` word
+                    n-grams with a BLOCKLIST dataset (benchmark /
+                    test-set texts). The blocklist's distinct gram
+                    hashes are collected once (small side by nature:
+                    eval sets ≪ corpus), ray.put as one sorted uint64
+                    array, and every corpus batch is filtered against
+                    it via np.searchsorted — the corpus itself streams,
+                    nothing corpus-sized is shuffled or collected.
+  dedup_segments    remove every copy of any separator-delimited
+                    segment whose corpus-wide occurrence count exceeds
+                    ``max_count`` (RefinedWeb-style duplicated-line
+                    removal; separator defaults to newline). Pass 1
+                    reduces the corpus to (segment-hash) rows and a
+                    count aggregate — the shuffle carries fixed-width
+                    digests, never text; flagged hashes (contract:
+                    duplicated segments ≪ distinct segments) broadcast
+                    once; pass 2 rebuilds each doc dropping flagged
+                    segments in a streaming map_batches.
+
+Hashes are sha256-derived uint64 (python's salted ``hash()`` is never
+used); a 2^-64 collision could merge two distinct grams/segments —
+acceptable at any realistic corpus size and absorbed by the oracle
+tests at small scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from weiser_ai_ray.pipelines.dedup import _POLY_P, _stable_hash64
+
+
+class _WordGramHasher:
+    """Vectorized word n-gram uint64 hashes: sha256-derived per-word
+    hashes (cached per worker — vocab repeats heavily) folded by a
+    rolling polynomial, mirroring dedup._NgramHashStage. Tokenization
+    is ``text.split(' ')`` to match ANSI ``string_split(text, ' ')``
+    exactly (no whitespace collapsing)."""
+
+    def __init__(self, n: int):
+        self.n = n
+        self._word_cache: dict[str, int] = {}
+
+    def _word_hash(self, w: str) -> int:
+        h = self._word_cache.get(w)
+        if h is None:
+            h = _stable_hash64(w)
+            if len(self._word_cache) < 500_000:
+                self._word_cache[w] = h
+        return h
+
+    def grams(self, text: str | None) -> np.ndarray:
+        toks = (text or "").split(" ")
+        m = len(toks) - self.n + 1
+        if m <= 0:
+            return np.empty(0, dtype=np.uint64)
+        ws = np.array([self._word_hash(w) for w in toks], dtype=np.uint64)
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(self.n):
+            h = h * _POLY_P + ws[j : j + m]
+        return h
+
+
+def _collect_distinct(ds: "ray.data.Dataset", col: str, dtype) -> np.ndarray:
+    """Sorted distinct values of ``col``, streamed to the driver batch
+    by batch (never one monolithic take_all table). Caller owns the
+    small-side contract."""
+    parts = [
+        np.unique(b[col].to_numpy(zero_copy_only=False).astype(dtype))
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    if not parts:
+        return np.empty(0, dtype=dtype)
+    return np.unique(np.concatenate(parts))
+
+
+def decontaminate(
+    ds: "ray.data.Dataset",
+    blocklist: "ray.data.Dataset",
+    text_col: str,
+    n: int = 3,
+    min_overlap: int = 1,
+) -> "ray.data.Dataset":
+    """Corpus rows whose text shares fewer than ``min_overlap`` word
+    n-grams with any blocklist text (GPT-3-style n-gram
+    decontamination; the published procedure uses n=13 on real text —
+    n is a parameter because the right value is corpus-dependent).
+
+    Scale contract: the BLOCKLIST is the small side (benchmark suites
+    are thousands of docs, not billions) — its distinct gram hashes are
+    driver-collected and broadcast once; the corpus side streams
+    through one filter pass with no shuffle."""
+    hasher = _WordGramHasher(n)
+
+    def bl_grams(batch: pa.Table) -> pa.Table:
+        gs = [hasher.grams(t) for t in batch[text_col].to_pylist()]
+        flat = np.concatenate(gs) if gs else np.empty(0, dtype=np.uint64)
+        return pa.table({"g": pa.array(np.unique(flat), type=pa.uint64())})
+
+    bl_hashes = _collect_distinct(
+        blocklist.map_batches(bl_grams, batch_format="pyarrow", zero_copy_batch=True),
+        "g",
+        np.uint64,
+    )
+    bl_ref = ray.put(bl_hashes)
+
+    class _Filter:
+        def __init__(self):
+            self.hasher = _WordGramHasher(n)
+            self._bl: np.ndarray | None = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._bl is None:
+                self._bl = ray.get(bl_ref)
+            bl = self._bl
+            keep = np.ones(batch.num_rows, dtype=bool)
+            if len(bl):
+                for r, t in enumerate(batch[text_col].to_pylist()):
+                    gs = self.hasher.grams(t)
+                    if gs.size:
+                        pos = np.searchsorted(bl, gs)
+                        pos[pos >= len(bl)] = len(bl) - 1
+                        hits = np.count_nonzero(bl[pos] == gs)
+                        if hits >= min_overlap:
+                            keep[r] = False
+            return batch.filter(pa.array(keep))
+
+    return ds.map_batches(_Filter(), batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dedup_segments(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    separator: str = "\n",
+    max_count: int = 1,
+) -> "ray.data.Dataset":
+    """Remove every copy of any separator-delimited segment whose
+    corpus-wide occurrence count exceeds ``max_count`` (count is over
+    ALL occurrences including repeats within one doc). Returns
+    (id_col, clean_text, n_removed); clean_text is the surviving
+    segments rejoined with ``separator`` (empty string when every
+    segment was removed — SQL ``COALESCE(string_agg(...), '')``).
+
+    Splitting is ``text.split(separator)`` — identical to ANSI
+    ``string_split`` (leftmost non-overlapping, no collapsing).
+
+    Scale: pass 1 shuffles only segment HASHES into a count aggregate;
+    the flagged-hash array (duplicated segments ≪ distinct segments —
+    boilerplate is heavy-tailed) broadcasts once; pass 2 streams."""
+
+    # hashes are carried as INT64 (same 64 bits, signed view): Ray's
+    # sort-based groupby mishandles uint64 keys in its boundary math
+    def seg_hashes(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch[text_col].to_pylist():
+            for seg in (t or "").split(separator):
+                out.append(_stable_hash64(seg))
+        h = np.array(out, dtype=np.uint64).view(np.int64)
+        return pa.table({"h": pa.array(h, type=pa.int64())})
+
+    counts = (
+        ds.map_batches(seg_hashes, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .count()
+    )
+
+    def flagged_only(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        count_col = [c for c in b.column_names if c != "h"][0]
+        return b.filter(pc.greater(b[count_col], max_count)).select(["h"])
+
+    flagged = _collect_distinct(
+        counts.map_batches(flagged_only, batch_format="pyarrow", zero_copy_batch=True),
+        "h",
+        np.int64,
+    )
+    flag_ref = ray.put(flagged)
+
+    class _Rebuild:
+        def __init__(self):
+            self._fl: np.ndarray | None = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._fl is None:
+                self._fl = ray.get(flag_ref)
+            fl = self._fl
+            ids = batch[id_col]
+            clean, removed = [], []
+            for t in batch[text_col].to_pylist():
+                segs = (t or "").split(separator)
+                if len(fl):
+                    hs = np.array(
+                        [_stable_hash64(s) for s in segs], dtype=np.uint64
+                    ).view(np.int64)
+                    pos = np.searchsorted(fl, hs)
+                    pos[pos >= len(fl)] = len(fl) - 1
+                    bad = fl[pos] == hs
+                else:
+                    bad = np.zeros(len(segs), dtype=bool)
+                kept = [s for s, b in zip(segs, bad) if not b]
+                clean.append(separator.join(kept))
+                removed.append(int(bad.sum()))
+            return pa.table(
+                {
+                    id_col: ids,
+                    "clean_text": pa.array(clean, type=pa.string()),
+                    "n_removed": pa.array(removed, type=pa.int64()),
+                }
+            )
+
+    return ds.map_batches(_Rebuild(), batch_format="pyarrow", zero_copy_batch=True)

@@ -395,14 +395,13 @@ def _close_pairs_tiled(
 
 
 class _DupTextEmit:
-    """Pass-2 actor-pool stage over the RAW documents: recompute the
-    signature (the price of a fully streaming plan — no corpus-sized
-    materialization and no hash join; at petabyte scale you would
-    persist the pass-1 (id, sig) table as parquet instead) and, for
-    each doc hitting >= 1 duplicate bucket, emit one row PER VERIFY
-    PARTITION (part, bucket-list, id, sig, text) — the doc's sig+text
-    travel to each coarse partition at most once, not once per bucket,
-    and non-duplicate docs emit nothing."""
+    """Pass-2 stage over the duplicate-bucket MEMBER documents only
+    (the caller pre-filters by the broadcast member-id set, so the
+    signature recompute here costs O(duplicates), not O(corpus); the
+    wide uint32 signatures themselves are never persisted or joined).
+    For each doc, emit one row PER VERIFY PARTITION (part, bucket-list,
+    id, sig, text) — the doc's sig+text travel to each coarse partition
+    at most once, not once per bucket."""
 
     def __init__(self, keys_ref, text_col: str, id_col: str, shingle_k: int, num_perm: int, bands: int, nparts: int):
         self.keys_ref = keys_ref
@@ -519,19 +518,19 @@ def minhash_lsh_dedup_ids(
 ) -> tuple[list, list[tuple]]:
     """Returns (surviving_ids_sorted, verified_duplicate_pairs).
 
-    A fully STREAMING two-pass plan (no corpus-sized materialization,
-    no hash join):
-      pass 1  read -> signature -> band keys, shuffling only (bucket,
-              id) digests; duplicate buckets found with a count
-              aggregate;
-      pass 2  read -> signature again (the recompute buys streaming
-              purity; persist the (id, sig) table as parquet instead
-              when signatures dominate compute) -> docs hitting a dup
-              bucket emit (part, buckets, id, sig, text) once per
-              coarse verify partition -> per-bucket verify INSIDE
-              map_groups workers (tiled signature-estimate prefilter,
-              then exact set-Jaccard) -> verified edges (tiny) to the
-              driver -> union-find -> survivors.
+    A two-pass plan with no hash join and no corpus-sized driver state:
+      pass 1  read -> signature -> (bucket, id) band rows, materialized
+              (bands x ~24 B/doc, spillable); duplicate buckets found
+              with a count aggregate and the MEMBER-ID set derived from
+              the same table — so signatures are computed once per
+              corpus doc, total;
+      pass 2  read -> broadcast member-id filter -> signature recompute
+              for MEMBERS ONLY (O(duplicates)) -> (part, buckets, id,
+              sig, text) rows, one per coarse verify partition ->
+              per-bucket verify INSIDE map_groups workers (tiled
+              signature-estimate prefilter, then exact set-Jaccard) ->
+              verified edges (tiny) to the driver -> union-find ->
+              survivors.
 
     Band geometry r = num_perm/bands = 8 keeps the false-candidate rate
     low on templated corpora (P[collide | J=0.5] ≈ 6% vs ≈ 64% at r=4)
@@ -544,11 +543,12 @@ def minhash_lsh_dedup_ids(
     verify work at a quantified recall cost.
 
     Driver-held state and its scale contract: dup-bucket KEYS
-    (O(duplicate clusters)), verified edges (O(true duplicates)), and
-    the returned id list itself — use ``minhash_lsh_dedup`` (Dataset in,
-    Dataset out) when the corpus id list exceeds driver memory. Texts
-    and signatures are never collected on the driver; dup texts shuffle
-    worker-to-worker at most min(bands, nparts) times each."""
+    (O(duplicate clusters)), dup-bucket MEMBER IDS (O(duplicate docs)),
+    verified edges (O(true duplicates)), and the returned id list
+    itself — use ``minhash_lsh_dedup`` (Dataset in, Dataset out) when
+    the corpus id list exceeds driver memory. Texts and signatures are
+    never collected on the driver; dup texts shuffle worker-to-worker
+    at most min(bands, nparts) times each."""
     verified = _minhash_verified_edges(
         ds, text_col, id_col, shingle_k, num_perm, bands, jaccard_threshold, prefilter_sigmas
     )
@@ -591,19 +591,47 @@ def _minhash_verified_edges(
     minhash_lsh_dedup_ids for the streaming two-pass plan."""
     # plain TASK stages (instances, not actor classes): the MinHasher
     # is ~2 KB of numpy constants, so per-task pickling is free and the
-    # stage parallelizes to every input block/CPU with no pool sizing
+    # stage parallelizes to every input block/CPU with no pool sizing.
+    # The narrow (bucket, id) band table is MATERIALIZED (bands x ~24 B
+    # per doc, object-store-spillable — the same volume its groupby
+    # shuffle already moves) so it can feed BOTH the dup-bucket count
+    # and the member-id set without a second signature pass.
     band_rows = ds.map_batches(
         MinHashBandStage(text_col, id_col, shingle_k, num_perm, bands),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
+    ).materialize()
     dup_keys = _dup_bucket_keys(band_rows)
     if dup_keys is None:
         return []
 
     nparts = _verify_partitions()
     keys_ref = ray.put(dup_keys)
-    dup_rows = ds.map_batches(
+
+    # ids hitting >= 1 duplicate bucket — driver-held under the same
+    # O(duplicates) contract as dup_keys. Pass 2 then re-signs ONLY
+    # these docs instead of the whole corpus (signature cost becomes
+    # proportional to duplicates, not corpus size).
+    def member_rows(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["bucket"], value_set=ray.get(keys_ref))).select([id_col])
+
+    member_parts = [
+        np.unique(b[id_col].to_numpy(zero_copy_only=False))
+        for b in band_rows.map_batches(
+            member_rows, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    if not member_parts:
+        return []
+    member_ids = np.unique(np.concatenate(member_parts))
+    ids_ref = ray.put(pa.array(member_ids))
+
+    def only_members(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b[id_col], value_set=ray.get(ids_ref)))
+
+    dup_docs = ds.map_batches(only_members, batch_format="pyarrow", zero_copy_batch=True)
+    dup_rows = dup_docs.map_batches(
         _DupTextEmit(keys_ref, text_col, id_col, shingle_k, num_perm, bands, nparts),
         batch_format="pyarrow",
         zero_copy_batch=True,

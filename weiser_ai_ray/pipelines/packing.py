@@ -1,0 +1,134 @@
+"""Sequence packing: concat-and-chunk token layout for LLM training.
+
+Not in the reference (SURVEY.md §2.8) — the standard GPT-style
+pretraining layout: documents are concatenated in a deterministic
+global order (``id_col`` ascending) and the token stream is cut into
+fixed-size chunks; each doc's (start, end) offset in the stream and
+the chunk range it spans are emitted so a loader can assemble training
+sequences without ever materializing the concatenation.
+
+This is a distributed SCAN (global exclusive prefix sum) built from
+Ray Data primitives:
+
+  1. one streaming pass reduces each doc to (range, doc_id, n_tok) —
+     range = doc_id // range_width, sized so range count ≈ a few per
+     CPU; the narrow table (16 B/row) is materialized once and reused
+  2. groupby(range).sum gives per-range token totals; the driver
+     exclusive-scans the ~O(cluster) range totals and broadcasts the
+     offsets (tiny by construction)
+  3. groupby(range).map_groups sorts each range by doc_id, prefix-sums
+     within it, and adds the broadcast range offset — emitting final
+     offsets without any global sort or corpus-sized collection
+
+The only shuffle moves (range, id, n_tok) fixed-width rows; text never
+leaves stage 1. Token counts are ``len(text.split(' '))`` to match
+ANSI ``string_split`` exactly (swap ``token_fn`` for a real tokenizer;
+the plan is unchanged).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def _default_tokens(texts: list) -> np.ndarray:
+    return np.array([len((t or "").split(" ")) for t in texts], dtype=np.int64)
+
+
+def concat_chunk_pack(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 512,
+    token_fn: Callable[[list], np.ndarray] = _default_tokens,
+    num_ranges: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Per-doc packing offsets for the concatenate-then-chunk layout:
+    (id, n_tok, start_off, end_off, chunk_first, chunk_last), where
+    start_off is the exclusive prefix sum of n_tok in id order and
+    chunk_first/last = start_off // chunk_tokens and
+    (end_off - 1) // chunk_tokens (equal iff the doc fits one chunk).
+
+    Equivalent SQL: SUM(n_tok) OVER (ORDER BY id ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING). Requires ids dense ENOUGH
+    that id // range_width load-balances; skewed id spaces should pass
+    a larger num_ranges."""
+    if num_ranges is None:
+        try:
+            num_ranges = max(16, 4 * int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            num_ranges = 16
+    # range width from the id span: one cheap max aggregate (the
+    # narrow-table pass below reads text anyway; max(id) reads one col)
+    max_id = ds.select_columns([id_col]).max(id_col)
+    if max_id is None:
+        return ray.data.from_arrow(_empty_out(id_col))
+    range_width = max(1, (int(max_id) + num_ranges) // num_ranges)
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok = token_fn(batch[text_col].to_pylist())
+        return pa.table(
+            {
+                "__range": pa.array(ids // range_width, type=pa.int64()),
+                id_col: pa.array(ids),
+                "n_tok": pa.array(ntok),
+            }
+        )
+
+    # 16 B/row fixed width — materialized once, consumed by both the
+    # range-total pass and the per-range scan
+    tok_tbl = ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    totals = tok_tbl.groupby("__range").aggregate(Sum("n_tok", alias_name="range_tok"))
+    per_range = {int(r["__range"]): int(r["range_tok"]) for r in totals.take_all()}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for rk in sorted(per_range):
+        offsets[rk] = acc
+        acc += per_range[rk]
+    off_ref = ray.put(offsets)
+    chunk = int(chunk_tokens)
+
+    def scan_range(group: pa.Table) -> pa.Table:
+        offs = ray.get(off_ref)
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok = group["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, ntok = ids[order], ntok[order]
+        base = offs[int(group["__range"][0].as_py())]
+        start = base + np.concatenate([[0], np.cumsum(ntok)[:-1]])
+        end = start + ntok
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "n_tok": pa.array(ntok),
+                "start_off": pa.array(start),
+                "end_off": pa.array(end),
+                "chunk_first": pa.array(start // chunk),
+                # zero-token docs degenerate to chunk_last == chunk_first
+                "chunk_last": pa.array(np.where(ntok > 0, (end - 1) // chunk, start // chunk)),
+            }
+        )
+
+    return tok_tbl.groupby("__range").map_groups(scan_range, batch_format="pyarrow")
+
+
+def _empty_out(id_col: str) -> pa.Table:
+    i64: pa.DataType = pa.int64()
+    return pa.table(
+        {
+            id_col: pa.array([], i64),
+            "n_tok": pa.array([], i64),
+            "start_off": pa.array([], i64),
+            "end_off": pa.array([], i64),
+            "chunk_first": pa.array([], i64),
+            "chunk_last": pa.array([], i64),
+        }
+    )

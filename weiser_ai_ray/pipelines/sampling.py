@@ -113,3 +113,83 @@ def global_topk(
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
     out = parts.sort_values(list(order), ascending=list(asc), kind="mergesort").head(k)
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def deterministic_shuffle_rank(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    seed: int = 0,
+    num_ranges: int = 256,
+) -> "ray.data.Dataset":
+    """Global training-data shuffle as a deterministic RANK: each row
+    gets ``shuffle_rank`` = its position under the ordering
+    ``(md5(seed || '-' || id), id)`` — uniform, seedable, reproducible
+    across block layouts and cluster sizes, and SQL-expressible
+    (``ROW_NUMBER() OVER (ORDER BY md5(...), id) - 1``). Writing rows
+    ordered by the rank (or bucketing by ``rank // rows_per_file``)
+    yields the shuffled corpus layout pretraining wants, feeding
+    straight into packing.concat_chunk_pack.
+
+    Distributed plan (no global sort): the md5 key's first byte is a
+    UNIFORM range partition (md5 is uniform by construction, so ranges
+    are balanced regardless of id skew — better than ranging over raw
+    ids); pass 1 reduces batches to per-range counts (tiny), the
+    driver exclusive-scans the <= num_ranges totals, and pass 2 ranks
+    each range independently (sort within range + broadcast base
+    offset). The only shuffle moves (range, key, id) rows."""
+    import numpy as np
+
+    nr = int(num_ranges)
+    if nr < 1 or nr > 256:
+        raise ValueError("num_ranges must be in [1, 256]")
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        keys = [hashlib.md5(f"{seed}-{v}".encode()).hexdigest() for v in ids]
+        rng = np.array([int(k[:2], 16) % nr for k in keys], dtype=np.int32)
+        return pa.table(
+            {
+                "__range": pa.array(rng),
+                "__key": pa.array(keys, type=pa.string()),
+                id_col: b[id_col],
+            }
+        )
+
+    # narrow (range, key, id) table: materialized once, reused by the
+    # count pass and the rank pass (40 B/row fixed width, spillable)
+    keyed_tbl = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    counts = np.zeros(nr, dtype=np.int64)
+    for b in (
+        keyed_tbl.map_batches(
+            lambda b: pa.table(
+                {
+                    "r": pa.array(np.arange(nr, dtype=np.int32)),
+                    "c": pa.array(
+                        np.bincount(
+                            b["__range"].to_numpy(zero_copy_only=False), minlength=nr
+                        ).astype(np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        counts[b["r"].to_numpy(zero_copy_only=False)] += b["c"].to_numpy(zero_copy_only=False)
+    bases = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    base_ref = ray.put(bases)
+
+    def rank_range(group: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        bases_l = ray.get(base_ref)
+        keys = _np.array(group["__key"].to_pylist())
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = _np.lexsort((ids, keys))
+        rank = bases_l[int(group["__range"][0].as_py())] + _np.arange(len(keys))
+        out_rank = _np.empty(len(keys), dtype=_np.int64)
+        out_rank[order] = rank
+        return pa.table({id_col: group[id_col], "shuffle_rank": pa.array(out_rank)})
+
+    return keyed_tbl.groupby("__range").map_groups(rank_range, batch_format="pyarrow")
