@@ -1098,6 +1098,32 @@ def q_shuffle_rank_documents(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out[["doc_id", "shuffle_rank"]], preserve_index=False)
 
 
+def q_curate_documents(sf_dir: str) -> pa.Table:
+    """End-to-end curation chain (quality gate -> exact dedup ->
+    decontamination -> seeded-shuffle packing), oracle-checked as one
+    composition: every stage is deterministic and SQL-expressible."""
+    import ray.data
+    from weiser_ai_ray.pipelines.curation import curate
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def _is_bl(b, want):
+        m = b["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0
+        return b.filter(pa.array(m if want else ~m))
+
+    bl = docs.map_batches(lambda b: _is_bl(b, True), batch_format="pyarrow")
+    corpus = docs.map_batches(lambda b: _is_bl(b, False), batch_format="pyarrow")
+    out = curate(corpus, bl, "text", "doc_id", min_tokens=10, decontam_n=3,
+                 chunk_tokens=512, shuffle_seed=17)
+    pdf = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        pdf[["doc_id", "n_tok", "start_off", "end_off", "chunk_first", "chunk_last"]],
+        preserve_index=False,
+    )
+
+
 def q_corpus_stats_by_repo(sf_dir: str) -> pa.Table:
     """Per-repo corpus statistics over the power-law synthetic corpus
     (the skew showcase: partial counts inside map_batches, then a tiny
@@ -1202,6 +1228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_segments_documents": q_dedup_segments_documents,
         "pack_documents": q_pack_documents,
         "shuffle_rank_documents": q_shuffle_rank_documents,
+        "curate_documents": q_curate_documents,
     }
 
 
@@ -1566,6 +1593,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY"
             " md5('17-' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)"
             " AS shuffle_rank FROM documents ORDER BY doc_id"
+        ),
+        "curate_documents": (
+            "WITH base AS (SELECT doc_id, text, len(string_split(text, ' ')) AS n_tok"
+            "  FROM documents WHERE doc_id % 97 <> 0"
+            "   AND len(string_split(text, ' ')) >= 10),"
+            " dedup AS (SELECT * FROM base WHERE doc_id IN"
+            "  (SELECT MIN(doc_id) FROM base GROUP BY text)),"
+            " toksall AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),"
+            " exall AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i"
+            "  FROM toksall WHERE len(w) >= 3),"
+            " gramsall AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g"
+            "  FROM exall),"
+            " bl AS (SELECT DISTINCT g FROM gramsall WHERE doc_id % 97 = 0),"
+            " clean AS (SELECT d.doc_id, d.n_tok FROM dedup d"
+            "  WHERE NOT EXISTS (SELECT 1 FROM gramsall gr JOIN bl USING (g)"
+            "   WHERE gr.doc_id = d.doc_id)),"
+            " keyed AS (SELECT doc_id, n_tok,"
+            "  md5('17-' || CAST(doc_id AS VARCHAR)) AS k FROM clean),"
+            " s AS (SELECT doc_id, n_tok, COALESCE(SUM(n_tok) OVER (ORDER BY k, doc_id"
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off"
+            "  FROM keyed)"
+            " SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,"
+            "  CAST(start_off AS BIGINT) AS start_off,"
+            "  CAST(start_off + n_tok AS BIGINT) AS end_off,"
+            "  CAST(start_off // 512 AS BIGINT) AS chunk_first,"
+            "  CAST((start_off + n_tok - 1) // 512 AS BIGINT) AS chunk_last"
+            " FROM s ORDER BY doc_id"
         ),
         # lsh_topk, langid_documents, minhash/simhash dedup, the corpus
         # quality pipeline and multimodal queries are intentionally

@@ -225,3 +225,121 @@ def test_shuffle_rank_is_seeded_permutation(ray_session):
         .tolist()
     )
     assert a == a2
+
+
+def test_pack_shuffled_matches_duckdb(ray_session, con):
+    import ray.data
+
+    from weiser_ai_ray.pipelines.packing import concat_chunk_pack
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    # num_ranges=13 < 256 exercises the monotone byte->range scaling
+    # (a modulo here would interleave key prefixes and corrupt offsets)
+    r = (
+        concat_chunk_pack(docs, "text", "doc_id", chunk_tokens=64,
+                          shuffle_seed=5, num_ranges=13)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[
+            ["doc_id", "n_tok", "start_off", "end_off", "chunk_first", "chunk_last"]
+        ]
+    )
+    o = con.sql(
+        "WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok,"
+        "  md5('5-' || CAST(doc_id AS VARCHAR)) AS k FROM documents),"
+        " s AS (SELECT doc_id, n_tok, COALESCE(SUM(n_tok) OVER (ORDER BY k, doc_id"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off FROM t)"
+        " SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,"
+        "  CAST(start_off AS BIGINT) AS start_off,"
+        "  CAST(start_off + n_tok AS BIGINT) AS end_off,"
+        "  CAST(start_off // 64 AS BIGINT) AS chunk_first,"
+        "  CAST((start_off + n_tok - 1) // 64 AS BIGINT) AS chunk_last"
+        " FROM s ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(r, o)
+
+
+def test_shuffle_rank_small_num_ranges(ray_session):
+    import ray.data
+
+    from weiser_ai_ray.pipelines.sampling import deterministic_shuffle_rank
+
+    docs = ray.data.from_arrow(pa.table({"doc_id": list(range(200))}))
+    r = (
+        deterministic_shuffle_rank(docs, "doc_id", seed=3, num_ranges=7)
+        .to_pandas()
+        .sort_values("doc_id")["shuffle_rank"]
+        .tolist()
+    )
+    full = (
+        deterministic_shuffle_rank(docs, "doc_id", seed=3, num_ranges=256)
+        .to_pandas()
+        .sort_values("doc_id")["shuffle_rank"]
+        .tolist()
+    )
+    assert r == full  # range count must not change the global order
+
+
+def test_curate_end_to_end_matches_duckdb(ray_session, con):
+    import ray.data
+
+    from weiser_ai_ray.pipelines.curation import curate
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+
+    def _part(b, want):
+        m = b["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0
+        return b.filter(pa.array(m if want else ~m))
+
+    bl = docs.map_batches(lambda b: _part(b, True), batch_format="pyarrow")
+    corpus = docs.map_batches(lambda b: _part(b, False), batch_format="pyarrow")
+    r = (
+        curate(corpus, bl, "text", "doc_id", min_tokens=10, decontam_n=3,
+               chunk_tokens=512, shuffle_seed=17)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[
+            ["doc_id", "n_tok", "start_off", "end_off", "chunk_first", "chunk_last"]
+        ]
+    )
+    o = con.sql(
+        "WITH base AS (SELECT doc_id, text, len(string_split(text, ' ')) AS n_tok"
+        "  FROM documents WHERE doc_id % 97 <> 0"
+        "   AND len(string_split(text, ' ')) >= 10),"
+        " dedup AS (SELECT * FROM base WHERE doc_id IN"
+        "  (SELECT MIN(doc_id) FROM base GROUP BY text)),"
+        " toksall AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),"
+        " exall AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i"
+        "  FROM toksall WHERE len(w) >= 3),"
+        " gramsall AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g"
+        "  FROM exall),"
+        " bl AS (SELECT DISTINCT g FROM gramsall WHERE doc_id % 97 = 0),"
+        " clean AS (SELECT d.doc_id, d.n_tok FROM dedup d"
+        "  WHERE NOT EXISTS (SELECT 1 FROM gramsall gr JOIN bl USING (g)"
+        "   WHERE gr.doc_id = d.doc_id)),"
+        " keyed AS (SELECT doc_id, n_tok,"
+        "  md5('17-' || CAST(doc_id AS VARCHAR)) AS k FROM clean),"
+        " s AS (SELECT doc_id, n_tok, COALESCE(SUM(n_tok) OVER (ORDER BY k, doc_id"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off"
+        "  FROM keyed)"
+        " SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,"
+        "  CAST(start_off AS BIGINT) AS start_off,"
+        "  CAST(start_off + n_tok AS BIGINT) AS end_off,"
+        "  CAST(start_off // 512 AS BIGINT) AS chunk_first,"
+        "  CAST((start_off + n_tok - 1) // 512 AS BIGINT) AS chunk_last"
+        " FROM s ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(r, o)
+    # exact-dedup actually engages: synthetic duplicate survives once
+    dup = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["one two three four five six seven eight nine ten"] * 2
+                + ["u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"],
+            }
+        )
+    )
+    empty_bl = ray.data.from_arrow(pa.table({"doc_id": [], "text": []}))
+    out = curate(dup, empty_bl, "text", "doc_id", shuffle_seed=None).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [1, 3]

@@ -1,0 +1,69 @@
+"""End-to-end corpus curation: the composed pretraining-data pipeline.
+
+Not in the reference (SURVEY.md §2.8) — this chains the engine's
+training-data operators into the standard curation sequence, each stage
+streaming into the next with no driver materialization of corpus rows:
+
+  quality gate      vectorized token-count filter (stand-in for the
+                    full rule engine in pipelines/quality.py, which
+                    operates on the repo-corpus shape)
+  exact dedup       min-id-per-text via the digest-only groupby +
+                    hash semi-join (pipelines/dedup.exact_dedup)
+  decontamination   n-gram blocklist broadcast filter
+                    (pipelines/decontam.decontaminate)
+  shuffle + pack    seeded-shuffle concat-and-chunk offsets in ONE
+                    distributed prefix-sum pass
+                    (pipelines/packing.concat_chunk_pack)
+
+Every stage is deterministic and ANSI-SQL-expressible, so the WHOLE
+chain is oracle-checked end to end (the driver's
+``curate_documents`` query) — the composition, not just each operator,
+is verified. Approximate stages (minhash near-dedup, model scoring)
+plug in between dedup and decontamination when needed; they are kept
+out of this chain so the oracle stays exact.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from weiser_ai_ray.pipelines.decontam import decontaminate
+from weiser_ai_ray.pipelines.dedup import exact_dedup
+from weiser_ai_ray.pipelines.packing import concat_chunk_pack
+
+
+def curate(
+    ds: "ray.data.Dataset",
+    blocklist: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 10,
+    decontam_n: int = 3,
+    chunk_tokens: int = 512,
+    shuffle_seed: Optional[int] = 17,
+) -> "ray.data.Dataset":
+    """Curated packing manifest: (id, n_tok, start_off, end_off,
+    chunk_first, chunk_last) over the docs that survive the quality
+    gate, exact dedup, and decontamination — offsets in seeded-shuffle
+    order (or id order when ``shuffle_seed`` is None).
+
+    Token counts are ``len(text.split(' '))`` everywhere (one
+    definition across gate and packing, matching ANSI string_split)."""
+
+    def quality_gate(batch: pa.Table) -> pa.Table:
+        ntok = np.array(
+            [len((t or "").split(" ")) for t in batch[text_col].to_pylist()],
+            dtype=np.int64,
+        )
+        return batch.filter(pa.array(ntok >= min_tokens))
+
+    gated = ds.map_batches(quality_gate, batch_format="pyarrow", zero_copy_batch=True)
+    deduped = exact_dedup(gated, text_col, id_col)
+    clean = decontaminate(deduped, blocklist, text_col, n=decontam_n, min_overlap=1)
+    return concat_chunk_pack(
+        clean, text_col, id_col, chunk_tokens=chunk_tokens, shuffle_seed=shuffle_seed
+    )

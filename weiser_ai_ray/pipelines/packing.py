@@ -48,39 +48,56 @@ def concat_chunk_pack(
     chunk_tokens: int = 512,
     token_fn: Callable[[list], np.ndarray] = _default_tokens,
     num_ranges: Optional[int] = None,
+    shuffle_seed: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """Per-doc packing offsets for the concatenate-then-chunk layout:
     (id, n_tok, start_off, end_off, chunk_first, chunk_last), where
-    start_off is the exclusive prefix sum of n_tok in id order and
-    chunk_first/last = start_off // chunk_tokens and
+    start_off is the exclusive prefix sum of n_tok in the chosen global
+    order and chunk_first/last = start_off // chunk_tokens and
     (end_off - 1) // chunk_tokens (equal iff the doc fits one chunk).
 
-    Equivalent SQL: SUM(n_tok) OVER (ORDER BY id ROWS BETWEEN
-    UNBOUNDED PRECEDING AND 1 PRECEDING). Requires ids dense ENOUGH
-    that id // range_width load-balances; skewed id spaces should pass
-    a larger num_ranges."""
+    Order: ``id`` ascending by default; with ``shuffle_seed`` set, the
+    seeded-shuffle order ``(md5(seed || '-' || id), id)`` — i.e. the
+    pretraining shuffle-then-pack layout in one pass (equivalent SQL:
+    SUM(n_tok) OVER (ORDER BY md5(...), id ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)).
+
+    Requires ids dense ENOUGH that id // range_width load-balances in
+    the unshuffled case (skewed id spaces should pass a larger
+    num_ranges); the shuffled case ranges over the md5 key's first
+    byte, which is uniform regardless of id skew."""
     if num_ranges is None:
         try:
             num_ranges = max(16, 4 * int(ray.cluster_resources().get("CPU", 8)))
         except Exception:
             num_ranges = 16
-    # range width from the id span: one cheap max aggregate (the
-    # narrow-table pass below reads text anyway; max(id) reads one col)
-    max_id = ds.select_columns([id_col]).max(id_col)
-    if max_id is None:
-        return ray.data.from_arrow(_empty_out(id_col))
-    range_width = max(1, (int(max_id) + num_ranges) // num_ranges)
+    if shuffle_seed is None:
+        # range width from the id span: one cheap max aggregate (the
+        # narrow-table pass below reads text anyway; max reads one col)
+        max_id = ds.select_columns([id_col]).max(id_col)
+        if max_id is None:
+            return ray.data.from_arrow(_empty_out(id_col))
+        range_width = max(1, (int(max_id) + num_ranges) // num_ranges)
+    nr = min(int(num_ranges), 256)
 
     def narrow(batch: pa.Table) -> pa.Table:
+        import hashlib
+
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         ntok = token_fn(batch[text_col].to_pylist())
-        return pa.table(
-            {
-                "__range": pa.array(ids // range_width, type=pa.int64()),
-                id_col: pa.array(ids),
-                "n_tok": pa.array(ntok),
-            }
-        )
+        cols = {id_col: pa.array(ids), "n_tok": pa.array(ntok)}
+        if shuffle_seed is None:
+            cols["__range"] = pa.array(ids // range_width, type=pa.int64())
+        else:
+            keys = [hashlib.md5(f"{shuffle_seed}-{v}".encode()).hexdigest() for v in ids]
+            # MONOTONE byte->range scaling (not a modulo, which would
+            # interleave key prefixes across ranges and corrupt the
+            # global prefix sum)
+            cols["__range"] = pa.array(
+                np.array([(int(k[:2], 16) * nr) >> 8 for k in keys], dtype=np.int64)
+            )
+            cols["__key"] = pa.array(keys, type=pa.string())
+        return pa.table(cols)
 
     # 16 B/row fixed width — materialized once, consumed by both the
     # range-total pass and the per-range scan
@@ -100,7 +117,10 @@ def concat_chunk_pack(
         offs = ray.get(off_ref)
         ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         ntok = group["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(ids, kind="stable")
+        if shuffle_seed is None:
+            order = np.argsort(ids, kind="stable")
+        else:
+            order = np.lexsort((ids, np.array(group["__key"].to_pylist())))
         ids, ntok = ids[order], ntok[order]
         base = offs[int(group["__range"][0].as_py())]
         start = base + np.concatenate([[0], np.cumsum(ntok)[:-1]])

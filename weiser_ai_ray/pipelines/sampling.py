@@ -146,7 +146,10 @@ def deterministic_shuffle_rank(
     def keyed(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_pylist()
         keys = [hashlib.md5(f"{seed}-{v}".encode()).hexdigest() for v in ids]
-        rng = np.array([int(k[:2], 16) % nr for k in keys], dtype=np.int32)
+        # MONOTONE byte->range scaling: ranges must partition the KEY
+        # ORDER (a modulo would interleave prefixes across ranges and
+        # corrupt the global rank)
+        rng = np.array([(int(k[:2], 16) * nr) >> 8 for k in keys], dtype=np.int32)
         return pa.table(
             {
                 "__range": pa.array(rng),
