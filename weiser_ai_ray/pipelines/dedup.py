@@ -140,45 +140,163 @@ def add_content_hash(batch: pa.Table, text_col: str, out_col: str = "content_has
     return batch.append_column(out_col, pa.array(hashes, type=pa.string()))
 
 
-def exact_dedup_ids(ds: "ray.data.Dataset", text_col: str, id_col: str) -> "ray.data.Dataset":
-    """Surviving ids: min(id) per distinct text. Only (hash, id) pairs
-    are shuffled; the groupby pre-aggregates per block automatically."""
-    from ray.data.aggregate import Min
+_NULL_TEXT_DIGEST = hashlib.sha256(b"\x00__null__\x00").digest()
 
+
+def add_content_hash128(batch: pa.Table, text_col: str) -> pa.Table:
+    """Append the 128-bit content key as TWO int64 columns (__h1, __h2
+    — the first 16 bytes of sha256): 16 B/row of shuffle key instead of
+    the 64-char hex string, with a 2^-128 collision bound that stays
+    exact at any corpus size."""
+    digs = [
+        hashlib.sha256(t.encode("utf-8")).digest() if t is not None else _NULL_TEXT_DIGEST
+        for t in batch[text_col].to_pylist()
+    ]
+    if digs:
+        arr = np.frombuffer(b"".join(d[:16] for d in digs), dtype=np.int64).reshape(-1, 2)
+        h1, h2 = arr[:, 0].copy(), arr[:, 1].copy()
+    else:
+        h1 = h2 = np.empty(0, dtype=np.int64)
+    return batch.append_column("__h1", pa.array(h1)).append_column("__h2", pa.array(h2))
+
+
+def exact_dedup_ids(ds: "ray.data.Dataset", text_col: str, id_col: str) -> "ray.data.Dataset":
+    """Surviving ids: min(id) per distinct text. Only (16-byte hash,
+    id) rows are shuffled, into coarse partitions (see
+    _winners_by_hash for why not a native groupby)."""
     hashed = ds.map_batches(
-        lambda b: add_content_hash(b, text_col).select(["content_hash", id_col]),
+        lambda b: add_content_hash128(b, text_col).select(["__h1", "__h2", id_col]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    survivors = hashed.groupby("content_hash").aggregate(Min(id_col, alias_name=id_col))
-    return survivors.select_columns([id_col])
+    winners = _winners_by_hash(hashed, id_col, _verify_partitions())
+
+    def pick(b: pa.Table) -> pa.Table:
+        return pa.table({id_col: b["__keep_id"]})
+
+    return winners.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _winners_by_hash(
+    hashed: "ray.data.Dataset", id_col: str, nparts: int
+) -> "ray.data.Dataset":
+    """(__h1, __h2, __keep_id, __n) — min id and row count per distinct
+    128-bit content key. A native groupby here hits Ray's
+    one-group-per-row pathology (exact dedup keys are ~all distinct:
+    measured 30 s for 3M rows vs 4 s this way); instead the narrow
+    (h1, h2, id) rows shuffle into ``nparts`` COARSE partitions (keys
+    co-locate because the partition is a pure function of h1) and each
+    partition reduces with one numpy lexsort + segment scan."""
+
+    def part(b: pa.Table) -> pa.Table:
+        h1 = b["__h1"].to_numpy(zero_copy_only=False)
+        return b.append_column("__part", pa.array((h1 % nparts).astype(np.int32)))
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        h1 = g["__h1"].to_numpy(zero_copy_only=False)
+        h2 = g["__h2"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        if not len(h1):
+            return pa.table(
+                {
+                    "__h1": pa.array([], pa.int64()),
+                    "__h2": pa.array([], pa.int64()),
+                    "__keep_id": pa.array([], pa.int64()),
+                    "__n": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((ids, h2, h1))
+        h1s, h2s, idss = h1[order], h2[order], ids[order]
+        new = np.ones(len(h1s), dtype=bool)
+        new[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        starts = np.nonzero(new)[0]
+        counts = np.diff(np.concatenate([starts, [len(h1s)]]))
+        return pa.table(
+            {
+                "__h1": pa.array(h1s[starts]),
+                "__h2": pa.array(h2s[starts]),
+                "__keep_id": pa.array(idss[starts]),
+                "__n": pa.array(counts),
+            }
+        )
+
+    return (
+        hashed.select_columns(["__h1", "__h2", id_col])
+        .map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(reduce_group, batch_format="pyarrow")
+    )
 
 
 def exact_dedup(
-    ds: "ray.data.Dataset", text_col: str, id_col: str, num_partitions: Optional[int] = None
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    num_partitions: Optional[int] = None,
+    broadcast_limit: int = 5_000_000,
 ) -> "ray.data.Dataset":
-    """Full surviving rows via a hash-partitioned SEMI-JOIN: the winner
-    (content_hash, min id) table — one row per distinct text, computed
-    by the digest-only groupby — is hash-joined back to the rows on
-    content_hash and the min-id row kept. Nothing is collected on or
-    broadcast from the driver, so the plan holds when the survivor set
-    itself exceeds driver memory (the round-1 id-broadcast did not)."""
-    from ray.data.aggregate import Min
+    """Full surviving rows: min(id) per distinct text.
 
+    Two plans behind one semantics, picked by DUPLICATE count (never by
+    corpus size):
+
+    fast path  the digest-only groupby (16-byte keys) yields winner
+               rows; groups with count > 1 — O(duplicate clusters) —
+               stream to the driver and broadcast as a lookup, and the
+               corpus is anti-filtered in ONE streaming pass with no
+               row shuffle at all. Web corpora dedupe 30–50 % of DOCS
+               but the duplicate CLUSTER count stays far smaller; the
+               limit bounds driver memory explicitly.
+    join path  when dup clusters exceed ``broadcast_limit``, fall back
+               to the hash-partitioned semi-join (rows shuffled once on
+               the compact key, nothing driver-held), which holds at
+               any duplicate density."""
     nparts = num_partitions or _verify_partitions()
     hashed = ds.map_batches(
-        lambda b: add_content_hash(b, text_col), batch_format="pyarrow", zero_copy_batch=True
+        lambda b: add_content_hash128(b, text_col), batch_format="pyarrow", zero_copy_batch=True
     )
-    winners = (
-        hashed.select_columns(["content_hash", id_col])
-        .groupby("content_hash")
-        .aggregate(Min(id_col, alias_name="__keep_id"))
+    winners = _winners_by_hash(hashed, id_col, nparts)
+
+    # stream dup winners to the driver, bailing out at the limit
+    dup_map: Optional[dict] = {}
+    for b in winners.iter_batches(batch_format="pyarrow", batch_size=None):
+        flt = b.filter(pc.greater(b["__n"], 1))
+        h1 = flt["__h1"].to_numpy(zero_copy_only=False)
+        h2 = flt["__h2"].to_numpy(zero_copy_only=False)
+        keep = flt["__keep_id"].to_numpy(zero_copy_only=False)
+        for a, c, k in zip(h1, h2, keep):
+            dup_map[(int(a), int(c))] = int(k)
+        if len(dup_map) > broadcast_limit:
+            dup_map = None
+            break
+
+    if dup_map is not None:
+        dup_ref = ray.put(dup_map)
+
+        def drop_losers(batch: pa.Table) -> pa.Table:
+            dm = ray.get(dup_ref)
+            if dm:
+                h1 = batch["__h1"].to_numpy(zero_copy_only=False)
+                h2 = batch["__h2"].to_numpy(zero_copy_only=False)
+                ids = batch[id_col].to_numpy(zero_copy_only=False)
+                keep = np.array(
+                    [dm.get((int(a), int(c)), i) == i for a, c, i in zip(h1, h2, ids)]
+                )
+                batch = batch.filter(pa.array(keep))
+            return batch.drop_columns(["__h1", "__h2"])
+
+        return hashed.map_batches(drop_losers, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = hashed.join(
+        winners.drop_columns(["__n"]),
+        join_type="inner",
+        num_partitions=nparts,
+        on=("__h1", "__h2"),
     )
-    joined = hashed.join(winners, join_type="inner", num_partitions=nparts, on=("content_hash",))
 
     def keep_winner(batch: pa.Table) -> pa.Table:
         out = batch.filter(pc.equal(batch[id_col], batch["__keep_id"]))
-        return out.drop_columns(["content_hash", "__keep_id"])
+        return out.drop_columns(["__h1", "__h2", "__keep_id"])
 
     return joined.map_batches(keep_winner, batch_format="pyarrow", zero_copy_batch=True)
 
