@@ -62,12 +62,6 @@ def _verify_partitions() -> int:
         return 8
 
 
-def _bucket_part(bucket: str, nparts: int) -> int:
-    """Deterministic coarse partition of a bucket key (sha256-derived,
-    never python hash())."""
-    return int.from_bytes(hashlib.sha256(bucket.encode()).digest()[:4], "big") % nparts
-
-
 _KEYSET_CACHE: dict = {}
 
 
@@ -419,12 +413,21 @@ class MinHasher:
         flush()
         return out
 
-    def band_buckets(self, sig32: np.ndarray, bands: int) -> list[str]:
-        """Band keys: band index + sha256 of that band's uint32 slice
-        (one sha256 per doc-band, never per shingle)."""
+    def band_buckets(self, sig32: np.ndarray, bands: int) -> list[int]:
+        """Band keys as NON-NEGATIVE int64 (8 bytes of the band slice's
+        sha256 mixed with the band index): fixed-width keys sort,
+        partition (key % n) and hash-probe far cheaper than the
+        former hex strings; one sha256 per doc-band, never per
+        shingle."""
         r = self.num_perm // bands
         return [
-            f"{b}:{hashlib.sha256(sig32[b * r : (b + 1) * r].tobytes()).hexdigest()[:16]}"
+            (
+                int.from_bytes(
+                    hashlib.sha256(sig32[b * r : (b + 1) * r].tobytes()).digest()[:8], "big"
+                )
+                ^ (b * 0x9E3779B97F4A7C15)
+            )
+            & 0x7FFFFFFFFFFFFFFF
             for b in range(bands)
         ]
 
@@ -451,37 +454,48 @@ class MinHashBandStage:
                 out_bk.append(bk)
                 out_id.append(i)
         return pa.table(
-            {"bucket": pa.array(out_bk, pa.string()), self.id_col: pa.array(out_id, pa.int64())}
+            {"bucket": pa.array(out_bk, pa.int64()), self.id_col: pa.array(out_id, pa.int64())}
         )
 
 
 def _dup_bucket_keys(band_rows: "ray.data.Dataset") -> Optional[pa.Array]:
-    """Bucket keys with >= 2 members, as one Arrow string array.
+    """Bucket keys (int64) with >= 2 members, as one Arrow array.
 
-    A native count aggregate per bucket (the shuffle carries only
-    digest keys), then a vectorized count>1 filter. Driver-held set is
-    O(duplicate clusters) — the documented duplicates ≪ corpus
-    assumption; members, texts and verification never touch the
-    driver."""
-    counts = band_rows.groupby("bucket").count()
+    Bucket keys are ~all distinct, so a native groupby().count() hits
+    Ray's one-group-per-row reduce pathology (see _winners_by_hash);
+    instead the (bucket, id) rows shuffle into CPU-count COARSE
+    partitions (partition = pure function of the key, equal keys
+    co-locate) and each partition counts with one numpy unique.
+    Driver-held result is O(duplicate clusters) — the documented
+    duplicates ≪ corpus assumption; members, texts and verification
+    never touch the driver."""
+    nparts = _verify_partitions()
 
-    def only_dups(b: pa.Table) -> pa.Table:
-        # resolve the count column per batch: calling counts.schema()
-        # here would EXECUTE the whole upstream band+aggregate plan a
-        # second time (schema fetch runs the pipeline to take 1 row)
-        count_col = [c for c in b.column_names if c != "bucket"][0]
-        return b.filter(pc.greater(b[count_col], 1)).select(["bucket"])
+    def part(b: pa.Table) -> pa.Table:
+        h = b["bucket"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "__part": pa.array((h % nparts).astype(np.int32)),
+                "bucket": b["bucket"],
+            }
+        )
+
+    def dups_in_part(g: pa.Table) -> pa.Table:
+        h = g["bucket"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table({"bucket": pa.array(uniq[cnt > 1], type=pa.int64())})
 
     parts = [
-        b["bucket"]
-        for b in counts.map_batches(
-            only_dups, batch_format="pyarrow", zero_copy_batch=True
-        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        b["bucket"].combine_chunks() if isinstance(b["bucket"], pa.ChunkedArray) else b["bucket"]
+        for b in band_rows.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(dups_in_part, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
         if b.num_rows
     ]
     if not parts:
         return None
-    return pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in parts])
+    return pa.concat_arrays(parts)
 
 
 def _close_pairs_tiled(
@@ -538,23 +552,23 @@ class _DupTextEmit:
         for i, t, sig in zip(ids, texts, sigs):
             if sig is None:
                 continue
-            per_part: dict[int, list[str]] = {}
+            per_part: dict[int, list[int]] = {}
             for bk in self.mh.band_buckets(sig, self.bands):
                 if bk in keys:
-                    per_part.setdefault(_bucket_part(bk, self.nparts), []).append(bk)
+                    per_part.setdefault(bk % self.nparts, []).append(bk)
             if not per_part:
                 continue
             sb = sig.tobytes()
             for part, bks in per_part.items():
                 out_part.append(part)
-                out_buckets.append("\x1f".join(sorted(bks)))
+                out_buckets.append(sorted(bks))
                 out_ids.append(i)
                 out_sigs.append(sb)
                 out_texts.append(t)
         return pa.table(
             {
                 "part": pa.array(out_part, type=pa.int32()),
-                "buckets": pa.array(out_buckets, type=pa.string()),
+                "buckets": pa.array(out_buckets, type=pa.list_(pa.int64())),
                 self.id_col: pa.array(out_ids, type=pa.int64()),
                 "sig": pa.array(out_sigs, type=pa.binary()),
                 self.text_col: pa.array(out_texts, type=pa.large_string()),
@@ -589,9 +603,9 @@ class _MinHashBucketVerifier:
             [np.frombuffer(s, dtype=np.uint32) for s in group["sig"].to_pylist()]
         )
         texts = group[self.text_col].to_pylist()
-        by_bucket: dict[str, list[int]] = {}
+        by_bucket: dict[int, list[int]] = {}
         for row, blist in enumerate(group["buckets"].to_pylist()):
-            for bk in blist.split("\x1f"):
+            for bk in blist:
                 by_bucket.setdefault(bk, []).append(row)
 
         # candidate ROW pairs: typical buckets are tiny, so per-bucket
@@ -910,7 +924,7 @@ class _SimHashBucketVerifier:
     def __call__(self, group: pa.Table) -> pa.Table:
         ids = np.asarray(group[self.id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
         hs = np.asarray(group["simhash"].to_numpy(zero_copy_only=False), dtype=np.uint64)
-        buckets = np.array(group["bucket"].to_pylist())
+        buckets = np.asarray(group["bucket"].to_numpy(zero_copy_only=False), dtype=np.int64)
         order = np.lexsort((ids, buckets))
         ids, hs, buckets = ids[order], hs[order], buckets[order]
         change = np.nonzero(buckets[1:] != buckets[:-1])[0] + 1
@@ -983,21 +997,31 @@ def _simhash_verified_edges(
     nparts = _verify_partitions()
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        hs = batch["simhash"].to_pylist()
-        out_bk, out_i, out_h = [], [], []
-        for i, h in zip(ids, hs):
-            if h is None:
-                continue
-            for b in range(4):
-                out_bk.append(f"{b}:{(h >> (16 * b)) & 0xFFFF:04x}")
-                out_i.append(i)
-                out_h.append(h)
+        """Vectorized 4-way band explode: bucket = band_idx << 16 |
+        that band's 16 bits, as int64 (fixed-width keys — cf. the
+        minhash band keys)."""
+        valid = batch.filter(pc.is_valid(batch["simhash"]))
+        hs = valid["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = valid[id_col].to_numpy(zero_copy_only=False)
+        n = len(hs)
+        if not n:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "simhash": pa.array([], pa.uint64()),
+                }
+            )
+        bands = np.arange(4, dtype=np.uint64)
+        bk = (
+            ((hs[:, None] >> (np.uint64(16) * bands[None, :])) & np.uint64(0xFFFF))
+            | (bands[None, :] << np.uint64(16))
+        ).astype(np.int64)
         return pa.table(
             {
-                "bucket": pa.array(out_bk, type=pa.string()),
-                id_col: pa.array(out_i),
-                "simhash": pa.array(out_h, type=pa.uint64()),
+                "bucket": pa.array(bk.ravel()),
+                id_col: pa.array(np.repeat(ids, 4)),
+                "simhash": pa.array(np.repeat(hs, 4), type=pa.uint64()),
             }
         )
 
@@ -1015,10 +1039,8 @@ def _simhash_verified_edges(
             if self._keys is None:
                 self._keys = ray.get(keys_ref)
             out = b.filter(pc.is_in(b["bucket"], value_set=self._keys))
-            part = pa.array(
-                [_bucket_part(bk, nparts) for bk in out["bucket"].to_pylist()],
-                type=pa.int32(),
-            )
+            bk = out["bucket"].to_numpy(zero_copy_only=False)
+            part = pa.array((bk % nparts).astype(np.int32))
             return out.append_column("part", part)
 
     dup_rows = banded.map_batches(
