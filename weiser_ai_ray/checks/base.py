@@ -342,7 +342,16 @@ class BaseCheck:
         val_col = f"{spec.key}__val"
         emitter = _DistinctPairBatcher(spec, filter_ast, td, td_alias, group_keys, val_col)
         pairs = ds.map_batches(emitter, batch_format="pyarrow", zero_copy_batch=True)
-        uniq = pairs.groupby(group_keys + [val_col]).count()
+        # (group, value) cardinality is unbounded (one group per
+        # distinct value), so collapse cross-batch repeats with the
+        # coarse-partition + Arrow hash group_by reduce, not a native
+        # Ray groupby (one-group-per-row reduce pathology)
+        uniq = _coarse_key_reduce(
+            pairs,
+            group_keys + [val_col],
+            [([], "count_all")],
+            group_keys + [val_col, "__cnt"],
+        )
         plain = AggSpec(spec.key, spec.fname, ("col", val_col), False)
         batcher = _PartialBatcher([plain], None, None, None, group_keys, group_keys)
         partials = uniq.map_batches(batcher, batch_format="pyarrow", zero_copy_batch=True)
@@ -364,8 +373,13 @@ class BaseCheck:
         med_col = f"{spec.key}__median"
         emitter = _ValueCountBatcher(spec, filter_ast, td, td_alias, group_keys, val_col, cnt_col)
         pairs = ds.map_batches(emitter, batch_format="pyarrow", zero_copy_batch=True)
-        merged = pairs.groupby(group_keys + [val_col]).aggregate(
-            Sum(cnt_col, alias_name=cnt_col)
+        # unbounded (group, value) cardinality: coarse-partition +
+        # Arrow hash group_by reduce (cf. _grouped_distinct)
+        merged = _coarse_key_reduce(
+            pairs,
+            group_keys + [val_col],
+            [(cnt_col, "sum")],
+            group_keys + [val_col, cnt_col],
         )
         distinct = spec.distinct
         q, interp = _q_of(spec)
@@ -388,6 +402,61 @@ class BaseCheck:
             .map_groups(med_group, batch_format="pyarrow")
             .to_pandas()
         )
+
+
+def _coarse_key_reduce(ds, key_cols: list[str], arrow_aggs: list, rename: list[str]):
+    """Group ``ds`` by high-cardinality ``key_cols`` without Ray's
+    one-group-per-row reduce pathology: rows shuffle into CPU-count
+    COARSE partitions keyed by a stable hash of the key tuple (equal
+    keys co-locate), and each partition reduces with Arrow's C++ hash
+    group_by — which handles millions of groups per worker. ``rename``
+    is the full output column list (keys first, then aggregates)."""
+    import hashlib as _hl
+
+    import ray
+    import ray.data  # noqa: F401
+
+    try:
+        nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        nparts = 8
+
+    def _col_hash(col) -> np.ndarray:
+        arr = col.to_numpy(zero_copy_only=False)
+        if arr.dtype.kind in "iu":
+            return arr.astype(np.int64).view(np.uint64)
+        if arr.dtype.kind == "f":
+            return arr.astype(np.float64).view(np.uint64)
+        # strings / objects: hash per DISTINCT value (dims repeat)
+        uniq, inv = np.unique(arr.astype(str), return_inverse=True)
+        hu = np.array(
+            [
+                int.from_bytes(_hl.sha256(x.encode()).digest()[:8], "big")
+                for x in uniq
+            ],
+            dtype=np.uint64,
+        )
+        return hu[inv]
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = np.zeros(b.num_rows, dtype=np.uint64)
+        for c in key_cols:
+            h = h * np.uint64(0x100000001B3) ^ _col_hash(b[c])
+        return b.append_column("__part", pa.array((h % np.uint64(nparts)).astype(np.int32)))
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        out = t.group_by(key_cols).aggregate(arrow_aggs)
+        # Arrow emits keys AFTER aggregate columns in some versions —
+        # reorder by name prefix instead of position
+        agg_cols = [c for c in out.column_names if c not in key_cols]
+        return out.select(key_cols + agg_cols).rename_columns(rename)
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+    )
 
 
 def _ray_aggs(specs) -> list:

@@ -122,6 +122,21 @@ def repetition_scores(
     return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_GRAM_PART_CACHE: dict = {}
+
+
+def _gram_part(g: str) -> int:
+    """Per-worker cached sha256-derived gram hash (for partitioning)."""
+    import hashlib
+
+    h = _GRAM_PART_CACHE.get(g)
+    if h is None:
+        h = int.from_bytes(hashlib.sha256(g.encode()).digest()[:8], "big")
+        if len(_GRAM_PART_CACHE) < 500_000:
+            _GRAM_PART_CACHE[g] = h
+    return h
+
+
 def top_ngrams(
     ds: "ray.data.Dataset", n: int = 2, k: int = 20, text_col: str = "text"
 ) -> "ray.data.Dataset":
@@ -129,13 +144,25 @@ def top_ngrams(
     (boilerplate / template detection). Per-batch partials shrink each
     block to its distinct grams before the groupby-sum shuffle; ties
     break on gram text ascending for a deterministic result."""
-    from ray.data.aggregate import Sum
+    try:
+        import ray
+
+        nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        nparts = 8
 
     def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "__part": pa.array([], pa.int32()),
+                "gram": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
         row_ids, codes, ncodes, flat = _word_rows(batch[text_col])
         _, gkey, gpos = _gram_keys(row_ids, codes, max(ncodes, 1), n)
         if not len(gkey):
-            return pa.table({"gram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+            return empty
         # rebuild gram STRINGS only for the batch-distinct keys
         order = np.argsort(gkey, kind="stable")
         gkey_s = gkey[order]
@@ -146,19 +173,38 @@ def top_ngrams(
         grams = flat[rep_pos]
         for j in range(1, n):
             grams = grams + " " + flat[rep_pos + j]
+        # partition from a STABLE hash of the gram STRING (gkey is a
+        # batch-local code fold, so it cannot route equal grams from
+        # different batches to the same partition); cached per worker —
+        # gram vocabulary repeats heavily across batches
+        part = np.array(
+            [_gram_part(g) for g in grams], dtype=np.uint64
+        ) % np.uint64(nparts)
+        part = part.astype(np.int32)
         return pa.table(
             {
+                "__part": pa.array(part),
                 "gram": pa.array(list(grams), type=pa.string()),
                 "cnt": pa.array(cnts, type=pa.int64()),
             }
         )
 
-    counts = (
+    def topk_in_part(g: pa.Table) -> pa.Table:
+        # distinct-gram cardinality is unbounded, so the global count
+        # runs as coarse partitions + Arrow's C++ hash group_by (not a
+        # native Ray groupby: one-group-per-row reduce pathology), and
+        # only k rows per partition survive to the driver merge
+        t = g.drop_columns(["__part"]).group_by("gram").aggregate([("cnt", "sum")])
+        df = t.select(["gram", "cnt_sum"]).rename_columns(["gram", "cnt"]).to_pandas()
+        df = df.sort_values(["cnt", "gram"], ascending=[False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    parts = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gram")
-        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("__part")
+        .map_groups(topk_in_part, batch_format="pyarrow")
     )
-    return counts.sort(["cnt", "gram"], descending=[True, False]).limit(k)
+    return parts.sort(["cnt", "gram"], descending=[True, False]).limit(k)
 
 
 def sessionize(
