@@ -343,3 +343,24 @@ def test_curate_end_to_end_matches_duckdb(ray_session, con):
     empty_bl = ray.data.from_arrow(pa.table({"doc_id": [], "text": []}))
     out = curate(dup, empty_bl, "text", "doc_id", shuffle_seed=None).to_pandas()
     assert sorted(out["doc_id"].tolist()) == [1, 3]
+
+
+def test_curate_cli(ray_session, tmp_path):
+    from weiser_ai_ray.__main__ import main
+
+    rc = main(
+        [
+            "curate",
+            f"{SF_DIR}/documents.parquet",
+            "-o",
+            str(tmp_path),
+            "--chunk-tokens",
+            "256",
+        ]
+    )
+    assert rc == 0
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(str(tmp_path / "pack_manifest"), format="parquet").to_table()
+    assert set(t.column_names) >= {"doc_id", "n_tok", "start_off", "end_off"}
+    assert t.num_rows > 0

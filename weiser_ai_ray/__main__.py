@@ -43,6 +43,44 @@ def _ensure_ray():
         )
 
 
+def _cmd_curate(args) -> int:
+    _ensure_ray()
+    import ray.data
+
+    from .pipelines.curation import curate
+
+    docs = ray.data.read_parquet(args.input_dir, columns=[args.id_col, args.text_col])
+    if args.blocklist:
+        bl = ray.data.read_parquet(args.blocklist, columns=[args.id_col, args.text_col])
+    else:
+        import pyarrow as pa
+
+        bl = ray.data.from_arrow(
+            pa.table({args.id_col: pa.array([], pa.int64()),
+                      args.text_col: pa.array([], pa.string())})
+        )
+    manifest = curate(
+        docs, bl, args.text_col, args.id_col,
+        min_tokens=args.min_tokens, decontam_n=args.decontam_n,
+        chunk_tokens=args.chunk_tokens,
+        shuffle_seed=None if args.seed < 0 else args.seed,
+    )
+    out_dir = os.path.join(args.output, "pack_manifest")
+    manifest.write_parquet(out_dir)
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(out_dir, format="parquet")
+    import pyarrow.compute as _pc
+
+    tok = t.to_table(columns=["n_tok"])
+    total_tok = int(_pc.sum(tok["n_tok"]).as_py() or 0)
+    n_docs = tok.num_rows
+    n_chunks = -(-total_tok // args.chunk_tokens) if total_tok else 0
+    print(f"curated {n_docs} docs -> {total_tok} tokens -> "
+          f"{n_chunks} chunks of {args.chunk_tokens}; manifest at {out_dir}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="weiser_ai_ray")
     sub = ap.add_subparsers(dest="command", required=True)
@@ -57,7 +95,24 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--show-ids", "-i", action="store_true")
         if name == "sample":
             p.add_argument("--check", "-c", required=True)
+    cp = sub.add_parser(
+        "curate",
+        help="end-to-end corpus curation: quality gate -> exact dedup ->"
+        " decontamination -> seeded-shuffle packing manifest",
+    )
+    cp.add_argument("input_dir", help="parquet directory/file with the corpus")
+    cp.add_argument("--output", "-o", required=True, help="output directory")
+    cp.add_argument("--blocklist", help="parquet with benchmark/eval texts to decontaminate against")
+    cp.add_argument("--text-col", default="text")
+    cp.add_argument("--id-col", default="doc_id")
+    cp.add_argument("--min-tokens", type=int, default=10)
+    cp.add_argument("--decontam-n", type=int, default=3)
+    cp.add_argument("--chunk-tokens", type=int, default=2048)
+    cp.add_argument("--seed", type=int, default=17, help="shuffle seed; negative disables shuffling")
     args = ap.parse_args(argv)
+
+    if args.command == "curate":
+        return _cmd_curate(args)
 
     from .loader import load_config
     from .loader.export import export_results, print_results

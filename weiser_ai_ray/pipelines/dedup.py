@@ -307,19 +307,26 @@ class MinHasher:
     """Deterministic MinHash over char k-shingles, fully vectorized.
 
     Shingle hashing: rolling polynomial hash over unicode code points
-    (Horner mod 2^31-1 — all numpy, no per-shingle Python). Permutations
-    h_i(x) = (a_i * x + b_i) mod (2^61 - 1) with a_i < 2^30 so a_i * x
-    fits uint64; the mod uses the Mersenne shift-add fold (bit-identical
-    to %). Min over the shingle MULTISET equals min over the set, so
-    shingle hashes are deduped BEFORE the 128-perm pass (a cheap sort
-    saves permuting repeats). Built once per actor."""
+    (Horner mod 2^31-1 — all numpy, no per-shingle Python).
+    Permutations: h_i(x) = murmur3_fmix32(x ^ key_i) — a true 32-bit
+    bijection per key (shingle hashes are < 2^31), so min-agreement
+    probability equals Jaccard; 32-bit lanes halve the memory traffic
+    of the bus-bound (P x n) mixing matrix. (An earlier affine family
+    (a x + b) mod 2^61-1 with a < 2^30 wrapped at most once and was
+    therefore near-MONOTONE in x: unrelated docs sharing only their
+    smallest shingle hash agreed on ~half the signature, exploding
+    dup-bucket membership.) Min over the shingle MULTISET equals min
+    over the set, so shingle hashes are deduped BEFORE the 128-perm
+    pass. Built once per actor."""
+
+    _MIX1 = np.uint32(0x85EBCA6B)
+    _MIX2 = np.uint32(0xC2B2AE35)
 
     def __init__(self, shingle_k: int = 5, num_perm: int = 64, seed: int = 1729):
         self.k = shingle_k
         self.num_perm = num_perm
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, 1 << 30, size=num_perm, dtype=np.uint64)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.keys = rng.randint(0, 1 << 32, size=num_perm, dtype=np.uint64).astype(np.uint32)
 
     def shingles(self, text: str) -> set[str]:
         """String shingle set — used only for exact-Jaccard verify."""
@@ -342,22 +349,19 @@ class MinHasher:
 
     def _perm_min(self, hs: np.ndarray, starts: np.ndarray) -> np.ndarray:
         """(num_perm x n_segments) minima of the permuted hashes, one
-        segment per doc. (a*x + b) mod (2^61 - 1) via the Mersenne
-        shift-add fold — bit-identical to ``%`` (a < 2^30 and x < 2^31
-        keep a*x + b < 2^62) at a fraction of uint64 modulo's cost."""
-        m = np.uint64(_MERSENNE)
-        z = np.multiply(self.a[:, None], hs[None, :])
-        z += self.b[:, None]
-        t = z >> np.uint64(61)
-        z &= m
-        z += t
-        np.subtract(z, m, out=z, where=z >= m)  # in-place: bus-bound box
+        segment per doc. murmur3 fmix32 over (x ^ key_i): six in-place
+        uint32 vector ops on the (P x n) matrix; unsigned multiply
+        wraps mod 2^32 by construction."""
+        z = np.bitwise_xor(self.keys[:, None], hs.astype(np.uint32)[None, :])
+        z ^= z >> np.uint32(16)
+        z *= self._MIX1
+        z ^= z >> np.uint32(13)
+        z *= self._MIX2
+        z ^= z >> np.uint32(16)
         return np.minimum.reduceat(z, starts, axis=1)
 
     def signature(self, text: Optional[str]) -> Optional[np.ndarray]:
-        """uint32 signature (uint64 minima truncated: equality semantics
-        preserved up to a 2^-32 collision chance, which the exact-verify
-        pass absorbs, at half the shuffle width)."""
+        """uint32 signature (native 32-bit permutation minima)."""
         hs = self.shingle_hashes(text)
         if hs is None or hs.size == 0:
             return None
@@ -365,12 +369,12 @@ class MinHasher:
         # 128-perm arithmetic runs once per DISTINCT shingle (sorting
         # small ints is far cheaper than permuting repeats)
         hs = np.unique(hs)
-        sig = np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        sig = np.full(self.num_perm, np.iinfo(np.uint32).max, dtype=np.uint32)
         # chunk so the (num_perm x chunk) matrix stays small for huge docs
         for s in range(0, hs.size, 16384):
             part = self._perm_min(hs[s : s + 16384], np.array([0]))
             np.minimum(sig, part[:, 0], out=sig)
-        return sig.astype(np.uint32)
+        return sig
 
     def signatures_batch(self, texts: list) -> list:
         """Signatures for a whole batch in few big SIMD passes: per-doc
