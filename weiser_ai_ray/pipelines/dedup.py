@@ -45,9 +45,6 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-_MERSENNE = (1 << 61) - 1
-
-
 def _stable_hash64(s: str) -> int:
     return int.from_bytes(hashlib.sha256(s.encode("utf-8")).digest()[:8], "big")
 
@@ -327,12 +324,6 @@ class MinHasher:
         self.num_perm = num_perm
         rng = np.random.RandomState(seed)
         self.keys = rng.randint(0, 1 << 32, size=num_perm, dtype=np.uint64).astype(np.uint32)
-
-    def shingles(self, text: str) -> set[str]:
-        """String shingle set — used only for exact-Jaccard verify."""
-        if len(text) < self.k:
-            return {text} if text else set()
-        return {text[i : i + self.k] for i in range(len(text) - self.k + 1)}
 
     def shingle_hashes(self, text: Optional[str]) -> Optional[np.ndarray]:
         if not text:
@@ -692,12 +683,6 @@ class _MinHashBucketVerifier:
         return pa.table(
             {"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64())}
         )
-
-
-def _jaccard(a: set, b: set) -> float:
-    if not a and not b:
-        return 1.0
-    return len(a & b) / max(len(a | b), 1)
 
 
 def _jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
