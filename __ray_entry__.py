@@ -647,6 +647,24 @@ def q_embedding_neardup(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_embedding_neardup_lsh(sf_dir: str) -> pa.Table:
+    """LSH-bucketed approximate cosine near-dup pairs (the scale path
+    beside the exact blocked all-pairs): every emitted pair's cosine is
+    exact, so output ⊆ the exact operator's pairs; recall < 1 by
+    design (rows-only check — cf. lsh_topk; planted-pair recall is
+    gated in tests/test_dedup.py)."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.dedup import embedding_neardup_pairs_lsh
+
+    ds = __rps(os.path.join(sf_dir, "embeddings.parquet"))
+    out = embedding_neardup_pairs_lsh(
+        ds, "embedding", "vec_id", threshold=0.35, nbits=64, bands=16
+    ).to_pandas()
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["id_a", "id_b", "cos"]], preserve_index=False)
+
+
 def q_token_stats_by_source(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1229,6 +1247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_documents": q_pack_documents,
         "shuffle_rank_documents": q_shuffle_rank_documents,
         "curate_documents": q_curate_documents,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
     }
 
 

@@ -2,6 +2,7 @@
 and on purpose-built near-duplicate fixtures."""
 
 import duckdb
+import numpy as np
 import pyarrow as pa
 import pytest
 import ray.data
@@ -171,3 +172,56 @@ class TestEmbeddingNearDup:
         ).fetchall()
         assert len(got_pairs) > 0
         assert got_pairs == [tuple(w) for w in want]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmbeddingNeardupLsh:
+    def _planted(self, n=300, dim=32, n_dups=30, seed=4):
+        rng = np.random.RandomState(seed)
+        base = rng.normal(size=(n, dim))
+        ids = list(range(n))
+        # plant near-dups: vec[i] ~= vec[i - 1] for the first n_dups odd ids
+        for j in range(1, 2 * n_dups, 2):
+            base[j] = base[j - 1] + 0.05 * rng.normal(size=dim)
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()), "embedding": pa.array(base.tolist())}
+        )
+
+    def test_subset_of_exact_and_high_recall(self):
+        from weiser_ai_ray.pipelines.dedup import (
+            embedding_neardup_pairs,
+            embedding_neardup_pairs_lsh,
+        )
+
+        tbl = self._planted()
+        ds = ray.data.from_arrow(tbl)
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.95).take_all()
+        }
+        approx_rows = embedding_neardup_pairs_lsh(
+            ds, "embedding", "vec_id", threshold=0.95, nbits=64, bands=8
+        ).take_all()
+        approx = {(r["id_a"], r["id_b"]) for r in approx_rows}
+        assert approx <= exact  # every emitted pair verified exactly
+        assert len(exact) > 0
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.9, f"recall {recall} over {len(exact)} exact pairs"
+        # emitted cosines are real cosines
+        for r in approx_rows:
+            assert r["cos"] >= 0.95
+
+    def test_empty_and_no_dups(self):
+        from weiser_ai_ray.pipelines.dedup import embedding_neardup_pairs_lsh
+
+        rng = np.random.RandomState(9)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(40), pa.int64()),
+                "embedding": pa.array(rng.normal(size=(40, 16)).tolist()),
+            }
+        )
+        out = embedding_neardup_pairs_lsh(
+            ray.data.from_arrow(tbl), "embedding", "vec_id", threshold=0.999
+        ).take_all()
+        assert out == []

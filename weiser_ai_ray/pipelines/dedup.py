@@ -1281,3 +1281,222 @@ def ngram_jaccard_pairs(
         return verifier(group)
 
     return hashed.groupby(bucket_col).map_groups(verify_ngram_group, batch_format="pyarrow")
+
+
+class _HyperplaneBandStage:
+    """Pass-1 stage for LSH embedding near-dup: normalize, sign-bit
+    signature over seeded random hyperplanes (planes derived lazily
+    from the vector dim, identical in every task), band the bits and
+    emit (bucket, id) rows — fixed-width int64 keys only; vectors
+    never leave the stage."""
+
+    def __init__(self, vec_col: str, id_col: str, nbits: int, bands: int, seed: int):
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.nbits = nbits
+        self.bands = bands
+        self.seed = seed
+        self.planes: Optional[np.ndarray] = None
+
+    def band_keys(self, mat: np.ndarray) -> np.ndarray:
+        """(n x bands) int64 band keys for normalized vectors."""
+        if self.planes is None:
+            rng = np.random.RandomState(self.seed)
+            self.planes = rng.normal(size=(mat.shape[1], self.nbits))
+        bits = (mat @ self.planes) > 0
+        r = self.nbits // self.bands
+        weights = 1 << np.arange(r, dtype=np.int64)
+        keys = np.empty((mat.shape[0], self.bands), dtype=np.int64)
+        for b in range(self.bands):
+            seg = bits[:, b * r : (b + 1) * r]
+            keys[:, b] = (seg * weights).sum(axis=1) | (np.int64(b + 1) << np.int64(48))
+        return keys
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = np.array(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        if mat.size == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()), self.id_col: pa.array([], pa.int64())}
+            )
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        keys = self.band_keys(mat)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(keys.ravel()),
+                self.id_col: pa.array(np.repeat(ids, self.bands)),
+            }
+        )
+
+
+def embedding_neardup_pairs_lsh(
+    ds: "ray.data.Dataset",
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    nbits: int = 64,
+    bands: int = 8,
+    seed: int = 99,
+) -> "ray.data.Dataset":
+    """APPROXIMATE cosine >= threshold pairs via random-hyperplane LSH —
+    the bucketed scale path next to ``embedding_neardup_pairs``' exact
+    blocked all-pairs (which is O((N/B)^2) tasks by nature).
+
+    Same streaming shape as the minhash plan: pass 1 shuffles only
+    (band-key, id) rows; duplicate buckets come from the coarse-
+    partitioned count; pass 2 re-reads ONLY dup-bucket members'
+    vectors, and per-partition workers verify exact cosine inside
+    buckets (flat pair enumeration + chunked dot products). Every
+    emitted pair's cosine is exact, so output ⊆ the exact operator's
+    output; recall < 1 by design and rises with ``bands`` (for
+    threshold 0.95 and 8 bands x 8 bits: ~99 %). Tune bands/bits to
+    the threshold — LSH recall collapses for low thresholds; use the
+    exact operator there."""
+    stage = _HyperplaneBandStage(vec_col, id_col, nbits, bands, seed)
+    band_rows = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    dup_keys = _dup_bucket_keys(band_rows)
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64()),
+        }
+    )
+    if dup_keys is None:
+        return ray.data.from_arrow(empty)
+    keys_ref = ray.put(dup_keys)
+
+    def member_rows(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["bucket"], value_set=ray.get(keys_ref))).select([id_col])
+
+    member_parts = [
+        np.unique(b[id_col].to_numpy(zero_copy_only=False))
+        for b in band_rows.map_batches(
+            member_rows, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    if not member_parts:
+        return ray.data.from_arrow(empty)
+    ids_ref = ray.put(pa.array(np.unique(np.concatenate(member_parts))))
+    nparts = _verify_partitions()
+
+    class _EmitMembers:
+        def __init__(self):
+            self.stage = _HyperplaneBandStage(vec_col, id_col, nbits, bands, seed)
+            self._keys = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._keys is None:
+                self._keys = set(ray.get(keys_ref).to_pylist())
+            sub = batch.filter(pc.is_in(batch[id_col], value_set=ray.get(ids_ref)))
+            out_part, out_bk, out_id, out_vec = [], [], [], []
+            if sub.num_rows:
+                mat = np.array(sub[vec_col].to_pylist(), dtype=np.float64)
+                norms = np.linalg.norm(mat, axis=1)
+                norms[norms == 0] = 1.0
+                mat = mat / norms[:, None]
+                keys = self.stage.band_keys(mat)
+                ids = sub[id_col].to_numpy(zero_copy_only=False)
+                for r in range(len(ids)):
+                    per_part: dict[int, list[int]] = {}
+                    for bk in keys[r]:
+                        if int(bk) in self._keys:
+                            per_part.setdefault(int(bk) % nparts, []).append(int(bk))
+                    for part, bks in per_part.items():
+                        out_part.append(part)
+                        out_bk.append(sorted(bks))
+                        out_id.append(int(ids[r]))
+                        out_vec.append(mat[r].tolist())
+            return pa.table(
+                {
+                    "part": pa.array(out_part, pa.int32()),
+                    "buckets": pa.array(out_bk, pa.list_(pa.int64())),
+                    id_col: pa.array(out_id, pa.int64()),
+                    "__nvec": pa.array(out_vec, pa.list_(pa.float64())),
+                }
+            )
+
+    dup_rows = ds.map_batches(_EmitMembers(), batch_format="pyarrow", zero_copy_batch=True)
+
+    def verify_cos_group(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty_g = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            }
+        )
+        if n < 2:
+            return empty_g
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        mat = np.array(group["__nvec"].to_pylist(), dtype=np.float64)
+        by_bucket: dict[int, list[int]] = {}
+        for row, blist in enumerate(group["buckets"].to_pylist()):
+            for bk in blist:
+                by_bucket.setdefault(bk, []).append(row)
+        pair_a, pair_b = [], []
+        for members in by_bucket.values():
+            pos = np.array(sorted(set(members)), dtype=np.int64)
+            m = len(pos)
+            if m < 2:
+                continue
+            ai, bi = np.triu_indices(m, k=1)
+            pair_a.append(pos[ai])
+            pair_b.append(pos[bi])
+        if not pair_a:
+            return empty_g
+        a = np.concatenate(pair_a)
+        b = np.concatenate(pair_b)
+        key = a * np.int64(n) + b
+        _, first = np.unique(key, return_index=True)
+        a, b = a[first], b[first]
+        cos = np.einsum("ij,ij->i", mat[a], mat[b])
+        keep = (cos >= threshold) & (ids[a] != ids[b])
+        a, b, cos = a[keep], b[keep], cos[keep]
+        lo = np.minimum(ids[a], ids[b])
+        hi = np.maximum(ids[a], ids[b])
+        order = np.lexsort((hi, lo))
+        return pa.table(
+            {
+                "id_a": pa.array(lo[order], pa.int64()),
+                "id_b": pa.array(hi[order], pa.int64()),
+                "cos": pa.array(cos[order], pa.float64()),
+            }
+        )
+
+    pairs = dup_rows.groupby("part").map_groups(verify_cos_group, batch_format="pyarrow")
+
+    # a pair whose shared buckets span SEVERAL coarse partitions is
+    # verified (identically) in each — collapse with one more coarse
+    # reduce over the (small, O(near-dups)) pair table
+    def pair_part(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False)
+        c = b["id_b"].to_numpy(zero_copy_only=False)
+        h = (a * np.int64(0x9E3779B1) + c) % np.int64(nparts)
+        return b.append_column("__p2", pa.array(h.astype(np.int32)))
+
+    def uniq_pairs(g: pa.Table) -> pa.Table:
+        a = g["id_a"].to_numpy(zero_copy_only=False)
+        c = g["id_b"].to_numpy(zero_copy_only=False)
+        cos = g["cos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, a))
+        a, c, cos = a[order], c[order], cos[order]
+        first = np.ones(len(a), dtype=bool)
+        first[1:] = (a[1:] != a[:-1]) | (c[1:] != c[:-1])
+        return pa.table(
+            {
+                "id_a": pa.array(a[first], pa.int64()),
+                "id_b": pa.array(c[first], pa.int64()),
+                "cos": pa.array(cos[first], pa.float64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(pair_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__p2")
+        .map_groups(uniq_pairs, batch_format="pyarrow")
+    )
