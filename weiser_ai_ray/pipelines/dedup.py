@@ -3,27 +3,32 @@
 Not present in the reference (SURVEY.md §2.8) — added as first-class
 training-data-pipeline operators:
 
-  exact_dedup          hash-partitioned exact dedup: content hash added
-                       per batch, groupby(hash).min(id) — the shuffle
-                       moves only (hash, id) pairs, never the text;
-                       full-row variant joins winners back by hash
-                       (distributed hash join, no id broadcast)
-  minhash_lsh_dedup    char-shingle MinHash signatures -> LSH band
-                       rows -> dup buckets via a count aggregate ->
-                       DISTRIBUTED per-bucket verify (tiled signature
-                       estimate + exact Jaccard inside map_groups
-                       workers) -> verified edges (tiny) -> driver
-                       union-find -> survivors
-  simhash_dedup        64-bit SimHash -> 4x16-bit band buckets ->
+  exact_dedup          exact dedup on 128-bit content keys: winners by
+                       coarse-partitioned hash reduce (never a native
+                       one-group-per-row groupby); O(dup-clusters)
+                       broadcast fast path, hash-join fallback — the
+                       shuffle moves 16-byte keys + ids, never text
+  minhash_lsh_dedup    char-shingle MinHash (fmix32 bijective perms) ->
+                       int64 band keys -> dup buckets via partitioned
+                       counts -> member-only second pass ->
+                       DISTRIBUTED per-bucket verify (flat pair
+                       enumeration, chunked signature estimate,
+                       sorted-hash-array exact Jaccard inside
+                       map_groups workers) -> verified edges (tiny) ->
+                       driver union-find -> survivors
+  simhash_dedup        64-bit SimHash -> 4x16-bit int64 band keys ->
                        DISTRIBUTED per-bucket hamming verify -> edges
                        -> driver union-find -> survivors
   ngram_jaccard_pairs  exact n-gram Jaccard within co-partitioned
                        buckets (hashed-gram bitset verify per bucket)
   embedding_neardup    cosine >= tau pairs: exact blocked all-pairs
                        (block x block matmul tasks over object-store
-                       block refs — the driver never holds the matrix);
-                       LSH-bucketed top-k in similarity.py is the
-                       approximate scale path
+                       block refs — the driver never holds the matrix)
+  embedding_neardup_pairs_lsh
+                       the approximate bucketed scale path: hyperplane
+                       band keys, member-only vector pass, exact
+                       per-bucket cosine verify (output ⊆ the exact
+                       operator's pairs; recall tuned via bands)
 
 Scale notes: global shuffles carry only fixed-width digests/ids; texts
 move only for duplicate-bucket members (via a hash join keyed on id),
