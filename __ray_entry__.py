@@ -1142,6 +1142,23 @@ def q_curate_documents(sf_dir: str) -> pa.Table:
     )
 
 
+def q_sample_stratified_docs(sf_dir: str) -> pa.Table:
+    """Per-source deterministic Bernoulli sample (corpus-mix
+    rebalancing): src0 kept at 100%, src1 at 50%, src2 at 10%, other
+    sources dropped — md5-threshold per group, streaming filter."""
+    import ray.data
+    from weiser_ai_ray.pipelines.sampling import sample_fraction_stratified
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    out = sample_fraction_stratified(
+        docs, "doc_id", "source", {"src0": 1.0, "src1": 0.5, "src2": 0.1}, default=0.0
+    ).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out[["doc_id", "source"]], preserve_index=False)
+
+
 def q_corpus_stats_by_repo(sf_dir: str) -> pa.Table:
     """Per-repo corpus statistics over the power-law synthetic corpus
     (the skew showcase: partial counts inside map_batches, then a tiny
@@ -1248,6 +1265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_rank_documents": q_shuffle_rank_documents,
         "curate_documents": q_curate_documents,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "sample_stratified_docs": q_sample_stratified_docs,
     }
 
 
@@ -1639,6 +1657,15 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(start_off // 512 AS BIGINT) AS chunk_first,"
             "  CAST((start_off + n_tok - 1) // 512 AS BIGINT) AS chunk_last"
             " FROM s ORDER BY doc_id"
+        ),
+        "sample_stratified_docs": (
+            "SELECT doc_id, source FROM documents"
+            " WHERE md5(CAST(doc_id AS VARCHAR)) < CASE source"
+            "  WHEN 'src0' THEN 'gggggggggggggggggggggggggggggggg'"
+            "  WHEN 'src1' THEN '80000000000000000000000000000000'"
+            "  WHEN 'src2' THEN '1999999999999a000000000000000000'"
+            "  ELSE '00000000000000000000000000000000' END"
+            " ORDER BY doc_id"
         ),
         # lsh_topk, langid_documents, minhash/simhash dedup, the corpus
         # quality pipeline and multimodal queries are intentionally

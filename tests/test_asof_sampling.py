@@ -167,3 +167,38 @@ class TestSampling:
             "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10"
         ).df()
         assert t.to_pandas()[["doc_id", "n_chars"]].values.tolist() == exp.values.tolist()
+
+
+def test_sample_fraction_stratified_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from tests.conftest import SF_DIR
+    from weiser_ai_ray.pipelines.sampling import sample_fraction_stratified
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "source"])
+    r = (
+        sample_fraction_stratified(
+            docs, "doc_id", "source", {"src0": 1.0, "src1": 0.5, "src2": 0.1}, default=0.0
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[["doc_id", "source"]]
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    o = con.sql(
+        "SELECT doc_id, source FROM documents"
+        " WHERE md5(CAST(doc_id AS VARCHAR)) < CASE source"
+        "  WHEN 'src0' THEN 'gggggggggggggggggggggggggggggggg'"
+        "  WHEN 'src1' THEN '80000000000000000000000000000000'"
+        "  WHEN 'src2' THEN '1999999999999a000000000000000000'"
+        "  ELSE '00000000000000000000000000000000' END"
+        " ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(r, o)
+    # all of src0 survives, none of the unlisted sources do
+    src = r["source"].value_counts()
+    assert "src0" in src.index
+    assert set(r["source"].unique()) <= {"src0", "src1", "src2"}

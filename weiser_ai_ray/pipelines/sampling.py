@@ -70,6 +70,46 @@ def sample_fraction(ds: "ray.data.Dataset", col: str, fraction: float) -> "ray.d
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def sample_fraction_stratified(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    group_col: str,
+    fractions: dict,
+    default: float = 0.0,
+) -> "ray.data.Dataset":
+    """Per-GROUP deterministic Bernoulli sample: row kept iff
+    md5(CAST(key AS VARCHAR)) falls under its group's fraction
+    threshold (``default`` for unlisted groups) — the standard
+    source-rebalancing step of a corpus mix (downsample the crawl,
+    keep all of the curated sources). Same md5-hex-line construction
+    as sample_fraction, so it is layout-stable, rerun-stable, and
+    SQL-expressible as a CASE over ``group_col``. Streaming one-pass
+    filter; no shuffle; the (small, driver-held) fraction map rides
+    into tasks as a plain closure constant."""
+
+    def _thr(f: float) -> str:
+        f = min(max(float(f), 0.0), 1.0)
+        return format(int(f * (1 << 128)), "032x")[:32] if f < 1.0 else "g" * 32
+
+    thresholds = {g: _thr(f) for g, f in fractions.items()}
+    default_thr = _thr(default)
+
+    def keep(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_pylist()
+        groups = b[group_col].to_pylist()
+        mask = pa.array(
+            [
+                k is not None
+                and hashlib.md5(str(k).encode()).hexdigest()
+                < thresholds.get(g, default_thr)
+                for k, g in zip(keys, groups)
+            ]
+        )
+        return b.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _head_k(df: pd.DataFrame, group: str, order: Sequence[str], ascending, k: int):
     s = df.sort_values(list(order), ascending=ascending, kind="mergesort")
     return s.groupby(group, sort=False).head(k)
