@@ -27,13 +27,12 @@ from __future__ import annotations
 
 from typing import Optional
 
-import numpy as np
 import pyarrow as pa
 import ray.data
 
 from weiser_ai_ray.pipelines.decontam import decontaminate
 from weiser_ai_ray.pipelines.dedup import exact_dedup
-from weiser_ai_ray.pipelines.packing import concat_chunk_pack
+from weiser_ai_ray.pipelines.packing import _default_tokens, concat_chunk_pack
 
 
 def curate(
@@ -55,10 +54,9 @@ def curate(
     definition across gate and packing, matching ANSI string_split)."""
 
     def quality_gate(batch: pa.Table) -> pa.Table:
-        ntok = np.array(
-            [len((t or "").split(" ")) for t in batch[text_col].to_pylist()],
-            dtype=np.int64,
-        )
+        # the SAME token definition packing uses (shared function, so
+        # a tokenizer change cannot desynchronize gate and offsets)
+        ntok = _default_tokens(batch[text_col].to_pylist())
         return batch.filter(pa.array(ntok >= min_tokens))
 
     gated = ds.map_batches(quality_gate, batch_format="pyarrow", zero_copy_batch=True)

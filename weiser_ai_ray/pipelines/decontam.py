@@ -198,30 +198,18 @@ def dedup_segments(
         h = np.array(out, dtype=np.uint64).view(np.int64)
         return pa.table({"h": pa.array(h, type=pa.int64())})
 
-    # segment hashes are ~all distinct, so a native groupby().count()
-    # hits Ray's one-group-per-row reduce pathology; shuffle into
-    # COARSE hash partitions instead and count per partition with one
-    # numpy unique (partition is a pure function of h, so equal hashes
-    # co-locate)
-    try:
-        nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    except Exception:
-        nparts = 8
-
-    def part(b: pa.Table) -> pa.Table:
-        h = b["h"].to_numpy(zero_copy_only=False)
-        return b.append_column("__part", pa.array((h % nparts).astype(np.int32)))
-
-    def flagged_in_part(g: pa.Table) -> pa.Table:
-        h = g["h"].to_numpy(zero_copy_only=False)
-        uniq, cnt = np.unique(h, return_counts=True)
-        return pa.table({"h": pa.array(uniq[cnt > max_count], type=pa.int64())})
+    # segment hashes are ~all distinct: route the global count through
+    # the coarse-partitioned reduce shared with the LSH dup-bucket
+    # counts (dedup.overcount_keys_ds — Ray's native groupby hits the
+    # one-group-per-row pathology here)
+    from weiser_ai_ray.pipelines.dedup import overcount_keys_ds
 
     flagged = _collect_distinct(
-        ds.map_batches(seg_hashes, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__part")
-        .map_groups(flagged_in_part, batch_format="pyarrow"),
+        overcount_keys_ds(
+            ds.map_batches(seg_hashes, batch_format="pyarrow", zero_copy_batch=True),
+            "h",
+            max_count,
+        ),
         "h",
         np.int64,
     )
@@ -236,21 +224,34 @@ def dedup_segments(
                 self._fl = ray.get(flag_ref)
             fl = self._fl
             ids = batch[id_col]
+            segs_per_doc = [(t or "").split(separator) for t in batch[text_col].to_pylist()]
+            if not len(fl) or not segs_per_doc:
+                return pa.table(
+                    {
+                        id_col: ids,
+                        "clean_text": pa.array(
+                            [separator.join(s) for s in segs_per_doc], type=pa.string()
+                        ),
+                        "n_removed": pa.array([0] * len(segs_per_doc), type=pa.int64()),
+                    }
+                )
+            # batch-wide membership (cf. decontaminate's _Filter): one
+            # flat hash array + one searchsorted, split per doc after
+            lens = np.array([len(s) for s in segs_per_doc], dtype=np.int64)
+            flat = np.array(
+                [_seg_hash(s) for segs in segs_per_doc for s in segs], dtype=np.uint64
+            ).view(np.int64)
+            pos = np.searchsorted(fl, flat)
+            pos[pos >= len(fl)] = len(fl) - 1
+            bad_flat = fl[pos] == flat
+            bounds = np.cumsum(lens)
             clean, removed = [], []
-            for t in batch[text_col].to_pylist():
-                segs = (t or "").split(separator)
-                if len(fl):
-                    hs = np.array(
-                        [_seg_hash(s) for s in segs], dtype=np.uint64
-                    ).view(np.int64)
-                    pos = np.searchsorted(fl, hs)
-                    pos[pos >= len(fl)] = len(fl) - 1
-                    bad = fl[pos] == hs
-                else:
-                    bad = np.zeros(len(segs), dtype=bool)
-                kept = [s for s, b in zip(segs, bad) if not b]
-                clean.append(separator.join(kept))
+            start = 0
+            for segs, end in zip(segs_per_doc, bounds):
+                bad = bad_flat[start:end]
+                clean.append(separator.join(s for s, b in zip(segs, bad) if not b))
                 removed.append(int(bad.sum()))
+                start = end
             return pa.table(
                 {
                     id_col: ids,

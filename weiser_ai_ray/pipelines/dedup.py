@@ -458,39 +458,49 @@ class MinHashBandStage:
         )
 
 
-def _dup_bucket_keys(band_rows: "ray.data.Dataset") -> Optional[pa.Array]:
-    """Bucket keys (int64) with >= 2 members, as one Arrow array.
-
-    Bucket keys are ~all distinct, so a native groupby().count() hits
-    Ray's one-group-per-row reduce pathology (see _winners_by_hash);
-    instead the (bucket, id) rows shuffle into CPU-count COARSE
+def overcount_keys_ds(
+    rows: "ray.data.Dataset", key_col: str, more_than: int, nparts: Optional[int] = None
+) -> "ray.data.Dataset":
+    """Dataset of int64 ``key_col`` values occurring more than
+    ``more_than`` times. The keys are ~all distinct in every caller
+    (LSH band keys, segment hashes), so a native groupby().count()
+    hits Ray's one-group-per-row reduce pathology (see
+    _winners_by_hash); instead rows shuffle into CPU-count COARSE
     partitions (partition = pure function of the key, equal keys
-    co-locate) and each partition counts with one numpy unique.
-    Driver-held result is O(duplicate clusters) — the documented
-    duplicates ≪ corpus assumption; members, texts and verification
-    never touch the driver."""
-    nparts = _verify_partitions()
+    co-locate) and each partition counts with one numpy unique."""
+    np_ = nparts or _verify_partitions()
 
     def part(b: pa.Table) -> pa.Table:
-        h = b["bucket"].to_numpy(zero_copy_only=False)
+        h = b[key_col].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "__part": pa.array((h % nparts).astype(np.int32)),
-                "bucket": b["bucket"],
+                "__part": pa.array((h % np_).astype(np.int32)),
+                key_col: b[key_col],
             }
         )
 
-    def dups_in_part(g: pa.Table) -> pa.Table:
-        h = g["bucket"].to_numpy(zero_copy_only=False)
+    def over_in_part(g: pa.Table) -> pa.Table:
+        h = g[key_col].to_numpy(zero_copy_only=False)
         uniq, cnt = np.unique(h, return_counts=True)
-        return pa.table({"bucket": pa.array(uniq[cnt > 1], type=pa.int64())})
+        return pa.table({key_col: pa.array(uniq[cnt > more_than], type=pa.int64())})
 
+    return (
+        rows.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(over_in_part, batch_format="pyarrow")
+    )
+
+
+def _dup_bucket_keys(band_rows: "ray.data.Dataset") -> Optional[pa.Array]:
+    """Bucket keys (int64) with >= 2 members, as one Arrow array.
+    Driver-held result is O(duplicate clusters) — the documented
+    duplicates ≪ corpus assumption; members, texts and verification
+    never touch the driver."""
     parts = [
         b["bucket"].combine_chunks() if isinstance(b["bucket"], pa.ChunkedArray) else b["bucket"]
-        for b in band_rows.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__part")
-        .map_groups(dups_in_part, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow", batch_size=None)
+        for b in overcount_keys_ds(band_rows, "bucket", 1).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
         if b.num_rows
     ]
     if not parts:

@@ -71,13 +71,6 @@ def concat_chunk_pack(
             num_ranges = max(16, 4 * int(ray.cluster_resources().get("CPU", 8)))
         except Exception:
             num_ranges = 16
-    if shuffle_seed is None:
-        # range width from the id span: one cheap max aggregate (the
-        # narrow-table pass below reads text anyway; max reads one col)
-        max_id = ds.select_columns([id_col]).max(id_col)
-        if max_id is None:
-            return ray.data.from_arrow(_empty_out(id_col))
-        range_width = max(1, (int(max_id) + num_ranges) // num_ranges)
     nr = min(int(num_ranges), 256)
 
     def narrow(batch: pa.Table) -> pa.Table:
@@ -86,9 +79,7 @@ def concat_chunk_pack(
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         ntok = token_fn(batch[text_col].to_pylist())
         cols = {id_col: pa.array(ids), "n_tok": pa.array(ntok)}
-        if shuffle_seed is None:
-            cols["__range"] = pa.array(ids // range_width, type=pa.int64())
-        else:
+        if shuffle_seed is not None:
             keys = [hashlib.md5(f"{shuffle_seed}-{v}".encode()).hexdigest() for v in ids]
             # MONOTONE byte->range scaling (not a modulo, which would
             # interleave key prefixes across ranges and corrupt the
@@ -99,9 +90,25 @@ def concat_chunk_pack(
             cols["__key"] = pa.array(keys, type=pa.string())
         return pa.table(cols)
 
-    # 16 B/row fixed width — materialized once, consumed by both the
-    # range-total pass and the per-range scan
+    # ~16 B/row fixed width — the expensive upstream pipeline is
+    # traversed EXACTLY ONCE; everything else (max-id probe, range
+    # assignment, range totals, the per-range scan) runs over this
+    # materialized narrow table
     tok_tbl = ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    if shuffle_seed is None:
+        max_id = tok_tbl.max(id_col)
+        if max_id is None:
+            return ray.data.from_arrow(_empty_out(id_col))
+        range_width = max(1, (int(max_id) + num_ranges) // num_ranges)
+
+        def add_range(b: pa.Table) -> pa.Table:
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            return b.append_column("__range", pa.array(ids // range_width, type=pa.int64()))
+
+        tok_tbl = tok_tbl.map_batches(
+            add_range, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
 
     totals = tok_tbl.groupby("__range").aggregate(Sum("n_tok", alias_name="range_tok"))
     per_range = {int(r["__range"]): int(r["range_tok"]) for r in totals.take_all()}
