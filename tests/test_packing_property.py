@@ -1,0 +1,86 @@
+"""Property-based checks for the distributed-scan operators: random
+inputs, outputs compared against pure-python references of the spec
+(the DuckDB parity of the same operators on fixed corpora lives in
+test_decontam_packing.py). Few examples — each runs a real Ray plan."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+words = st.sampled_from(["a", "bb", "ccc", "dd", "e"])
+texts = st.lists(words, min_size=0, max_size=12).map(" ".join)
+
+
+def _ref_pack(ids, txts, chunk, seed):
+    n_tok = [len(t.split(" ")) for t in txts]
+    if seed is None:
+        order = np.argsort(np.array(ids, dtype=np.int64), kind="stable")
+    else:
+        keys = [hashlib.md5(f"{seed}-{v}".encode()).hexdigest() for v in ids]
+        order = np.lexsort((np.array(ids, dtype=np.int64), np.array(keys)))
+    out = {}
+    acc = 0
+    for pos in order:
+        start = acc
+        acc += n_tok[pos]
+        out[ids[pos]] = (n_tok[pos], start, acc, start // chunk, (acc - 1) // chunk)
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPackingProperties:
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        st.lists(texts, min_size=1, max_size=40, unique=False),
+        st.sampled_from([3, 7, 512]),
+        st.sampled_from([None, 0, 23]),
+    )
+    def test_pack_matches_reference(self, txts, chunk, seed):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.packing import concat_chunk_pack
+
+        ids = list(range(0, 3 * len(txts), 3))  # sparse ids
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(txts)})
+        )
+        out = concat_chunk_pack(
+            ds, "text", "doc_id", chunk_tokens=chunk, shuffle_seed=seed, num_ranges=5
+        ).take_all()
+        ref = _ref_pack(ids, txts, chunk, seed)
+        assert len(out) == len(ref)
+        for r in out:
+            n_tok, start, end, cf, cl = ref[r["doc_id"]]
+            assert (r["n_tok"], r["start_off"], r["end_off"]) == (n_tok, start, end)
+            assert (r["chunk_first"], r["chunk_last"]) == (cf, cl)
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(texts, min_size=1, max_size=40), st.sampled_from([1, 2]))
+    def test_dedup_segments_matches_reference(self, txts, max_count):
+        import collections
+
+        import ray.data
+
+        from weiser_ai_ray.pipelines.decontam import dedup_segments
+
+        sep = " "
+        ids = list(range(len(txts)))
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(txts)})
+        )
+        out = {
+            r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in dedup_segments(
+                ds, "text", "doc_id", separator=sep, max_count=max_count
+            ).take_all()
+        }
+        cnt = collections.Counter(s for t in txts for s in t.split(sep))
+        for i, t in zip(ids, txts):
+            segs = t.split(sep)
+            kept = [s for s in segs if cnt[s] <= max_count]
+            assert out[i] == (sep.join(kept), len(segs) - len(kept))
