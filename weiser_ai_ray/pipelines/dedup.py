@@ -550,16 +550,20 @@ class _DupTextEmit:
         for i, t, sig in zip(ids, texts, sigs):
             if sig is None:
                 continue
-            per_part: dict[int, list[int]] = {}
-            for bk in self.mh.band_buckets(sig, self.bands):
-                if bk in keys:
-                    per_part.setdefault(bk % self.nparts, []).append(bk)
-            if not per_part:
+            dup_bks = sorted(
+                {bk for bk in self.mh.band_buckets(sig, self.bands) if bk in keys}
+            )
+            if not dup_bks:
                 continue
             sb = sig.tobytes()
-            for part, bks in per_part.items():
+            # the doc travels to every partition one of its dup buckets
+            # hashes to, carrying its FULL dup-bucket list — so each
+            # verify partition can compute a candidate pair's globally
+            # minimal shared bucket and verify the pair EXACTLY ONCE
+            # (in that bucket's partition), not once per shared part
+            for part in sorted({bk % self.nparts for bk in dup_bks}):
                 out_part.append(part)
-                out_buckets.append(sorted(bks))
+                out_buckets.append(dup_bks)
                 out_ids.append(i)
                 out_sigs.append(sb)
                 out_texts.append(t)
@@ -576,15 +580,30 @@ class _DupTextEmit:
 
 class _MinHashBucketVerifier:
     """Per-partition verify (runs INSIDE map_groups workers): for each
-    bucket, tiled signature-estimate prefilter, then exact set-Jaccard
-    on the candidate pairs' texts. Emits only verified edges."""
+    bucket of THIS partition, signature-estimate prefilter, then a
+    canonical-ownership check (a pair is exact-verified only in the
+    partition of its globally smallest shared dup bucket — rows carry
+    full bucket lists, so ownership is decidable locally and the
+    expensive exact Jaccard runs once per pair corpus-wide, not once
+    per shared partition), then exact set-Jaccard. Emits each verified
+    edge exactly once."""
 
-    def __init__(self, id_col: str, text_col: str, shingle_k: int, num_perm: int, threshold: float, cut: float):
+    def __init__(
+        self,
+        id_col: str,
+        text_col: str,
+        shingle_k: int,
+        num_perm: int,
+        threshold: float,
+        cut: float,
+        nparts: int,
+    ):
         self.id_col = id_col
         self.text_col = text_col
         self.mh = MinHasher(shingle_k, num_perm)
         self.threshold = threshold
         self.cut = cut
+        self.nparts = nparts
 
     # buckets with more members than this go through the tiled
     # estimate (memory-bounded); smaller ones enumerate pairs directly
@@ -601,10 +620,13 @@ class _MinHashBucketVerifier:
             [np.frombuffer(s, dtype=np.uint32) for s in group["sig"].to_pylist()]
         )
         texts = group[self.text_col].to_pylist()
+        part = int(group["part"][0].as_py())
+        blists = group["buckets"].to_pylist()  # FULL dup-bucket lists
         by_bucket: dict[int, list[int]] = {}
-        for row, blist in enumerate(group["buckets"].to_pylist()):
+        for row, blist in enumerate(blists):
             for bk in blist:
-                by_bucket.setdefault(bk, []).append(row)
+                if bk % self.nparts == part:  # this partition's buckets
+                    by_bucket.setdefault(bk, []).append(row)
 
         # candidate ROW pairs: typical buckets are tiny, so per-bucket
         # numpy calls would dominate wall time (measured 8k buckets x
@@ -645,6 +667,18 @@ class _MinHashBucketVerifier:
             keep_parts.append(est >= self.cut)
         keep = np.concatenate(keep_parts)
         a, b = a[keep], b[keep]
+        if not len(a):
+            return empty
+        # canonical ownership: exact-verify a pair only if the globally
+        # smallest SHARED dup bucket hashes to THIS partition (full
+        # bucket lists make this locally decidable) — without it every
+        # pair is re-verified in each partition its shared buckets span
+        # (measured ~11x duplicated exact-Jaccard work at 3M docs)
+        own = np.ones(len(a), dtype=bool)
+        for j in range(len(a)):
+            shared = set(blists[a[j]]) & set(blists[b[j]])
+            own[j] = (min(shared) % self.nparts) == part
+        a, b = a[own], b[own]
         if not len(a):
             return empty
 
@@ -838,7 +872,9 @@ def _minhash_verified_edges(
         - prefilter_sigmas * float(np.sqrt(jaccard_threshold * (1 - jaccard_threshold) / num_perm)),
         0.0,
     )
-    verifier = _MinHashBucketVerifier(id_col, text_col, shingle_k, num_perm, jaccard_threshold, cut)
+    verifier = _MinHashBucketVerifier(
+        id_col, text_col, shingle_k, num_perm, jaccard_threshold, cut, nparts
+    )
 
     def verify_bucket_group(group: pa.Table) -> pa.Table:
         return verifier(group)
