@@ -956,16 +956,34 @@ _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 class _SimHashBucketVerifier:
     """Per-partition hamming verify inside map_groups workers: per
-    bucket, pairwise XOR + byte-LUT popcount in numpy tiles."""
+    bucket, pairwise XOR + byte-LUT popcount in numpy tiles. A pair
+    agreeing in several bands appears in several partitions; it is
+    EMITTED only by the partition owning its smallest agreeing band
+    bucket — ownership is computed from the two hashes themselves
+    (band keys are a pure function of the hash), so no extra columns
+    travel and each edge reaches the driver exactly once."""
 
-    def __init__(self, id_col: str, max_hamming: int):
+    def __init__(self, id_col: str, max_hamming: int, nparts: int):
         self.id_col = id_col
         self.max_hamming = max_hamming
+        self.nparts = nparts
+
+    def _owned(self, A: np.ndarray, B: np.ndarray, part: int) -> np.ndarray:
+        """True where min agreeing-band bucket of (A[i], B[i]) hashes
+        to ``part``. Pairs here agree on >= 1 band by construction."""
+        minb = np.full(len(A), np.iinfo(np.int64).max, dtype=np.int64)
+        for k in range(4):
+            sa = ((A >> np.uint64(16 * k)) & np.uint64(0xFFFF)).astype(np.int64)
+            sb = ((B >> np.uint64(16 * k)) & np.uint64(0xFFFF)).astype(np.int64)
+            bucket = sa | np.int64(k << 16)
+            minb = np.where((sa == sb) & (bucket < minb), bucket, minb)
+        return (minb % self.nparts) == part
 
     def __call__(self, group: pa.Table) -> pa.Table:
         ids = np.asarray(group[self.id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
         hs = np.asarray(group["simhash"].to_numpy(zero_copy_only=False), dtype=np.uint64)
         buckets = np.asarray(group["bucket"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        part = int(group["part"][0].as_py())
         order = np.lexsort((ids, buckets))
         ids, hs, buckets = ids[order], hs[order], buckets[order]
         change = np.nonzero(buckets[1:] != buckets[:-1])[0] + 1
@@ -981,8 +999,12 @@ class _SimHashBucketVerifier:
             dist = _POP8[xor.view(np.uint8).reshape(m, m, 8)].sum(axis=2)
             ai, bi = np.nonzero(dist <= self.max_hamming)
             keep = mids[ai] < mids[bi]
-            out_a.append(mids[ai][keep])
-            out_b.append(mids[bi][keep])
+            ai, bi = ai[keep], bi[keep]
+            if not len(ai):
+                continue
+            own = self._owned(mhs[ai], mhs[bi], part)
+            out_a.append(mids[ai][own])
+            out_b.append(mids[bi][own])
         if not out_a:
             return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
         return pa.table(
@@ -1087,7 +1109,7 @@ def _simhash_verified_edges(
     dup_rows = banded.map_batches(
         _PickDup(), batch_format="pyarrow", zero_copy_batch=True
     )
-    verifier = _SimHashBucketVerifier(id_col, max_hamming)
+    verifier = _SimHashBucketVerifier(id_col, max_hamming, nparts)
 
     def verify_hamming_group(group: pa.Table) -> pa.Table:
         return verifier(group)
