@@ -77,6 +77,15 @@ def main():
             except AssertionError as ex:
                 status = "FAIL"
                 print(f"FAIL {name}: values differ: {str(ex)[:300]}")
+            # the driver hashes values dtype-sensitively (int64 vs the
+            # float64 that DuckDB HUGEINT decays to mismatch even when
+            # values are equal) — so compare numpy dtype KINDS too
+            if status != "FAIL":
+                gk = [got[c].dtype.kind for c in got.columns]
+                wk = [want[c].dtype.kind for c in want.columns]
+                if gk != wk:
+                    status = "FAIL"
+                    print(f"FAIL {name}: dtype kinds {gk} vs oracle {wk}")
         if status == "FAIL":
             failed.append(name)
         else:

@@ -673,11 +673,35 @@ class _MinHashBucketVerifier:
         # smallest SHARED dup bucket hashes to THIS partition (full
         # bucket lists make this locally decidable) — without it every
         # pair is re-verified in each partition its shared buckets span
-        # (measured ~11x duplicated exact-Jaccard work at 3M docs)
-        own = np.ones(len(a), dtype=bool)
-        for j in range(len(a)):
-            shared = set(blists[a[j]]) & set(blists[b[j]])
-            own[j] = (min(shared) % self.nparts) == part
+        # (measured ~11x duplicated exact-Jaccard work at 3M docs).
+        # Vectorized (round-2 verdict item 6): per-row bucket lists are
+        # already sorted-unique (_DupTextEmit), so gather both rows'
+        # lists per pair from the Arrow list array's flat buffer
+        # (ragged gather), lexsort by (pair, bucket) and take the
+        # smallest value that appears twice — the min SHARED bucket —
+        # with one minimum.at scatter. No per-pair Python.
+        bl_arr = group["buckets"].combine_chunks()
+        flat = bl_arr.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.asarray(bl_arr.offsets.to_numpy(zero_copy_only=False), dtype=np.int64)
+        starts, lens = offs[:-1], offs[1:] - offs[:-1]
+
+        def _ragged_gather(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            ln = lens[rows]
+            tot = int(ln.sum())
+            within = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(ln) - ln, ln)
+            return flat[np.repeat(starts[rows], ln) + within], np.repeat(
+                np.arange(len(rows), dtype=np.int64), ln
+            )
+        bv_a, pj_a = _ragged_gather(a)
+        bv_b, pj_b = _ragged_gather(b)
+        bv = np.concatenate([bv_a, bv_b])
+        pj = np.concatenate([pj_a, pj_b])
+        order = np.lexsort((bv, pj))
+        pv, bs = pj[order], bv[order]
+        dup = (pv[1:] == pv[:-1]) & (bs[1:] == bs[:-1])
+        mins = np.full(len(a), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mins, pv[1:][dup], bs[1:][dup])
+        own = (mins % self.nparts) == part
         a, b = a[own], b[own]
         if not len(a):
             return empty
@@ -962,6 +986,17 @@ class _SimHashBucketVerifier:
     bucket — ownership is computed from the two hashes themselves
     (band keys are a pure function of the hash), so no extra columns
     travel and each edge reaches the driver exactly once."""
+
+    # buckets up to this many members get the direct (tiled) all-pairs
+    # hamming verify; bigger ones collapse identical hashes and
+    # recursively re-band the still-free bits (see _emit_bucket) so the
+    # per-bucket bound is O(_DIRECT_M^2) hamming ops per leaf instead of
+    # O(members^2) for the whole bucket — 16-bit bands cap the key space
+    # at 4x2^16 buckets, so bucket membership grows LINEARLY with corpus
+    # size and an unsplit verify is quadratic at 10^9+ docs (round-2
+    # verdict item 2)
+    _DIRECT_M = 1024
+    _TILE = 512
 
     def __init__(self, id_col: str, max_hamming: int, nparts: int):
         self.id_col = id_col

@@ -501,7 +501,11 @@ class QualityPipeline:
     def load_kept(self, columns=None) -> "ray.data.Dataset":
         """Kept rows as a Dataset. Pass ``columns`` to prune at the
         read — metadata consumers must not lift the text column."""
-        return ray.data.read_parquet(self.data_dir, columns=list(columns) if columns else None)
+        from ..sources import strip_schema_metadata
+
+        return strip_schema_metadata(
+            ray.data.read_parquet(self.data_dir, columns=list(columns) if columns else None)
+        )
 
 
 def _kill_leaked_stage_actors() -> None:

@@ -27,7 +27,6 @@ from __future__ import annotations
 import hashlib
 from typing import Sequence
 
-import pandas as pd
 import pyarrow as pa
 import ray
 
@@ -110,9 +109,34 @@ def sample_fraction_stratified(
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _head_k(df: pd.DataFrame, group: str, order: Sequence[str], ascending, k: int):
-    s = df.sort_values(list(order), ascending=ascending, kind="mergesort")
-    return s.groupby(group, sort=False).head(k)
+def _sort_keys(order: Sequence[str], asc: Sequence[bool]):
+    return [(c, "ascending" if a else "descending") for c, a in zip(order, asc)]
+
+
+def _arrow_head_k_per_group(
+    t: pa.Table, group: str, order: Sequence[str], asc: Sequence[bool], k: int
+) -> pa.Table:
+    """First k rows per group by ``order`` — one Arrow sort_indices +
+    take + a numpy run-length pass; no pandas conversion (the partial
+    runs over every full input batch, so it must be zero-copy-cheap;
+    round-2 verdict item 5)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0:
+        return t
+    idx = pc.sort_indices(t, sort_keys=[(group, "ascending")] + _sort_keys(order, asc))
+    st = t.take(idx)
+    codes_arr = pc.dictionary_encode(st[group].combine_chunks()).indices
+    # null groups encode as null indices; give them their own run id
+    codes = codes_arr.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+    change = np.empty(len(codes), dtype=bool)
+    change[0] = True
+    change[1:] = codes[1:] != codes[:-1]
+    starts = np.flatnonzero(change)
+    run_id = np.cumsum(change) - 1
+    pos = np.arange(len(codes)) - starts[run_id]
+    return st.filter(pa.array(pos < k))
 
 
 def topk_per_group(
@@ -123,17 +147,20 @@ def topk_per_group(
     ascending: bool | Sequence[bool] = True,
 ) -> "ray.data.Dataset":
     """First k rows per ``group`` ordered by ``order`` — streaming
-    partial top-k per batch, then a partials-only combine shuffle."""
-    asc = ascending if isinstance(ascending, (list, tuple)) else [ascending] * len(order)
+    partial top-k per batch (Arrow-native), then a partials-only
+    combine shuffle."""
+    asc = list(ascending) if isinstance(ascending, (list, tuple)) else [ascending] * len(order)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return _head_k(df, group, order, list(asc), k)
+    def partial(t: pa.Table) -> pa.Table:
+        return _arrow_head_k_per_group(t, group, order, asc, k)
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        return _head_k(df, group, order, list(asc), k)
+    def combine(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby(group).map_groups(combine, batch_format="pandas")
+        return t.take(pc.sort_indices(t, sort_keys=_sort_keys(order, asc)).slice(0, k))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(group).map_groups(combine, batch_format="pyarrow")
 
 
 def global_topk(
@@ -142,17 +169,30 @@ def global_topk(
     k: int,
     ascending: bool | Sequence[bool] = True,
 ) -> pa.Table:
-    """Global first-k by ``order``: per-batch partial top-k, then one
-    driver merge of k x blocks rows (never the dataset) — the pattern
-    to use instead of ``ds.sort(...).limit(k)``'s full shuffle."""
-    asc = ascending if isinstance(ascending, (list, tuple)) else [ascending] * len(order)
+    """Global first-k by ``order``: per-batch partial top-k
+    (Arrow-native sort_indices + slice), then one driver merge of
+    k x blocks rows (never the dataset) — the pattern to use instead
+    of ``ds.sort(...).limit(k)``'s full shuffle."""
+    import pyarrow.compute as pc
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(list(order), ascending=list(asc), kind="mergesort").head(k)
+    asc = list(ascending) if isinstance(ascending, (list, tuple)) else [ascending] * len(order)
+    keys = _sort_keys(order, asc)
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    out = parts.sort_values(list(order), ascending=list(asc), kind="mergesort").head(k)
-    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+    def partial(t: pa.Table) -> pa.Table:
+        return t.take(pc.sort_indices(t, sort_keys=keys).slice(0, k))
+
+    parts_tables = [
+        b
+        for b in ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts_tables:
+        sch = getattr(ds.schema(), "base_schema", None)
+        return (sch if isinstance(sch, pa.Schema) else pa.schema([])).empty_table()
+    merged = pa.concat_tables(parts_tables, promote_options="default")
+    return merged.take(pc.sort_indices(merged, sort_keys=keys).slice(0, k))
 
 
 def deterministic_shuffle_rank(

@@ -17,6 +17,21 @@ import ray.data
 from ..models import ParquetDatasource
 
 
+def _strip_schema_metadata(t):
+    # pandas-written parquet embeds a b'pandas' schema-metadata dict;
+    # pyarrow Schemas with metadata are UNHASHABLE, which defeats Ray's
+    # schema-dedup fast path and logs "Failed to hash the schemas" on
+    # every shuffle. Dropping it is schema-only (zero-copy) and fuses
+    # with the read stage.
+    return t.replace_schema_metadata(None)
+
+
+def strip_schema_metadata(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    return ds.map_batches(
+        _strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def read_parquet_split(
     path: str,
     columns: Optional[Sequence[str]] = None,
@@ -35,7 +50,23 @@ def read_parquet_split(
     per CPU. At scale the fragment count clears the bar immediately
     and this is a pure read."""
     cols = list(columns) if columns else None
-    ds = ray.data.read_parquet(path, columns=cols)
+    # pandas-written parquet embeds a b'pandas' schema-metadata dict;
+    # schemas with metadata are UNHASHABLE, defeating Ray's schema-dedup
+    # fast path INSIDE the read task (SplitBlocks unify) and on every
+    # shuffle. Passing a metadata-free (pruned) schema to the read fixes
+    # it at the source; footer-only, no data IO.
+    schema = None
+    try:
+        import pyarrow as _pa
+        import pyarrow.dataset as _pads
+
+        fsch = _pads.dataset(path, format="parquet").schema
+        if fsch.metadata:
+            fsch = fsch.remove_metadata()
+            schema = _pa.schema([fsch.field(c) for c in cols]) if cols else fsch
+    except Exception:
+        schema = None
+    ds = ray.data.read_parquet(path, columns=cols, schema=schema)
     try:
         want = min_tasks or max(8, int(ray.cluster_resources().get("CPU", 8)))
     except Exception:
