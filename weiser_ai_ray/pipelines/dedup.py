@@ -996,7 +996,6 @@ class _SimHashBucketVerifier:
     # size and an unsplit verify is quadratic at 10^9+ docs (round-2
     # verdict item 2)
     _DIRECT_M = 1024
-    _TILE = 512
 
     def __init__(self, id_col: str, max_hamming: int, nparts: int):
         self.id_col = id_col
@@ -1014,6 +1013,124 @@ class _SimHashBucketVerifier:
             minb = np.where((sa == sb) & (bucket < minb), bucket, minb)
         return (minb % self.nparts) == part
 
+    def _hamming_pairs(self, mhs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Index pairs (i, j), i < j, with hamming(mhs[i], mhs[j]) <=
+        max_hamming — the direct all-pairs kernel (callers bound m)."""
+        m = len(mhs)
+        xor = mhs[:, None] ^ mhs[None, :]
+        dist = _POP8[xor.view(np.uint8).reshape(m, m, 8)].sum(axis=2)
+        np.fill_diagonal(dist, 255)
+        ai, bi = np.nonzero(np.triu(dist <= self.max_hamming, k=1))
+        return ai, bi
+
+    def _verify_unique(self, uhs: np.ndarray, free_mask: int, depth: int = 0) -> tuple[np.ndarray, np.ndarray]:
+        """Index pairs within hamming<=max over UNIQUE hashes whose
+        non-``free_mask`` bits are already known pairwise-equal.
+
+        When the group exceeds _DIRECT_M, split the free bits into
+        (max_hamming+1) interleaved sub-bands: a qualifying pair has
+        <= max_hamming differing bits, all free, so by pigeonhole it
+        agrees exactly on >= 1 sub-band — recurse into each sub-band's
+        equal-value groups with that sub-band's bits newly fixed. Free
+        bits strictly shrink every level and unique hashes in a group
+        are bounded by 2^|free|, so recursion terminates; each pair is
+        kept only at its MINIMUM agreeing sub-band (locally decidable
+        from the two hashes), so no duplicates are emitted. Per-leaf
+        cost is O(min(_DIRECT_M, 2^|free|)^2) hamming ops — the
+        round-2 scale fix for 16-bit band keys whose bucket membership
+        grows linearly with corpus size."""
+        u = len(uhs)
+        empty = (np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+        if u < 2:
+            return empty
+        nb = self.max_hamming + 1
+        free_bits = np.nonzero(
+            (np.uint64(free_mask) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        )[0]
+        if u <= self._DIRECT_M or len(free_bits) < nb or depth >= 16:
+            return self._hamming_pairs(uhs)
+        sub_masks = [
+            np.uint64(sum(1 << int(b) for b in free_bits[k::nb])) for k in range(nb)
+        ]
+        subvals = [uhs & mk for mk in sub_masks]
+        out_a, out_b = [], []
+        for k, mk in enumerate(sub_masks):
+            v = subvals[k]
+            order = np.argsort(v, kind="stable")
+            sv = v[order]
+            change = np.nonzero(sv[1:] != sv[:-1])[0] + 1
+            gs = np.concatenate(([0], change))
+            ge = np.concatenate((change, [u]))
+            for s, e in zip(gs, ge):
+                if e - s < 2:
+                    continue
+                idxs = order[s:e]
+                ra, rb = self._verify_unique(
+                    uhs[idxs], int(free_mask) & ~int(mk), depth + 1
+                )
+                if not len(ra):
+                    continue
+                ga, gb = idxs[ra], idxs[rb]
+                if k:
+                    # keep only pairs whose first agreeing sub-band is k
+                    dup = np.zeros(len(ga), dtype=bool)
+                    for j in range(k):
+                        dup |= subvals[j][ga] == subvals[j][gb]
+                    ga, gb = ga[~dup], gb[~dup]
+                if len(ga):
+                    out_a.append(ga)
+                    out_b.append(gb)
+        if not out_a:
+            return empty
+        return np.concatenate(out_a), np.concatenate(out_b)
+
+    def _emit_bucket(
+        self, mids: np.ndarray, mhs: np.ndarray, part: int, bucket: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Owned edge (id_a, id_b) arrays for one bucket's members.
+
+        Small buckets: direct all-pairs (full clique of qualifying
+        edges). Oversized buckets: collapse identical hashes to one
+        representative each (emitting an id-chain per identical-hash
+        class from its band-0 bucket — the class's canonical owner —
+        instead of the O(class^2) clique), then recursively re-band
+        the bits the bucket key leaves free (_verify_unique). Edge SET
+        differs from the clique for oversized buckets, but connected
+        components — the only thing union-find consumes — are
+        identical."""
+        if len(mids) <= self._DIRECT_M:
+            ai, bi = self._hamming_pairs(mhs)
+            if not len(ai):
+                return mids[:0], mids[:0]
+            left = np.minimum(mids[ai], mids[bi])
+            right = np.maximum(mids[ai], mids[bi])
+            own = self._owned(mhs[ai], mhs[bi], part)
+            return left[own], right[own]
+        order = np.lexsort((mids, mhs))
+        sids, shs = mids[order], mhs[order]
+        same = shs[1:] == shs[:-1]
+        out_a, out_b = [], []
+        if (bucket >> 16) == 0 and same.any():
+            # identical hashes agree on every band; their min agreeing
+            # bucket is band 0's, so ONLY the band-0 bucket emits the
+            # per-class spanning chain (consecutive ids, ascending)
+            out_a.append(sids[:-1][same])
+            out_b.append(sids[1:][same])
+        class_starts = np.concatenate(([0], np.nonzero(~same)[0] + 1))
+        reps, uhs = sids[class_starts], shs[class_starts]
+        band_mask = np.uint64(0xFFFF) << np.uint64(16 * (bucket >> 16))
+        ra, rb = self._verify_unique(uhs, int(~band_mask & np.uint64(0xFFFFFFFFFFFFFFFF)))
+        if len(ra):
+            own = self._owned(uhs[ra], uhs[rb], part)
+            left = np.minimum(reps[ra], reps[rb])[own]
+            right = np.maximum(reps[ra], reps[rb])[own]
+            if len(left):
+                out_a.append(left)
+                out_b.append(right)
+        if not out_a:
+            return mids[:0], mids[:0]
+        return np.concatenate(out_a), np.concatenate(out_b)
+
     def __call__(self, group: pa.Table) -> pa.Table:
         ids = np.asarray(group[self.id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
         hs = np.asarray(group["simhash"].to_numpy(zero_copy_only=False), dtype=np.uint64)
@@ -1026,20 +1143,12 @@ class _SimHashBucketVerifier:
         ends = np.concatenate((change, [len(buckets)])) if len(buckets) else starts
         out_a, out_b = [], []
         for s, e in zip(starts, ends):
-            m = e - s
-            if m < 2:
+            if e - s < 2:
                 continue
-            mids, mhs = ids[s:e], hs[s:e]
-            xor = mhs[:, None] ^ mhs[None, :]
-            dist = _POP8[xor.view(np.uint8).reshape(m, m, 8)].sum(axis=2)
-            ai, bi = np.nonzero(dist <= self.max_hamming)
-            keep = mids[ai] < mids[bi]
-            ai, bi = ai[keep], bi[keep]
-            if not len(ai):
-                continue
-            own = self._owned(mhs[ai], mhs[bi], part)
-            out_a.append(mids[ai][own])
-            out_b.append(mids[bi][own])
+            a, b = self._emit_bucket(ids[s:e], hs[s:e], part, int(buckets[s]))
+            if len(a):
+                out_a.append(a)
+                out_b.append(b)
         if not out_a:
             return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
         return pa.table(
