@@ -129,3 +129,235 @@ class _KenLMAdapter:
             words = max(len(text.split()), 1)
             out[i] = 10.0 ** (-self.model.score(text) / words)
         return out
+
+
+# ----------------------------------------------------------------------
+# Real on-disk formats, parsed WITHOUT the optional libraries
+#
+# "arpa": the textual n-gram format KenLM itself consumes (the \data\ /
+# \N-grams: / \end\ layout with log10 probabilities and optional
+# backoff weights). "fasttext-bin": the public fastText binary layout
+# (magic 793712314, version<=12: Args, Dictionary, dense float32
+# matrices). Both let a user point the engine at a REAL model artifact
+# in this sandbox where the fasttext/kenlm wheels are absent.
+
+
+@register_loader("arpa")
+def _load_arpa(path: str):
+    return ArpaLM.parse_file(path)
+
+
+class ArpaLM:
+    """Backoff n-gram LM over a parsed ARPA file.
+
+    Scoring follows the standard Katz-backoff recursion (as KenLM
+    does): P(w | h) = prob(h·w) if the n-gram is listed, else
+    backoff(h) + P(w | shorter h); unknown words fall to the <unk>
+    unigram when present, else a -7 log10 floor. ``score`` returns the
+    total log10 probability of the token sequence with <s> context and
+    </s> appended (KenLM's default bos/eos convention); perplexity is
+    10^(-score/words) like the kenlm adapter above."""
+
+    _FLOOR = -7.0
+
+    def __init__(self, probs: dict, backoffs: dict, order: int):
+        self.probs = probs  # tuple[str,...] -> log10 prob
+        self.backoffs = backoffs  # tuple[str,...] -> log10 backoff
+        self.order = order
+
+    @classmethod
+    def parse_file(cls, path: str) -> "ArpaLM":
+        probs: dict = {}
+        backoffs: dict = {}
+        declared: dict[int, int] = {}
+        order = 0
+        section = None  # None | "data" | int n
+        with open(path, encoding="utf-8") as f:
+            for raw in f:
+                line = raw.strip()
+                if not line:
+                    continue
+                if line == "\\data\\":
+                    section = "data"
+                    continue
+                if line == "\\end\\":
+                    section = None
+                    continue
+                if line.startswith("\\") and line.endswith("-grams:"):
+                    section = int(line[1:].split("-")[0])
+                    order = max(order, section)
+                    continue
+                if section == "data":
+                    # "ngram N=count"
+                    if line.lower().startswith("ngram"):
+                        n, cnt = line.split()[1].split("=")
+                        declared[int(n)] = int(cnt)
+                    continue
+                if isinstance(section, int):
+                    parts = line.split()
+                    # logprob w1..wn [backoff]
+                    if len(parts) == section + 2:
+                        lp, words, bo = parts[0], parts[1 : 1 + section], parts[-1]
+                        backoffs[tuple(words)] = float(bo)
+                    elif len(parts) == section + 1:
+                        lp, words = parts[0], parts[1:]
+                    else:
+                        raise ValueError(f"malformed {section}-gram line: {line!r}")
+                    probs[tuple(words)] = float(lp)
+        if not probs:
+            raise ValueError(f"{path}: no n-grams parsed — not an ARPA file?")
+        for n, cnt in declared.items():
+            have = sum(1 for k in probs if len(k) == n)
+            if have != cnt:
+                raise ValueError(f"{path}: \\data\\ declares {cnt} {n}-grams, found {have}")
+        return cls(probs, backoffs, order)
+
+    def _logp(self, context: tuple, word: str) -> float:
+        gram = context + (word,)
+        if gram in self.probs:
+            return self.probs[gram]
+        if context:
+            bo = self.backoffs.get(context, 0.0)
+            return bo + self._logp(context[1:], word)
+        return self.probs.get(("<unk>",), self._FLOOR)
+
+    def score(self, text: str) -> float:
+        toks = text.split() + ["</s>"]
+        context: tuple = ("<s>",)
+        total = 0.0
+        for w in toks:
+            total += self._logp(context, w)
+            context = (context + (w,))[-(self.order - 1) :] if self.order > 1 else ()
+        return total
+
+    def ppl_many(self, contents):
+        import numpy as np
+
+        out = np.empty(len(contents), dtype=np.float64)
+        for i, c in enumerate(contents):
+            if not c:
+                out[i] = np.nan
+                continue
+            text = c.replace("\n", " ")
+            words = max(len(text.split()), 1)
+            out[i] = 10.0 ** (-self.score(text) / words)
+        return out
+
+
+@register_loader("fasttext-bin")
+def _load_fasttext_bin(path: str):
+    return FastTextBin.parse_file(path)
+
+
+class FastTextBin:
+    """Minimal reader of the public fastText supervised binary format.
+
+    Layout (fastText FastText::saveModel): int32 magic 793712314,
+    int32 version, Args (12×int32 + 1×double), Dictionary (sizes, then
+    per-entry NUL-terminated word + int64 count + int8 type, then
+    prune pairs), 1-byte quant flag, input DenseMatrix (int64 rows,
+    int64 cols, float32 data), 1-byte qout flag, output DenseMatrix.
+
+    Supported subset: non-quantized supervised models with softmax
+    loss and no subword/word-ngram buckets (minn=maxn=0, bucket=0,
+    wordNgrams=1) — enough to load a real artifact and predict;
+    quantized/hierarchical-softmax/subword models raise a clear error
+    naming the unsupported field."""
+
+    MAGIC = 793712314
+
+    def __init__(self, words: dict, labels: list, input_mat, output_mat, dim: int):
+        self.words = words  # token -> input row index
+        self.labels = labels  # output row index -> label (prefix stripped)
+        self.input = input_mat
+        self.output = output_mat
+        self.dim = dim
+
+    @classmethod
+    def parse_file(cls, path: str) -> "FastTextBin":
+        import struct
+
+        import numpy as np
+
+        with open(path, "rb") as f:
+            data = f.read()
+        off = 0
+
+        def take(fmt: str):
+            nonlocal off
+            vals = struct.unpack_from("<" + fmt, data, off)
+            off += struct.calcsize("<" + fmt)
+            return vals if len(vals) > 1 else vals[0]
+
+        magic, version = take("ii")
+        if magic != cls.MAGIC:
+            raise ValueError(f"{path}: bad fastText magic {magic}")
+        if version > 12:
+            raise ValueError(f"{path}: unsupported fastText version {version}")
+        (dim, ws, epoch, min_count, neg, word_ngrams, loss, model, bucket, minn, maxn, lr_update) = take("12i")
+        take("d")  # sampling threshold t
+        if model != 3:
+            raise ValueError(f"{path}: only supervised models supported (model={model})")
+        if loss != 3:
+            raise ValueError(f"{path}: only softmax loss supported (loss={loss})")
+        if bucket or minn or maxn or word_ngrams > 1:
+            raise ValueError(
+                f"{path}: subword/ngram buckets not supported "
+                f"(bucket={bucket} minn={minn} maxn={maxn} wordNgrams={word_ngrams})"
+            )
+        size, nwords, nlabels = take("3i")
+        take("q")  # ntokens
+        pruneidx_size = take("q")
+        words: dict = {}
+        labels: list = []
+        for i in range(size):
+            end = data.index(b"\0", off)
+            token = data[off:end].decode("utf-8")
+            off = end + 1
+            take("q")  # count
+            etype = take("b")
+            if etype == 0:
+                words[token] = len(words)
+            else:
+                labels.append(token.removeprefix("__label__"))
+        if pruneidx_size > 0:
+            take(f"{2 * pruneidx_size}i")
+        quant = take("b")
+        if quant:
+            raise ValueError(f"{path}: quantized (.ftz) models not supported")
+        m, n = take("2q")
+        input_mat = np.frombuffer(data, dtype="<f4", count=m * n, offset=off).reshape(m, n).astype(np.float64)
+        off += 4 * m * n
+        take("b")  # qout
+        mo, no = take("2q")
+        output_mat = np.frombuffer(data, dtype="<f4", count=mo * no, offset=off).reshape(mo, no).astype(np.float64)
+        off += 4 * mo * no
+        if no != dim or n != dim or mo != nlabels or len(labels) != nlabels or len(words) != nwords:
+            raise ValueError(f"{path}: inconsistent fastText header/matrix shapes")
+        return cls(words, labels, input_mat, output_mat, dim)
+
+    def predict(self, text: str) -> tuple[str, float]:
+        import numpy as np
+
+        ids = [self.words[t] for t in text.split() if t in self.words]
+        if not ids:
+            return "unknown", 0.0
+        hidden = self.input[ids].mean(axis=0)
+        logits = self.output @ hidden
+        logits -= logits.max()
+        p = np.exp(logits)
+        p /= p.sum()
+        k = int(np.argmax(p))
+        return self.labels[k], float(p[k])
+
+    def detect_many(self, contents):
+        langs, scores = [], []
+        for c in contents:
+            if not c:
+                langs.append("unknown")
+                scores.append(0.0)
+                continue
+            lang, score = self.predict(c.replace("\n", " "))
+            langs.append(lang)
+            scores.append(score)
+        return langs, scores
