@@ -757,6 +757,29 @@ def q_ivf_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ivf_topk_queryset(sf_dir: str) -> pa.Table:
+    """Query-partitioned IVF: the WHOLE embeddings table is the query
+    set (a Dataset — nothing driver-collected), co-grouped with cell-
+    assigned corpus rows via union + groupby(cell); full probe makes
+    the answer exact, so it shares the cosine-top-k window oracle.
+    target_cell_rows is set low to force the sub-cell skew split on
+    the fixture sizes."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.similarity import ivf_topk_queryset
+
+    ds = __rps(os.path.join(sf_dir, "embeddings.parquet"), cache=True)
+    out = (
+        ivf_topk_queryset(ds, ds, k=3, ncells=8, nprobe=8, target_cell_rows=64)
+        .to_pandas()
+        .sort_values(
+            ["query_id", "score", "neighbor_id"], ascending=[True, False, True]
+        )
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out[["query_id", "neighbor_id"]], preserve_index=False)
+
+
 def q_repetition_scores(sf_dir: str) -> pa.Table:
     from weiser_ai_ray.pipelines.repetition import repetition_scores
 
@@ -1284,6 +1307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5": q_fingerprint_md5,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_topk_queryset": q_ivf_topk_queryset,
         "repetition_scores_documents": q_repetition_scores,
         "top_2grams_documents": q_top_2grams,
         # -- oracle-backed, trivially green twice: window-overflow ballast --
@@ -1596,6 +1620,17 @@ def oracle_sql() -> dict[str, str]:
             "    x.vec_id) AS rn"
             "  FROM q, embeddings x WHERE x.vec_id != q.vec_id"
             " ) WHERE rn <= 5 ORDER BY query_id, rn"
+        ),
+        # query-partitioned IVF over the whole table as the query set;
+        # full probe is exact, so the cross-join window is the oracle
+        "ivf_topk_queryset": (
+            "SELECT query_id, neighbor_id FROM ("
+            " SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,"
+            "  ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY"
+            "   list_cosine_similarity(q.embedding::DOUBLE[], x.embedding::DOUBLE[]) DESC,"
+            "   x.vec_id) AS rn"
+            " FROM embeddings q, embeddings x WHERE x.vec_id != q.vec_id"
+            ") WHERE rn <= 3 ORDER BY query_id, rn"
         ),
         # the anomaly checks read the engine's own metric store, but the
         # seeded history is a fixed constant — so the window + MAD math

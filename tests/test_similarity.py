@@ -91,3 +91,58 @@ class TestAnnTopk:
         a = ivf_topk(ds, [0, 7], k=3, ncells=8, nprobe=2).to_pandas()
         b = ivf_topk(ds, [0, 7], k=3, ncells=8, nprobe=2).to_pandas()
         assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIvfQueryset:
+    """Query-partitioned IVF (queries as a Dataset, co-grouped with
+    cells — the 10^6-query path; round-2 verdict item 8)."""
+
+    def test_full_probe_equals_bruteforce(self):
+        # nprobe == ncells -> every query meets every corpus row once;
+        # result must EQUAL the exact oracle, including sub-cell splits
+        from weiser_ai_ray.pipelines.similarity import ivf_topk_queryset
+
+        ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        queries = [0, 7, 42, 99, 123]
+        qds = ds.filter(expr=f"vec_id in {queries}")
+        got = (
+            ivf_topk_queryset(ds, qds, k=5, ncells=8, nprobe=8, target_cell_rows=40)
+            .to_pandas()
+            .sort_values(["query_id", "score", "neighbor_id"], ascending=[True, False, True])
+        )
+        want = exact_oracle(queries, 5)
+        for q in queries:
+            assert got[got["query_id"] == q]["neighbor_id"].tolist() == want[q], q
+
+    def test_thousand_queries_recall(self):
+        # the WHOLE corpus as the query set (500 rows at sf0.001-scale
+        # fixtures; >=1k at sf0.01) — nothing driver-collected
+        from weiser_ai_ray.pipelines.similarity import ivf_topk_queryset
+
+        ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        n = ds.count()
+        out = ivf_topk_queryset(ds, ds, k=3, ncells=16, nprobe=16).to_pandas()
+        # exact full-probe: every query gets its true top-3
+        assert set(out["query_id"].unique()) == set(range(n))
+        assert (out.groupby("query_id").size() == 3).all()
+        assert (out["query_id"] != out["neighbor_id"]).all()
+        # spot-check five queries against the oracle
+        want = exact_oracle([1, 50, 200, 333, 499], 3)
+        for q, w in want.items():
+            assert out[out["query_id"] == q]["neighbor_id"].tolist() == w, q
+
+    def test_partial_probe_recall_reasonable(self):
+        from weiser_ai_ray.pipelines.similarity import ivf_topk_queryset
+
+        ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        queries = list(range(0, 100, 5))
+        qds = ds.filter(expr=f"vec_id in {queries}")
+        exact = exact_oracle(queries, 5)
+        approx = ivf_topk_queryset(ds, qds, k=5, ncells=16, nprobe=4).to_pandas()
+        hits = total = 0
+        for q in queries:
+            got_n = set(approx[approx["query_id"] == q]["neighbor_id"].tolist())
+            hits += len(got_n & set(exact[q]))
+            total += len(exact[q])
+        assert hits / total >= 0.4, hits / total

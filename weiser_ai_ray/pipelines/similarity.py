@@ -367,3 +367,187 @@ def ivf_topk(
 
     partials = indexed.map_batches(score_stage, batch_format="pyarrow", zero_copy_batch=True)
     return _global_topk(partials, k, drop_self=False)
+
+
+# ----------------------------------------------------------------------
+# Query-partitioned IVF: queries as a DATASET (round-2 verdict item 8)
+
+
+def _global_topk_ds(partials: "ray.data.Dataset", k: int, drop_self: bool) -> "ray.data.Dataset":
+    """Dataset-out variant of _global_topk: the per-cell partials
+    reduce to the global top-k per query inside groupby(query_id)
+    workers and STAY distributed — nothing lands on the driver. Use
+    for large query batches where k x n_queries exceeds driver memory."""
+
+    def topk_group(group: pa.Table) -> pa.Table:
+        q = np.asarray(group["query_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        n = np.asarray(group["neighbor_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        sc = np.asarray(group["score"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        if drop_self:
+            keep = q != n
+            q, n, sc = q[keep], n[keep], sc[keep]
+        # a query probes several cells; the same neighbor can appear in
+        # at most one cell, so partials are duplicate-free by design
+        order = np.lexsort((n, -sc))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array(q[order], type=pa.int64()),
+                "neighbor_id": pa.array(n[order], type=pa.int64()),
+                "score": pa.array(sc[order], type=pa.float64()),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(topk_group, batch_format="pyarrow")
+
+
+def ivf_topk_queryset(
+    ds: "ray.data.Dataset",
+    queries: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str | None = None,
+    query_id_col: str | None = None,
+    k: int = 5,
+    ncells: int = 16,
+    nprobe: int = 4,
+    sample_n: int = 4096,
+    seed: int = 7,
+    target_cell_rows: int = 65536,
+    drop_self: bool = True,
+) -> "ray.data.Dataset":
+    """IVF top-k where the QUERIES are a Dataset, not a driver list —
+    the 10^6-query batch-join path (ann_topk/ivf_topk broadcast one
+    (queries x dim) matrix, right for dozens of queries and wrong at
+    query scale).
+
+    Plan: train the coarse quantizer on a bounded sample (driver-side,
+    O(sample_n x dim)); assign corpus rows to their nearest cell and
+    explode each query to its ``nprobe`` closest cells; UNION the two
+    tagged row streams and ``groupby(cell)`` so each group holds one
+    cell's corpus rows plus every query probing it — one exact matmul
+    per group emits k-row partials, and a second groupby(query_id)
+    folds them to the global answer. Shuffle volume is
+    O(N + Q x nprobe) rows; neither side is ever collected.
+
+    Skew: k-means cells are uneven, so cell populations are COUNTED
+    first (an ncells-row aggregate) and cells over ``target_cell_rows``
+    split into hash sub-cells, with that cell's queries replicated to
+    every sub-cell — group size is bounded by construction, results
+    unchanged (every corpus row still meets every probing query
+    exactly once).
+
+    Self-matches: with ``drop_self`` (default) a neighbor whose id
+    equals the query id is excluded — the natural semantics when the
+    query set is a subset of the corpus."""
+    qv = query_vec_col or vec_col
+    qi = query_id_col or id_col
+    sample_rows = ds.select_columns([vec_col]).limit(sample_n).take_all()
+    sample = _normalize(np.array([r[vec_col] for r in sample_rows], dtype=np.float64))
+    C = _kmeans_cosine(sample, ncells, seed)
+    npb = min(nprobe, C.shape[0])
+    cents_ref = ray.put(C)
+
+    def assign_corpus(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        mat = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        cell = np.argmax(mat @ cents.T, axis=1).astype(np.int64) if mat.size else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "row_id": batch[id_col].cast(pa.int64()),
+                "vec": pa.array(mat.tolist()),
+                "cell": pa.array(cell, type=pa.int64()),
+                "is_query": pa.array(np.zeros(len(cell), dtype=bool)),
+            }
+        )
+
+    corpus = ds.select_columns([id_col, vec_col]).map_batches(
+        assign_corpus, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # cell populations -> sub-cell fan-out per cell (tiny aggregate)
+    counts = {r["cell"]: r["count()"] for r in corpus.groupby("cell").count().take_all()}
+    nsplit = np.ones(C.shape[0], dtype=np.int64)
+    for c, cnt in counts.items():
+        nsplit[int(c)] = max(1, -(-int(cnt) // target_cell_rows))
+    splits_ref = ray.put(nsplit)
+
+    def subcell_corpus(batch: pa.Table) -> pa.Table:
+        splits = ray.get(splits_ref)
+        cell = np.asarray(batch["cell"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        rid = np.asarray(batch["row_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        sub = (rid % splits[cell]).astype(np.int64)
+        key = cell * np.int64(1 << 20) + sub
+        return batch.drop_columns(["cell"]).append_column("cellkey", pa.array(key))
+
+    corpus_keyed = corpus.map_batches(subcell_corpus, batch_format="pyarrow", zero_copy_batch=True)
+
+    def explode_queries(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        splits = ray.get(splits_ref)
+        mat = _normalize(np.array(batch[qv].to_pylist(), dtype=np.float64))
+        ids = np.asarray(batch[qi].to_numpy(zero_copy_only=False), dtype=np.int64)
+        if not mat.size:
+            return pa.table(
+                {
+                    "row_id": pa.array([], pa.int64()),
+                    "vec": pa.array([], pa.list_(pa.float64())),
+                    "is_query": pa.array([], pa.bool_()),
+                    "cellkey": pa.array([], pa.int64()),
+                }
+            )
+        sims = mat @ cents.T
+        probe = np.argsort(-sims, axis=1, kind="stable")[:, :npb]  # (q, npb)
+        # replicate each (query, cell) to every sub-cell of that cell
+        reps = splits[probe]  # (q, npb)
+        per_q = reps.sum(axis=1)
+        out_ids = np.repeat(ids, per_q)
+        out_vec_idx = np.repeat(np.arange(len(ids)), per_q)
+        flat_cells = np.repeat(probe.ravel(), reps.ravel())
+        subs = np.concatenate([np.arange(r) for r in reps.ravel()]) if reps.size else np.empty(0, np.int64)
+        key = flat_cells * np.int64(1 << 20) + subs
+        return pa.table(
+            {
+                "row_id": pa.array(out_ids, type=pa.int64()),
+                "vec": pa.array(mat[out_vec_idx].tolist()),
+                "is_query": pa.array(np.ones(len(out_ids), dtype=bool)),
+                "cellkey": pa.array(key, type=pa.int64()),
+            }
+        )
+
+    queries_keyed = queries.select_columns([qi, qv]).map_batches(
+        explode_queries, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def score_cell(group: pa.Table) -> pa.Table:
+        isq = np.asarray(group["is_query"].to_numpy(zero_copy_only=False), dtype=bool)
+        ids = np.asarray(group["row_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        mat = np.array(group["vec"].to_pylist(), dtype=np.float64)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if isq.all() or (~isq).all():
+            return empty
+        q_ids, q_mat = ids[isq], mat[isq]
+        c_ids, c_mat = ids[~isq], mat[~isq]
+        sims = q_mat @ c_mat.T  # (q, c)
+        kk = min(k + (1 if drop_self else 0), sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk] if sims.shape[1] > kk else np.tile(np.arange(sims.shape[1]), (sims.shape[0], 1))
+        rq = np.repeat(q_ids, idx.shape[1])
+        rn = c_ids[idx.ravel()]
+        rs = sims[np.repeat(np.arange(idx.shape[0]), idx.shape[1]), idx.ravel()]
+        return pa.table(
+            {
+                "query_id": pa.array(rq, type=pa.int64()),
+                "neighbor_id": pa.array(rn, type=pa.int64()),
+                "score": pa.array(rs, type=pa.float64()),
+            }
+        )
+
+    partials = corpus_keyed.union(queries_keyed).groupby("cellkey").map_groups(
+        score_cell, batch_format="pyarrow"
+    )
+    return _global_topk_ds(partials, k, drop_self=drop_self)
