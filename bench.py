@@ -236,6 +236,7 @@ def run_scaling(sf_dir: str, lo: int, hi: int, n_rows: int = 3_000_000) -> dict:
     # ratio; interleaving gives both legs the same weather, and best-of-N
     # picks each leg's least-contended sample
     best: dict = {lo: None, hi: None}
+    all_trials: dict = {lo: [], hi: []}
     for _ in range(trials):
         for cpus in (lo, hi):
             out = f"/tmp/weiser_bench_scaling_{cpus}"
@@ -249,6 +250,7 @@ def run_scaling(sf_dir: str, lo: int, hi: int, n_rows: int = 3_000_000) -> dict:
                 sys.stderr.write(proc.stderr[-4000:])
                 raise RuntimeError(f"scaling worker at {cpus} cpus failed")
             payload = json.loads(proc.stdout.strip().splitlines()[-1])
+            all_trials[cpus].append(round(payload["elapsed"], 3))
             if best[cpus] is None or payload["elapsed"] < best[cpus]:
                 best[cpus] = payload["elapsed"]
     results = {
@@ -270,6 +272,7 @@ def run_scaling(sf_dir: str, lo: int, hi: int, n_rows: int = 3_000_000) -> dict:
             f"files_per_sec@{hi}cpus": results[hi]["files_per_sec"],
             "speedup": round(speedup, 3),
         },
+        "trials": {f"{lo}cpus_sec": all_trials[lo], f"{hi}cpus_sec": all_trials[hi]},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "num_cpus": hi,
         "corpus_rows": n_rows,
