@@ -721,6 +721,21 @@ def q_fingerprint_md5(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df[["doc_id", "md5"]], preserve_index=False)
 
 
+def q_tfidf_top_terms(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from weiser_ai_ray.pipelines.textstats import tfidf_top_terms
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"))
+    df = (
+        tfidf_top_terms(ds, k=3)
+        .to_pandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df[["doc_id", "term", "tfidf"]], preserve_index=False)
+
+
 def q_ann_topk(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1310,6 +1325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk_queryset": q_ivf_topk_queryset,
         "repetition_scores_documents": q_repetition_scores,
         "top_2grams_documents": q_top_2grams,
+        "tfidf_top_terms": q_tfidf_top_terms,
         # -- oracle-backed, trivially green twice: window-overflow ballast --
         "row_count_orders": q_row_count_orders,
         "sum_lineitem_qty": q_sum_lineitem_qty,
@@ -1549,6 +1565,25 @@ def oracle_sql() -> dict[str, str]:
             "  ELSE [] END) gram FROM toks)"
             " SELECT gram, count(*)::BIGINT cnt FROM g GROUP BY gram"
             " ORDER BY cnt DESC, gram LIMIT 20"
+        ),
+        # exact corpus-wide TF-IDF top-3 terms per doc; tokenizer =
+        # lower + whitespace split (matches the engine's per_doc_terms);
+        # rank by UNROUNDED score desc, term asc on both sides
+        "tfidf_top_terms": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            " regexp_split_to_array(lower(coalesce(text,'')),'\\s+'), x->x!='')) AS term"
+            " FROM documents),"
+            " tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1,2),"
+            " nd AS (SELECT doc_id, count(*) AS ndoc FROM toks GROUP BY 1),"
+            " df AS (SELECT term, count(*) AS df"
+            "  FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),"
+            " n AS (SELECT count(*)::DOUBLE AS n FROM documents),"
+            " scored AS (SELECT tf.doc_id, tf.term,"
+            "  (tf.tf::DOUBLE / nd.ndoc) * ln(n.n / df.df) AS s"
+            "  FROM tf JOIN nd USING (doc_id) JOIN df USING (term) CROSS JOIN n)"
+            " SELECT doc_id, term, ROUND(s, 6) AS tfidf FROM scored"
+            " QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term ASC) <= 3"
+            " ORDER BY doc_id, term"
         ),
         # gap-based sessionization (30-min inactivity breaks); epoch-us
         # timestamps on both sides

@@ -129,3 +129,81 @@ class TestMultimodal:
         per_asset = out.groupby("asset_id").size()
         assert (per_asset >= 1).all()
         assert out["frame_fingerprint"].str.len().eq(16).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTfidfTopTerms:
+    def test_matches_duckdb_oracle(self):
+        from weiser_ai_ray.pipelines.textstats import tfidf_top_terms
+
+        ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+        got = (
+            tfidf_top_terms(ds, k=3)
+            .to_pandas()
+            .sort_values(["doc_id", "term"])
+            .reset_index(drop=True)
+        )
+        want = duck(
+            """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(coalesce(text,'')), '\\s+'), x->x!='')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1,2),
+            nd AS (SELECT doc_id, count(*) AS ndoc FROM toks GROUP BY 1),
+            df AS (SELECT term, count(*) AS df
+                   FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     (tf.tf::DOUBLE / nd.ndoc) * ln(n.n / df.df) AS s
+              FROM tf JOIN nd USING (doc_id) JOIN df USING (term) CROSS JOIN n)
+            SELECT doc_id, term, ROUND(s, 6) AS tfidf FROM scored
+            QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term ASC) <= 3
+            ORDER BY doc_id, term
+            """
+        )
+        assert len(got) == len(want)
+        for row, (did, term, score) in zip(got.itertuples(), want):
+            assert row.doc_id == did
+            assert row.term == term
+            assert row.tfidf == pytest.approx(score, abs=1e-9)
+
+    def test_global_df_and_ties(self):
+        # 'common' appears in every doc -> idf = ln(1) = 0 exactly;
+        # each doc's unique term scores (1/4)*ln(n); tie on the two
+        # zero-score terms breaks term-ascending.
+        import math
+
+        from weiser_ai_ray.pipelines.textstats import tfidf_top_terms
+
+        n = 12
+        docs = [{"doc_id": i, "text": f"common uniq{i} filler common"} for i in range(n)]
+        ds = ray.data.from_items(docs).repartition(4)
+        out = (
+            tfidf_top_terms(ds, k=2)
+            .to_pandas()
+            .sort_values(["doc_id", "tfidf", "term"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        assert len(out) == 2 * n
+        for i in range(n):
+            top = out[out.doc_id == i].reset_index(drop=True)
+            assert top.loc[0, "term"] == f"uniq{i}"
+            assert top.loc[0, "tfidf"] == pytest.approx(math.log(n) / 4, abs=1e-6)
+            # second slot: zero-idf tie broken by term asc -> 'common'
+            assert top.loc[1, "term"] == "common"
+            assert top.loc[1, "tfidf"] == 0.0
+
+    def test_empty_and_null_text_rows_dropped(self):
+        from weiser_ai_ray.pipelines.textstats import tfidf_top_terms
+
+        docs = [
+            {"doc_id": 0, "text": "alpha beta"},
+            {"doc_id": 1, "text": ""},
+            {"doc_id": 2, "text": None},
+            {"doc_id": 3, "text": "alpha gamma"},
+        ]
+        ds = ray.data.from_items(docs)
+        out = tfidf_top_terms(ds, k=5).to_pandas()
+        assert set(out.doc_id) == {0, 3}

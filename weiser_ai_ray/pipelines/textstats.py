@@ -146,3 +146,138 @@ def fingerprints(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tfidf_top_terms(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    nparts: int | None = None,
+) -> "ray.data.Dataset":
+    """Exact corpus-wide TF-IDF top-k terms per document.
+
+    Distributed plan (no vocabulary broadcast — the term space is
+    unbounded at corpus scale):
+
+      1. per-batch: lowercase + whitespace-tokenize, collapse to
+         distinct (doc, term) rows with tf counts and the doc's token
+         total — one np.unique pass, no per-row Python;
+      2. shuffle those digest rows by TERM-hash coarse partition:
+         every (doc, term) row of a term co-locates, so the partition
+         computes the term's GLOBAL document frequency locally and
+         scores tf/ndoc * ln(N/df) (N = total docs, a driver scalar);
+      3. re-shuffle the scored rows by DOC-hash coarse partition and
+         keep each document's top-k (score desc, term asc tie-break).
+
+    Both shuffles carry (id, term, two numbers) — never text. Group
+    count stays ~cluster-sized (coarse partitions + one vectorized
+    pass per partition), not one group per term/doc. Partitioning
+    contract: a partition holds ~(distinct doc×term pairs)/nparts
+    digest rows, so at corpus scale nparts must grow with the corpus
+    (pass it explicitly) for a partition to fit a worker's heap."""
+    if nparts is None:
+        try:
+            import ray
+
+            nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            nparts = 8
+    total_docs = ds.count()
+
+    def per_doc_terms(batch: pa.Table) -> pa.Table:
+        from .repetition import _gram_part
+
+        empty = pa.table(
+            {
+                "__part": pa.array([], pa.int32()),
+                id_col: pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "ndoc": pa.array([], pa.int64()),
+            }
+        )
+        n = batch.num_rows
+        text = pc.utf8_lower(
+            pc.coalesce(batch[text_col].cast(pa.string()), pa.scalar("", type=pa.string()))
+        )
+        words = pc.split_pattern_regex(text, r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = np.asarray(words.flatten().to_pylist(), dtype=object)
+        counts = np.asarray(pc.list_value_length(words).to_numpy(zero_copy_only=False), dtype=np.int64)
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+        keep = flat != ""
+        flat, row_ids = flat[keep], row_ids[keep]
+        if not len(flat):
+            return empty
+        uniq, codes = np.unique(flat, return_inverse=True)
+        pair = row_ids * len(uniq) + codes
+        upair, tf = np.unique(pair, return_counts=True)
+        rrow, rcode = upair // len(uniq), upair % len(uniq)
+        ndoc = np.bincount(row_ids, minlength=n)
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        terms = uniq[rcode]
+        part = (
+            np.array([_gram_part(t) for t in terms], dtype=np.uint64) % np.uint64(nparts)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "__part": pa.array(part),
+                id_col: pa.array(ids[rrow], type=pa.int64()),
+                "term": pa.array(list(terms), type=pa.string()),
+                "tf": pa.array(tf, type=pa.int64()),
+                "ndoc": pa.array(ndoc[rrow], type=pa.int64()),
+            }
+        )
+
+    def score_part(g: pa.Table) -> pa.Table:
+        terms = np.asarray(g["term"].to_pylist(), dtype=object)
+        tf = np.asarray(g["tf"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        ndoc = np.asarray(g["ndoc"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        ids = np.asarray(g[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.argsort(terms, kind="stable")
+        sterms = terms[order]
+        new_seg = np.ones(len(sterms), dtype=bool)
+        new_seg[1:] = sterms[1:] != sterms[:-1]
+        seg = np.cumsum(new_seg) - 1
+        df_per_seg = np.bincount(seg)
+        df = np.empty(len(terms), dtype=np.float64)
+        df[order] = df_per_seg[seg]
+        score = (tf / ndoc) * np.log(float(total_docs) / df)
+        dpart = (ids % nparts).astype(np.int32)
+        return pa.table(
+            {
+                "__dpart": pa.array(dpart),
+                id_col: pa.array(ids, type=pa.int64()),
+                "term": pa.array(list(terms), type=pa.string()),
+                "tfidf": pa.array(score, type=pa.float64()),
+            }
+        )
+
+    def topk_doc(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        terms = np.asarray(g["term"].to_pylist(), dtype=object)
+        score = np.asarray(g["tfidf"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        order = np.lexsort((terms, -score, ids))
+        ids, terms, score = ids[order], terms[order], score[order]
+        new_doc = np.ones(len(ids), dtype=bool)
+        new_doc[1:] = ids[1:] != ids[:-1]
+        starts = np.cumsum(new_doc) - 1
+        rank = np.arange(len(ids)) - np.concatenate(([0], np.nonzero(new_doc)[0][1:]))[starts] if len(ids) else np.empty(0, np.int64)
+        keep = rank < k
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], type=pa.int64()),
+                "term": pa.array(list(terms[keep]), type=pa.string()),
+                "tfidf": pa.array(np.round(score[keep], 6), type=pa.float64()),
+            }
+        )
+
+    scored = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(per_doc_terms, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(score_part, batch_format="pyarrow")
+    )
+    return scored.groupby("__dpart").map_groups(topk_doc, batch_format="pyarrow")
