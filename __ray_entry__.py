@@ -736,6 +736,64 @@ def q_tfidf_top_terms(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df[["doc_id", "term", "tfidf"]], preserve_index=False)
 
 
+def q_range_join_price_bands(sf_dir: str) -> pa.Table:
+    """Range (interval) join — operator Ray Data lacks: every lineitem
+    whose extendedprice falls in a part-derived price band
+    [p_retailprice*p_size - 25, + 25). Equi-depth point binning +
+    interval replication + per-bin vectorized containment."""
+    import numpy as np
+    import ray.data
+
+    from weiser_ai_ray.pipelines.rangejoin import interval_join
+
+    points = __rps(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    part = __rps(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_size", "p_retailprice"],
+    )
+
+    def bands(batch: pa.Table) -> pa.Table:
+        pk = np.asarray(batch["p_partkey"].to_numpy(zero_copy_only=False))
+        b = batch.filter(pa.array(pk % 19 == 0))
+        mid = np.asarray(
+            b["p_retailprice"].to_numpy(zero_copy_only=False)
+        ) * np.asarray(b["p_size"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "p_partkey": b["p_partkey"],
+                "lo": pa.array(mid - 25.0, type=pa.float64()),
+                "hi": pa.array(mid + 25.0, type=pa.float64()),
+            }
+        )
+
+    intervals = part.map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
+    df = (
+        interval_join(
+            points,
+            intervals,
+            point_col="l_extendedprice",
+            lo_col="lo",
+            hi_col="hi",
+            point_cols=["l_orderkey", "l_linenumber", "l_extendedprice"],
+            interval_cols=["p_partkey"],
+        )
+        .to_pandas()
+        .sort_values(["l_orderkey", "l_linenumber", "p_partkey"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "l_orderkey": pa.array(df["l_orderkey"], type=pa.int64()),
+            "l_linenumber": pa.array(df["l_linenumber"], type=pa.int32()),
+            "l_extendedprice": pa.array(df["l_extendedprice"], type=pa.float64()),
+            "p_partkey": pa.array(df["p_partkey"], type=pa.int64()),
+        }
+    )
+
+
 def q_ann_topk(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1326,6 +1384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores_documents": q_repetition_scores,
         "top_2grams_documents": q_top_2grams,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "range_join_price_bands": q_range_join_price_bands,
         # -- oracle-backed, trivially green twice: window-overflow ballast --
         "row_count_orders": q_row_count_orders,
         "sum_lineitem_qty": q_sum_lineitem_qty,
@@ -1584,6 +1643,17 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, term, ROUND(s, 6) AS tfidf FROM scored"
             " QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term ASC) <= 3"
             " ORDER BY doc_id, term"
+        ),
+        # range (interval) join: lineitem prices inside part-derived
+        # half-open price bands [mid-25, mid+25)
+        "range_join_price_bands": (
+            "SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, i.p_partkey"
+            " FROM lineitem l JOIN ("
+            "  SELECT p_partkey, p_retailprice*p_size - 25.0 AS lo,"
+            "   p_retailprice*p_size + 25.0 AS hi FROM part"
+            "  WHERE p_partkey % 19 = 0) i"
+            " ON l.l_extendedprice >= i.lo AND l.l_extendedprice < i.hi"
+            " ORDER BY l_orderkey, l_linenumber, p_partkey"
         ),
         # gap-based sessionization (30-min inactivity breaks); epoch-us
         # timestamps on both sides

@@ -1,0 +1,135 @@
+"""Range (interval) join vs a DuckDB inequality-join oracle."""
+
+import duckdb
+import numpy as np
+import pytest
+import ray.data
+
+from tests.conftest import SF_DIR
+from weiser_ai_ray.pipelines.rangejoin import interval_join
+
+
+def duck(sql):
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con.execute(sql).fetchall()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIntervalJoin:
+    def test_matches_duckdb_inequality_join(self):
+        points = ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet")
+        part = ray.data.read_parquet(f"{SF_DIR}/part.parquet")
+
+        def bands(batch):
+            import numpy as np
+            import pyarrow as pa
+
+            pk = np.asarray(batch["p_partkey"].to_numpy(zero_copy_only=False))
+            b = batch.filter(pa.array(pk % 19 == 0))
+            mid = np.asarray(
+                b["p_retailprice"].to_numpy(zero_copy_only=False)
+            ) * np.asarray(b["p_size"].to_numpy(zero_copy_only=False))
+            return pa.table(
+                {
+                    "p_partkey": b["p_partkey"],
+                    "lo": pa.array(mid - 25.0, type=pa.float64()),
+                    "hi": pa.array(mid + 25.0, type=pa.float64()),
+                }
+            )
+
+        intervals = part.map_batches(bands, batch_format="pyarrow")
+        got = (
+            interval_join(
+                points,
+                intervals,
+                point_col="l_extendedprice",
+                lo_col="lo",
+                hi_col="hi",
+                point_cols=["l_orderkey", "l_linenumber", "l_extendedprice"],
+                interval_cols=["p_partkey"],
+                nbins=7,
+            )
+            .to_pandas()
+            .sort_values(["l_orderkey", "l_linenumber", "p_partkey"])
+            .reset_index(drop=True)
+        )
+        want = duck(
+            """
+            SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, i.p_partkey
+            FROM lineitem l JOIN (
+              SELECT p_partkey, p_retailprice*p_size - 25.0 lo,
+                     p_retailprice*p_size + 25.0 hi
+              FROM part WHERE p_partkey % 19 = 0) i
+            ON l.l_extendedprice >= i.lo AND l.l_extendedprice < i.hi
+            ORDER BY l_orderkey, l_linenumber, p_partkey
+            """
+        )
+        assert len(got) == len(want)
+        for row, (ok, ln, px, pk) in zip(got.itertuples(), want):
+            assert (row.l_orderkey, row.l_linenumber, row.p_partkey) == (ok, ln, pk)
+            assert row.l_extendedprice == pytest.approx(px)
+
+    def test_boundary_null_and_empty_intervals(self):
+        # half-open semantics at exact edges; nulls and lo>=hi never match;
+        # overlapping intervals each emit their own pair (many-to-many)
+        pts = ray.data.from_items(
+            [
+                {"pid": 0, "v": 10.0},
+                {"pid": 1, "v": 20.0},   # == hi of A -> excluded
+                {"pid": 2, "v": 15.0},   # inside A and B
+                {"pid": 3, "v": None},
+                {"pid": 4, "v": 5.0},    # lo of B is 5 -> included
+            ]
+        )
+        ivs = ray.data.from_items(
+            [
+                {"iid": 100, "lo": 10.0, "hi": 20.0},  # A
+                {"iid": 200, "lo": 5.0, "hi": 16.0},   # B
+                {"iid": 300, "lo": 30.0, "hi": 30.0},  # empty
+                {"iid": 400, "lo": None, "hi": 50.0},  # null
+            ]
+        )
+        out = (
+            interval_join(
+                pts, ivs, "v", "lo", "hi",
+                point_cols=["pid"], interval_cols=["iid"], nbins=3,
+            )
+            .to_pandas()
+            .sort_values(["pid", "iid"])
+            .reset_index(drop=True)
+        )
+        pairs = list(zip(out.pid, out.iid))
+        assert pairs == [(0, 100), (0, 200), (2, 100), (2, 200), (4, 200)]
+
+    def test_interval_spanning_many_bins(self):
+        # one wide interval replicated across every bin still matches
+        # each point exactly once (point's home bin owns the pair)
+        rng = np.random.default_rng(7)
+        vals = rng.uniform(0, 1000, size=5000)
+        pts = ray.data.from_items(
+            [{"pid": i, "v": float(v)} for i, v in enumerate(vals)]
+        ).repartition(8)
+        ivs = ray.data.from_items(
+            [
+                {"iid": 1, "lo": -1.0, "hi": 2000.0},
+                {"iid": 2, "lo": 250.0, "hi": 500.0},
+            ]
+        )
+        out = interval_join(
+            pts, ivs, "v", "lo", "hi",
+            point_cols=["pid"], interval_cols=["iid"], nbins=16,
+        ).to_pandas()
+        wide = out[out.iid == 1]
+        assert len(wide) == 5000
+        assert wide.pid.is_unique
+        narrow = out[out.iid == 2]
+        expect = ((vals >= 250.0) & (vals < 500.0)).sum()
+        assert len(narrow) == expect
+
+    def test_collision_guard(self):
+        pts = ray.data.from_items([{"x": 1.0}])
+        ivs = ray.data.from_items([{"x": 1.0, "lo": 0.0, "hi": 2.0}])
+        with pytest.raises(ValueError):
+            interval_join(pts, ivs, "x", "lo", "hi", ["x"], ["x"])

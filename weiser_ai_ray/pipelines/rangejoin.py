@@ -1,0 +1,198 @@
+"""Range (interval) join: match point rows to interval rows with
+``lo <= point < hi`` — the inequality-join family the brief lists next
+to as-of joins and windowed aggregates. Not in the reference
+(SURVEY.md §2.8: the reference pushes all SQL to a database); Ray Data
+has no native inequality join, so this is the composed plan:
+
+  1. equi-depth BIN EDGES from a bounded deterministic sample of the
+     point column (driver holds O(sample_n) values, never the column):
+     skewed point distributions still give even bin populations;
+  2. every point row is keyed to exactly ONE bin
+     (``searchsorted(edges, v)``) — the big side shuffles once, no
+     replication;
+  3. every interval row is REPLICATED to each bin its [lo, hi) span
+     overlaps — replication factor ≈ span / bin width + 1, and the
+     partitioning contract is the usual small-side one: intervals ≪
+     points (price bands, time windows, blocklists), so the
+     replicated stream stays tiny relative to the point stream;
+  4. union the two tagged streams, ``groupby(bin)`` co-groups each
+     bin's points with every interval overlapping it, and a tiled
+     vectorized containment mask emits the matching pairs. A pair is
+     tested only in the point's single home bin, so output needs no
+     cross-partition dedup.
+
+Per-bin work is O(points_in_bin × intervals_in_bin) boolean ops,
+tiled to bound memory; with equi-depth bins that is (N/nbins) × (|I| ×
+repl / nbins) per bin — choose ``nbins`` ≈ cluster CPUs so bins stay
+cache-sized. Both int64 and float64 point domains are supported in
+their native dtype (timestamps: cast to int64 epoch first).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+_TILE = 8192  # point rows per containment-mask tile
+
+
+def _np_col(tbl: pa.Table, name: str) -> np.ndarray:
+    """Column as a native-dtype numpy array (int64 stays int64)."""
+    arr = tbl[name]
+    if pa.types.is_timestamp(arr.type):
+        arr = arr.cast(pa.int64())
+    return np.asarray(arr.to_numpy(zero_copy_only=False))
+
+
+def interval_join(
+    points: "ray.data.Dataset",
+    intervals: "ray.data.Dataset",
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    point_cols: Sequence[str],
+    interval_cols: Sequence[str],
+    nbins: Optional[int] = None,
+    sample_n: int = 65536,
+) -> "ray.data.Dataset":
+    """Inner join ``points`` × ``intervals`` on
+    ``lo_col <= point_col < hi_col`` (half-open, the SQL
+    ``p >= lo AND p < hi``). Output columns: ``point_cols`` +
+    ``interval_cols`` (disjoint names required). Null points and null
+    or empty (lo >= hi) intervals never match, like SQL comparisons.
+
+    ``point_cols`` must include every point-side column the caller
+    wants back (including ``point_col`` itself if desired); only those
+    columns travel through the shuffle.
+    """
+    overlap = set(point_cols) & set(interval_cols)
+    if overlap:
+        raise ValueError(f"output column collision: {sorted(overlap)}")
+    if nbins is None:
+        try:
+            nbins = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            nbins = 8
+
+    # -- 1. equi-depth edges from a bounded point sample (driver-tiny)
+    sample_rows = points.select_columns([point_col]).limit(sample_n).take_all()
+    sample = np.array(
+        [r[point_col] for r in sample_rows if r[point_col] is not None]
+    )
+    if sample.size == 0:
+        edges = np.array([], dtype=np.float64)
+    else:
+        qs = np.linspace(0.0, 1.0, nbins + 1)[1:-1]
+        edges = np.unique(np.quantile(sample, qs))
+    edges_ref = ray.put(edges)
+
+    def _types(ds: "ray.data.Dataset") -> dict:
+        s = ds.schema()  # Ray Schema wrapper: parallel .names / .types
+        return dict(zip(s.names, s.types))
+
+    ptypes, itypes = _types(points), _types(intervals)
+    pay_fields = [(c, ptypes[c]) for c in point_cols] + [
+        (c, itypes[c]) for c in interval_cols
+    ]
+
+    def _shell(n: int, side_tbl: pa.Table, own_cols: Sequence[str]) -> dict:
+        """Payload columns for one side: own columns pass through,
+        the other side's are typed nulls (union needs one schema)."""
+        cols = {}
+        for name, typ in pay_fields:
+            if name in own_cols:
+                cols[name] = side_tbl[name]
+            else:
+                cols[name] = pa.nulls(n, type=typ)
+        return cols
+
+    def key_points(batch: pa.Table) -> pa.Table:
+        e = ray.get(edges_ref)
+        valid = pc.is_valid(batch[point_col])
+        batch = batch.filter(valid)
+        v = _np_col(batch, point_col)
+        b = np.searchsorted(e, v, side="right").astype(np.int64) if len(v) else np.empty(0, np.int64)
+        cols = {
+            "__bin": pa.array(b),
+            "__isiv": pa.array(np.zeros(len(v), dtype=bool)),
+            "__pv": pa.array(v.astype(np.float64), type=pa.float64()),
+            "__lo": pa.nulls(len(v), type=pa.float64()),
+            "__hi": pa.nulls(len(v), type=pa.float64()),
+        }
+        cols.update(_shell(len(v), batch, point_cols))
+        return pa.table(cols)
+
+    def explode_intervals(batch: pa.Table) -> pa.Table:
+        e = ray.get(edges_ref)
+        valid = pc.and_(pc.is_valid(batch[lo_col]), pc.is_valid(batch[hi_col]))
+        batch = batch.filter(valid)
+        lo = _np_col(batch, lo_col).astype(np.float64)
+        hi = _np_col(batch, hi_col).astype(np.float64)
+        live = lo < hi
+        batch, lo, hi = batch.filter(pa.array(live)), lo[live], hi[live]
+        # bins spanned by [lo, hi): a point p has bin = #edges <= p, so
+        # the span covers searchsorted(lo,'right') .. searchsorted(hi,'left')
+        b0 = np.searchsorted(e, lo, side="right").astype(np.int64)
+        b1 = np.searchsorted(e, hi, side="left").astype(np.int64)
+        reps = b1 - b0 + 1
+        idx = np.repeat(np.arange(len(lo), dtype=np.int64), reps)
+        bins = (
+            np.concatenate([np.arange(a, b + 1) for a, b in zip(b0, b1)])
+            if len(lo)
+            else np.empty(0, np.int64)
+        )
+        rep_tbl = batch.take(pa.array(idx))
+        n = len(bins)
+        cols = {
+            "__bin": pa.array(bins),
+            "__isiv": pa.array(np.ones(n, dtype=bool)),
+            "__pv": pa.nulls(n, type=pa.float64()),
+            "__lo": pa.array(lo[idx], type=pa.float64()),
+            "__hi": pa.array(hi[idx], type=pa.float64()),
+        }
+        cols.update(_shell(n, rep_tbl, interval_cols))
+        return pa.table(cols)
+
+    pts = points.select_columns(
+        sorted(set(point_cols) | {point_col})
+    ).map_batches(key_points, batch_format="pyarrow", zero_copy_batch=True)
+    ivs = intervals.select_columns(
+        sorted(set(interval_cols) | {lo_col, hi_col})
+    ).map_batches(explode_intervals, batch_format="pyarrow", zero_copy_batch=True)
+
+    out_names = list(point_cols) + list(interval_cols)
+
+    def join_bin(group: pa.Table) -> pa.Table:
+        isiv = np.asarray(group["__isiv"].to_numpy(zero_copy_only=False), dtype=bool)
+        if isiv.all() or (~isiv).all():
+            return pa.table(
+                {name: pa.array([], type=typ) for name, typ in pay_fields}
+            )
+        pt = group.filter(pa.array(~isiv))
+        iv = group.filter(pa.array(isiv))
+        pv = np.asarray(pt["__pv"].to_numpy(zero_copy_only=False))
+        lo = np.asarray(iv["__lo"].to_numpy(zero_copy_only=False))
+        hi = np.asarray(iv["__hi"].to_numpy(zero_copy_only=False))
+        p_idx_parts, i_idx_parts = [], []
+        for s in range(0, len(pv), _TILE):
+            seg = pv[s : s + _TILE]
+            mask = (seg[:, None] >= lo[None, :]) & (seg[:, None] < hi[None, :])
+            pi, ii = np.nonzero(mask)
+            p_idx_parts.append(pi + s)
+            i_idx_parts.append(ii)
+        p_idx = np.concatenate(p_idx_parts)
+        i_idx = np.concatenate(i_idx_parts)
+        left = pt.select(list(point_cols)).take(pa.array(p_idx))
+        right = iv.select(list(interval_cols)).take(pa.array(i_idx))
+        cols = {c: left[c] for c in point_cols}
+        cols.update({c: right[c] for c in interval_cols})
+        return pa.table(cols).select(out_names)
+
+    return pts.union(ivs).groupby("__bin").map_groups(
+        join_bin, batch_format="pyarrow"
+    )
