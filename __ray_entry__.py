@@ -794,6 +794,33 @@ def q_range_join_price_bands(sf_dir: str) -> pa.Table:
     )
 
 
+def q_embedding_kmeans(sf_dir: str) -> pa.Table:
+    """Distributed Lloyd's k-means over the embeddings table (rows-only:
+    iterative clustering has no single-statement SQL oracle). Returns
+    per-cluster sizes — k rows, layout-stable for well-separated data
+    and bounded (k) regardless of corpus size."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.clustering import kmeans
+
+    ds = __rps(os.path.join(sf_dir, "embeddings.parquet"))
+    out, _ = kmeans(ds, k=8, iters=10, seed=5)
+    df = (
+        out.to_pandas()
+        .groupby("cluster", as_index=False)
+        .size()
+        .rename(columns={"size": "n_vecs"})
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "cluster": pa.array(df["cluster"], type=pa.int64()),
+            "n_vecs": pa.array(df["n_vecs"], type=pa.int64()),
+        }
+    )
+
+
 def q_ann_topk(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1404,6 +1431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "approx_distinct_orderkey": q_approx_distinct_orderkey,
         "lsh_topk": q_lsh_topk,
+        "embedding_kmeans": q_embedding_kmeans,
         "metrics_last_values": q_metrics_last_values,
     }
 

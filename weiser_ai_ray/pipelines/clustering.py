@@ -1,0 +1,188 @@
+"""Distributed k-means over an embedding column (Lloyd's iterations).
+
+Not in the reference (SURVEY.md §2.8) — the clustering primitive a
+training-data pipeline needs for corpus partitioning, cluster-balanced
+sampling, and SemDeDup-style near-dup pruning. Built Ray-Data-first:
+
+  * init: k-means++ on a bounded deterministic sample (driver holds
+    O(sample_n × dim), never the corpus);
+  * one Lloyd sweep = ``map_batches`` emitting ≤k fixed-width partial
+    rows per batch (cluster, count, vector sum, SSE) with the current
+    centroids broadcast ONCE per sweep via ``ray.put`` — then a k-group
+    ``groupby(cluster).map_groups`` reduce and a k-row ``take_all``;
+    driver state is O(k × dim) regardless of corpus size;
+  * the projected (id, vec) dataset is ``materialize()``d once and
+    re-swept from the object store each iteration — the standard Ray
+    iterative-refinement pattern (blocks spill under pressure rather
+    than re-parsing parquet T times); pass ``materialize=False`` to
+    re-read lazily instead when the input is cheaper to re-scan than
+    to hold;
+  * final pass assigns every row to its nearest centroid and streams
+    the (id, cluster, dist2) table out — no driver collection.
+
+Empty clusters keep their previous centroid (documented; k-means++
+over a representative sample makes them rare). Partial sums are
+float64 and associativity-order varies across runs, so assignments of
+points near-equidistant between centroids may flip — callers needing
+bit-stable output should round centroids between sweeps.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _kmeanspp_init(sample: np.ndarray, k: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    n = sample.shape[0]
+    first = int(rng.integers(n))
+    cents = [sample[first]]
+    d2 = ((sample - cents[0]) ** 2).sum(axis=1)
+    for _ in range(1, min(k, n)):
+        tot = d2.sum()
+        if tot <= 0:
+            idx = int(rng.integers(n))
+        else:
+            idx = int(rng.choice(n, p=d2 / tot))
+        cents.append(sample[idx])
+        d2 = np.minimum(d2, ((sample - cents[-1]) ** 2).sum(axis=1))
+    return np.stack(cents)
+
+
+def kmeans(
+    ds: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 10,
+    seed: int = 7,
+    sample_n: int = 4096,
+    tol: float = 1e-6,
+    materialize: bool = True,
+) -> Tuple["ray.data.Dataset", np.ndarray]:
+    """Lloyd's k-means (Euclidean). Returns ``(assignments, centroids)``
+    where assignments is a streaming Dataset ``(id_col, cluster:int64,
+    dist2:float64)`` and centroids a (k × dim) float64 array. Stops
+    early when the max centroid shift (L2²) drops below ``tol``."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"__id": batch[id_col].cast(pa.int64()), "__v": batch[vec_col]})
+
+    work = ds.select_columns([id_col, vec_col]).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if materialize:
+        work = work.materialize()
+
+    sample_rows = work.limit(sample_n).take_all()
+    sample = np.array([r["__v"] for r in sample_rows], dtype=np.float64)
+    if sample.size == 0:
+        raise ValueError("kmeans: empty input dataset")
+    C = _kmeanspp_init(sample, k, seed)
+    k_eff = C.shape[0]
+
+    def sweep_partials(cents_ref):
+        def fn(batch: pa.Table) -> pa.Table:
+            cents = ray.get(cents_ref)
+            mat = np.array(batch["__v"].to_pylist(), dtype=np.float64)
+            if not mat.size:
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                        "s": pa.array([], pa.list_(pa.float64())),
+                        "sse": pa.array([], pa.float64()),
+                    }
+                )
+            # dist² via the expansion trick: one (batch × k) matmul
+            d2 = (
+                (mat * mat).sum(axis=1)[:, None]
+                - 2.0 * mat @ cents.T
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            a = np.argmin(d2, axis=1)
+            best = d2[np.arange(len(a)), a]
+            cells, inv = np.unique(a, return_inverse=True)
+            sums = np.zeros((len(cells), mat.shape[1]), dtype=np.float64)
+            np.add.at(sums, inv, mat)
+            cnt = np.bincount(inv).astype(np.int64)
+            sse = np.zeros(len(cells), dtype=np.float64)
+            np.add.at(sse, inv, best)
+            return pa.table(
+                {
+                    "cluster": pa.array(cells.astype(np.int64)),
+                    "n": pa.array(cnt),
+                    "s": pa.array(sums.tolist(), type=pa.list_(pa.float64())),
+                    "sse": pa.array(sse, type=pa.float64()),
+                }
+            )
+
+        return fn
+
+    def reduce_cell(g: pa.Table) -> pa.Table:
+        s = np.array(g["s"].to_pylist(), dtype=np.float64).sum(axis=0)
+        n = int(g["n"].to_numpy(zero_copy_only=False).sum())
+        sse = float(g["sse"].to_numpy(zero_copy_only=False).sum())
+        return pa.table(
+            {
+                "cluster": g["cluster"].slice(0, 1),
+                "n": pa.array([n], pa.int64()),
+                "s": pa.array([s.tolist()], type=pa.list_(pa.float64())),
+                "sse": pa.array([sse], pa.float64()),
+            }
+        )
+
+    for _ in range(iters):
+        cents_ref = ray.put(C)
+        rows = (
+            work.map_batches(
+                sweep_partials(cents_ref), batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("cluster")
+            .map_groups(reduce_cell, batch_format="pyarrow")
+            .take_all()
+        )
+        newC = C.copy()  # empty clusters keep their previous centroid
+        for r in rows:
+            c = int(r["cluster"])
+            if r["n"] > 0:
+                newC[c] = np.asarray(r["s"], dtype=np.float64) / float(r["n"])
+        shift = float(((newC - C) ** 2).sum(axis=1).max())
+        C = newC
+        if shift < tol:
+            break
+
+    final_ref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(final_ref)
+        mat = np.array(batch["__v"].to_pylist(), dtype=np.float64)
+        if not mat.size:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "dist2": pa.array([], pa.float64()),
+                }
+            )
+        d2 = (
+            (mat * mat).sum(axis=1)[:, None]
+            - 2.0 * mat @ cents.T
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        a = np.argmin(d2, axis=1)
+        return pa.table(
+            {
+                id_col: batch["__id"],
+                "cluster": pa.array(a.astype(np.int64)),
+                "dist2": pa.array(np.maximum(d2[np.arange(len(a)), a], 0.0), type=pa.float64()),
+            }
+        )
+
+    out = work.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    return out, C
