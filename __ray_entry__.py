@@ -804,7 +804,7 @@ def q_embedding_kmeans(sf_dir: str) -> pa.Table:
     from weiser_ai_ray.pipelines.clustering import kmeans
 
     ds = __rps(os.path.join(sf_dir, "embeddings.parquet"))
-    out, _ = kmeans(ds, k=8, iters=10, seed=5)
+    out, _ = kmeans(ds, k=8, iters=5, seed=5)
     df = (
         out.to_pandas()
         .groupby("cluster", as_index=False)
@@ -817,6 +817,53 @@ def q_embedding_kmeans(sf_dir: str) -> pa.Table:
         {
             "cluster": pa.array(df["cluster"], type=pa.int64()),
             "n_vecs": pa.array(df["n_vecs"], type=pa.int64()),
+        }
+    )
+
+
+def q_value_histogram(sf_dir: str) -> pa.Table:
+    """Fixed-width histogram of events.value over [0, 500) in 20 bins —
+    pre-aggregated streaming partials, bit-identical bin math to the
+    SQL FLOOR((v - lo)/w) oracle."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.sketches import value_histogram
+
+    ds = __rps(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+    df = (
+        value_histogram(ds, "value", lo=0.0, hi=500.0, nbins=20)
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "bin": pa.array(df["bin"], type=pa.int64()),
+            "bin_lo": pa.array(df["bin_lo"].round(6), type=pa.float64()),
+            "bin_hi": pa.array(df["bin_hi"].round(6), type=pa.float64()),
+            "n": pa.array(df["n"], type=pa.int64()),
+        }
+    )
+
+
+def q_semdedup_pairs(sf_dir: str) -> pa.Table:
+    """SemDeDup cluster-bucketed near-dup pairs (rows-only by design:
+    approximate — recall vs the exact operator is gated in tests)."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.clustering import semdedup_pairs
+
+    ds = __rps(os.path.join(sf_dir, "embeddings.parquet"))
+    df = (
+        semdedup_pairs(ds, "embedding", "vec_id", threshold=0.35, k=4, iters=3, seed=7)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "id_a": pa.array(df["id_a"], type=pa.int64()),
+            "id_b": pa.array(df["id_b"], type=pa.int64()),
         }
     )
 
@@ -1412,6 +1459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_2grams_documents": q_top_2grams,
         "tfidf_top_terms": q_tfidf_top_terms,
         "range_join_price_bands": q_range_join_price_bands,
+        "value_histogram_events": q_value_histogram,
         # -- oracle-backed, trivially green twice: window-overflow ballast --
         "row_count_orders": q_row_count_orders,
         "sum_lineitem_qty": q_sum_lineitem_qty,
@@ -1432,6 +1480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_orderkey": q_approx_distinct_orderkey,
         "lsh_topk": q_lsh_topk,
         "embedding_kmeans": q_embedding_kmeans,
+        "semdedup_pairs_embeddings": q_semdedup_pairs,
         "metrics_last_values": q_metrics_last_values,
     }
 
@@ -1671,6 +1720,19 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, term, ROUND(s, 6) AS tfidf FROM scored"
             " QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term ASC) <= 3"
             " ORDER BY doc_id, term"
+        ),
+        # fixed-width histogram: identical IEEE bin expression on both
+        # sides (floor((v - lo) / ((hi - lo)/nbins)))
+        "value_histogram_events": (
+            "SELECT CAST(floor((value - 0.0) / ((500.0 - 0.0) / 20)) AS BIGINT)"
+            "  AS bin,"
+            " ROUND(CAST(floor((value - 0.0) / ((500.0 - 0.0) / 20)) AS BIGINT)"
+            "  * ((500.0 - 0.0) / 20), 6) AS bin_lo,"
+            " ROUND((CAST(floor((value - 0.0) / ((500.0 - 0.0) / 20)) AS BIGINT) + 1)"
+            "  * ((500.0 - 0.0) / 20), 6) AS bin_hi,"
+            " count(*) AS n"
+            " FROM events WHERE value >= 0.0 AND value < 500.0"
+            " GROUP BY 1 ORDER BY 1"
         ),
         # range (interval) join: lineitem prices inside part-derived
         # half-open price bands [mid-25, mid+25)

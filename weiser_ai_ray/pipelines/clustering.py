@@ -186,3 +186,86 @@ def kmeans(
 
     out = work.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
     return out, C
+
+
+def semdedup_pairs(
+    ds: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    k: int = 64,
+    iters: int = 5,
+    seed: int = 7,
+    sample_n: int = 4096,
+    tile: int = 4096,
+) -> "ray.data.Dataset":
+    """SemDeDup-style near-duplicate pairs: k-means buckets the corpus,
+    then each cluster emits its internal pairs with cosine >= threshold
+    (id_a < id_b, same schema as ``dedup.embedding_neardup_pairs``).
+
+    This is the cluster-bucketed APPROXIMATE path (Abbas et al. 2023,
+    "SemDeDup"): a pair is found only if both vectors land in the same
+    cluster — near-identical vectors nearly always do, but recall < 1
+    by design (gate it in tests against the exact operator). Per-
+    cluster work is O(m²) cosine tiles, so pick ``k ≈ N / target_rows``
+    to bound m; the k-means sweeps themselves are O(k × dim) driver
+    state (see ``kmeans``). The shuffle moves (cluster, id, vec) rows
+    once — no all-pairs traffic, unlike the exact operator's
+    O((N/B)²) block grid."""
+    _, C = kmeans(
+        ds, vec_col=vec_col, id_col=id_col, k=k, iters=iters, seed=seed,
+        sample_n=sample_n, materialize=False,
+    )
+    cents_ref = ray.put(C)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        mat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        if not mat.size:
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int64()),
+                    "__id": pa.array([], pa.int64()),
+                    "__nv": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        d2 = (
+            (mat * mat).sum(axis=1)[:, None]
+            - 2.0 * mat @ cents.T
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        a = np.argmin(d2, axis=1)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return pa.table(
+            {
+                "cluster": pa.array(a.astype(np.int64)),
+                "__id": batch[id_col].cast(pa.int64()),
+                "__nv": pa.array((mat / norms).tolist(), type=pa.list_(pa.float64())),
+            }
+        )
+
+    def prune(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g["__id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        mat = np.array(g["__nv"].to_pylist(), dtype=np.float64)
+        out_a, out_b = [], []
+        for s in range(0, len(ids), tile):
+            sims = mat[s : s + tile] @ mat.T
+            ia, ib = np.nonzero(sims >= threshold)
+            left, right = ids[ia + s], ids[ib]
+            keep = left < right
+            out_a.append(left[keep])
+            out_b.append(right[keep])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "id_a": pa.array(a, type=pa.int64()),
+                "id_b": pa.array(b, type=pa.int64()),
+            }
+        )
+
+    keyed = ds.select_columns([id_col, vec_col]).map_batches(
+        bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return keyed.groupby("cluster").map_groups(prune, batch_format="pyarrow")

@@ -79,11 +79,28 @@ def interval_join(
         except Exception:
             nbins = 8
 
-    # -- 1. equi-depth edges from a bounded point sample (driver-tiny)
-    sample_rows = points.select_columns([point_col]).limit(sample_n).take_all()
-    sample = np.array(
-        [r[point_col] for r in sample_rows if r[point_col] is not None]
+    # -- 1. equi-depth edges from a bounded point sample. Strided
+    # per-batch subsample across EVERY block (not limit(), which reads
+    # only the first blocks and would collapse a time-sorted input
+    # into one bin): ≤32 values per batch, so the driver holds
+    # O(32 × blocks) scalars from one narrow-column pass.
+    def _subsample(batch: pa.Table) -> pa.Table:
+        col = batch[point_col].drop_null()
+        n = len(col)
+        if n == 0:
+            return pa.table({point_col: pa.array([], batch[point_col].type)})
+        idx = np.unique(np.linspace(0, n - 1, num=min(32, n)).astype(np.int64))
+        return pa.table({point_col: col.take(pa.array(idx))})
+
+    sample_rows = (
+        points.select_columns([point_col])
+        .map_batches(_subsample, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
     )
+    sample = np.array([r[point_col] for r in sample_rows])
+    if sample.size > sample_n:
+        stride = np.linspace(0, sample.size - 1, num=sample_n).astype(np.int64)
+        sample = np.sort(sample)[np.unique(stride)]
     if sample.size == 0:
         edges = np.array([], dtype=np.float64)
     else:

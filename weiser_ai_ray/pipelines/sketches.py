@@ -161,3 +161,61 @@ def approx_count_distinct_by(
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     out = partials.groupby(group).map_groups(combine, batch_format="pyarrow")
     return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+
+
+def value_histogram(
+    ds: "ray.data.Dataset",
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> "ray.data.Dataset":
+    """Fixed-width histogram of a numeric column over [lo, hi):
+    (bin, bin_lo, bin_hi, n) for every NON-EMPTY bin, where
+    ``bin = floor((v - lo) / w)`` and ``w = (hi - lo) / nbins`` — the
+    exact IEEE expression an ANSI ``FLOOR((v - lo)/w)`` oracle
+    computes, so bin assignment is bit-identical to SQL. Values
+    outside [lo, hi) and nulls are dropped, like a SQL WHERE.
+
+    Pure pre-aggregated streaming: each batch reduces to ≤nbins
+    (bin, count) rows (one vectorized bincount), the only shuffle is
+    the ≤ blocks × nbins partial stream into an nbins-group sum —
+    corpus size never appears in the shuffle volume."""
+    if not (hi > lo) or nbins <= 0:
+        raise ValueError("value_histogram: need hi > lo and nbins > 0")
+    w = (hi - lo) / nbins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        v = v[(v >= lo) & (v < hi)]
+        if not len(v):
+            return pa.table(
+                {"bin": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        b = np.floor((v - lo) / w).astype(np.int64)
+        np.clip(b, 0, nbins - 1, out=b)  # guard float edge spill only
+        cnt = np.bincount(b, minlength=0)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "bin": pa.array(nz.astype(np.int64)),
+                "n": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        b = int(g["bin"][0].as_py())
+        return pa.table(
+            {
+                "bin": pa.array([b], pa.int64()),
+                "bin_lo": pa.array([lo + b * w], pa.float64()),
+                "bin_hi": pa.array([lo + (b + 1) * w], pa.float64()),
+                "n": pa.array([int(g["n"].to_numpy(zero_copy_only=False).sum())], pa.int64()),
+            }
+        )
+
+    partials = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("bin").map_groups(finalize, batch_format="pyarrow")
