@@ -868,6 +868,83 @@ def q_semdedup_pairs(sf_dir: str) -> pa.Table:
     )
 
 
+def q_train_bigram_lm(sf_dir: str) -> pa.Table:
+    """Corpus-wide MLE bigram LM training (the count step behind the
+    KenLM-style scorer): (w1, w2, cnt, logp) for pairs seen ≥2 times.
+    One digest shuffle partitioned by hash(w1) — conditional
+    probabilities computed locally per partition, no join."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.repetition import train_bigram_lm
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    df = (
+        train_bigram_lm(ds, min_count=2)
+        .to_pandas()
+        .sort_values(["w1", "w2"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "w1": pa.array(df["w1"], type=pa.string()),
+            "w2": pa.array(df["w2"], type=pa.string()),
+            "cnt": pa.array(df["cnt"], type=pa.int64()),
+            "logp": pa.array(df["logp"], type=pa.float64()),
+        }
+    )
+
+
+def q_score_bigram_lm(sf_dir: str) -> pa.Table:
+    """Train the bigram LM on the corpus, then score every document
+    against it (per-doc mean logp over bigram instances, unseen pairs
+    floored at -20) — the north star's perplexity gate with a model
+    this engine trained itself. Broadcast sorted-hash LM line; the
+    corpus streams with zero shuffle."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.repetition import score_bigram_lm, train_bigram_lm
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    lm = train_bigram_lm(ds, min_count=2)
+    df = (
+        score_bigram_lm(ds, lm, floor_logp=-20.0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"], type=pa.int64()),
+            "n_bigrams": pa.array(df["n_bigrams"], type=pa.int64()),
+            "avg_logp": pa.array(df["avg_logp"], type=pa.float64()),
+        }
+    )
+
+
+def q_sample_weighted(sf_dir: str) -> pa.Table:
+    """Per-row-weighted deterministic Bernoulli sample (importance
+    resampling): keep probability min(1, n_chars/900), decided on the
+    md5 hex line at 32-bit granularity — bit-identical to the SQL
+    oracle's ('0x'||substr(md5,1,8))::BIGINT comparison."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.sampling import sample_weighted
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"])
+    df = (
+        sample_weighted(ds, "doc_id", "n_chars", scale=1.0 / 900.0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"], type=pa.int64()),
+            "n_chars": pa.array(df["n_chars"], type=pa.int64()),
+        }
+    )
+
+
 def q_ann_topk(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1460,6 +1537,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "range_join_price_bands": q_range_join_price_bands,
         "value_histogram_events": q_value_histogram,
+        "train_bigram_lm": q_train_bigram_lm,
+        "score_bigram_lm_docs": q_score_bigram_lm,
+        "sample_weighted_docs": q_sample_weighted,
         # -- oracle-backed, trivially green twice: window-overflow ballast --
         "row_count_orders": q_row_count_orders,
         "sum_lineitem_qty": q_sum_lineitem_qty,
@@ -1720,6 +1800,54 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, term, ROUND(s, 6) AS tfidf FROM scored"
             " QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term ASC) <= 3"
             " ORDER BY doc_id, term"
+        ),
+        # train-then-score: per-doc mean of ROUND(ln(cnt/tot),6) over
+        # bigram instances, unseen pairs floored at -20
+        "score_bigram_lm_docs": (
+            "WITH toks AS (SELECT doc_id,"
+            " list_filter(regexp_split_to_array(coalesce(text,''),'\\s+'), x->x!='') w"
+            " FROM documents),"
+            " g AS (SELECT doc_id,"
+            "  unnest(CASE WHEN len(w)>=2 THEN"
+            "   list_transform(generate_series(1,len(w)-1), i->w[i]) ELSE [] END) w1,"
+            "  unnest(CASE WHEN len(w)>=2 THEN"
+            "   list_transform(generate_series(1,len(w)-1), i->w[i+1]) ELSE [] END) w2"
+            "  FROM toks),"
+            " c2 AS (SELECT w1, w2, count(*)::BIGINT cnt FROM g GROUP BY 1, 2),"
+            " c1 AS (SELECT w1, sum(cnt) tot FROM c2 GROUP BY 1),"
+            " lm AS (SELECT c2.w1, c2.w2, ROUND(ln(c2.cnt / c1.tot), 6) logp"
+            "  FROM c2 JOIN c1 USING (w1) WHERE c2.cnt >= 2)"
+            " SELECT g.doc_id, count(*)::BIGINT AS n_bigrams,"
+            "  ROUND(avg(coalesce(lm.logp, -20.0)), 6) AS avg_logp"
+            " FROM g LEFT JOIN lm ON g.w1 = lm.w1 AND g.w2 = lm.w2"
+            " GROUP BY g.doc_id ORDER BY g.doc_id"
+        ),
+        # weighted Bernoulli sample: 32-bit md5 prefix vs per-row
+        # floor(min(1, w*s) * 2^32) threshold — identical IEEE ops
+        "sample_weighted_docs": (
+            "SELECT doc_id, n_chars FROM documents"
+            " WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT"
+            "  < CAST(floor(least(1.0, n_chars * (1.0/900.0)) * 4294967296.0)"
+            "    AS BIGINT)"
+            " ORDER BY doc_id"
+        ),
+        # MLE bigram LM: denominators sum over ALL pairs of the context
+        # word; min_count prunes output rows only
+        "train_bigram_lm": (
+            "WITH toks AS (SELECT"
+            " list_filter(regexp_split_to_array(coalesce(text,''),'\\s+'), x->x!='') w"
+            " FROM documents),"
+            " g AS (SELECT"
+            "  unnest(CASE WHEN len(w)>=2 THEN"
+            "   list_transform(generate_series(1,len(w)-1), i->w[i]) ELSE [] END) w1,"
+            "  unnest(CASE WHEN len(w)>=2 THEN"
+            "   list_transform(generate_series(1,len(w)-1), i->w[i+1]) ELSE [] END) w2"
+            "  FROM toks),"
+            " c2 AS (SELECT w1, w2, count(*)::BIGINT cnt FROM g GROUP BY 1, 2),"
+            " c1 AS (SELECT w1, sum(cnt) tot FROM c2 GROUP BY 1)"
+            " SELECT c2.w1, c2.w2, c2.cnt, ROUND(ln(c2.cnt / c1.tot), 6) AS logp"
+            " FROM c2 JOIN c1 USING (w1) WHERE c2.cnt >= 2"
+            " ORDER BY w1, w2"
         ),
         # fixed-width histogram: identical IEEE bin expression on both
         # sides (floor((v - lo) / ((hi - lo)/nbins)))

@@ -6,6 +6,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
+import ray.data
 
 from tests.conftest import SF_DIR
 
@@ -202,3 +203,49 @@ def test_sample_fraction_stratified_matches_duckdb(ray_session):
     src = r["source"].value_counts()
     assert "src0" in src.index
     assert set(r["source"].unique()) <= {"src0", "src1", "src2"}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSampleWeighted:
+    def test_matches_duckdb(self):
+        import duckdb
+
+        from weiser_ai_ray.pipelines.sampling import sample_weighted
+
+        ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+        got = (
+            sample_weighted(ds, "doc_id", "n_chars", scale=1.0 / 900.0)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        )
+        want = [
+            r[0]
+            for r in con.execute(
+                """
+                SELECT doc_id FROM documents
+                WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+                  < CAST(floor(least(1.0, n_chars * (1.0/900.0)) * 4294967296.0) AS BIGINT)
+                ORDER BY doc_id
+                """
+            ).fetchall()
+        ]
+        assert list(got.doc_id) == want
+        assert 0 < len(want) < ds.count()
+
+    def test_weight_extremes_and_nulls(self):
+        from weiser_ai_ray.pipelines.sampling import sample_weighted
+
+        rows = [
+            {"k": 1, "w": 10.0},   # w*scale >= 1 -> always kept
+            {"k": 2, "w": 0.0},    # zero weight -> never kept
+            {"k": None, "w": 5.0},
+            {"k": 4, "w": None},
+        ]
+        ds = ray.data.from_items(rows)
+        out = sample_weighted(ds, "k", "w", scale=1.0).to_pandas()
+        assert list(out.k) == [1]

@@ -1,0 +1,156 @@
+"""Corpus-wide MLE bigram LM training vs a DuckDB oracle."""
+
+import math
+
+import duckdb
+import pytest
+import ray.data
+
+from tests.conftest import SF_DIR
+from weiser_ai_ray.pipelines.repetition import train_bigram_lm
+
+
+def duck(sql):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    return con.execute(sql).fetchall()
+
+
+ORACLE = """
+WITH toks AS (SELECT
+  list_filter(regexp_split_to_array(coalesce(text,''),'\\s+'), x->x!='') w
+  FROM documents),
+g AS (SELECT
+  unnest(CASE WHEN len(w)>=2 THEN
+    list_transform(generate_series(1,len(w)-1), i->w[i]) ELSE [] END) w1,
+  unnest(CASE WHEN len(w)>=2 THEN
+    list_transform(generate_series(1,len(w)-1), i->w[i+1]) ELSE [] END) w2
+  FROM toks),
+c2 AS (SELECT w1, w2, count(*)::BIGINT cnt FROM g GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(cnt) tot FROM c2 GROUP BY 1)
+SELECT c2.w1, c2.w2, c2.cnt, ROUND(ln(c2.cnt / c1.tot), 6) logp
+FROM c2 JOIN c1 USING (w1) WHERE c2.cnt >= 2
+ORDER BY w1, w2
+"""
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTrainBigramLM:
+    def test_matches_duckdb_oracle(self):
+        ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+        got = (
+            train_bigram_lm(ds, min_count=2)
+            .to_pandas()
+            .sort_values(["w1", "w2"])
+            .reset_index(drop=True)
+        )
+        want = duck(ORACLE)
+        assert len(got) == len(want)
+        for row, (w1, w2, cnt, logp) in zip(got.itertuples(), want):
+            assert (row.w1, row.w2, row.cnt) == (w1, w2, cnt)
+            assert row.logp == pytest.approx(logp, abs=1e-6)
+
+    def test_hand_computed_probabilities(self):
+        # "a b" ×3, "a c" ×1 -> P(b|a)=3/4 even though "a c" (cnt 1)
+        # is pruned from the OUTPUT by min_count: denominators keep it
+        docs = [
+            {"text": "a b"},
+            {"text": "a b"},
+            {"text": "a b"},
+            {"text": "a c"},
+        ]
+        ds = ray.data.from_items(docs).repartition(2)
+        out = train_bigram_lm(ds, min_count=2).to_pandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r.w1, r.w2, r.cnt) == ("a", "b", 3)
+        assert r.logp == pytest.approx(round(math.log(3 / 4), 6), abs=1e-9)
+
+    def test_context_split_across_batches(self):
+        # the same w1 seen in different blocks must fold into ONE
+        # context total (w1-hash partitioning contract)
+        docs = [{"text": "x y"}] * 5 + [{"text": "x z"}] * 5
+        ds = ray.data.from_items(docs).repartition(5)
+        out = (
+            train_bigram_lm(ds, min_count=1)
+            .to_pandas()
+            .sort_values("w2")
+            .reset_index(drop=True)
+        )
+        assert list(out.w2) == ["y", "z"]
+        for v in out.logp:
+            assert v == pytest.approx(round(math.log(0.5), 6), abs=1e-9)
+
+    def test_empty_and_single_word_docs(self):
+        ds = ray.data.from_items(
+            [{"text": ""}, {"text": None}, {"text": "solo"}, {"text": "  "}]
+        )
+        assert train_bigram_lm(ds, min_count=1).count() == 0
+
+
+SCORE_ORACLE = """
+WITH toks AS (SELECT doc_id,
+  list_filter(regexp_split_to_array(coalesce(text,''),'\\s+'), x->x!='') w
+  FROM documents),
+g AS (SELECT doc_id,
+  unnest(CASE WHEN len(w)>=2 THEN
+    list_transform(generate_series(1,len(w)-1), i->w[i]) ELSE [] END) w1,
+  unnest(CASE WHEN len(w)>=2 THEN
+    list_transform(generate_series(1,len(w)-1), i->w[i+1]) ELSE [] END) w2
+  FROM toks),
+c2 AS (SELECT w1, w2, count(*)::BIGINT cnt FROM g GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(cnt) tot FROM c2 GROUP BY 1),
+lm AS (SELECT c2.w1, c2.w2, ROUND(ln(c2.cnt / c1.tot), 6) logp
+       FROM c2 JOIN c1 USING (w1) WHERE c2.cnt >= 2)
+SELECT g.doc_id, count(*)::BIGINT n_bigrams,
+       ROUND(avg(coalesce(lm.logp, -20.0)), 6) avg_logp
+FROM g LEFT JOIN lm ON g.w1 = lm.w1 AND g.w2 = lm.w2
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestScoreBigramLM:
+    def test_train_then_score_matches_duckdb(self):
+        from weiser_ai_ray.pipelines.repetition import score_bigram_lm
+
+        ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+        lm = train_bigram_lm(ds, min_count=2)
+        got = (
+            score_bigram_lm(ds, lm)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = duck(SCORE_ORACLE)
+        assert len(got) == len(want)
+        for row, (did, n, avg) in zip(got.itertuples(), want):
+            assert (row.doc_id, row.n_bigrams) == (did, n)
+            assert row.avg_logp == pytest.approx(avg, abs=2e-6)
+
+    def test_hand_scores_with_unseen_floor(self):
+        from weiser_ai_ray.pipelines.repetition import score_bigram_lm
+
+        train = ray.data.from_items(
+            [{"text": "a b"}, {"text": "a b"}, {"text": "a c"}, {"text": "a c"}]
+        )
+        lm = train_bigram_lm(train, min_count=2)  # P(b|a)=P(c|a)=0.5
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": "a b a c"},   # [a b]=ln.5 [b a]=floor [a c]=ln.5
+                {"doc_id": 2, "text": "z z"},        # one unseen bigram
+                {"doc_id": 3, "text": "solo"},       # no bigrams -> absent
+            ]
+        )
+        out = (
+            score_bigram_lm(docs, lm, floor_logp=-20.0)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(out.doc_id) == [1, 2]
+        l5 = round(math.log(0.5), 6)
+        assert out.loc[0, "n_bigrams"] == 3
+        assert out.loc[0, "avg_logp"] == pytest.approx(round((2 * l5 - 20.0) / 3, 6))
+        assert out.loc[1, "n_bigrams"] == 1
+        assert out.loc[1, "avg_logp"] == pytest.approx(-20.0)

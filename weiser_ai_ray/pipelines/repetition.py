@@ -41,6 +41,8 @@ def _word_rows(batch_text: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.n
     """(row_ids, word_codes, n_codes, flat_words) for a batch: words are
     whitespace-split (empties dropped — python str.split semantics),
     integer-coded via one np.unique over the flattened batch."""
+    if pa.types.is_null(batch_text.type):  # all-None block (from_items)
+        batch_text = batch_text.cast(pa.string())
     text = pc.coalesce(batch_text, pa.scalar("", type=pa.string()))
     words = pc.split_pattern_regex(text, _WS)
     if isinstance(words, pa.ChunkedArray):
@@ -280,4 +282,189 @@ def sessionize(
         events.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__part")
         .map_groups(sessions, batch_format="pyarrow")
+    )
+
+
+def train_bigram_lm(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    min_count: int = 2,
+    nparts: int | None = None,
+) -> "ray.data.Dataset":
+    """Train an MLE bigram language model over the corpus:
+    (w1, w2, cnt, logp) with ``logp = ln(cnt / Σ_w2 cnt(w1, w2))`` —
+    the count-based training step behind the KenLM-style perplexity
+    scorer the quality pipeline runs (SURVEY §0 north star; this
+    closes the loop: the same engine both trains and applies the LM).
+
+    Plan: per-batch distinct-bigram counts (one np.unique pass, the
+    ``top_ngrams`` kernel) partitioned by a stable hash of w1 ONLY —
+    every bigram sharing a context word co-locates, so each partition
+    computes its context totals and conditional probabilities locally;
+    no second shuffle or join. The shuffle carries (w1, w2, cnt)
+    digests, never text. ``min_count`` prunes the emitted rows AFTER
+    denominators are summed over all bigrams (standard MLE: rare pairs
+    are dropped from the table but still mass in the context total).
+    Tokenizer: whitespace split, empties dropped (ANSI
+    regexp_split_to_array parity, same as ``top_ngrams``)."""
+    if nparts is None:
+        try:
+            import ray
+
+            nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            nparts = 8
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "__part": pa.array([], pa.int32()),
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        row_ids, codes, ncodes, flat = _word_rows(batch[text_col])
+        _, gkey, gpos = _gram_keys(row_ids, codes, max(ncodes, 1), 2)
+        if not len(gkey):
+            return empty
+        order = np.argsort(gkey, kind="stable")
+        gkey_s = gkey[order]
+        first = np.ones(len(gkey_s), dtype=bool)
+        first[1:] = gkey_s[1:] != gkey_s[:-1]
+        rep_pos = gpos[order[first]]
+        cnts = np.diff(np.concatenate([np.nonzero(first)[0], [len(gkey_s)]]))
+        w1 = flat[rep_pos]
+        w2 = flat[rep_pos + 1]
+        part = (
+            np.array([_gram_part(w) for w in w1], dtype=np.uint64) % np.uint64(nparts)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "__part": pa.array(part),
+                "w1": pa.array(list(w1), type=pa.string()),
+                "w2": pa.array(list(w2), type=pa.string()),
+                "cnt": pa.array(cnts, type=pa.int64()),
+            }
+        )
+
+    def estimate(g: pa.Table) -> pa.Table:
+        # Arrow C++ hash group_by (coarse partitions sidestep Ray's
+        # one-group-per-row reduce pathology, cf. top_ngrams)
+        t = (
+            g.drop_columns(["__part"])
+            .group_by(["w1", "w2"])
+            .aggregate([("cnt", "sum")])
+        )
+        w1 = np.asarray(t["w1"].to_pylist(), dtype=object)
+        w2 = np.asarray(t["w2"].to_pylist(), dtype=object)
+        cnt = np.asarray(t["cnt_sum"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.argsort(w1, kind="stable")
+        w1s, w2s, cs = w1[order], w2[order], cnt[order]
+        new_ctx = np.ones(len(w1s), dtype=bool)
+        new_ctx[1:] = w1s[1:] != w1s[:-1]
+        seg = np.cumsum(new_ctx) - 1
+        tot = np.bincount(seg, weights=cs.astype(np.float64))[seg]
+        logp = np.log(cs.astype(np.float64) / tot)
+        keep = cs >= min_count
+        return pa.table(
+            {
+                "w1": pa.array(list(w1s[keep]), type=pa.string()),
+                "w2": pa.array(list(w2s[keep]), type=pa.string()),
+                "cnt": pa.array(cs[keep], type=pa.int64()),
+                "logp": pa.array(np.round(logp[keep], 6), type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(estimate, batch_format="pyarrow")
+    )
+
+
+def score_bigram_lm(
+    ds: "ray.data.Dataset",
+    lm: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    floor_logp: float = -20.0,
+) -> "ray.data.Dataset":
+    """Score every document against a (w1, w2, logp) bigram LM —
+    typically the output of ``train_bigram_lm`` on the SAME corpus,
+    closing the north star's train→apply loop (the quality pipeline's
+    perplexity gate, but with a model this engine trained itself).
+    Emits (id, n_bigrams, avg_logp) per document with ≥1 bigram;
+    unseen bigrams score ``floor_logp`` (the <unk> floor).
+
+    The LM is collected ONCE to the driver as a sorted uint64
+    hash line + logp array and broadcast via ``ray.put`` — driver and
+    per-worker state is O(LM rows), which ``min_count`` pruning keeps
+    ≪ corpus by Zipf's law (same small-side contract as the
+    decontamination blocklist). The corpus then STREAMS: per batch one
+    tokenize + distinct-gram pass, one ``searchsorted`` against the
+    broadcast line, one bincount mean per row — zero shuffle.
+
+    Gram identity is the 64-bit sha256 prefix of "w1 w2"
+    (``_gram_part``): two distinct grams colliding would mis-score one
+    gram; at 10^6 LM rows that is P ≈ 5e-8 per corpus — negligible,
+    and documented here rather than paid for with a string shuffle."""
+    rows = lm.select_columns(["w1", "w2", "logp"]).take_all()
+    h = np.fromiter(
+        (_gram_part(r["w1"] + " " + r["w2"]) for r in rows),
+        dtype=np.uint64,
+        count=len(rows),
+    )
+    lp = np.fromiter((r["logp"] for r in rows), dtype=np.float64, count=len(rows))
+    order = np.argsort(h)
+    import ray as _ray
+
+    line_ref = _ray.put((h[order], lp[order]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        hs, ls = _ray.get(line_ref)
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "n_bigrams": pa.array([], pa.int64()),
+                "avg_logp": pa.array([], pa.float64()),
+            }
+        )
+        row_ids, codes, ncodes, flat = _word_rows(batch[text_col])
+        grow, gkey, gpos = _gram_keys(row_ids, codes, max(ncodes, 1), 2)
+        if not len(gkey):
+            return empty
+        # hash each DISTINCT batch gram once, gather back to instances
+        order_b = np.argsort(gkey, kind="stable")
+        gkey_s = gkey[order_b]
+        first = np.ones(len(gkey_s), dtype=bool)
+        first[1:] = gkey_s[1:] != gkey_s[:-1]
+        rep_pos = gpos[order_b[first]]
+        grams = flat[rep_pos] + " " + flat[rep_pos + 1]
+        gh = np.array([_gram_part(g) for g in grams], dtype=np.uint64)
+        idx = np.searchsorted(hs, gh)
+        idx_c = np.minimum(idx, len(hs) - 1) if len(hs) else np.zeros(len(gh), np.int64)
+        hit = (len(hs) > 0) & (hs[idx_c] == gh) if len(hs) else np.zeros(len(gh), bool)
+        g_logp = np.where(hit, ls[idx_c] if len(hs) else 0.0, floor_logp)
+        # distinct-gram seg id per instance, then per-row instance mean
+        seg = np.cumsum(first) - 1
+        inst_logp = np.empty(len(gkey_s), dtype=np.float64)
+        inst_logp[order_b] = g_logp[seg]  # sorted-order values back to original slots
+        n = batch.num_rows
+        cnt = np.bincount(grow, minlength=n).astype(np.int64)
+        tot = np.bincount(grow, weights=inst_logp, minlength=n)
+        keep = cnt > 0
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], type=pa.int64()),
+                "n_bigrams": pa.array(cnt[keep], type=pa.int64()),
+                "avg_logp": pa.array(
+                    np.round(tot[keep] / cnt[keep], 6), type=pa.float64()
+                ),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
     )

@@ -27,6 +27,7 @@ from __future__ import annotations
 import hashlib
 from typing import Sequence
 
+import numpy as np
 import pyarrow as pa
 import ray
 
@@ -276,3 +277,40 @@ def deterministic_shuffle_rank(
         return pa.table({id_col: group[id_col], "shuffle_rank": pa.array(out_rank)})
 
     return keyed_tbl.groupby("__range").map_groups(rank_range, batch_format="pyarrow")
+
+
+def sample_weighted(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    weight_col: str,
+    scale: float = 1.0,
+) -> "ray.data.Dataset":
+    """Deterministic PER-ROW-WEIGHTED Bernoulli sample (importance
+    resampling for corpus mixing): row kept iff
+    ``u32(md5(key)) < floor(min(1, weight*scale) * 2^32)`` where u32 is
+    the first 8 hex digits of the key's md5 — i.e. keep probability
+    min(1, weight × scale), decided by the same layout-stable md5 line
+    as ``sample_fraction`` but with a per-row threshold. 32-bit
+    granularity on BOTH sides keeps it ANSI-expressible:
+    ``('0x' || substr(md5(k),1,8))::BIGINT <
+    CAST(floor(least(1.0, w*s) * 4294967296.0) AS BIGINT)`` — same
+    IEEE double product and floor, so keep decisions are bit-identical
+    to the SQL oracle. Null keys/weights drop, like SQL comparisons.
+    Streaming one-pass filter; no shuffle; no state."""
+    s = float(scale)
+
+    def keep(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_pylist()
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        thr = np.floor(np.minimum(1.0, w * s) * 4294967296.0)
+        mask = pa.array(
+            [
+                k is not None
+                and not np.isnan(t)
+                and int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) < t
+                for k, t in zip(keys, thr)
+            ]
+        )
+        return b.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
