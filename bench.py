@@ -53,6 +53,13 @@ HEADLINE_QUERIES = [
 
 
 def _quiet_ray(num_cpus: int):
+    # route transform_pyarrow's per-groupby schema-hash nuisance
+    # warning to the session log file (workers inherit the env var);
+    # see scripts/ray_data_logging.yaml
+    os.environ.setdefault(
+        "RAY_DATA_LOGGING_CONFIG",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts", "ray_data_logging.yaml"),
+    )
     import ray
 
     if not ray.is_initialized():
