@@ -1,0 +1,62 @@
+"""Standalone PII / secret scrub over a text column.
+
+The quality pipeline (pipelines/quality.py) runs the scrub inline and
+evidences parity only through keep/drop F1 + sha256 on the synthetic
+corpus; this operator exposes the scrub as its own Dataset->Dataset
+stage so the scrubbed TEXT itself is oracle-comparable (DuckDB
+regexp_replace chain, see __ray_entry__ scrub_documents).
+
+Reference anchor: the scrub rule set realizes the north rule's
+"regex PII/toxicity scrubbing (emails, IPs, API keys, secrets)";
+the reference itself has no scrub stage (weiser checks never rewrite
+data), so semantics are pinned by quality/spec.py SCRUB_RULES order.
+
+Scale notes: stateless-per-row, zero shuffle; regexes compile once per
+actor in ``Scrubber.__init__`` and literal-substring gates skip the
+regex pass for the (dominant) PII-free rows. Text leaves the operator
+scrubbed but is never collected on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..stages.scrub import Scrubber
+
+
+def scrub_texts(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    """Scrub ``text_col`` with the default rule chain.
+
+    Output: (id_col, scrubbed, n_<rule> int64 redaction counts per rule,
+    applied in declared order — later rules count matches on the
+    already-partially-scrubbed text, exactly like the in-pipeline stage).
+    """
+
+    class _ScrubStage:
+        def __init__(self):
+            self.scrubber = Scrubber()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch[text_col].to_pylist()
+            scrubbed, counts = self.scrubber.scrub_many(texts)
+            cols: dict = {
+                id_col: batch[id_col],
+                "scrubbed": pa.array(scrubbed, type=pa.large_string()),
+            }
+            for name, vec in counts.items():
+                cols[f"n_{name}"] = pa.array(np.asarray(vec, dtype=np.int64))
+            return pa.table(cols)
+
+    return ds.map_batches(
+        _ScrubStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
