@@ -1505,6 +1505,26 @@ def q_scrub_documents(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_winnow_clone_pairs(sf_dir: str) -> pa.Table:
+    """MOSS winnowing fingerprints (token 4-grams, window 4) -> clone
+    pairs sharing >= 2 fingerprints, df-capped at 256. The oracle
+    recomputes fingerprints from first principles (md5 gram hashes +
+    SQL window-min + self-join), so gram hashing, window selection,
+    df guard and pair counting are all under the hash."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.winnow import winnow_clone_pairs
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    df = (
+        winnow_clone_pairs(ds, "text", "doc_id", k=4, w=4, min_shared=2, max_df=256)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # ----------------------------------------------------------------------
 # driver entry points
 
@@ -1539,6 +1559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified_docs": q_sample_stratified_docs,
         # -- oracle-backed, new in round 3 --
         "scrub_documents": q_scrub_documents,
+        "winnow_clone_pairs": q_winnow_clone_pairs,
         "count_distinct_two_dims": q_count_distinct_two_dims,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_audio_frames": q_multimodal_audio_frames,
@@ -2154,6 +2175,26 @@ def oracle_sql() -> dict[str, str]:
             " SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,"
             "  round(avg(a), 6) AS mean_abs"
             " FROM s GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "winnow_clone_pairs": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') tk"
+            "  FROM documents),"
+            " g AS (SELECT doc_id, i,"
+            "  CAST(concat('0x', substr(md5(array_to_string(tk[i:i+3], ' ')), 1, 15)) AS BIGINT) hv,"
+            "  len(tk) - 4 + 1 AS m"
+            "  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 4 + 1)) AS i) u"
+            "  WHERE len(tk) >= 4),"
+            " wmin AS (SELECT doc_id, i, m,"
+            "  min(hv) OVER (PARTITION BY doc_id ORDER BY i"
+            "   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) mh FROM g),"
+            " fp AS (SELECT DISTINCT doc_id, mh FROM wmin WHERE i <= GREATEST(m - 4 + 1, 1)),"
+            " df AS (SELECT mh, count(*) c FROM fp GROUP BY mh),"
+            " ok AS (SELECT mh FROM df WHERE c BETWEEN 2 AND 256),"
+            " p AS (SELECT a.doc_id id_a, b.doc_id id_b"
+            "  FROM fp a JOIN fp b USING (mh) JOIN ok USING (mh)"
+            "  WHERE a.doc_id < b.doc_id)"
+            " SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared"
+            " FROM p GROUP BY 1, 2 HAVING count(*) >= 2"
         ),
         "scrub_documents": (
             "WITH c0 AS (SELECT doc_id, coalesce(text, '')"

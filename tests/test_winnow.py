@@ -1,0 +1,108 @@
+"""Winnowing fingerprints + clone pairs (pipelines/winnow.py):
+the SIGMOD-2003 guarantee (shared token run of length >= k+w-1 yields a
+shared fingerprint), df boilerplate guard, short-doc truncated window,
+and a pure-python reference parity check on random corpora."""
+
+import hashlib
+import itertools
+import random
+import re
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from weiser_ai_ray.pipelines.winnow import winnow_clone_pairs, winnow_fingerprints
+
+K, W = 4, 4
+
+
+def ref_fingerprints(text: str, k: int = K, w: int = W) -> set:
+    toks = re.findall(r"[A-Za-z0-9_]+", text or "")
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    if not hs:
+        return set()
+    if len(hs) <= w:
+        return {min(hs)}
+    return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+
+def ref_pairs(texts, min_shared=2, max_df=256):
+    fps = [ref_fingerprints(t) for t in texts]
+    df = {}
+    for f in fps:
+        for h in f:
+            df[h] = df.get(h, 0) + 1
+    ok = {h for h, c in df.items() if 2 <= c <= max_df}
+    out = {}
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        shared = len(fps[a] & fps[b] & ok)
+        if shared >= min_shared:
+            out[(a, b)] = shared
+    return out
+
+
+def _ds(texts):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts, type=pa.large_string()),
+            }
+        )
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWinnow:
+    def test_fingerprints_match_reference(self):
+        texts = [
+            "def add(a, b): return a + b",
+            "x",  # < k tokens -> no fingerprints
+            "one two three four",  # exactly k tokens -> single truncated window
+            None,
+            "the quick brown fox jumps over the lazy dog again and again",
+        ]
+        got = winnow_fingerprints(_ds(texts)).to_pandas()
+        by_doc = {d: set(g["fingerprint"]) for d, g in got.groupby("doc_id")}
+        for i, t in enumerate(texts):
+            assert by_doc.get(i, set()) == ref_fingerprints(t or ""), i
+
+    def test_shared_run_guarantee(self):
+        # two docs sharing a (k + w - 1)-token run MUST share a fingerprint
+        run = " ".join(f"tok{i}" for i in range(K + W - 1))
+        a = "alpha beta gamma delta " + run + " epsilon zeta"
+        b = "completely different prefix words here " + run
+        fa, fb = ref_fingerprints(a), ref_fingerprints(b)
+        assert fa & fb
+        pairs = winnow_clone_pairs(_ds([a, b]), min_shared=1).to_pandas()
+        assert len(pairs) == 1 and pairs.loc[0, "id_a"] == 0 and pairs.loc[0, "id_b"] == 1
+
+    def test_max_df_boilerplate_guard(self):
+        # a fingerprint present in every doc is ignored once df > max_df
+        boiler = " ".join(f"lic{i}" for i in range(20))
+        texts = [f"{boiler} unique{i}a unique{i}b unique{i}c" for i in range(6)]
+        # with the guard at df<=5 every pair's shared fingerprints drop
+        got = winnow_clone_pairs(_ds(texts), min_shared=1, max_df=5).to_pandas()
+        assert len(got) == 0
+        # without the guard the boilerplate links every pair
+        got_all = winnow_clone_pairs(_ds(texts), min_shared=1, max_df=256).to_pandas()
+        assert len(got_all) == 15
+
+    def test_random_corpus_parity(self):
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(30)]
+        texts = []
+        for _ in range(40):
+            n = rng.randint(0, 25)
+            texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+        # plant two exact clones
+        texts[10] = texts[3]
+        want = ref_pairs(texts, min_shared=2, max_df=256)
+        got = winnow_clone_pairs(_ds(texts), min_shared=2, max_df=256).to_pandas()
+        got_map = {
+            (int(r.id_a), int(r.id_b)): int(r.n_shared) for r in got.itertuples()
+        }
+        assert got_map == want
+        assert (3, 10) in got_map or texts[3] == ""  # planted clone found

@@ -1,0 +1,217 @@
+"""Winnowing document fingerprints + code-clone pair detection.
+
+Implements the MOSS fingerprinting scheme (Schleimer/Wilkerson/Aiken,
+"Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003
+— public): token k-gram hashes, sliding window of w consecutive gram
+hashes, the minimum of each window is a fingerprint. Guarantee: any
+token run of length >= k + w - 1 shared by two documents yields at
+least one shared fingerprint, so clone pairs are found from fingerprint
+digests alone — text never shuffles.
+
+Engine plan (Ray-Data-first, 100-TB shape):
+- pass 1 `winnow_fingerprints`: stateless map_batches, each doc ->
+  distinct window-min digests (int64). Output is (id, fingerprint)
+  rows — fixed-width, O(tokens / w) per doc.
+- pass 2 `winnow_clone_pairs`: fingerprints are coarse-partitioned by
+  `fingerprint % nparts` (each fingerprint's postings land in exactly
+  one partition, so df and pair emission are locally decidable); per
+  partition, fingerprints with 2 <= df <= max_df emit their posting
+  pairs (df > max_df = boilerplate guard, the standard MOSS practice —
+  it is also the hot-bucket bound: per-fingerprint work is O(max_df^2),
+  never O(corpus^2)); partial per-pair counts are pre-aggregated inside
+  the group, then one small groupby(id_a, id_b) sums shared-fingerprint
+  counts and filters >= min_shared. Driver never holds postings.
+
+The gram hash is md5-derived (first 15 hex chars -> int64) so the
+result is bit-reproducible against a SQL oracle
+(('0x' || substr(md5(gram), 1, 15))::BIGINT); the hasher is a per-gram
+C call (same documented exception as jsonops' json.loads). A rolling
+polynomial hasher can be swapped in where cross-engine parity is not
+required.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from .textstats import TOKEN_PATTERN
+
+
+class _WinnowStage:
+    """Per-batch: doc -> distinct window-min fingerprints (int64)."""
+
+    def __init__(self, text_col: str, id_col: str, k: int, w: int):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+        self.w = w
+        self.tok = re.compile(TOKEN_PATTERN)
+
+    def fingerprints(self, text: Optional[str]) -> np.ndarray:
+        toks = self.tok.findall(text or "")
+        m = len(toks) - self.k + 1
+        if m <= 0:
+            return np.empty(0, dtype=np.int64)
+        md5 = hashlib.md5
+        h = np.fromiter(
+            (
+                int(md5(" ".join(toks[i : i + self.k]).encode()).hexdigest()[:15], 16)
+                for i in range(m)
+            ),
+            dtype=np.int64,
+            count=m,
+        )
+        if m <= self.w:
+            return h.min(keepdims=True)
+        wins = np.lib.stride_tricks.sliding_window_view(h, self.w)
+        return np.unique(wins.min(axis=1))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        fps = [self.fingerprints(t) for t in batch[self.text_col].to_pylist()]
+        lens = np.array([len(f) for f in fps], dtype=np.int64)
+        return pa.table(
+            {
+                self.id_col: pa.array(np.repeat(ids, lens), type=pa.int64()),
+                "fingerprint": pa.array(
+                    np.concatenate(fps) if fps else np.empty(0, np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+
+def winnow_fingerprints(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+) -> "ray.data.Dataset":
+    """(id, fingerprint) rows: distinct winnowing fingerprints per doc.
+
+    Docs with fewer than k tokens emit nothing; docs with 1..w gram
+    hashes emit the single global minimum (one truncated window)."""
+    return ds.map_batches(
+        _WinnowStage(text_col, id_col, k, w),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+class _PairEmitter:
+    """Per coarse partition: enumerate posting pairs for fingerprints
+    with 2 <= df <= max_df and pre-aggregate per-pair shared counts —
+    all vectorized (group boundaries from one sort, pair indices via
+    repeat/cumsum arithmetic, np.unique for the partial combine)."""
+
+    def __init__(self, id_col: str, max_df: int):
+        self.id_col = id_col
+        self.max_df = max_df
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            }
+        )
+        fp = group["fingerprint"].to_numpy(zero_copy_only=False)
+        ids = group[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(fp) < 2:
+            return empty
+        order = np.lexsort((ids, fp))
+        fp, ids = fp[order], ids[order]
+        # fingerprint run boundaries
+        starts = np.flatnonzero(np.r_[True, fp[1:] != fp[:-1]])
+        lens = np.diff(np.r_[starts, len(fp)])
+        ok = (lens >= 2) & (lens <= self.max_df)
+        starts, lens = starts[ok], lens[ok]
+        if not len(starts):
+            return empty
+        # all (i < j) index pairs within each run, flat and vectorized:
+        # for a run of length L there are L*(L-1)/2 pairs
+        npairs = (lens * (lens - 1)) // 2
+        total = int(npairs.sum())
+        run_of_pair = np.repeat(np.arange(len(lens)), npairs)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(npairs) - npairs, npairs
+        )
+        L = lens[run_of_pair]
+        # map flat pair index t in [0, L*(L-1)/2) to (i, j), i < j, by
+        # counting from the END: rev = T-1-t falls in the s-sized tail
+        # block with s(s-1)/2 <= rev < s(s+1)/2, s = triangular root;
+        # row i = L-1-s, and j counts back from L-1
+        rev = npairs[run_of_pair] - 1 - within
+        s = ((np.sqrt(8.0 * rev + 1.0) + 1.0) // 2.0).astype(np.int64)
+        i = L - 1 - s
+        j = L - 1 - (rev - (s * (s - 1)) // 2)
+        base = starts[run_of_pair]
+        a = ids[base + i]
+        b = ids[base + j]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        keep = lo != hi  # same id under one fingerprint twice cannot happen (unique per doc)
+        lo, hi = lo[keep], hi[keep]
+        if not len(lo):
+            return empty
+        # partial combine: same pair may share several fingerprints
+        # landing in this partition
+        key = np.stack([lo, hi], axis=1)
+        uniq, counts = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "id_a": pa.array(uniq[:, 0], type=pa.int64()),
+                "id_b": pa.array(uniq[:, 1], type=pa.int64()),
+                "partial": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+
+def winnow_clone_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 256,
+    nparts: int = 64,
+) -> "ray.data.Dataset":
+    """Pairs (id_a < id_b, n_shared) sharing >= min_shared winnowing
+    fingerprints, fingerprints with df > max_df ignored (boilerplate
+    guard / hot-bucket bound). Digest-only shuffles end to end."""
+    from ray.data.aggregate import Sum
+
+    fps = winnow_fingerprints(ds, text_col, id_col, k, w)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        f = b["fingerprint"].to_numpy(zero_copy_only=False)
+        return b.append_column("part", pa.array((f % nparts).astype(np.int32)))
+
+    parts = fps.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+    emitter = _PairEmitter(id_col, max_df)
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        return emitter(group)
+
+    partials = parts.groupby("part").map_groups(emit_pairs, batch_format="pyarrow")
+    summed = partials.groupby(["id_a", "id_b"]).aggregate(Sum("partial", alias_name="n_shared"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = b.filter(pc.greater_equal(b["n_shared"], min_shared))
+        return out.set_column(
+            out.schema.get_field_index("n_shared"),
+            "n_shared",
+            pc.cast(out["n_shared"], pa.int64()),
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
