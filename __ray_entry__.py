@@ -1525,6 +1525,36 @@ def q_winnow_clone_pairs(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_connected_components(sf_dir: str) -> pa.Table:
+    """Distributed small-star/large-star connected components over a
+    deterministic doc_id-derived edge set (a //7 forest plus %97 cross
+    links); the oracle recomputes min-reachable labels via a recursive
+    CTE. This is the scale path for resolving near-dup clusters without
+    the dedup pipelines' O(edges) driver union-find."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.graph import connected_components
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m1 = (d % 3 != 0) & (d >= 1) & (d // 7 != d)
+        m2 = (d % 97 == 0) & (d > 0)
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([d[m1], d[m2]])),
+                "b": pa.array(np.concatenate([d[m1] // 7, d[m2] - 1])),
+            }
+        )
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow", zero_copy_batch=True)
+    df = connected_components(edges).to_pandas().sort_values("id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # ----------------------------------------------------------------------
 # driver entry points
 
@@ -1560,6 +1590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- oracle-backed, new in round 3 --
         "scrub_documents": q_scrub_documents,
         "winnow_clone_pairs": q_winnow_clone_pairs,
+        "connected_components": q_connected_components,
         "count_distinct_two_dims": q_count_distinct_two_dims,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_audio_frames": q_multimodal_audio_frames,
@@ -2175,6 +2206,20 @@ def oracle_sql() -> dict[str, str]:
             " SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,"
             "  round(avg(a), 6) AS mean_abs"
             " FROM s GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "connected_components": (
+            "WITH RECURSIVE e AS ("
+            " SELECT doc_id AS a, doc_id // 7 AS b FROM documents"
+            "  WHERE doc_id % 3 <> 0 AND doc_id >= 1 AND doc_id // 7 <> doc_id"
+            " UNION ALL"
+            " SELECT doc_id, doc_id - 1 FROM documents WHERE doc_id % 97 = 0 AND doc_id > 0),"
+            " sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),"
+            " reach(src, node) AS ("
+            "  SELECT a, a FROM sym"
+            "  UNION"
+            "  SELECT r.src, s.b FROM reach r JOIN sym s ON r.node = s.a)"
+            " SELECT src AS id, CAST(MIN(node) AS BIGINT) AS component"
+            " FROM reach GROUP BY src"
         ),
         "winnow_clone_pairs": (
             "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') tk"

@@ -1,0 +1,103 @@
+"""Connected components (pipelines/graph.py): brute-force parity on
+random graphs, deep-chain convergence (O(log n) star rounds), and edge
+normalization (self-loops, duplicates, orientation)."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from weiser_ai_ray.pipelines.graph import connected_components
+
+
+def brute_cc(edges):
+    adj = collections.defaultdict(set)
+    nodes = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        adj[a].add(b)
+        adj[b].add(a)
+        nodes.add(a)
+        nodes.add(b)
+    comp = {}
+    for n in nodes:
+        if n in comp:
+            continue
+        stack, seen = [n], {n}
+        while stack:
+            x = stack.pop()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        m = min(seen)
+        for x in seen:
+            comp[x] = m
+    return comp
+
+
+def _ds(a, b):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(np.asarray(a, dtype=np.int64)),
+                "b": pa.array(np.asarray(b, dtype=np.int64)),
+            }
+        )
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConnectedComponents:
+    def test_random_graphs_match_bruteforce(self):
+        rng = np.random.RandomState(11)
+        for _ in range(3):
+            n = rng.randint(20, 250)
+            ne = rng.randint(1, n * 2)
+            a = rng.randint(0, n, ne)
+            b = rng.randint(0, n, ne)
+            got = {
+                r["id"]: r["component"]
+                for r in connected_components(_ds(a, b)).take_all()
+            }
+            assert got == brute_cc(zip(a.tolist(), b.tolist()))
+
+    def test_chain_converges(self):
+        # a path graph is the worst case for naive propagation (O(n)
+        # rounds); star contraction must finish in O(log n)
+        n = 512
+        a = np.arange(n - 1)
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(_ds(a, a + 1)).take_all()
+        }
+        assert got == {i: 0 for i in range(n)}
+
+    def test_self_loops_duplicates_orientation(self):
+        # duplicate edges, reversed orientation and self-loops collapse
+        a = [5, 1, 1, 2, 9]
+        b = [5, 2, 2, 1, 9]
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(_ds(a, b)).take_all()
+        }
+        # nodes 5 and 9 appear only in self-loops -> not emitted
+        assert got == {1: 1, 2: 1}
+
+    def test_custom_column_names(self):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([1, 2], type=pa.int64()),
+                    "dst": pa.array([2, 3], type=pa.int64()),
+                }
+            )
+        )
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(ds, "src", "dst").take_all()
+        }
+        assert got == {1: 1, 2: 1, 3: 1}

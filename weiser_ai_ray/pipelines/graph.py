@@ -1,0 +1,167 @@
+"""Distributed connected components over an edge Dataset.
+
+Implements alternating small-star / large-star contraction (Kiveris,
+Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
+MapReduce and Beyond", SoCC 2014 — public): each round is ONE
+groupby(node).map_groups over fixed-width int64 edge rows, no joins,
+no driver-side graph state; converges in O(log n) rounds to star
+graphs rooted at each component's minimum id.
+
+Why it exists: the dedup pipelines resolve survivor sets from
+near-dup edges with an O(edges) driver union-find — fine while edges
+(dup clusters) are small relative to the corpus, which the dedup
+contracts document. This operator is the scale path when components
+themselves are huge (e.g. template-heavy crawls where one boilerplate
+cluster spans millions of docs): edges never leave the cluster, the
+driver only sees per-round convergence counters (2 int64s).
+
+Round cost: each round shuffles the current edge set once (groupby on
+int64 keys) and the edge count is non-increasing after the first
+large-star (which can at most double it transiently). Skewed
+high-degree nodes are exactly what large-star handles: a node's group
+emits one edge per neighbor, all pointing at the group minimum, so hot
+groups shrink the graph fastest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _edge_table(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    return pa.table(
+        {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())}
+    )
+
+
+_EMPTY_EDGES = _edge_table(np.empty(0, np.int64), np.empty(0, np.int64))
+
+
+def _large_star_group(group: pa.Table) -> pa.Table:
+    """Group = all symmetric edges (u, v) for one u (keyed on 'a').
+    Emit (v, m) for v > u, where m = min(neighbors + u)."""
+    u = int(group["a"][0].as_py())
+    vs = group["b"].to_numpy(zero_copy_only=False)
+    m = min(int(vs.min()), u)
+    out_v = vs[vs > u]
+    if not len(out_v):
+        return _EMPTY_EDGES
+    lo = np.full(len(out_v), m, dtype=np.int64)
+    return _edge_table(np.maximum(out_v, lo), np.minimum(out_v, lo))
+
+
+def _small_star_group(group: pa.Table) -> pa.Table:
+    """Group = edges oriented (u = hi, v = lo) for one u. Emit (v, m)
+    for every smaller neighbor v plus (u, m), m = min neighbor."""
+    u = int(group["a"][0].as_py())
+    vs = np.unique(group["b"].to_numpy(zero_copy_only=False))
+    m = int(vs.min())
+    others = vs[vs != m]
+    a = np.concatenate([others, np.array([u], dtype=np.int64)])
+    b = np.full(len(a), m, dtype=np.int64)
+    keep = a != b
+    return _edge_table(a[keep], b[keep])
+
+
+def _distinct_rows(ds: "ray.data.Dataset", cols: list[str]) -> "ray.data.Dataset":
+    """Global distinct over fixed-width key columns (groupby count,
+    count column dropped — Dataset.unique() is single-column/driver-
+    side, so not usable here)."""
+    from ray.data.aggregate import Count
+
+    agg = ds.groupby(cols).aggregate(Count())
+    return agg.map_batches(
+        lambda b: b.select(cols), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _canonical(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distinct (hi, lo) edges, self-loops dropped."""
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi, lo = np.maximum(a, b), np.minimum(a, b)
+        keep = hi != lo
+        return _edge_table(hi[keep], lo[keep])
+
+    return _distinct_rows(
+        ds.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True), ["a", "b"]
+    )
+
+
+def _checksum(ds: "ray.data.Dataset") -> tuple[int, int]:
+    """(count, order-independent hash) of the edge set — the per-round
+    convergence probe; 2 int64s of driver state."""
+    from ray.data.aggregate import Count, Sum
+
+    def mix(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b + np.uint64(0x632BE59BD9B4E019))
+        h ^= h >> np.uint64(29)
+        return pa.table({"h": pa.array(h.view(np.int64))})
+
+    row = (
+        ds.map_batches(mix, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Count(), Sum("h", alias_name="s"))
+    )
+    return int(row["count()"] or 0), int(row["s"] or 0)
+
+
+def connected_components(
+    edges: "ray.data.Dataset",
+    src_col: str = "a",
+    dst_col: str = "b",
+    max_rounds: int = 50,
+) -> "ray.data.Dataset":
+    """(id, component) for every node appearing in ``edges``; component
+    = the minimum node id reachable. Isolated nodes (absent from the
+    edge list) are their own components by definition — union them in
+    from a node list at the call site if needed."""
+    if src_col != "a" or dst_col != "b":
+        edges = edges.select_columns([src_col, dst_col]).rename_columns(
+            {src_col: "a", dst_col: "b"}
+        )
+    cur = _canonical(edges).materialize()
+    prev_sig = _checksum(cur)
+    for _ in range(max_rounds):
+        # large-star: symmetric orientation, group on every endpoint.
+        # Its output is already canonical ((v, m) with v > u >= m) and
+        # self-loop-free, and _small_star_group np.unique()s its group,
+        # so no global distinct is needed between the stars.
+        def sym(batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            return _edge_table(np.concatenate([a, b]), np.concatenate([b, a]))
+
+        ls = (
+            cur.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("a")
+            .map_groups(_large_star_group, batch_format="pyarrow")
+        )
+        # small-star: input/output are both canonically oriented; one
+        # global distinct here keeps the checksum set-stable
+        ss = ls.groupby("a").map_groups(_small_star_group, batch_format="pyarrow")
+        cur = _distinct_rows(ss, ["a", "b"]).materialize()
+        sig = _checksum(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged: every edge is (node, component-root)
+    def label(batch: pa.Table) -> pa.Table:
+        return pa.table({"id": batch["a"], "component": batch["b"]})
+
+    members = cur.map_batches(label, batch_format="pyarrow", zero_copy_batch=True)
+
+    def roots(batch: pa.Table) -> pa.Table:
+        r = np.unique(batch["b"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"id": pa.array(r, type=pa.int64()), "component": pa.array(r, type=pa.int64())}
+        )
+
+    root_rows = cur.map_batches(roots, batch_format="pyarrow", zero_copy_batch=True)
+    return _distinct_rows(members.union(root_rows), ["id", "component"])
