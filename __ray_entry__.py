@@ -1555,6 +1555,19 @@ def q_connected_components(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_approx_quantiles(sf_dir: str) -> pa.Table:
+    """Deterministic-sample approximate quantiles over o_totalprice
+    (bottom-2048 on the md5(o_orderkey) hex line -> exact quantile_cont
+    over the sample); the oracle draws the SAME sample in SQL, so the
+    sampling, ordering and interpolation are all under the hash."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.sketches import approx_quantiles
+
+    ds = __rps(os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"])
+    return approx_quantiles(ds, "o_totalprice", "o_orderkey", [0.5, 0.9, 0.99], 2048)
+
+
 # ----------------------------------------------------------------------
 # driver entry points
 
@@ -1591,6 +1604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_documents": q_scrub_documents,
         "winnow_clone_pairs": q_winnow_clone_pairs,
         "connected_components": q_connected_components,
+        "approx_quantiles_sample": q_approx_quantiles,
         "count_distinct_two_dims": q_count_distinct_two_dims,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_audio_frames": q_multimodal_audio_frames,
@@ -2206,6 +2220,13 @@ def oracle_sql() -> dict[str, str]:
             " SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,"
             "  round(avg(a), 6) AS mean_abs"
             " FROM s GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "approx_quantiles_sample": (
+            "SELECT quantile_cont(o_totalprice, 0.5) AS q_0_5,"
+            " quantile_cont(o_totalprice, 0.9) AS q_0_9,"
+            " quantile_cont(o_totalprice, 0.99) AS q_0_99"
+            " FROM (SELECT o_totalprice FROM orders WHERE o_totalprice IS NOT NULL"
+            "  ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 2048)"
         ),
         "connected_components": (
             "WITH RECURSIVE e AS ("

@@ -76,3 +76,50 @@ class TestHll:
         col = pa.chunked_array([pa.array([1, 2, 3], type=pa.int64())])
         h1, h2 = hash64_column(col), hash64_column(col)
         assert (h1 == h2).all() and len(np.unique(h1)) == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestApproxQuantiles:
+    def _ds(self, ids, vals):
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array(ids, type=pa.int64()),
+                    "v": pa.array(vals, type=pa.float64()),
+                }
+            )
+        )
+
+    def test_accuracy_vs_exact(self):
+        from weiser_ai_ray.pipelines.sketches import approx_quantiles
+
+        rng = np.random.RandomState(3)
+        vals = rng.lognormal(3.0, 1.0, 50_000)
+        t = approx_quantiles(
+            self._ds(np.arange(len(vals)), vals), "v", "id", [0.5, 0.9], 4096
+        )
+        got_p50 = t["q_0_5"][0].as_py()
+        got_p90 = t["q_0_9"][0].as_py()
+        # rank error of a 4096-uniform-sample quantile ~ 1/sqrt(s);
+        # assert the estimates sit within +-2.5% RANK of the truth
+        srt = np.sort(vals)
+        for got, q in ((got_p50, 0.5), (got_p90, 0.9)):
+            lo = srt[int((q - 0.025) * len(srt))]
+            hi = srt[int((q + 0.025) * len(srt))]
+            assert lo <= got <= hi, (q, got, lo, hi)
+
+    def test_small_input_is_exact_and_null_safe(self):
+        from weiser_ai_ray.pipelines.sketches import approx_quantiles
+
+        # sample_size >= n -> the "sample" is the whole (non-null) data
+        t = approx_quantiles(
+            self._ds([1, 2, 3, 4, 5], [10.0, None, 20.0, 30.0, 40.0]),
+            "v",
+            "id",
+            [0.5],
+            2048,
+        )
+        # exact quantile_cont(0.5) over [10, 20, 30, 40] = 25
+        assert t["q_0_5"][0].as_py() == 25.0

@@ -219,3 +219,52 @@ def value_histogram(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return partials.groupby("bin").map_groups(finalize, batch_format="pyarrow")
+
+
+def approx_quantiles(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    id_col: str,
+    qs: "list[float]",
+    sample_size: int = 2048,
+) -> "pa.Table":
+    """Approximate quantiles from a DETERMINISTIC uniform sample.
+
+    The global bottom-``sample_size`` rows on the md5(id) hex line are
+    a uniform sample without replacement (standard error O(1/sqrt(s)))
+    — taken with the partial-top-k pattern (per-batch Arrow sort +
+    slice; the driver merges k x blocks candidate rows, never the
+    dataset), so no all-to-all sort of the corpus ever happens. The
+    quantile over the sample is exact quantile_cont interpolation
+    (checks.base._weighted_quantile — the oracle-green median kernel),
+    which makes the whole estimator bit-reproducible against SQL:
+    ``SELECT quantile_cont(v, q) FROM (... ORDER BY md5(id) LIMIT s)``.
+    Null values are dropped BEFORE sampling on both sides (SQL
+    quantile_cont ignores nulls, so sampling them would silently
+    shrink the effective sample).
+
+    One row out: columns q_<percent> per requested quantile."""
+    import pyarrow.compute as pc
+
+    from ..checks.base import _weighted_quantile
+    from .sampling import add_md5_of, global_topk
+
+    def drop_null(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b[value_col]))
+
+    pruned = ds.select_columns([id_col, value_col]).map_batches(
+        drop_null, batch_format="pyarrow", zero_copy_batch=True
+    )
+    hds = add_md5_of(pruned, id_col, "__h")
+    top = global_topk(hds, ["__h"], sample_size, ascending=True)
+    vals = np.sort(
+        top[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    )
+    ones = np.ones(len(vals), dtype=np.int64)
+    cols = {}
+    for q in qs:
+        name = f"q_{str(q).replace('.', '_')}"
+        cols[name] = pa.array(
+            [float(_weighted_quantile(vals, ones, q, True))], type=pa.float64()
+        )
+    return pa.table(cols)
