@@ -1568,6 +1568,35 @@ def q_approx_quantiles(sf_dir: str) -> pa.Table:
     return approx_quantiles(ds, "o_totalprice", "o_orderkey", [0.5, 0.9, 0.99], 2048)
 
 
+def q_dedup_exact_incremental(sf_dir: str) -> pa.Table:
+    """Continuous-ingest exact dedup: the top-fifth of doc_ids arrives
+    as a NEW shard and dedupes against the already-accepted rest.
+    Semantics are batch-equivalent (min-id winners over old ∪ new,
+    restricted to new ids), which the oracle states directly."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.dedup import exact_dedup_against
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), cache=True)
+    cut = int(ds.max("doc_id")) * 4 // 5
+
+    def is_old(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.less(b["doc_id"], cut))
+
+    def is_new(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater_equal(b["doc_id"], cut))
+
+    old_ds = ds.map_batches(is_old, batch_format="pyarrow", zero_copy_batch=True)
+    new_ds = ds.map_batches(is_new, batch_format="pyarrow", zero_copy_batch=True)
+    kept = exact_dedup_against(new_ds, old_ds, "text", "doc_id", cut)
+    ids = sorted(r["doc_id"] for r in kept.select_columns(["doc_id"]).take_all())
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+
 # ----------------------------------------------------------------------
 # driver entry points
 
@@ -1605,6 +1634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_clone_pairs": q_winnow_clone_pairs,
         "connected_components": q_connected_components,
         "approx_quantiles_sample": q_approx_quantiles,
+        "dedup_exact_incremental": q_dedup_exact_incremental,
         "count_distinct_two_dims": q_count_distinct_two_dims,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_audio_frames": q_multimodal_audio_frames,
@@ -2220,6 +2250,15 @@ def oracle_sql() -> dict[str, str]:
             " SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,"
             "  round(avg(a), 6) AS mean_abs"
             " FROM s GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "dedup_exact_incremental": (
+            "WITH s AS (SELECT (MAX(doc_id) * 4) // 5 AS cut FROM documents),"
+            " w AS (SELECT text, MIN(doc_id) AS keep FROM documents GROUP BY text)"
+            " SELECT d.doc_id FROM documents d, s"
+            " WHERE d.doc_id >= s.cut"
+            "  AND EXISTS (SELECT 1 FROM w WHERE w.text IS NOT DISTINCT FROM d.text"
+            "              AND w.keep = d.doc_id)"
+            " ORDER BY d.doc_id"
         ),
         "approx_quantiles_sample": (
             "SELECT quantile_cont(o_totalprice, 0.5) AS q_0_5,"

@@ -1,0 +1,102 @@
+"""Incremental dedup (dedup.exact_dedup_against /
+minhash_lsh_dedup_against): planted cross-shard duplicates, within-
+shard duplicates, and batch-equivalence (incremental over old ∪ new ==
+batch dedup restricted to new ids)."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from weiser_ai_ray.pipelines.dedup import (
+    exact_dedup_against,
+    minhash_lsh_dedup,
+    minhash_lsh_dedup_against,
+)
+
+
+def _ds(rows):
+    ids, texts = zip(*rows)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(texts, type=pa.large_string()),
+            }
+        )
+    )
+
+
+def _para(seed: str) -> str:
+    # long-ish distinct paragraphs so 5-shingles behave
+    return " ".join(f"{seed}tok{i}" for i in range(40))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExactDedupAgainst:
+    def test_cross_and_within_shard_dups(self):
+        old = _ds([(0, "alpha"), (1, "beta"), (2, "gamma")])
+        new = _ds(
+            [
+                (10, "alpha"),  # dup of old -> drops
+                (11, "delta"),  # fresh -> keeps
+                (12, "delta"),  # within-new dup -> drops (11 is min)
+                (13, "beta"),  # dup of old -> drops
+            ]
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in exact_dedup_against(new, old, "text", "doc_id", 10).take_all()
+        )
+        assert kept == [11]
+
+    def test_old_rows_never_emitted(self):
+        old = _ds([(0, "x")])
+        new = _ds([(5, "y")])
+        rows = exact_dedup_against(new, old, "text", "doc_id", 5).take_all()
+        assert sorted(r["doc_id"] for r in rows) == [5]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMinhashDedupAgainst:
+    def test_near_dup_of_old_drops(self):
+        base = _para("sharedcontent")
+        old = _ds([(0, base), (1, _para("oldonly"))])
+        # 10 = near-dup of old 0 (one token changed), 11 = fresh
+        near = base.replace("sharedcontenttok7", "sharedcontentMUT")
+        new = _ds([(10, near), (11, _para("freshdoc"))])
+        kept = sorted(
+            r["doc_id"]
+            for r in minhash_lsh_dedup_against(
+                new, old, "text", "doc_id", 10
+            ).take_all()
+        )
+        assert kept == [11]
+
+    def test_batch_equivalence(self):
+        # incremental over (old, new) == batch dedup over old ∪ new,
+        # restricted to new ids — the documented semantics
+        docs = [(i, _para(f"doc{i % 6}")) for i in range(12)]  # 6 clone pairs
+        old = _ds(docs[:8])
+        new = _ds(docs[8:])
+        inc = sorted(
+            r["doc_id"]
+            for r in minhash_lsh_dedup_against(new, old, "text", "doc_id", 8).take_all()
+        )
+        batch = minhash_lsh_dedup(_ds(docs), "text", "doc_id")
+        batch_new = sorted(
+            r["doc_id"] for r in batch.take_all() if r["doc_id"] >= 8
+        )
+        assert inc == batch_new
+        # docs 8..11 clone doc2..doc5 which live in old -> all drop
+        assert inc == []
+
+    def test_fresh_new_shard_survives(self):
+        old = _ds([(0, _para("a")), (1, _para("b"))])
+        new = _ds([(10, _para("c")), (11, _para("d"))])
+        kept = sorted(
+            r["doc_id"]
+            for r in minhash_lsh_dedup_against(
+                new, old, "text", "doc_id", 10
+            ).take_all()
+        )
+        assert kept == [10, 11]

@@ -1718,3 +1718,88 @@ def embedding_neardup_pairs_lsh(
         .groupby("__p2")
         .map_groups(uniq_pairs, batch_format="pyarrow")
     )
+
+
+# ----------------------------------------------------------------------
+# Incremental dedup (new shard vs an existing corpus)
+
+
+def _union_old_new(
+    old_ds: "ray.data.Dataset",
+    new_ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+) -> "ray.data.Dataset":
+    cols = [id_col, text_col]
+    return old_ds.select_columns(cols).union(new_ds.select_columns(cols))
+
+
+def exact_dedup_against(
+    new_ds: "ray.data.Dataset",
+    old_ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    new_min_id: int,
+) -> "ray.data.Dataset":
+    """Rows of ``new_ds`` surviving EXACT dedup against an existing
+    corpus (the continuous-ingest pattern: each arriving shard dedupes
+    against everything already accepted).
+
+    Semantics are batch-equivalent by construction: min(id) winners
+    over old ∪ new, restricted to new ids. CONTRACT: every old id <
+    ``new_min_id`` <= every new id, so an old copy always wins its
+    text and a new text keeps only its min-id instance. The old corpus
+    streams through the same digest-only winner reduce as exact_dedup
+    (no extra driver state; old rows are never re-emitted)."""
+    merged = exact_dedup(
+        _union_old_new(old_ds, new_ds, text_col, id_col), text_col, id_col
+    )
+
+    def only_new(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b[id_col], new_min_id))
+
+    return merged.map_batches(only_new, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def minhash_lsh_dedup_against(
+    new_ds: "ray.data.Dataset",
+    old_ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    new_min_id: int,
+    shingle_k: int = 5,
+    num_perm: int = 128,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    prefilter_sigmas: float = 3.0,
+) -> "ray.data.Dataset":
+    """Rows of ``new_ds`` surviving NEAR-dup (minhash-LSH) dedup
+    against an existing corpus: batch-equivalent semantics — verified
+    edges over old ∪ new, union-find, min-id survivor per component,
+    restricted to new ids. Same id contract as exact_dedup_against
+    (old ids < new_min_id), so any new doc connected to an old doc
+    loses transitively, exactly as it would have in one batch run.
+
+    Scale shape is inherited from _minhash_verified_edges: the old
+    corpus pays one banding pass (signatures are O(shingles) via OPH);
+    only dup-bucket MEMBERS are re-signed and verified. When the old
+    corpus is already deduped at this threshold, old-old components
+    contribute no survivors-change — their edge volume stays bounded
+    by the same O(true duplicates) contract."""
+    edges = _minhash_verified_edges(
+        _union_old_new(old_ds, new_ds, text_col, id_col),
+        text_col,
+        id_col,
+        shingle_k,
+        num_perm,
+        bands,
+        jaccard_threshold,
+        prefilter_sigmas,
+    )
+    losers = _union_find_losers(edges)
+    kept = _drop_ids(new_ds, id_col, losers)
+
+    def only_new(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b[id_col], new_min_id))
+
+    return kept.map_batches(only_new, batch_format="pyarrow", zero_copy_batch=True)
