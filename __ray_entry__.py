@@ -1597,6 +1597,29 @@ def q_dedup_exact_incremental(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+def q_multimodal_video_frames(sf_dir: str) -> pa.Table:
+    """REAL byte-level video decode (PVID raw container, pure numpy)
+    -> stride-2 frame sampling + per-sampled-frame luminance mean; the
+    oracle recomputes from the closed-form pixel formula, so container
+    parsing, frame stride AND channel order are all under the hash."""
+    import ray.data
+
+    from weiser_ai_ray.stages.multimodal import VideoFrameStatsStage, make_real_multimodal_table
+
+    tbl = make_real_multimodal_table(48)
+    ds = ray.data.from_arrow(tbl).filter(expr="kind == 'video'")
+    df = (
+        ds.map_batches(
+            VideoFrameStatsStage, fn_constructor_kwargs={"stride": 2},
+            batch_format="pyarrow", batch_size=8, concurrency=2,
+        )
+        .to_pandas()
+        .sort_values(["asset_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # ----------------------------------------------------------------------
 # driver entry points
 
@@ -1635,6 +1658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": q_connected_components,
         "approx_quantiles_sample": q_approx_quantiles,
         "dedup_exact_incremental": q_dedup_exact_incremental,
+        "multimodal_video_frames": q_multimodal_video_frames,
         "count_distinct_two_dims": q_count_distinct_two_dims,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_audio_frames": q_multimodal_audio_frames,
@@ -2250,6 +2274,21 @@ def oracle_sql() -> dict[str, str]:
             " SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,"
             "  round(avg(a), 6) AS mean_abs"
             " FROM s GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "multimodal_video_frames": (
+            "WITH assets AS ("
+            " SELECT i AS asset_id, 4 * (1 + (i // 3) % 2) AS t"
+            " FROM generate_series(0, 47) s(i) WHERE i % 3 = 2),"
+            " fr AS (SELECT asset_id, f FROM assets,"
+            "  LATERAL (SELECT unnest(generate_series(0, t - 1, 2)) AS f) u),"
+            " px AS (SELECT asset_id, f,"
+            "  0.299 * ((asset_id * 11 + f * 5 + j * 13) % 256)"
+            "  + 0.587 * ((asset_id * 11 + f * 5 + j * 13 + 31) % 256)"
+            "  + 0.114 * ((asset_id * 11 + f * 5 + j * 13 + 62) % 256) AS lum"
+            "  FROM fr, LATERAL (SELECT unnest(generate_series(0, 47)) AS j) v)"
+            " SELECT asset_id, CAST(f AS BIGINT) AS frame_idx,"
+            "  round(avg(lum), 6) AS lum_mean"
+            " FROM px GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "dedup_exact_incremental": (
             "WITH s AS (SELECT (MAX(doc_id) * 4) // 5 AS cut FROM documents),"

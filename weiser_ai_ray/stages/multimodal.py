@@ -308,6 +308,31 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return sr, data
 
 
+def encode_rawvideo(frames: np.ndarray) -> bytes:
+    """Minimal raw-video container from a (t, h, w, 3) uint8 array:
+    magic b'PVID' + LE uint32 (t, h, w) + t raw RGB24 frame planes.
+    A stand-in for compressed containers with the same stage contract
+    (the decoder registry swaps in a real codec outside the sandbox)."""
+    t, h, w, c = frames.shape
+    assert c == 3
+    import struct
+
+    return b"PVID" + struct.pack("<III", t, h, w) + np.ascontiguousarray(
+        frames, dtype=np.uint8
+    ).tobytes()
+
+
+def decode_rawvideo(payload: bytes) -> np.ndarray:
+    """Parse the PVID container -> (t, h, w, 3) uint8."""
+    if payload[:4] != b"PVID":
+        raise ValueError("not a PVID payload")
+    import struct
+
+    t, h, w = struct.unpack_from("<III", payload, 4)
+    body = np.frombuffer(payload, dtype=np.uint8, count=t * h * w * 3, offset=16)
+    return body.reshape(t, h, w, 3)
+
+
 def sniff_image_format(payload: bytes) -> str:
     if payload[:2] == b"P6":
         return "ppm"
@@ -415,6 +440,38 @@ class AudioFrameStatsStage:
         )
 
 
+class VideoFrameStatsStage:
+    """Actor-pool stage: REAL byte-level video decode (PVID raw
+    container, pure numpy) -> strided frame sampling + per-sampled-
+    frame BT.601 luminance mean. Output (asset_id:int64,
+    frame_idx:int64, lum_mean:float64); frame_idx is the index in the
+    ORIGINAL frame sequence (0, stride, 2*stride, ...), so sampling
+    bugs are visible to the oracle, which recomputes the stats from
+    the fixture's closed-form pixel formula."""
+
+    def __init__(self, stride: int = 2, round_to: int = 6):
+        assert stride >= 1
+        self.stride = stride
+        self.round_to = round_to
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, lums = [], [], []
+        for aid, payload in zip(batch["asset_id"].to_pylist(), batch["payload"].to_pylist()):
+            frames = decode_rawvideo(payload)
+            sampled = frames[:: self.stride]
+            lum = _luminance(sampled).reshape(sampled.shape[0], -1).mean(axis=1)
+            ids.extend([aid] * sampled.shape[0])
+            fidx.extend(range(0, frames.shape[0], self.stride))
+            lums.extend(round(float(v), self.round_to) for v in lum)
+        return pa.table(
+            {
+                "asset_id": pa.array(ids, type=pa.int64()),
+                "frame_idx": pa.array(fidx, type=pa.int64()),
+                "lum_mean": pa.array(lums, type=pa.float64()),
+            }
+        )
+
+
 def make_real_multimodal_table(n: int) -> pa.Table:
     """Deterministic fixture whose payloads are REAL container formats
     (PPM/BMP images, WAV audio) with closed-form content, so a SQL
@@ -427,7 +484,10 @@ def make_real_multimodal_table(n: int) -> pa.Table:
       asset i % 3 == 1 -> audio WAV PCM16 mono, sample_rate = 400,
         duration = 1 + ((i//3) % 3) seconds,
         sample t = ((i*31 + t*17) % 4096) - 2048
-      asset i % 3 == 2 -> video (opaque stub payload, not decodable)
+      asset i % 3 == 2 -> video PVID raw container, 8x6 RGB24,
+        t = 4 * (1 + (i//3) % 2) frames,
+        channel c of flat pixel j in frame f =
+        (i*11 + f*5 + j*13 + c*31) % 256
     """
     rows = {"asset_id": [], "kind": [], "payload": [], "meta": []}
     for i in range(n):
@@ -447,8 +507,13 @@ def make_real_multimodal_table(n: int) -> pa.Table:
             payload = encode_wav(sr, samples)
             kind, meta = "audio", {"sample_rate": sr, "duration_s": dur}
         else:
-            payload = hashlib.sha256(f"video{i}".encode()).digest()
-            kind, meta = "video", {"fps": 30, "duration_s": 1 + i % 2}
+            t, h2, w2 = 4 * (1 + (i // 3) % 2), 6, 8
+            f = np.arange(t, dtype=np.int64)[:, None, None]
+            j = np.arange(h2 * w2, dtype=np.int64)[None, :, None]
+            c = np.arange(3, dtype=np.int64)[None, None, :]
+            frames = ((i * 11 + f * 5 + j * 13 + c * 31) % 256).astype(np.uint8)
+            payload = encode_rawvideo(frames.reshape(t, h2, w2, 3))
+            kind, meta = "video", {"fps": 4, "duration_s": t // 4}
         rows["asset_id"].append(i)
         rows["kind"].append(kind)
         rows["payload"].append(payload)
