@@ -1056,6 +1056,21 @@ def q_minhash_dedup_documents(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(survivors, type=pa.int64())})
 
 
+def q_minhash_dedup_distributed(sf_dir: str) -> pa.Table:
+    """Zero-driver-state variant: edges stay a Dataset, survivors come
+    from distributed connected components + anti-join. Must equal
+    minhash_dedup_documents row for row (batch-equivalent semantics;
+    asserted in TestMinhashDedupDistributed)."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.dedup import minhash_lsh_dedup_distributed
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), cache=True)
+    kept = minhash_lsh_dedup_distributed(ds, "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.select_columns(["doc_id"]).take_all())
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+
 def q_simhash_dedup_documents(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1721,6 +1736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": q_langid_documents,
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "minhash_dedup_full_rows": q_minhash_dedup_full_rows,
+        "minhash_dedup_distributed": q_minhash_dedup_distributed,
         "simhash_dedup_documents": q_simhash_dedup_documents,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "approx_distinct_orderkey": q_approx_distinct_orderkey,

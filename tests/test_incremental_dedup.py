@@ -100,3 +100,44 @@ class TestMinhashDedupAgainst:
             ).take_all()
         )
         assert kept == [10, 11]
+
+
+def _rand_para(group: int) -> str:
+    # per-group random-letter vocabulary: cross-group char-shingle
+    # overlap is negligible (seeded numeric tokens like "doc0tok12"
+    # share most DISTINCT 5-grams across groups and genuinely exceed
+    # J=0.8 — measured 0.849 — so they are NOT a negative fixture)
+    import random
+
+    rng = random.Random(group)
+    return " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(8))
+        for _ in range(40)
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMinhashDedupDistributed:
+    def test_equivalent_to_batch(self):
+        from weiser_ai_ray.pipelines.dedup import minhash_lsh_dedup_distributed
+
+        docs = [(i, _rand_para(i % 7)) for i in range(21)]  # 7 triples
+        ds = _ds(docs)
+        batch_kept = sorted(
+            r["doc_id"] for r in minhash_lsh_dedup(ds, "text", "doc_id").take_all()
+        )
+        dist_kept = sorted(
+            r["doc_id"]
+            for r in minhash_lsh_dedup_distributed(ds, "text", "doc_id").take_all()
+        )
+        assert dist_kept == batch_kept == list(range(7))
+
+    def test_no_dups_passthrough(self):
+        from weiser_ai_ray.pipelines.dedup import minhash_lsh_dedup_distributed
+
+        ds = _ds([(i, _rand_para(100 + i)) for i in range(5)])
+        kept = sorted(
+            r["doc_id"]
+            for r in minhash_lsh_dedup_distributed(ds, "text", "doc_id").take_all()
+        )
+        assert kept == [0, 1, 2, 3, 4]

@@ -841,8 +841,34 @@ def _minhash_verified_edges(
     jaccard_threshold: float,
     prefilter_sigmas: float,
 ) -> list[tuple]:
-    """Sorted verified duplicate edge pairs (id_a < id_b); see
-    minhash_lsh_dedup_ids for the streaming two-pass plan."""
+    """Sorted verified duplicate edge pairs (id_a < id_b) as a DRIVER
+    list — O(true duplicates) by contract; see minhash_lsh_dedup_ids
+    for the streaming two-pass plan and minhash_lsh_dedup_distributed
+    for the variant that never collects edges."""
+    edges_ds = _minhash_edges_dataset(
+        ds, text_col, id_col, shingle_k, num_perm, bands, jaccard_threshold, prefilter_sigmas
+    )
+    if edges_ds is None:
+        return []
+    # verified edges only — tiny by contract; dedupe pairs seen in
+    # multiple buckets/partitions
+    edge_rows = edges_ds.take_all()
+    return sorted({(int(r["id_a"]), int(r["id_b"])) for r in edge_rows})
+
+
+def _minhash_edges_dataset(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    num_perm: int,
+    bands: int,
+    jaccard_threshold: float,
+    prefilter_sigmas: float,
+) -> "Optional[ray.data.Dataset]":
+    """Verified near-dup edge rows (id_a, id_b) as a Dataset (canonical
+    pair ownership makes rows corpus-wide unique up to cross-partition
+    bucket collisions); None when no duplicate bucket exists."""
     # plain TASK stages (instances, not actor classes): the MinHasher
     # is ~2 KB of numpy constants, so per-task pickling is free and the
     # stage parallelizes to every input block/CPU with no pool sizing.
@@ -857,7 +883,7 @@ def _minhash_verified_edges(
     ).materialize()
     dup_keys = _dup_bucket_keys(band_rows)
     if dup_keys is None:
-        return []
+        return None
 
     nparts = _verify_partitions()
     keys_ref = ray.put(dup_keys)
@@ -877,7 +903,7 @@ def _minhash_verified_edges(
         if b.num_rows
     ]
     if not member_parts:
-        return []
+        return None
     member_ids = np.unique(np.concatenate(member_parts))
     ids_ref = ray.put(pa.array(member_ids))
 
@@ -903,11 +929,7 @@ def _minhash_verified_edges(
     def verify_bucket_group(group: pa.Table) -> pa.Table:
         return verifier(group)
 
-    edges_ds = dup_rows.groupby("part").map_groups(verify_bucket_group, batch_format="pyarrow")
-    # verified edges only — tiny by contract; dedupe pairs seen in
-    # multiple buckets/partitions
-    edge_rows = edges_ds.take_all()
-    return sorted({(int(r["id_a"]), int(r["id_b"])) for r in edge_rows})
+    return dup_rows.groupby("part").map_groups(verify_bucket_group, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------------
@@ -1803,3 +1825,45 @@ def minhash_lsh_dedup_against(
         return b.filter(pc.greater_equal(b[id_col], new_min_id))
 
     return kept.map_batches(only_new, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def minhash_lsh_dedup_distributed(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+    num_perm: int = 128,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    prefilter_sigmas: float = 3.0,
+) -> "ray.data.Dataset":
+    """Near-dup dedup with ZERO corpus-scale driver state — the
+    variant to reach for when even the O(true duplicates) edge/loser
+    lists of ``minhash_lsh_dedup`` outgrow the driver (template-heavy
+    crawls where one boilerplate cluster spans millions of docs).
+
+    Same banding/verify plan, but the verified edges stay a Dataset:
+    survivors are resolved with distributed connected components
+    (graph.connected_components — O(log n) star-contraction rounds;
+    min id per component survives, exactly the union-find semantics),
+    losers = nodes whose component root is another id, and the corpus
+    is reduced with the distributed anti-join (joins.semi_anti_join,
+    which itself broadcasts while the loser set is small and falls
+    back to a hash-shuffle join beyond that). Batch-equivalent to
+    ``minhash_lsh_dedup`` by construction."""
+    edges_ds = _minhash_edges_dataset(
+        ds, text_col, id_col, shingle_k, num_perm, bands, jaccard_threshold, prefilter_sigmas
+    )
+    if edges_ds is None:
+        return ds
+    from ..joins import semi_anti_join
+    from .graph import connected_components
+
+    cc = connected_components(edges_ds, "id_a", "id_b")
+
+    def losers_only(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b["id"], b["component"])
+        return pa.table({"__loser": b.filter(keep)["id"]})
+
+    losers = cc.map_batches(losers_only, batch_format="pyarrow", zero_copy_batch=True)
+    return semi_anti_join(ds, losers, id_col, "__loser", anti=True)
