@@ -1635,6 +1635,25 @@ def q_multimodal_video_frames(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_split_token_chunks(sf_dir: str) -> pa.Table:
+    """Row-expanding chunk split (32-token windows, stride 24 —
+    overlapping): the oracle rebuilds every chunk string via SQL list
+    slicing, so tokenization, window arithmetic and the overlap are
+    all under the hash."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.textstats import split_token_chunks
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    df = (
+        split_token_chunks(ds, "text", "doc_id", size=32, stride=24)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # ----------------------------------------------------------------------
 # driver entry points
 
@@ -1674,6 +1693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles_sample": q_approx_quantiles,
         "dedup_exact_incremental": q_dedup_exact_incremental,
         "multimodal_video_frames": q_multimodal_video_frames,
+        "split_token_chunks": q_split_token_chunks,
         "count_distinct_two_dims": q_count_distinct_two_dims,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_audio_frames": q_multimodal_audio_frames,
@@ -2290,6 +2310,16 @@ def oracle_sql() -> dict[str, str]:
             " SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,"
             "  round(avg(a), 6) AS mean_abs"
             " FROM s GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "split_token_chunks": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') tk FROM documents"
+            "  WHERE text IS NOT NULL),"
+            " c AS (SELECT doc_id, i, array_to_string(tk[i:i+31], ' ') AS chunk,"
+            "   LEAST(32, len(tk) - i + 1) AS n_tokens"
+            "  FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk), 24)) AS i) u)"
+            " SELECT doc_id, CAST((i - 1) / 24 AS BIGINT) AS chunk_idx, chunk,"
+            "  CAST(n_tokens AS BIGINT) AS n_tokens"
+            " FROM c"
         ),
         "multimodal_video_frames": (
             "WITH assets AS ("

@@ -207,3 +207,47 @@ class TestTfidfTopTerms:
         ds = ray.data.from_items(docs)
         out = tfidf_top_terms(ds, k=5).to_pandas()
         assert set(out.doc_id) == {0, 3}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSplitTokenChunks:
+    def _run(self, texts, **kw):
+        import pyarrow as pa
+
+        from weiser_ai_ray.pipelines.textstats import split_token_chunks
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts, type=pa.large_string()),
+                }
+            )
+        )
+        return (
+            split_token_chunks(ds, "text", "doc_id", **kw)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True)
+        )
+
+    def test_non_overlapping_windows(self):
+        df = self._run(["a b c d e f g", None, ""], size=3, stride=3)
+        d0 = df[df.doc_id == 0]
+        assert list(d0["chunk"]) == ["a b c", "d e f", "g"]
+        assert list(d0["n_tokens"]) == [3, 3, 1]
+        # null -> nothing; empty string -> one empty token (SQL
+        # string_split('', ' ') = [''])
+        assert 1 not in set(df.doc_id)
+        d2 = df[df.doc_id == 2]
+        assert list(d2["chunk"]) == [""] and list(d2["n_tokens"]) == [1]
+
+    def test_overlap_stride(self):
+        df = self._run(["t0 t1 t2 t3 t4 t5 t6 t7"], size=4, stride=2)
+        assert list(df["chunk"]) == [
+            "t0 t1 t2 t3",
+            "t2 t3 t4 t5",
+            "t4 t5 t6 t7",
+            "t6 t7",
+        ]
+        assert list(df["chunk_idx"]) == [0, 1, 2, 3]

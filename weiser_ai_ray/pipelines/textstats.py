@@ -281,3 +281,50 @@ def tfidf_top_terms(
         .map_groups(score_part, batch_format="pyarrow")
     )
     return scored.groupby("__dpart").map_groups(topk_doc, batch_format="pyarrow")
+
+
+def split_token_chunks(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 256,
+    stride: int | None = None,
+) -> "ray.data.Dataset":
+    """Row-EXPANDING transform: split each document into token-window
+    chunks (RAG/context-window sharding). ``stride < size`` produces
+    overlapping windows; trailing partial chunks are kept. Tokens are
+    single-space splits (bit-compatible with SQL string_split(text,
+    ' ') including empty tokens), so chunk text is oracle-comparable.
+
+    Output (id, chunk_idx, chunk, n_tokens); null texts emit nothing.
+    Streaming map_batches — a batch fans out to ~len(text)/stride rows,
+    so block size stays bounded by Ray's output-splitting; no shuffle."""
+    if stride is None:
+        stride = size
+    assert size >= 1 and stride >= 1
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids_out, cidx, chunks, ntok = [], [], [], []
+        ids = batch[id_col].to_pylist()
+        for d, t in zip(ids, batch[text_col].to_pylist()):
+            if t is None:
+                continue
+            toks = t.split(" ")
+            for ci, s in enumerate(range(0, len(toks), stride)):
+                sl = toks[s : s + size]
+                ids_out.append(d)
+                cidx.append(ci)
+                chunks.append(" ".join(sl))
+                ntok.append(len(sl))
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, type=pa.int64()),
+                "chunk_idx": pa.array(cidx, type=pa.int64()),
+                "chunk": pa.array(chunks, type=pa.large_string()),
+                "n_tokens": pa.array(ntok, type=pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
