@@ -173,3 +173,64 @@ checks:
         r = self._cli("sample", config_file, "--check", "orders row count")
         assert r.returncode == 0, r.stderr
         assert "Generated" in r.stdout
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExportJsonlAndHarmonizedRead:
+    def test_jsonl_roundtrip(self, tmp_path):
+        import pyarrow as pa
+        import ray.data
+
+        from weiser_ai_ray.loader.export import export_jsonl
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(100), type=pa.int64()),
+                "text": pa.array([f"doc {i}" for i in range(100)], type=pa.large_string()),
+            }
+        )
+        out = str(tmp_path / "jsonl")
+        n = export_jsonl(ray.data.from_arrow(tbl), out, rows_per_file=30)
+        assert n == 100
+        import glob
+        import json
+
+        files = sorted(glob.glob(out + "/*.json"))
+        assert len(files) >= 3  # ~30 rows/file
+        rows = [json.loads(l) for f in files for l in open(f)]
+        assert len(rows) == 100
+        assert {r["doc_id"] for r in rows} == set(range(100))
+        assert all(r["text"] == f"doc {r['doc_id']}" for r in rows)
+
+    def test_harmonized_read_fills_missing_columns(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from weiser_ai_ray.sources import read_parquet_harmonized
+
+        a = str(tmp_path / "a.parquet")
+        b = str(tmp_path / "b.parquet")
+        pq.write_table(
+            pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                      "text": pa.array(["x", "y"])}), a)
+        pq.write_table(
+            pa.table({"doc_id": pa.array([3], type=pa.int64()),
+                      "text": pa.array(["z"]),
+                      "lang": pa.array(["en"])}), b)
+        ds = read_parquet_harmonized([a, b])
+        df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(df.columns) == ["doc_id", "text", "lang"]
+        assert df["lang"].tolist()[:2] == [None, None] and df["lang"][2] == "en"
+
+    def test_harmonized_read_rejects_type_conflict(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from weiser_ai_ray.sources import read_parquet_harmonized
+
+        a = str(tmp_path / "a.parquet")
+        b = str(tmp_path / "b.parquet")
+        pq.write_table(pa.table({"v": pa.array([1], type=pa.int64())}), a)
+        pq.write_table(pa.table({"v": pa.array(["s"])}), b)
+        with pytest.raises(ValueError, match="column 'v'"):
+            read_parquet_harmonized([a, b])

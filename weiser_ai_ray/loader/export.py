@@ -142,3 +142,19 @@ def export_results(
             if verbose:
                 print(f"Error posting to Slack: {e}")
     return {"summary": summary, "failures": failures, "slack_payload": payload}
+
+
+def export_jsonl(ds, out_dir: str, rows_per_file: int = 200_000) -> int:
+    """Sharded JSONL export — the hand-off format most training stacks
+    ingest. Distributed: every block writes its own shard through
+    Ray's JSON datasink (one JSON object per line), re-blocked so each
+    file holds ~rows_per_file rows (resumable consumers skip whole
+    files; never one giant file). Returns the row count written."""
+    import ray.data  # noqa: F401
+
+    n = ds.count()
+    if n:
+        blocks = max(1, -(-n // rows_per_file))
+        ds = ds.repartition(blocks)
+    ds.write_json(out_dir)
+    return n

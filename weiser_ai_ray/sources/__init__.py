@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 from typing import Optional, Sequence
 
+import pyarrow as pa
 import ray.data
 
 from ..models import ParquetDatasource
@@ -185,3 +186,63 @@ class ParquetCatalog:
         if cols:
             ds = ds.select_columns(cols)
         return ds
+
+
+def read_parquet_harmonized(
+    paths: "Sequence[str]",
+    columns: "Optional[Sequence[str]]" = None,
+) -> "ray.data.Dataset":
+    """Union heterogeneous Parquet shards under ONE schema (the real
+    shape of long-lived crawl corpora: early shards lack columns later
+    ones have). The unified schema is the column-order-preserving union
+    of the shard schemas (first-seen order, footer metadata only — no
+    data read); each shard's missing columns materialize as typed
+    nulls inside its own map_batches, so reads stay per-shard parallel
+    and nothing is collected.
+
+    Type conflicts across shards raise immediately (a silent cast is a
+    correctness bug at ingest); pass ``columns`` to prune the unified
+    schema at the read."""
+    import pyarrow.parquet as pq
+
+    if not paths:
+        raise ValueError("read_parquet_harmonized: no paths")
+    unified: "dict[str, pa.DataType]" = {}
+    for p in paths:
+        sch = pq.read_schema(p)
+        for name, typ in zip(sch.names, sch.types):
+            prev = unified.get(name)
+            if prev is None:
+                unified[name] = typ
+            elif prev != typ:
+                raise ValueError(
+                    f"read_parquet_harmonized: column {name!r} is {prev} in an "
+                    f"earlier shard but {typ} in {p}"
+                )
+    if columns is not None:
+        missing = [c for c in columns if c not in unified]
+        if missing:
+            raise ValueError(f"read_parquet_harmonized: unknown columns {missing}")
+        unified = {c: unified[c] for c in columns}
+    names = list(unified)
+    target = pa.schema([(n, unified[n]) for n in names])
+
+    def harmonize(batch: pa.Table) -> pa.Table:
+        cols = []
+        for n in names:
+            if n in batch.column_names:
+                cols.append(batch[n].cast(unified[n]))
+            else:
+                cols.append(pa.nulls(batch.num_rows, type=unified[n]))
+        return pa.Table.from_arrays(cols, schema=target)
+
+    parts = [
+        ray.data.read_parquet(
+            p, columns=[c for c in names if c in set(pq.read_schema(p).names)] or None
+        ).map_batches(harmonize, batch_format="pyarrow", zero_copy_batch=True)
+        for p in paths
+    ]
+    out = parts[0]
+    for nxt in parts[1:]:
+        out = out.union(nxt)
+    return out
