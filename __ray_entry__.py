@@ -1654,6 +1654,23 @@ def q_split_token_chunks(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_pivot_lang_by_source(sf_dir: str) -> pa.Table:
+    """Crosstab: one row per source, one count column per language
+    (conditional-aggregation oracle)."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.pivot import pivot_counts
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["source", "lang"])
+    df = (
+        pivot_counts(ds, "source", "lang")
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # ----------------------------------------------------------------------
 # driver entry points
 
@@ -1694,6 +1711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_incremental": q_dedup_exact_incremental,
         "multimodal_video_frames": q_multimodal_video_frames,
         "split_token_chunks": q_split_token_chunks,
+        "pivot_lang_by_source": q_pivot_lang_by_source,
         "count_distinct_two_dims": q_count_distinct_two_dims,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_audio_frames": q_multimodal_audio_frames,
@@ -2310,6 +2328,15 @@ def oracle_sql() -> dict[str, str]:
             " SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,"
             "  round(avg(a), 6) AS mean_abs"
             " FROM s GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "pivot_lang_by_source": (
+            "SELECT source,"
+            " CAST(COALESCE(SUM(CASE WHEN lang = 'de' THEN 1 END), 0) AS BIGINT) AS n_de,"
+            " CAST(COALESCE(SUM(CASE WHEN lang = 'en' THEN 1 END), 0) AS BIGINT) AS n_en,"
+            " CAST(COALESCE(SUM(CASE WHEN lang = 'es' THEN 1 END), 0) AS BIGINT) AS n_es,"
+            " CAST(COALESCE(SUM(CASE WHEN lang = 'fr' THEN 1 END), 0) AS BIGINT) AS n_fr,"
+            " CAST(COALESCE(SUM(CASE WHEN lang = 'zh' THEN 1 END), 0) AS BIGINT) AS n_zh"
+            " FROM documents GROUP BY source"
         ),
         "split_token_chunks": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') tk FROM documents"

@@ -1,0 +1,50 @@
+"""Pivot/crosstab (pipelines/pivot.py): counts, summed measures,
+explicit category lists (empty categories stay 0), null col_key rows
+ignored in discovery."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from weiser_ai_ray.pipelines.pivot import pivot_counts
+
+
+def _ds(rows):
+    ks, cs, vs = zip(*rows)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(ks, type=pa.string()),
+                "c": pa.array(cs, type=pa.string()),
+                "v": pa.array(vs, type=pa.int64()),
+            }
+        )
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPivotCounts:
+    def test_counts(self):
+        ds = _ds([("a", "x", 1), ("a", "x", 1), ("a", "y", 1), ("b", "y", 1)])
+        df = pivot_counts(ds, "k", "c").to_pandas().sort_values("k").reset_index(drop=True)
+        assert list(df.columns) == ["k", "n_x", "n_y"]
+        assert df.loc[0].tolist() == ["a", 2, 1]
+        assert df.loc[1].tolist() == ["b", 0, 1]
+
+    def test_sum_measure_and_explicit_categories(self):
+        ds = _ds([("a", "x", 5), ("a", "x", 7), ("b", "y", 3)])
+        df = (
+            pivot_counts(ds, "k", "c", measure="v", categories=["x", "y", "z"], prefix="sum_")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert list(df.columns) == ["k", "sum_x", "sum_y", "sum_z"]
+        assert df.loc[0].tolist() == ["a", 12, 0, 0]
+        assert df.loc[1].tolist() == ["b", 0, 3, 0]
+
+    def test_null_col_key_ignored_in_discovery(self):
+        ds = _ds([("a", "x", 1), ("a", None, 1)])
+        df = pivot_counts(ds, "k", "c").to_pandas()
+        assert list(df.columns) == ["k", "n_x"]
+        assert df.loc[0, "n_x"] == 1

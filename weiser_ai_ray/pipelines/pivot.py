@@ -1,0 +1,80 @@
+"""Pivot / crosstab: long (row_key, col_key) pairs -> one wide row per
+row_key with a count (or summed measure) column per col_key category.
+
+Scale shape: categories are discovered with a small distinct aggregate
+(driver holds O(categories) — a pivot's output width IS its category
+count, so this is the operator's inherent bound, not incidental driver
+state); per-batch partials pre-aggregate (row, col, n) digests before
+the single groupby(row_key), and each group emits its wide row from
+the broadcast category list. Corpus rows never shuffle — only
+~blocks x categories partial rows do.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def pivot_counts(
+    ds: "ray.data.Dataset",
+    row_key: str,
+    col_key: str,
+    measure: Optional[str] = None,
+    categories: Optional[Sequence[str]] = None,
+    prefix: str = "n_",
+) -> "ray.data.Dataset":
+    """Wide table: one row per ``row_key``, one ``prefix<category>``
+    int64 column per ``col_key`` category (count of pairs, or sum of
+    ``measure`` when given). Missing combinations are 0. Categories
+    default to the column's distinct values (sorted); pass them
+    explicitly to pin column order / include empty categories."""
+    if categories is None:
+        cats = sorted(
+            r[col_key]
+            for r in ds.groupby(col_key).count().take_all()
+            if r[col_key] is not None
+        )
+    else:
+        cats = list(categories)
+    cats_ref = ray.put({c: i for i, c in enumerate(cats)})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = [row_key, col_key] + ([measure] if measure else [])
+        t = batch.select(cols)
+        if measure:
+            g = t.group_by([row_key, col_key]).aggregate([(measure, "sum")])
+            val = g[f"{measure}_sum"]
+        else:
+            g = t.group_by([row_key, col_key]).aggregate([([], "count_all")])
+            val = g["count_all"]
+        return pa.table(
+            {
+                row_key: g[row_key],
+                col_key: g[col_key],
+                "__v": pc.cast(val, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def widen(group: pa.Table) -> pa.Table:
+        cat_idx = ray.get(cats_ref)
+        vals = np.zeros(len(cat_idx), dtype=np.int64)
+        cks = group[col_key].to_pylist()
+        vs = group["__v"].to_numpy(zero_copy_only=False)
+        for c, v in zip(cks, vs):
+            i = cat_idx.get(c)
+            if i is not None:
+                vals[i] += int(v)
+        cols = {row_key: group[row_key].slice(0, 1)}
+        for c, i in cat_idx.items():
+            cols[f"{prefix}{c}"] = pa.array([int(vals[i])], type=pa.int64())
+        return pa.table(cols)
+
+    return parts.groupby(row_key).map_groups(widen, batch_format="pyarrow")
