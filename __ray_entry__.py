@@ -1661,7 +1661,9 @@ def q_pivot_lang_by_source(sf_dir: str) -> pa.Table:
 
     from weiser_ai_ray.pipelines.pivot import pivot_counts
 
-    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["source", "lang"])
+    ds = __rps(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "lang"], cache=True
+    )
     df = (
         pivot_counts(ds, "source", "lang")
         .to_pandas()

@@ -141,3 +141,29 @@ class TestMinhashDedupDistributed:
             for r in minhash_lsh_dedup_distributed(ds, "text", "doc_id").take_all()
         )
         assert kept == [0, 1, 2, 3, 4]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalSchemaPreserved:
+    def test_exact_against_returns_full_rows(self):
+        # regression: the exact path used to return only (id, text)
+        old = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0], type=pa.int64()),
+                    "text": pa.array(["alpha"], type=pa.large_string()),
+                    "extra": pa.array(["old"], type=pa.string()),
+                }
+            )
+        )
+        new = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([10, 11], type=pa.int64()),
+                    "text": pa.array(["alpha", "beta"], type=pa.large_string()),
+                    "extra": pa.array(["n0", "n1"], type=pa.string()),
+                }
+            )
+        )
+        rows = exact_dedup_against(new, old, "text", "doc_id", 10).take_all()
+        assert [(r["doc_id"], r["extra"]) for r in rows] == [(11, "n1")]

@@ -48,3 +48,23 @@ class TestPivotCounts:
         df = pivot_counts(ds, "k", "c").to_pandas()
         assert list(df.columns) == ["k", "n_x"]
         assert df.loc[0, "n_x"] == 1
+
+    def test_all_null_measure_group_sums_to_zero(self):
+        # regression: an all-null measure group used to NaN-crash widen
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array(["a", "a", "b"], type=pa.string()),
+                    "c": pa.array(["x", "x", "y"], type=pa.string()),
+                    "v": pa.array([None, None, 4], type=pa.int64()),
+                }
+            )
+        )
+        df = (
+            pivot_counts(ds, "k", "c", measure="v")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert df.loc[0].tolist() == ["a", 0, 0]
+        assert df.loc[1].tolist() == ["b", 0, 4]

@@ -123,3 +123,13 @@ class TestApproxQuantiles:
         )
         # exact quantile_cont(0.5) over [10, 20, 30, 40] = 25
         assert t["q_0_5"][0].as_py() == 25.0
+
+    def test_all_null_values_yield_null_quantiles(self):
+        # regression: an all-null value column used to KeyError; SQL
+        # quantile_cont over an empty sample returns NULL
+        from weiser_ai_ray.pipelines.sketches import approx_quantiles
+
+        t = approx_quantiles(
+            self._ds([1, 2], [None, None]), "v", "id", [0.5, 0.9], 16
+        )
+        assert t["q_0_5"][0].as_py() is None and t["q_0_9"][0].as_py() is None

@@ -152,6 +152,9 @@ def export_jsonl(ds, out_dir: str, rows_per_file: int = 200_000) -> int:
     files; never one giant file). Returns the row count written."""
     import ray.data  # noqa: F401
 
+    # materialize once: count() then write_json on a lazy dataset would
+    # execute the whole upstream lineage twice
+    ds = ds.materialize()
     n = ds.count()
     if n:
         blocks = max(1, -(-n // rows_per_file))

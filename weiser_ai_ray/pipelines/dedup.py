@@ -1772,15 +1772,23 @@ def exact_dedup_against(
     ``new_min_id`` <= every new id, so an old copy always wins its
     text and a new text keeps only its min-id instance. The old corpus
     streams through the same digest-only winner reduce as exact_dedup
-    (no extra driver state; old rows are never re-emitted)."""
+    (no extra driver state; old rows are never re-emitted). Returns
+    FULL new_ds rows (the dedup itself runs on an (id, text)
+    projection; survivors semi-join back against new_ds)."""
+    from ..joins import semi_anti_join
+
     merged = exact_dedup(
         _union_old_new(old_ds, new_ds, text_col, id_col), text_col, id_col
     )
 
-    def only_new(b: pa.Table) -> pa.Table:
-        return b.filter(pc.greater_equal(b[id_col], new_min_id))
+    def new_winner_ids(b: pa.Table) -> pa.Table:
+        flt = b.filter(pc.greater_equal(b[id_col], new_min_id))
+        return pa.table({"__keep": flt[id_col]})
 
-    return merged.map_batches(only_new, batch_format="pyarrow", zero_copy_batch=True)
+    winners = merged.map_batches(
+        new_winner_ids, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return semi_anti_join(new_ds, winners, id_col, "__keep", anti=False)
 
 
 def minhash_lsh_dedup_against(
@@ -1819,12 +1827,10 @@ def minhash_lsh_dedup_against(
         prefilter_sigmas,
     )
     losers = _union_find_losers(edges)
-    kept = _drop_ids(new_ds, id_col, losers)
-
-    def only_new(b: pa.Table) -> pa.Table:
-        return b.filter(pc.greater_equal(b[id_col], new_min_id))
-
-    return kept.map_batches(only_new, batch_format="pyarrow", zero_copy_batch=True)
+    # _drop_ids streams over new_ds only, so every surviving row is a
+    # new-shard row by construction (the id contract would make a
+    # >= new_min_id refilter a no-op extra pass)
+    return _drop_ids(new_ds, id_col, losers)
 
 
 def minhash_lsh_dedup_distributed(

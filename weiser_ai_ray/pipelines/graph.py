@@ -147,6 +147,7 @@ def connected_components(
         )
     cur = _canonical(edges).materialize()
     prev_sig = _checksum(cur)
+    converged = False
     for _ in range(max_rounds):
         # large-star: symmetric orientation, group on every endpoint.
         # Its output is already canonical ((v, m) with v > u >= m) and
@@ -168,8 +169,15 @@ def connected_components(
         cur = _distinct_rows(ss, ["a", "b"]).materialize()
         sig = _checksum(cur)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # emitting labels from a non-star edge set would be SILENT data
+        # corruption in downstream dedup — fail loudly instead
+        raise RuntimeError(
+            f"connected_components: not converged after {max_rounds} rounds"
+        )
     # converged: every edge is (node, component-root)
     def label(batch: pa.Table) -> pa.Table:
         return pa.table({"id": batch["a"], "component": batch["b"]})

@@ -34,7 +34,13 @@ def pivot_counts(
     ``measure`` when given). Missing combinations are 0. Categories
     default to the column's distinct values (sorted); pass them
     explicitly to pin column order / include empty categories."""
+    needed = [row_key, col_key] + ([measure] if measure else [])
+    ds = ds.select_columns(needed)
     if categories is None:
+        # discovery executes the input — materialize the pruned
+        # projection so the partial pass reuses blocks instead of
+        # re-running the whole upstream lineage
+        ds = ds.materialize()
         cats = sorted(
             r[col_key]
             for r in ds.groupby(col_key).count().take_all()
@@ -45,8 +51,7 @@ def pivot_counts(
     cats_ref = ray.put({c: i for i, c in enumerate(cats)})
 
     def partial(batch: pa.Table) -> pa.Table:
-        cols = [row_key, col_key] + ([measure] if measure else [])
-        t = batch.select(cols)
+        t = batch.select(needed)
         if measure:
             g = t.group_by([row_key, col_key]).aggregate([(measure, "sum")])
             val = g[f"{measure}_sum"]
@@ -57,7 +62,9 @@ def pivot_counts(
             {
                 row_key: g[row_key],
                 col_key: g[col_key],
-                "__v": pc.cast(val, pa.int64()),
+                # all-null measure groups sum to null -> 0 (the oracle's
+                # COALESCE semantics; unguarded it NaN-crashes widen)
+                "__v": pc.fill_null(pc.cast(val, pa.int64()), 0),
             }
         )
 

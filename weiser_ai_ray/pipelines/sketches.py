@@ -257,14 +257,18 @@ def approx_quantiles(
     )
     hds = add_md5_of(pruned, id_col, "__h")
     top = global_topk(hds, ["__h"], sample_size, ascending=True)
-    vals = np.sort(
-        top[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-    )
+    if top.num_rows and value_col in top.column_names:
+        vals = np.sort(
+            top[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+    else:  # zero non-null values: quantiles are NULL, like quantile_cont
+        vals = np.empty(0, dtype=np.float64)
     ones = np.ones(len(vals), dtype=np.int64)
     cols = {}
     for q in qs:
         name = f"q_{str(q).replace('.', '_')}"
+        v = _weighted_quantile(vals, ones, q, True) if len(vals) else None
         cols[name] = pa.array(
-            [float(_weighted_quantile(vals, ones, q, True))], type=pa.float64()
+            [None if v is None else float(v)], type=pa.float64()
         )
     return pa.table(cols)

@@ -208,8 +208,10 @@ def read_parquet_harmonized(
     if not paths:
         raise ValueError("read_parquet_harmonized: no paths")
     unified: "dict[str, pa.DataType]" = {}
+    shard_names: "dict[str, list[str]]" = {}
     for p in paths:
-        sch = pq.read_schema(p)
+        sch = pq.read_schema(p)  # footer only, read ONCE per shard
+        shard_names[p] = list(sch.names)
         for name, typ in zip(sch.names, sch.types):
             prev = unified.get(name)
             if prev is None:
@@ -236,12 +238,17 @@ def read_parquet_harmonized(
                 cols.append(pa.nulls(batch.num_rows, type=unified[n]))
         return pa.Table.from_arrays(cols, schema=target)
 
-    parts = [
-        ray.data.read_parquet(
-            p, columns=[c for c in names if c in set(pq.read_schema(p).names)] or None
-        ).map_batches(harmonize, batch_format="pyarrow", zero_copy_batch=True)
-        for p in paths
-    ]
+    parts = []
+    for p in paths:
+        overlap = [c for c in names if c in set(shard_names[p])]
+        # a shard sharing NO pruned columns still contributes its row
+        # count: read its cheapest single column rather than all of them
+        read_cols = overlap or shard_names[p][:1]
+        parts.append(
+            ray.data.read_parquet(p, columns=read_cols or None).map_batches(
+                harmonize, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
     out = parts[0]
     for nxt in parts[1:]:
         out = out.union(nxt)
