@@ -1673,6 +1673,27 @@ def q_pivot_lang_by_source(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_approx_quantiles_by(sf_dir: str) -> pa.Table:
+    """Per-group deterministic-sample quantiles (bottom-512 per status
+    on the md5(o_orderkey) line -> exact quantile_cont per group); the
+    oracle draws the identical per-group sample via ROW_NUMBER."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.sketches import approx_quantiles_by
+
+    ds = __rps(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderstatus", "o_orderkey", "o_totalprice"],
+    )
+    df = (
+        approx_quantiles_by(ds, "o_orderstatus", "o_totalprice", "o_orderkey", [0.5, 0.9], 512)
+        .to_pandas()
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # ----------------------------------------------------------------------
 # driver entry points
 
@@ -1714,6 +1735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_video_frames": q_multimodal_video_frames,
         "split_token_chunks": q_split_token_chunks,
         "pivot_lang_by_source": q_pivot_lang_by_source,
+        "approx_quantiles_by_status": q_approx_quantiles_by,
         "count_distinct_two_dims": q_count_distinct_two_dims,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_audio_frames": q_multimodal_audio_frames,
@@ -2330,6 +2352,16 @@ def oracle_sql() -> dict[str, str]:
             " SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,"
             "  round(avg(a), 6) AS mean_abs"
             " FROM s GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "approx_quantiles_by_status": (
+            "SELECT o_orderstatus,"
+            " quantile_cont(o_totalprice, 0.5) AS q_0_5,"
+            " quantile_cont(o_totalprice, 0.9) AS q_0_9"
+            " FROM (SELECT o_orderstatus, o_totalprice,"
+            "   ROW_NUMBER() OVER (PARTITION BY o_orderstatus"
+            "    ORDER BY md5(CAST(o_orderkey AS VARCHAR))) AS rn"
+            "  FROM orders WHERE o_totalprice IS NOT NULL)"
+            " WHERE rn <= 512 GROUP BY o_orderstatus"
         ),
         "pivot_lang_by_source": (
             "SELECT source,"

@@ -133,3 +133,37 @@ class TestApproxQuantiles:
             self._ds([1, 2], [None, None]), "v", "id", [0.5, 0.9], 16
         )
         assert t["q_0_5"][0].as_py() is None and t["q_0_9"][0].as_py() is None
+
+    def test_grouped_sample_quantiles_match_duckdb(self):
+        import duckdb
+        import pandas as pd
+        import ray.data
+
+        from weiser_ai_ray.pipelines.sketches import approx_quantiles_by
+
+        rng = np.random.RandomState(5)
+        n = 3000
+        tbl = pa.table(
+            {
+                "g": pa.array([f"g{int(x)}" for x in rng.randint(0, 3, n)]),
+                "id": pa.array(np.arange(n), type=pa.int64()),
+                "v": pa.array(rng.normal(100, 20, n), type=pa.float64()),
+            }
+        )
+        got = (
+            approx_quantiles_by(ray.data.from_arrow(tbl), "g", "v", "id", [0.5], 128)
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = con.execute(
+            """
+            SELECT g, quantile_cont(v, 0.5) AS q_0_5
+            FROM (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g
+                   ORDER BY md5(CAST(id AS VARCHAR))) rn FROM t)
+            WHERE rn <= 128 GROUP BY g ORDER BY g
+            """
+        ).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)

@@ -272,3 +272,50 @@ def approx_quantiles(
             [None if v is None else float(v)], type=pa.float64()
         )
     return pa.table(cols)
+
+
+def approx_quantiles_by(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    qs: "list[float]",
+    per_group_sample: int = 512,
+) -> "ray.data.Dataset":
+    """Per-GROUP approximate quantiles from deterministic per-group
+    samples: within each group, the bottom-``per_group_sample`` rows on
+    the md5(id) hex line (taken with the existing grouped partial-top-k
+    — per-batch Arrow head-k partials, one partials-only combine
+    shuffle), then exact quantile_cont per group. The per-group exact
+    value-count plan (checks.base) is the right tool while value
+    cardinality is bounded; this is the unbounded-cardinality path —
+    shuffle volume is O(groups x sample), never O(rows). Same SQL
+    contract as approx_quantiles: ROW_NUMBER() OVER (PARTITION BY g
+    ORDER BY md5(id)) <= k + quantile_cont reproduces it bit-exactly."""
+    import pyarrow.compute as pc
+
+    from ..checks.base import _weighted_quantile
+    from .sampling import add_md5_of, topk_per_group
+
+    def drop_null(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b[value_col]))
+
+    pruned = ds.select_columns([group_col, id_col, value_col]).map_batches(
+        drop_null, batch_format="pyarrow", zero_copy_batch=True
+    )
+    hds = add_md5_of(pruned, id_col, "__h")
+    sampled = topk_per_group(hds, group_col, ["__h"], per_group_sample, ascending=True)
+
+    names = [f"q_{str(q).replace('.', '_')}" for q in qs]
+
+    def per_group(g: pa.Table) -> pa.Table:
+        vals = np.sort(g[value_col].to_numpy(zero_copy_only=False).astype(np.float64))
+        ones = np.ones(len(vals), dtype=np.int64)
+        cols = {group_col: g[group_col].slice(0, 1)}
+        for q, name in zip(qs, names):
+            cols[name] = pa.array(
+                [float(_weighted_quantile(vals, ones, q, True))], type=pa.float64()
+            )
+        return pa.table(cols)
+
+    return sampled.groupby(group_col).map_groups(per_group, batch_format="pyarrow")
