@@ -15,6 +15,14 @@ Scale notes: stateless-per-row, zero shuffle; regexes compile once per
 actor in ``Scrubber.__init__`` and literal-substring gates skip the
 regex pass for the (dominant) PII-free rows. Text leaves the operator
 scrubbed but is never collected on the driver.
+
+Unicode contract for SQL-oracle parity: Python ``re`` treats \\d, \\b
+and \\s as Unicode classes while RE2 (DuckDB) is ASCII-byte based, so
+byte equality with the regexp_replace oracle is guaranteed only for
+ASCII text (verified: the synthetic corpora are all-ASCII; the
+adversarial parity test in tests/test_scrubbing.py pins the seams).
+Non-ASCII corpora still scrub correctly — they just can't be
+hash-compared against an RE2 oracle around those classes.
 """
 
 from __future__ import annotations
