@@ -1694,6 +1694,26 @@ def q_approx_quantiles_by(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_kll_quantiles_price(sf_dir: str) -> pa.Table:
+    """Mergeable KLL sketch over l_extendedprice (rows-only: the
+    deterministic-alternating compactor has no SQL twin; accuracy is
+    gated at <=2% rank error in tests/test_kll.py)."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.kll import kll_quantiles
+
+    ds = __rps(os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"])
+    out = kll_quantiles(ds, "l_extendedprice", [0.5, 0.9, 0.99], k=256)
+    return pa.table(
+        {
+            "q_0_5": pa.array([out["q_0_5"]], type=pa.float64()),
+            "q_0_9": pa.array([out["q_0_9"]], type=pa.float64()),
+            "q_0_99": pa.array([out["q_0_99"]], type=pa.float64()),
+            "n": pa.array([out["n"]], type=pa.int64()),
+        }
+    )
+
+
 # ----------------------------------------------------------------------
 # driver entry points
 
@@ -1799,6 +1819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "minhash_dedup_full_rows": q_minhash_dedup_full_rows,
         "minhash_dedup_distributed": q_minhash_dedup_distributed,
+        "kll_quantiles_price": q_kll_quantiles_price,
         "simhash_dedup_documents": q_simhash_dedup_documents,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "approx_distinct_orderkey": q_approx_distinct_orderkey,
@@ -2062,7 +2083,8 @@ def oracle_sql() -> dict[str, str]:
             " lm AS (SELECT c2.w1, c2.w2, ROUND(ln(c2.cnt / c1.tot), 6) logp"
             "  FROM c2 JOIN c1 USING (w1) WHERE c2.cnt >= 2)"
             " SELECT g.doc_id, count(*)::BIGINT AS n_bigrams,"
-            "  ROUND(avg(coalesce(lm.logp, -20.0)), 6) AS avg_logp"
+            "  CAST(SUM(CAST(ROUND(coalesce(lm.logp, -20.0) * 1000000.0) AS BIGINT))"
+            "   AS DOUBLE) / count(*) / 1000000.0 AS avg_logp"
             " FROM g LEFT JOIN lm ON g.w1 = lm.w1 AND g.w2 = lm.w2"
             " GROUP BY g.doc_id ORDER BY g.doc_id"
         ),

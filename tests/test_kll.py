@@ -1,0 +1,86 @@
+"""KLL-style mergeable quantile sketch (pipelines/kll.py): rank-error
+accuracy gates across distributions and block layouts, merge
+associativity with the exact multiset, and grouped usage."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from weiser_ai_ray.pipelines.kll import _KLLState, kll_aggregate, kll_quantiles
+
+
+def rank_error(vals_sorted: np.ndarray, estimate: float, q: float) -> float:
+    pos = np.searchsorted(vals_sorted, estimate) / max(len(vals_sorted) - 1, 1)
+    return abs(pos - q)
+
+
+class TestKllState:
+    def test_small_input_is_exact(self):
+        s = _KLLState(64)
+        s.add_block(np.arange(50, dtype=np.float64))
+        # fewer than k items: nothing ever compacts -> exact ranks
+        assert s.quantile(0.0) == 0.0
+        assert s.quantile(1.0) == 49.0
+        med = s.quantile(0.5)
+        assert 23.0 <= med <= 26.0
+
+    def test_total_weight_is_preserved(self):
+        s = _KLLState(32)
+        s.add_block(np.random.RandomState(0).rand(10_000))
+        _v, w = s.items_weights()
+        assert int(w.sum()) == 10_000 == s.n
+
+    def test_merge_preserves_weight_and_accuracy(self):
+        rng = np.random.RandomState(1)
+        a_vals = rng.lognormal(0, 1, 60_000)
+        b_vals = rng.normal(100, 5, 40_000)
+        a = _KLLState(256).add_block(a_vals)
+        b = _KLLState(256).add_block(b_vals)
+        m = a.merge(b)
+        _v, w = m.items_weights()
+        assert int(w.sum()) == 100_000
+        srt = np.sort(np.concatenate([a_vals, b_vals]))
+        for q in (0.1, 0.5, 0.9, 0.99):
+            assert rank_error(srt, m.quantile(q), q) <= 2.0 / 256 * 4  # 4 sigma slack
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKllDataset:
+    def test_streaming_quantiles_accuracy(self):
+        rng = np.random.RandomState(7)
+        vals = rng.lognormal(3, 1.2, 200_000)
+        ds = ray.data.from_arrow(
+            pa.table({"v": pa.array(vals, type=pa.float64())})
+        ).repartition(16)
+        out = kll_quantiles(ds, "v", [0.5, 0.9, 0.99], k=256)
+        assert out["n"] == 200_000
+        srt = np.sort(vals)
+        for q in (0.5, 0.9, 0.99):
+            est = out[f"q_{str(q).replace('.', '_')}"]
+            assert rank_error(srt, est, q) <= 0.02, (q, est)
+
+    def test_nulls_and_nans_dropped(self):
+        ds = ray.data.from_arrow(
+            pa.table({"v": pa.array([1.0, None, float("nan"), 2.0, 3.0], type=pa.float64())})
+        )
+        out = kll_quantiles(ds, "v", [0.5], k=16)
+        assert out["n"] == 3 and out["q_0_5"] == 2.0
+
+    def test_grouped_aggregate(self):
+        rng = np.random.RandomState(3)
+        n = 30_000
+        g = rng.randint(0, 2, n)
+        v = np.where(g == 0, rng.normal(10, 1, n), rng.normal(1000, 10, n))
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "g": pa.array([f"g{int(x)}" for x in g]),
+                    "v": pa.array(v, type=pa.float64()),
+                }
+            )
+        ).repartition(8)
+        rows = ds.groupby("g").aggregate(kll_aggregate("v", 128)).take_all()
+        by = {r["g"]: r["kll"] for r in rows}
+        assert 9 <= by["g0"].quantile(0.5) <= 11
+        assert 990 <= by["g1"].quantile(0.5) <= 1010

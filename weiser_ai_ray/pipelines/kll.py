@@ -1,0 +1,133 @@
+"""Mergeable quantile sketch (KLL-style compactor hierarchy) on Ray
+Data's NATIVE AggregateFn protocol.
+
+Why it exists next to the other quantile paths:
+- checks/base exact quantiles: right while DISTINCT value cardinality
+  is bounded (the shuffle is one digest row per distinct value);
+- sketches.approx_quantiles: deterministic uniform sample — right when
+  a SQL-bit-reproducible estimate is wanted;
+- THIS: a true mergeable sketch with sublinear state for fully
+  streaming one-pass quantiles over unbounded-cardinality columns,
+  expressed as Ray's accumulate_block / merge / finalize aggregate so
+  the engine's own reduce tree does the merging (nothing driver-side
+  but the final O(k log(n/k)) state).
+
+Structure (Karnin-Lang-Liberty, FOCS 2016 — public; simplified): a
+hierarchy of levels, level l holding items of weight 2^l, capacity k
+per level. A full level sort-compacts: keep every other item, promote
+to level l+1. This implementation uses a DETERMINISTIC alternating
+offset per compaction instead of KLL's random coin — reproducible
+across runs and block layouts for a fixed input MULTISET partition,
+with the same O(1/k)-scale rank-error behavior in practice (gated by
+tests at <= 2/k rank error on 200k-row inputs); it is not the paper's
+unbiased randomized estimator, and exact reproducibility across
+DIFFERENT block layouts is not guaranteed (merge order changes
+compaction points), so there is no SQL oracle — accuracy is gated
+instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import AggregateFn
+
+
+class _KLLState:
+    """Picklable sketch state: levels[l] = unsorted np.float64 array of
+    items with weight 2^l; parity[l] alternates compaction offsets."""
+
+    __slots__ = ("k", "levels", "parity", "n")
+
+    def __init__(self, k: int):
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.parity: list[int] = [0]
+        self.n = 0
+
+    def _compact_from(self, lvl: int) -> None:
+        while lvl < len(self.levels) and len(self.levels[lvl]) > self.k:
+            items = np.sort(self.levels[lvl])
+            off = self.parity[lvl]
+            self.parity[lvl] ^= 1
+            promoted = items[off::2]
+            self.levels[lvl] = np.empty(0, np.float64)
+            if lvl + 1 == len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+                self.parity.append(0)
+            self.levels[lvl + 1] = np.concatenate([self.levels[lvl + 1], promoted])
+            lvl += 1
+
+    def add_block(self, vals: np.ndarray) -> "_KLLState":
+        if not len(vals):
+            return self
+        self.n += len(vals)
+        # ingest in k-sized slabs so level 0 never balloons
+        for s in range(0, len(vals), self.k):
+            self.levels[0] = np.concatenate([self.levels[0], vals[s : s + self.k]])
+            self._compact_from(0)
+        return self
+
+    def merge(self, other: "_KLLState") -> "_KLLState":
+        self.n += other.n
+        for lvl, items in enumerate(other.levels):
+            if not len(items):
+                continue
+            while lvl >= len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+                self.parity.append(0)
+            self.levels[lvl] = np.concatenate([self.levels[lvl], items])
+            self._compact_from(lvl)
+        return self
+
+    def items_weights(self) -> tuple[np.ndarray, np.ndarray]:
+        vs, ws = [], []
+        for lvl, items in enumerate(self.levels):
+            if len(items):
+                vs.append(items)
+                ws.append(np.full(len(items), 1 << lvl, dtype=np.int64))
+        if not vs:
+            return np.empty(0, np.float64), np.empty(0, np.int64)
+        v = np.concatenate(vs)
+        w = np.concatenate(ws)
+        order = np.argsort(v, kind="stable")
+        return v[order], w[order]
+
+    def quantile(self, q: float) -> float | None:
+        v, w = self.items_weights()
+        if not len(v):
+            return None
+        cum = np.cumsum(w)
+        target = q * cum[-1]
+        idx = int(np.searchsorted(cum, target, side="left"))
+        return float(v[min(idx, len(v) - 1)])
+
+
+def kll_aggregate(col: str, k: int = 256, name: str = "kll") -> AggregateFn:
+    """A Ray AggregateFn producing a merged _KLLState for ``col``
+    (nulls/NaNs dropped). Use inside ds.aggregate(...) or
+    groupby(...).aggregate(...)."""
+
+    def accumulate_block(state: _KLLState, block: "pa.Table") -> _KLLState:
+        vals = block[col].drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        return state.add_block(vals[~np.isnan(vals)])
+
+    return AggregateFn(
+        init=lambda _key: _KLLState(k),
+        accumulate_block=accumulate_block,
+        merge=lambda a, b: a.merge(b),
+        finalize=lambda s: s,
+        name=name,
+    )
+
+
+def kll_quantiles(
+    ds: "ray.data.Dataset", col: str, qs: "list[float]", k: int = 256
+) -> dict:
+    """One-pass streaming quantiles: {q_<q>: value, n: count}. State
+    reaching the driver is one O(k log(n/k)) sketch."""
+    sketch: _KLLState = ds.aggregate(kll_aggregate(col, k))["kll"]
+    out = {f"q_{str(q).replace('.', '_')}": sketch.quantile(q) for q in qs}
+    out["n"] = sketch.n
+    return out

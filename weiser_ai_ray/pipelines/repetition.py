@@ -445,7 +445,16 @@ def score_bigram_lm(
         idx = np.searchsorted(hs, gh)
         idx_c = np.minimum(idx, len(hs) - 1) if len(hs) else np.zeros(len(gh), np.int64)
         hit = (len(hs) > 0) & (hs[idx_c] == gh) if len(hs) else np.zeros(len(gh), bool)
-        g_logp = np.where(hit, ls[idx_c] if len(hs) else 0.0, floor_logp)
+        # integer MICRO-units (logp x 1e6): the LM logps are rounded to
+        # 6 decimals, so their micro values are exact integers; summing
+        # integers in float64 is exact (< 2^53) and the final division
+        # is then bit-identical to the SQL oracle regardless of
+        # summation order — averaging the rounded doubles directly
+        # flipped the 6th decimal on ~0.5% of docs at sf0.1 (boundary
+        # ties between np.round half-even and SQL ROUND half-away)
+        ls_micro = np.rint(ls * 1e6) if len(hs) else np.empty(0, np.float64)
+        floor_micro = float(np.rint(floor_logp * 1e6))
+        g_logp = np.where(hit, ls_micro[idx_c] if len(hs) else 0.0, floor_micro)
         # distinct-gram seg id per instance, then per-row instance mean
         seg = np.cumsum(first) - 1
         inst_logp = np.empty(len(gkey_s), dtype=np.float64)
@@ -460,7 +469,7 @@ def score_bigram_lm(
                 id_col: pa.array(ids[keep], type=pa.int64()),
                 "n_bigrams": pa.array(cnt[keep], type=pa.int64()),
                 "avg_logp": pa.array(
-                    np.round(tot[keep] / cnt[keep], 6), type=pa.float64()
+                    tot[keep] / cnt[keep] / 1e6, type=pa.float64()
                 ),
             }
         )
