@@ -234,3 +234,21 @@ class TestExportJsonlAndHarmonizedRead:
         pq.write_table(pa.table({"v": pa.array(["s"])}), b)
         with pytest.raises(ValueError, match="column 'v'"):
             read_parquet_harmonized([a, b])
+
+    def test_jsonl_rerun_overwrites_not_duplicates(self, tmp_path):
+        import glob
+        import json
+
+        import pyarrow as pa
+        import ray.data
+
+        from weiser_ai_ray.loader.export import export_jsonl
+
+        tbl = pa.table({"doc_id": pa.array(range(10), type=pa.int64())})
+        out = str(tmp_path / "re")
+        export_jsonl(ray.data.from_arrow(tbl), out)
+        export_jsonl(ray.data.from_arrow(tbl), out)  # rerun must not duplicate
+        rows = [
+            json.loads(l) for f in glob.glob(out + "/*.json") for l in open(f)
+        ]
+        assert len(rows) == 10

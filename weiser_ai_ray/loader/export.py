@@ -144,14 +144,25 @@ def export_results(
     return {"summary": summary, "failures": failures, "slack_payload": payload}
 
 
-def export_jsonl(ds, out_dir: str, rows_per_file: int = 200_000) -> int:
+def export_jsonl(
+    ds, out_dir: str, rows_per_file: int = 200_000, overwrite: bool = True
+) -> int:
     """Sharded JSONL export — the hand-off format most training stacks
     ingest. Distributed: every block writes its own shard through
     Ray's JSON datasink (one JSON object per line), re-blocked so each
     file holds ~rows_per_file rows (resumable consumers skip whole
-    files; never one giant file). Returns the row count written."""
+    files; never one giant file). Returns the row count written.
+
+    ``overwrite`` (default) clears an existing local out_dir first — a
+    rerun into a non-empty directory would otherwise ADD shards with
+    fresh names and silently duplicate every row for the consumer."""
+    import os
+    import shutil
+
     import ray.data  # noqa: F401
 
+    if overwrite and os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
     # materialize once: count() then write_json on a lazy dataset would
     # execute the whole upstream lineage twice
     ds = ds.materialize()
