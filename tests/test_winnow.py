@@ -106,3 +106,18 @@ class TestWinnow:
         }
         assert got_map == want
         assert (3, 10) in got_map or texts[3] == ""  # planted clone found
+
+    def test_poly_hasher_same_guarantee(self):
+        # the fast vectorized hasher keeps the winnowing guarantee and
+        # the same pair semantics (values differ from md5, so no oracle)
+        run = " ".join(f"tok{i}" for i in range(K + W - 1))
+        a = "alpha beta gamma delta " + run + " epsilon zeta"
+        b = "completely different prefix words here " + run
+        pairs = winnow_clone_pairs(_ds([a, b]), min_shared=1, hasher="poly").to_pandas()
+        assert len(pairs) == 1 and pairs.loc[0, "id_a"] == 0
+
+    def test_unknown_hasher_rejected(self):
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            winnow_clone_pairs(_ds(["x y z w"]), hasher="nope").to_pandas()
