@@ -1714,6 +1714,24 @@ def q_kll_quantiles_price(sf_dir: str) -> pa.Table:
     )
 
 
+def q_assign_splits(sf_dir: str) -> pa.Table:
+    """Deterministic 80/10/10 train/valid/test assignment on the
+    md5(doc_id) hex line; the oracle recomputes the CASE thresholds,
+    so band edges and ordering are under the hash."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.sampling import assign_splits
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    df = (
+        assign_splits(ds, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df[["doc_id", "split"]], preserve_index=False)
+
+
 # ----------------------------------------------------------------------
 # driver entry points
 
@@ -1756,6 +1774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_token_chunks": q_split_token_chunks,
         "pivot_lang_by_source": q_pivot_lang_by_source,
         "approx_quantiles_by_status": q_approx_quantiles_by,
+        "assign_splits_docs": q_assign_splits,
         "count_distinct_two_dims": q_count_distinct_two_dims,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_audio_frames": q_multimodal_audio_frames,
@@ -2374,6 +2393,17 @@ def oracle_sql() -> dict[str, str]:
             " SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,"
             "  round(avg(a), 6) AS mean_abs"
             " FROM s GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # split band edges are the engine's exact IEEE products
+        # (int(f * 2**128) as 32-hex), precomputed: 0.8 and 0.9
+        "assign_splits_docs": (
+            "SELECT doc_id, CASE"
+            " WHEN md5(CAST(doc_id AS VARCHAR)) < 'ccccccccccccd0000000000000000000'"
+            "  THEN 'train'"
+            " WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6666666666668000000000000000000'"
+            "  THEN 'valid'"
+            " ELSE 'test' END AS split"
+            " FROM documents"
         ),
         "approx_quantiles_by_status": (
             "SELECT o_orderstatus,"

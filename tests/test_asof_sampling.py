@@ -249,3 +249,29 @@ class TestSampleWeighted:
         ds = ray.data.from_items(rows)
         out = sample_weighted(ds, "k", "w", scale=1.0).to_pandas()
         assert list(out.k) == [1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAssignSplits:
+    def test_disjoint_exhaustive_and_stable(self):
+        import pyarrow as pa
+        import ray.data
+
+        from weiser_ai_ray.pipelines.sampling import assign_splits
+
+        ds = ray.data.from_arrow(
+            pa.table({"id": pa.array(list(range(2000)) + [None], type=pa.int64())})
+        )
+        df = assign_splits(ds, "id", {"train": 0.8, "valid": 0.1, "test": 0.1}).to_pandas()
+        named = df[df["id"].notna()]
+        # every non-null row gets exactly one split; proportions ~ fractions
+        assert set(named["split"]) == {"train", "valid", "test"}
+        frac = named["split"].value_counts(normalize=True)
+        assert 0.75 < frac["train"] < 0.85
+        assert 0.07 < frac["valid"] < 0.13
+        # null key -> null split
+        assert df[df["id"].isna()]["split"].isna().all()
+        # rerun-stable: identical assignment
+        df2 = assign_splits(ds, "id", {"train": 0.8, "valid": 0.1, "test": 0.1}).to_pandas()
+        assert df.sort_values("id", na_position="last")["split"].fillna("∅").tolist() == \
+               df2.sort_values("id", na_position="last")["split"].fillna("∅").tolist()

@@ -314,3 +314,45 @@ def sample_weighted(
         return b.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def assign_splits(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    fractions: "dict[str, float]",
+    out_col: str = "split",
+) -> "ray.data.Dataset":
+    """Deterministic disjoint dataset splits (train/valid/test): each
+    row's md5(CAST(key AS VARCHAR)) position on the hex line picks the
+    band whose cumulative fraction covers it, in the dict's declared
+    order (remaining mass goes to the LAST split, so the bands
+    partition every row exactly once). The same construction as
+    sample_fraction, so membership is layout-stable, rerun-stable,
+    cluster-size-stable, and SQL-expressible as a CASE over md5
+    thresholds. Streaming one-pass append; no shuffle; null keys get a
+    null split (callers decide their fate explicitly)."""
+    names = list(fractions)
+    if not names:
+        raise ValueError("assign_splits: need at least one split")
+    cum, edges = 0.0, []
+    for name in names[:-1]:
+        cum += float(fractions[name])
+        edges.append(format(min(max(int(cum * (1 << 128)), 0), (1 << 128) - 1), "032x"))
+
+    def tag(b: pa.Table) -> pa.Table:
+        vals = b[key_col].to_pylist()
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(None)
+                continue
+            h = hashlib.md5(str(v).encode()).hexdigest()
+            for name, edge in zip(names, edges):
+                if h < edge:
+                    out.append(name)
+                    break
+            else:
+                out.append(names[-1])
+        return b.append_column(out_col, pa.array(out, type=pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
