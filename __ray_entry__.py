@@ -1732,6 +1732,49 @@ def q_assign_splits(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df[["doc_id", "split"]], preserve_index=False)
 
 
+def q_corpus_diff(sf_dir: str) -> pa.Table:
+    """Snapshot diff: old = documents; new = documents with %7 ids
+    removed, %5 texts mutated, and %11 ids re-keyed (+1e6) as
+    additions. Oracle = FULL OUTER JOIN with text compare (the engine
+    compares 128-bit content hashes — documented equivalence)."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.diffing import corpus_diff
+
+    old_ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def mk_new(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = b["text"].to_pylist()
+        keep = d % 7 != 0
+        kept_ids = d[keep]
+        kept_texts = [
+            (t or "") + "!" if i % 5 == 0 else t
+            for i, t in zip(kept_ids, [texts[j] for j in np.flatnonzero(keep)])
+        ]
+        add = d % 11 == 0
+        add_ids = d[add] + 1_000_000
+        add_texts = [texts[j] for j in np.flatnonzero(add)]
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([kept_ids, add_ids]), type=pa.int64()),
+                "text": pa.array(kept_texts + add_texts, type=pa.large_string()),
+            }
+        )
+
+    new_ds = old_ds.map_batches(mk_new, batch_format="pyarrow", zero_copy_batch=True)
+    df = (
+        corpus_diff(old_ds, new_ds, "text", "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # ----------------------------------------------------------------------
 # driver entry points
 
@@ -1775,6 +1818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_lang_by_source": q_pivot_lang_by_source,
         "approx_quantiles_by_status": q_approx_quantiles_by,
         "assign_splits_docs": q_assign_splits,
+        "corpus_diff_snapshots": q_corpus_diff,
         "count_distinct_two_dims": q_count_distinct_two_dims,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_audio_frames": q_multimodal_audio_frames,
@@ -2393,6 +2437,23 @@ def oracle_sql() -> dict[str, str]:
             " SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,"
             "  round(avg(a), 6) AS mean_abs"
             " FROM s GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "corpus_diff_snapshots": (
+            "WITH oldv AS (SELECT doc_id, text FROM documents),"
+            " newv AS ("
+            "  SELECT doc_id, CASE WHEN doc_id % 5 = 0"
+            "    THEN coalesce(text, '') || '!' ELSE text END AS text"
+            "  FROM documents WHERE doc_id % 7 <> 0"
+            "  UNION ALL"
+            "  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0),"
+            " j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,"
+            "   o.doc_id IS NULL AS is_added, n.doc_id IS NULL AS is_removed,"
+            "   (o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL"
+            "    AND o.text IS DISTINCT FROM n.text) AS is_changed"
+            "  FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id)"
+            " SELECT doc_id, CASE WHEN is_added THEN 'added'"
+            "  WHEN is_removed THEN 'removed' ELSE 'changed' END AS status"
+            " FROM j WHERE is_added OR is_removed OR is_changed"
         ),
         # split band edges are the engine's exact IEEE products
         # (int(f * 2**128) as 32-hex), precomputed: 0.8 and 0.9

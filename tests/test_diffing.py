@@ -1,0 +1,43 @@
+"""Corpus snapshot diff (pipelines/diffing.py): every status class,
+null-text transitions, identical-snapshot emptiness."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from weiser_ai_ray.pipelines.diffing import corpus_diff
+
+
+def _ds(rows):
+    ids, texts = zip(*rows) if rows else ((), ())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(texts, type=pa.large_string()),
+            }
+        )
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCorpusDiff:
+    def test_all_status_classes(self):
+        old = _ds([(1, "a"), (2, "b"), (3, "c"), (4, None)])
+        new = _ds([(2, "b"), (3, "CHANGED"), (4, ""), (9, "new")])
+        got = {
+            r["doc_id"]: r["status"]
+            for r in corpus_diff(old, new).take_all()
+        }
+        # 1 removed; 2 unchanged (absent); 3 changed; 4 null->'' is a
+        # change (IS DISTINCT FROM semantics); 9 added
+        assert got == {1: "removed", 3: "changed", 4: "changed", 9: "added"}
+
+    def test_identical_snapshots_emit_nothing(self):
+        rows = [(i, f"t{i}") for i in range(200)]
+        assert corpus_diff(_ds(rows), _ds(rows)).count() == 0
+
+    def test_null_to_null_is_unchanged(self):
+        old = _ds([(1, None)])
+        new = _ds([(1, None)])
+        assert corpus_diff(old, new).count() == 0

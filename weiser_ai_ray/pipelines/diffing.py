@@ -1,0 +1,95 @@
+"""Corpus snapshot diff: added / removed / changed rows between two
+versions of a keyed corpus.
+
+The continuous-ingest audit companion to incremental dedup: after a
+recrawl or reprocess, report exactly which documents appeared,
+disappeared, or changed content — without ever shuffling text. Each
+side reduces to (id, 128-bit content hash, side-bit) digests; rows are
+coarse-partitioned by ``id % nparts`` (both versions of an id land in
+one partition, so classification is locally decidable) and each
+partition classifies with one vectorized sort + segment pass. Output
+is O(differences), unchanged rows are dropped inside the partition.
+
+Hash-compare semantics: 'changed' means the md5-128 of the text
+differs — a collision would mask one change per ~2^64 corpora
+(documented, same contract as exact_dedup's content keys).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from .dedup import add_content_hash128
+
+
+def corpus_diff(
+    old_ds: "ray.data.Dataset",
+    new_ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    nparts: int = 64,
+) -> "ray.data.Dataset":
+    """(id, status) rows, status in {'added', 'removed', 'changed'};
+    ids present in both snapshots with identical text emit nothing.
+    CONTRACT: ids are unique within each snapshot."""
+
+    def digest(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            h = add_content_hash128(b.select([id_col, text_col]), text_col)
+            ids = h[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    id_col: pa.array(ids),
+                    "__h1": h["__h1"],
+                    "__h2": h["__h2"],
+                    "__side": pa.array(
+                        np.full(len(ids), side, dtype=np.int8), type=pa.int8()
+                    ),
+                    "__part": pa.array((ids % nparts).astype(np.int32)),
+                }
+            )
+
+        return fn
+
+    rows = old_ds.map_batches(
+        digest(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(new_ds.map_batches(digest(1), batch_format="pyarrow", zero_copy_batch=True))
+
+    def classify(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        side = group["__side"].to_numpy(zero_copy_only=False).astype(np.int8)
+        h1 = group["__h1"].to_numpy(zero_copy_only=False)
+        h2 = group["__h2"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, ids))
+        ids, side, h1, h2 = ids[order], side[order], h1[order], h2[order]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        lens = np.diff(np.r_[starts, len(ids)])
+        out_ids, out_status = [], []
+        # singletons: side decides added/removed
+        single = starts[lens == 1]
+        if len(single):
+            out_ids.append(ids[single])
+            out_status.append(
+                np.where(side[single] == 1, "added", "removed").astype(object)
+            )
+        # pairs (old + new, sorted so old first): changed iff hash differs
+        dbl = starts[lens == 2]
+        if len(dbl):
+            chg = (h1[dbl] != h1[dbl + 1]) | (h2[dbl] != h2[dbl + 1])
+            if chg.any():
+                out_ids.append(ids[dbl][chg])
+                out_status.append(np.full(int(chg.sum()), "changed", dtype=object))
+        if not out_ids:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "status": pa.array([], pa.string())}
+            )
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_ids), type=pa.int64()),
+                "status": pa.array(np.concatenate(out_status), type=pa.string()),
+            }
+        )
+
+    return rows.groupby("__part").map_groups(classify, batch_format="pyarrow")
