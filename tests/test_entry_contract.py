@@ -1,0 +1,47 @@
+"""Driver-contract invariants for __ray_entry__ (no Ray needed):
+every oracle key has a query, the gate-window ordering holds (all
+oracle-backed entries precede every rows-only entry, so a prefix
+window of the registry always grades maximal oracle coverage), and
+the oracle SQL strings only reference pre-registered tables."""
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+import __ray_entry__ as e
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def test_every_oracle_has_a_query():
+    q, o = e.queries(), e.oracle_sql()
+    assert set(o) <= set(q)
+
+
+def test_oracle_backed_entries_precede_rows_only():
+    q, o = list(e.queries()), set(e.oracle_sql())
+    first_rows_only = next(i for i, n in enumerate(q) if n not in o)
+    assert all(n not in o for n in q[first_rows_only:]), (
+        "an oracle-backed query sits after a rows-only one — it could "
+        "fall outside the driver's grading window"
+    )
+
+
+def test_oracle_sql_references_only_registered_tables():
+    # FROM/JOIN targets must be registered views or inline constructs
+    for name, sql in e.oracle_sql().items():
+        for m in re.finditer(r"\b(?:FROM|JOIN)\s+([A-Za-z_][A-Za-z0-9_]*)", sql, re.I):
+            t = m.group(1).lower()
+            # CTE names / LATERAL / subquery aliases are fine; flag only
+            # obvious unregistered TABLE-like names
+            assert t not in {"parquet_scan", "read_parquet"}, (name, t)
+
+
+def test_query_names_are_snake_case_and_unique():
+    names = list(e.queries())
+    assert len(names) == len(set(names))
+    assert all(re.fullmatch(r"[a-z0-9_]+", n) for n in names)
