@@ -1775,6 +1775,26 @@ def q_corpus_diff(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_vocab_oov_counts(sf_dir: str) -> pa.Table:
+    """Top-20 corpus vocabulary (the documents fixture has ~31
+    distinct words, so a small V makes OOV counts non-trivial), then
+    per-doc token/OOV-instance counts; the oracle rebuilds the
+    vocabulary with the same (count desc, term asc) tie-break and
+    LEFT JOINs per instance."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.textstats import vocab_oov_counts
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"], cache=True)
+    df = (
+        vocab_oov_counts(ds, "text", "doc_id", vocab_size=20)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # ----------------------------------------------------------------------
 # driver entry points
 
@@ -1819,6 +1839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles_by_status": q_approx_quantiles_by,
         "assign_splits_docs": q_assign_splits,
         "corpus_diff_snapshots": q_corpus_diff,
+        "vocab_oov_counts": q_vocab_oov_counts,
         "count_distinct_two_dims": q_count_distinct_two_dims,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_audio_frames": q_multimodal_audio_frames,
@@ -2437,6 +2458,18 @@ def oracle_sql() -> dict[str, str]:
             " SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,"
             "  round(avg(a), 6) AS mean_abs"
             " FROM s GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "vocab_oov_counts": (
+            "WITH tok AS (SELECT doc_id, unnest(list_filter("
+            "   regexp_split_to_array(coalesce(text, ''), '\\s+'), x -> x != '')) AS w"
+            "  FROM documents),"
+            " cnt AS (SELECT w, count(*) c FROM tok GROUP BY w),"
+            " vocab AS (SELECT w FROM cnt"
+            "  QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) <= 20)"
+            " SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,"
+            "  (count(*) - count(v.w))::BIGINT AS n_oov"
+            " FROM tok LEFT JOIN vocab v ON tok.w = v.w"
+            " GROUP BY tok.doc_id"
         ),
         "corpus_diff_snapshots": (
             "WITH oldv AS (SELECT doc_id, text FROM documents),"

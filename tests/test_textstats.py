@@ -251,3 +251,37 @@ class TestSplitTokenChunks:
             "t6 t7",
         ]
         assert list(df["chunk_idx"]) == [0, 1, 2, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestVocabOov:
+    def test_counts_and_tiebreak(self):
+        import pyarrow as pa
+
+        from weiser_ai_ray.pipelines.textstats import vocab_oov_counts
+
+        texts = [
+            "a a a b b c",  # counts: a=3, b=2, c=1
+            "a b z z q",
+            None,
+            "",
+        ]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts, type=pa.large_string()),
+                }
+            )
+        )
+        # vocab_size=2 -> vocab {a, b} (z also has 2 but loses the
+        # count-then-term tie-break to b)
+        df = (
+            vocab_oov_counts(ds, "text", "doc_id", vocab_size=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert df["doc_id"].tolist() == [0, 1]  # null/empty docs emit nothing
+        assert df.loc[0, ["n_tokens", "n_oov"]].tolist() == [6, 1]  # c
+        assert df.loc[1, ["n_tokens", "n_oov"]].tolist() == [5, 3]  # z z q

@@ -67,8 +67,12 @@ def _gram_keys(
     realistic batch vocabularies); start positions index the flat word
     array."""
     empty = np.empty(0, dtype=np.int64)
-    if n < 2 or len(codes) < n:
+    if n < 1 or len(codes) < n:
         return empty, empty, empty
+    if n == 1:  # unigrams: every word is its own gram
+        return row_ids, codes.astype(np.int64, copy=True), np.arange(
+            len(codes), dtype=np.int64
+        )
     key = codes[: len(codes) - n + 1].copy()
     same = row_ids[: len(codes) - n + 1] == row_ids[n - 1 :]
     for j in range(1, n):

@@ -328,3 +328,53 @@ def split_token_chunks(
     return ds.select_columns([id_col, text_col]).map_batches(
         per_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def vocab_oov_counts(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> "ray.data.Dataset":
+    """Tokenizer-vocabulary coverage: build the corpus's top-``vocab_
+    size`` unigram vocabulary (count desc, term asc tie-break — the
+    deterministic top_ngrams order), then report per document
+    (id, n_tokens, n_oov) where n_oov counts token INSTANCES outside
+    the vocabulary. Counts (not rates) keep the result integer-exact
+    against the SQL oracle.
+
+    Two passes: the vocab pass is the existing pre-aggregated digest
+    shuffle (O(distinct terms)); the scoring pass broadcasts the small
+    vocab once (``ray.put`` of a frozenset — EXACT membership, no hash
+    caveat) and streams the corpus with zero shuffle. Tokens follow
+    the whitespace split of the repetition kernels (ANSI
+    regexp_split_to_array parity)."""
+    import ray as _ray
+
+    from .repetition import top_ngrams
+
+    vocab_rows = top_ngrams(ds, n=1, k=vocab_size, text_col=text_col).take_all()
+    vocab_ref = _ray.put(frozenset(r["gram"] for r in vocab_rows))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab = _ray.get(vocab_ref)
+        ids_out, ntok, noov = [], [], []
+        ids = batch[id_col].to_pylist()
+        for d, t in zip(ids, batch[text_col].to_pylist()):
+            toks = (t or "").split()
+            if not toks:
+                continue
+            ids_out.append(d)
+            ntok.append(len(toks))
+            noov.append(sum(1 for w in toks if w not in vocab))
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, type=pa.int64()),
+                "n_tokens": pa.array(ntok, type=pa.int64()),
+                "n_oov": pa.array(noov, type=pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
