@@ -1795,6 +1795,19 @@ def q_vocab_oov_counts(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_heavy_keys(sf_dir: str) -> pa.Table:
+    """Key-skew profile of lineitem's l_orderkey hot keys (top-10 with
+    exact counts + share of rows) — the pre-partitioning diagnostic."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.sketches import heavy_keys
+
+    ds = __rps(os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey"])
+    t = heavy_keys(ds, "l_orderkey", k=10)
+    df = t.to_pandas().sort_values(["cnt", "l_orderkey"], ascending=[False, True])
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
 # ----------------------------------------------------------------------
 # driver entry points
 
@@ -1840,6 +1853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assign_splits_docs": q_assign_splits,
         "corpus_diff_snapshots": q_corpus_diff,
         "vocab_oov_counts": q_vocab_oov_counts,
+        "heavy_keys_lineitem": q_heavy_keys,
         "count_distinct_two_dims": q_count_distinct_two_dims,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_audio_frames": q_multimodal_audio_frames,
@@ -2458,6 +2472,13 @@ def oracle_sql() -> dict[str, str]:
             " SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,"
             "  round(avg(a), 6) AS mean_abs"
             " FROM s GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "heavy_keys_lineitem": (
+            "SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt,"
+            " ROUND(count(*) / (SELECT count(*)::DOUBLE FROM lineitem"
+            "   WHERE l_orderkey IS NOT NULL), 6) AS share"
+            " FROM lineitem WHERE l_orderkey IS NOT NULL"
+            " GROUP BY l_orderkey ORDER BY cnt DESC, l_orderkey ASC LIMIT 10"
         ),
         "vocab_oov_counts": (
             "WITH tok AS (SELECT doc_id, unnest(list_filter("

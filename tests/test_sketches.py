@@ -167,3 +167,27 @@ class TestApproxQuantiles:
             """
         ).fetchdf()
         pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHeavyKeys:
+    def test_counts_share_and_tiebreak(self):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.sketches import heavy_keys
+
+        vals = ["a"] * 5 + ["b"] * 3 + ["c"] * 3 + ["d"] + [None] * 2
+        ds = ray.data.from_arrow(pa.table({"k": pa.array(vals, type=pa.string())}))
+        t = heavy_keys(ds, "k", k=3).to_pandas().reset_index(drop=True)
+        # nulls excluded from counts AND the share denominator (12 rows)
+        assert t["k"].tolist() == ["a", "b", "c"]  # b before c on tie (asc)
+        assert t["cnt"].tolist() == [5, 3, 3]
+        assert t["share"].tolist() == [round(5 / 12, 6), 0.25, 0.25]
+
+    def test_empty_input(self):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.sketches import heavy_keys
+
+        ds = ray.data.from_arrow(pa.table({"k": pa.array([], type=pa.string())}))
+        assert heavy_keys(ds, "k", 5).num_rows == 0

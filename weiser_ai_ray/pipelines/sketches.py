@@ -319,3 +319,77 @@ def approx_quantiles_by(
         return pa.table(cols)
 
     return sampled.groupby(group_col).map_groups(per_group, batch_format="pyarrow")
+
+
+def heavy_keys(
+    ds: "ray.data.Dataset", col: str, k: int = 20
+) -> pa.Table:
+    """Key-skew profile: the k heaviest values of ``col`` with exact
+    counts and their share of all non-null rows — the diagnostic to run
+    BEFORE picking a partition/groupby key (a top-1 share of 30% means
+    that key needs salting; the dedup/groupby operators' hot-key guards
+    assume the caller looked).
+
+    Pre-aggregated end to end: per-batch Arrow group_by count partials
+    (O(batch distinct) digest rows), one groupby-sum over (value),
+    partial-top-k combine — the corpus row count never appears in the
+    shuffle. Ties break value-ascending for determinism."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select([col]).filter(pc.is_valid(b[col]))
+        g = t.group_by([col]).aggregate([([], "count_all")])
+        return pa.table({col: g[col], "__c": pc.cast(g["count_all"], pa.int64())})
+
+    # consumed twice (top-k + total) -> materialize the small partials
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    summed = parts.groupby(col).aggregate(Sum("__c", alias_name="cnt"))
+
+    def head(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        idx = _pc.sort_indices(
+            t, sort_keys=[("cnt", "descending"), (col, "ascending")]
+        ).slice(0, k)
+        return t.take(idx)
+
+    tops = [
+        b
+        for b in summed.map_batches(
+            head, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    total = int(
+        sum(
+            b["__c"].to_numpy(zero_copy_only=False).sum()
+            for b in parts.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows
+        )
+    )
+    if not tops:
+        return pa.table(
+            {
+                col: pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "share": pa.array([], pa.float64()),
+            }
+        )
+    merged = pa.concat_tables(tops)
+    idx = pc.sort_indices(
+        merged, sort_keys=[("cnt", "descending"), (col, "ascending")]
+    ).slice(0, k)
+    out = merged.take(idx)
+    cnt = out["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    share = np.round(cnt / max(total, 1), 6)
+    return pa.table(
+        {
+            col: out[col],
+            "cnt": pa.array(cnt),
+            "share": pa.array(share, type=pa.float64()),
+        }
+    )
