@@ -1386,6 +1386,21 @@ def q_pack_documents(sf_dir: str) -> pa.Table:
     )
 
 
+def q_group_concat_source(sf_dir: str) -> pa.Table:
+    """Repo-context assembly: all docs of a source joined in doc_id
+    order into ONE training document (the repo-level context layout for
+    code pretraining). The oracle's string_agg(... ORDER BY) puts the
+    within-group ordering, null-skip and separator under the hash."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.packing import group_concat_docs
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "source"])
+    out = group_concat_docs(ds, "source", "doc_id", "text", sep="\n")
+    pdf = out.to_pandas().sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(pdf[["source", "n_docs", "text"]], preserve_index=False)
+
+
 def q_shuffle_rank_documents(sf_dir: str) -> pa.Table:
     """Deterministic global shuffle rank (seed 17): md5-keyed uniform
     range partition, per-range counts exclusive-scanned on the driver,
@@ -1857,6 +1872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_distinct_two_dims": q_count_distinct_two_dims,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_audio_frames": q_multimodal_audio_frames,
+        "group_concat_source": q_group_concat_source,
         # -- oracle-backed, green in previous rounds --
         "numeric_revenue": q_numeric_revenue,
         "avg_order_total": q_avg_order_total,
@@ -2393,6 +2409,12 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(start_off // 512 AS BIGINT) AS chunk_first,"
             "  CAST((start_off + n_tok - 1) // 512 AS BIGINT) AS chunk_last"
             " FROM s ORDER BY doc_id"
+        ),
+        "group_concat_source": (
+            "SELECT source, CAST(count(text) AS BIGINT) AS n_docs,"
+            " string_agg(text, chr(10) ORDER BY doc_id) AS text"
+            " FROM documents WHERE source IS NOT NULL"
+            " GROUP BY source ORDER BY source"
         ),
         "shuffle_rank_documents": (
             "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY"

@@ -364,3 +364,54 @@ def test_curate_cli(ray_session, tmp_path):
     t = pads.dataset(str(tmp_path / "pack_manifest"), format="parquet").to_table()
     assert set(t.column_names) >= {"doc_id", "n_tok", "start_off", "end_off"}
     assert t.num_rows > 0
+
+
+class TestGroupConcatDocs:
+    def test_matches_duckdb(self, ray_session, con):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.packing import group_concat_docs
+
+        docs = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "source"]
+        )
+        got = (
+            group_concat_docs(docs, "source", "doc_id", "text", sep="\n")
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)[["source", "n_docs", "text"]]
+        )
+        want = con.sql(
+            "SELECT source, CAST(count(text) AS BIGINT) AS n_docs,"
+            " string_agg(text, chr(10) ORDER BY doc_id) AS text"
+            " FROM documents WHERE source IS NOT NULL"
+            " GROUP BY source ORDER BY source"
+        ).df()
+        pd.testing.assert_frame_equal(got, want)
+        assert (got["n_docs"] > 1).any()
+
+    def test_null_semantics(self, ray_session):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.packing import group_concat_docs
+
+        t = pa.table(
+            {
+                "g": ["a", "a", "a", "b", None, "c"],
+                "k": [3, 1, 2, 1, 1, 1],
+                "text": ["C", "A", None, None, "dropped", "solo"],
+            }
+        )
+        got = (
+            group_concat_docs(ray.data.from_arrow(t), "g", "k", "text", sep="|")
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        # a: null text skipped from join but group ordered by k; b: all-null
+        # group still emitted with NULL text; null group key dropped
+        assert list(got["g"]) == ["a", "b", "c"]
+        assert list(got["n_docs"]) == [2, 0, 1]
+        assert got["text"][0] == "A|C"
+        assert got["text"][1] is None or pd.isna(got["text"][1])
+        assert got["text"][2] == "solo"

@@ -147,6 +147,56 @@ def concat_chunk_pack(
     return tok_tbl.groupby("__range").map_groups(scan_range, batch_format="pyarrow")
 
 
+def group_concat_docs(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    order_col: str,
+    text_col: str,
+    sep: str = "\n",
+) -> "ray.data.Dataset":
+    """Within-group ordered concatenation — repo-context assembly for
+    code pretraining (all files of a repo joined in path order into one
+    training document, the layout repo-level context windows train on).
+
+    Output: one row per group — (group_col, n_docs, text_col), where
+    n_docs counts the non-null texts that entered the join (SQL
+    ``COUNT(text)``) and text_col is ``string_agg(text, sep ORDER BY
+    order_col)`` (nulls skipped; all-null groups emit NULL).
+
+    Shuffle moves the full text by necessity — the OUTPUT is the
+    concatenation, so the bytes must co-locate; this is the one
+    text-payload groupby in the library and its contract is that a
+    single group fits a worker's heap (giant repos should be pre-capped
+    with sampling.topk_per_group or laid out with concat_chunk_pack,
+    which never materializes the join). ``order_col`` must be unique
+    within a group or the tie order is undefined on both engine and
+    oracle sides. Null group keys are dropped (Ray's sort-based groupby
+    cannot key on null; mirror with WHERE group IS NOT NULL)."""
+    import pyarrow.compute as pc
+
+    pruned = ds.select_columns([group_col, order_col, text_col])
+
+    def drop_null_keys(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b[group_col]))
+
+    pruned = pruned.map_batches(drop_null_keys, batch_format="pyarrow", zero_copy_batch=True)
+
+    def concat(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[(order_col, "ascending")])
+        texts = group[text_col].take(order).to_pylist()
+        vals = [t for t in texts if t is not None]
+        joined = sep.join(vals) if vals else None
+        return pa.table(
+            {
+                group_col: group[group_col].slice(0, 1),
+                "n_docs": pa.array([len(vals)], type=pa.int64()),
+                text_col: pa.array([joined], type=pa.large_string()),
+            }
+        )
+
+    return pruned.groupby(group_col).map_groups(concat, batch_format="pyarrow")
+
+
 def _empty_out(id_col: str) -> pa.Table:
     i64: pa.DataType = pa.int64()
     return pa.table(
