@@ -191,3 +191,53 @@ class TestHeavyKeys:
 
         ds = ray.data.from_arrow(pa.table({"k": pa.array([], type=pa.string())}))
         assert heavy_keys(ds, "k", 5).num_rows == 0
+
+
+class TestFilterByQuantile:
+    def test_matches_duckdb(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from weiser_ai_ray.pipelines.sketches import filter_by_quantile
+
+        ds = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "n_chars"]
+        ).materialize()
+        got = (
+            filter_by_quantile(ds, "n_chars", "doc_id", 0.5, keep="ge")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)[["doc_id", "n_chars"]]
+        )
+        want = pd.DataFrame(
+            _exact(
+                "WITH s AS (SELECT quantile_cont(n_chars, 0.5) AS t FROM"
+                "  (SELECT n_chars FROM documents WHERE n_chars IS NOT NULL"
+                "   ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 2048))"
+                " SELECT d.doc_id, d.n_chars FROM documents d, s"
+                " WHERE d.n_chars >= s.t ORDER BY d.doc_id"
+            ),
+            columns=["doc_id", "n_chars"],
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        n = ds.count()
+        assert 0 < len(got) < n  # a real cut happened
+
+    def test_le_and_nulls_and_all_null(self, ray_session):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.sketches import filter_by_quantile
+
+        t = pa.table(
+            {"id": [1, 2, 3, 4, 5], "v": pa.array([10, 20, None, 40, 50], pa.int64())}
+        )
+        ds = ray.data.from_arrow(t)
+        kept = filter_by_quantile(ds, "v", "id", 0.5, keep="le").to_pandas()
+        # sample = {10,20,40,50}, median 30.0 -> keep v <= 30; null row drops
+        assert sorted(kept["id"]) == [1, 2]
+        allnull = ray.data.from_arrow(
+            pa.table({"id": [1, 2], "v": pa.array([None, None], pa.int64())})
+        )
+        assert filter_by_quantile(allnull, "v", "id", 0.5).count() == 0
+        with pytest.raises(ValueError):
+            filter_by_quantile(ds, "v", "id", 0.5, keep="gt")

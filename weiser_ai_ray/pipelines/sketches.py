@@ -321,6 +321,43 @@ def approx_quantiles_by(
     return sampled.groupby(group_col).map_groups(per_group, batch_format="pyarrow")
 
 
+def filter_by_quantile(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    id_col: str,
+    q: float,
+    keep: str = "ge",
+    sample_size: int = 2048,
+) -> "ray.data.Dataset":
+    """Dynamic-threshold quality filter: keep rows whose ``value_col``
+    is >= (keep='ge') or <= (keep='le') the corpus q-quantile — the
+    'drop the worst X% by score' pattern, where the cut point is a
+    corpus statistic, not a constant.
+
+    Two passes over the data, zero corpus shuffle: pass 1 is
+    approx_quantiles' deterministic bottom-k sample (partial-top-k on
+    the md5(id) hex line — bit-reproducible against SQL quantile_cont
+    over the same LIMIT sample), pass 2 streams the corpus through one
+    vectorized compare against the broadcast scalar. Rows with a null
+    value drop on both sides (SQL NULL compare), and an all-null corpus
+    yields a NULL threshold = empty output, like SQL."""
+    import pyarrow.compute as pc
+
+    if keep not in ("ge", "le"):
+        raise ValueError(f"keep must be 'ge' or 'le', got {keep!r}")
+    thr_tbl = approx_quantiles(ds, value_col, id_col, [q], sample_size)
+    thr = thr_tbl[0][0].as_py()
+
+    def flt(b: pa.Table) -> pa.Table:
+        if thr is None:
+            return b.slice(0, 0)
+        cmp = pc.greater_equal if keep == "ge" else pc.less_equal
+        m = cmp(pc.cast(b[value_col], pa.float64()), pa.scalar(float(thr)))
+        return b.filter(pc.fill_null(m, False))
+
+    return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def heavy_keys(
     ds: "ray.data.Dataset", col: str, k: int = 20
 ) -> pa.Table:
