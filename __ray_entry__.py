@@ -1598,6 +1598,25 @@ def q_approx_quantiles(sf_dir: str) -> pa.Table:
     return approx_quantiles(ds, "o_totalprice", "o_orderkey", [0.5, 0.9, 0.99], 2048)
 
 
+def q_filter_by_quantile(sf_dir: str) -> pa.Table:
+    """Dynamic-threshold filter: keep docs at/above the corpus median
+    n_chars, where the median comes from the deterministic md5-line
+    sample — so the sampling, interpolation AND the boundary compare
+    (float threshold vs int lengths) are all under the hash."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.sketches import filter_by_quantile
+
+    ds = __rps(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+        cache=True,
+    )
+    kept = filter_by_quantile(ds, "n_chars", "doc_id", 0.5, keep="ge")
+    pdf = kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(pdf[["doc_id", "n_chars"]], preserve_index=False)
+
+
 def q_dedup_exact_incremental(sf_dir: str) -> pa.Table:
     """Continuous-ingest exact dedup: the top-fifth of doc_ids arrives
     as a NEW shard and dedupes against the already-accepted rest.
@@ -1623,6 +1642,32 @@ def q_dedup_exact_incremental(sf_dir: str) -> pa.Table:
     old_ds = ds.map_batches(is_old, batch_format="pyarrow", zero_copy_batch=True)
     new_ds = ds.map_batches(is_new, batch_format="pyarrow", zero_copy_batch=True)
     kept = exact_dedup_against(new_ds, old_ds, "text", "doc_id", cut)
+    ids = sorted(r["doc_id"] for r in kept.select_columns(["doc_id"]).take_all())
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+
+def q_dedup_exact_bloom(sf_dir: str) -> pa.Table:
+    """Same continuous-ingest split as dedup_exact_incremental, run
+    through the Bloom-prefiltered path (old corpus folds to ONE bitmap
+    via the engine's reduce tree and never shuffles; misses skip the
+    join entirely). The answer is exact, so the oracle is the same
+    min-id-winners SQL — the bitmap routing itself is under the hash."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.dedup import exact_dedup_bloom_against
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), cache=True)
+    cut = int(ds.max("doc_id")) * 4 // 5
+
+    def part(b: pa.Table, want_old: bool) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.less(b["doc_id"], cut)
+        return b.filter(m if want_old else pc.invert(m))
+
+    old_ds = ds.map_batches(lambda b: part(b, True), batch_format="pyarrow", zero_copy_batch=True)
+    new_ds = ds.map_batches(lambda b: part(b, False), batch_format="pyarrow", zero_copy_batch=True)
+    kept = exact_dedup_bloom_against(new_ds, old_ds, "text", "doc_id", cut, nbits=1 << 20)
     ids = sorted(r["doc_id"] for r in kept.select_columns(["doc_id"]).take_all())
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
@@ -1873,6 +1918,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_audio_frames": q_multimodal_audio_frames,
         "group_concat_source": q_group_concat_source,
+        "filter_by_quantile_docs": q_filter_by_quantile,
+        "dedup_exact_bloom_incremental": q_dedup_exact_bloom,
         # -- oracle-backed, green in previous rounds --
         "numeric_revenue": q_numeric_revenue,
         "avg_order_total": q_avg_order_total,
@@ -2409,6 +2456,22 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(start_off // 512 AS BIGINT) AS chunk_first,"
             "  CAST((start_off + n_tok - 1) // 512 AS BIGINT) AS chunk_last"
             " FROM s ORDER BY doc_id"
+        ),
+        "dedup_exact_bloom_incremental": (
+            "WITH s AS (SELECT (MAX(doc_id) * 4) // 5 AS cut FROM documents),"
+            " w AS (SELECT text, MIN(doc_id) AS keep FROM documents GROUP BY text)"
+            " SELECT d.doc_id FROM documents d, s"
+            " WHERE d.doc_id >= s.cut"
+            "  AND EXISTS (SELECT 1 FROM w WHERE w.text IS NOT DISTINCT FROM d.text"
+            "              AND w.keep = d.doc_id)"
+            " ORDER BY d.doc_id"
+        ),
+        "filter_by_quantile_docs": (
+            "WITH s AS (SELECT quantile_cont(n_chars, 0.5) AS t FROM"
+            "  (SELECT n_chars FROM documents WHERE n_chars IS NOT NULL"
+            "   ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 2048))"
+            " SELECT d.doc_id, d.n_chars FROM documents d, s"
+            " WHERE d.n_chars >= s.t ORDER BY d.doc_id"
         ),
         "group_concat_source": (
             "SELECT source, CAST(count(text) AS BIGINT) AS n_docs,"

@@ -167,3 +167,50 @@ class TestIncrementalSchemaPreserved:
         )
         rows = exact_dedup_against(new, old, "text", "doc_id", 10).take_all()
         assert [(r["doc_id"], r["extra"]) for r in rows] == [(11, "n1")]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExactDedupBloomAgainst:
+    def _equiv(self, new, old, new_min_id, **kw):
+        from weiser_ai_ray.pipelines.dedup import exact_dedup_bloom_against
+
+        got = sorted(
+            r["doc_id"]
+            for r in exact_dedup_bloom_against(
+                new, old, "text", "doc_id", new_min_id, **kw
+            ).take_all()
+        )
+        want = sorted(
+            r["doc_id"]
+            for r in exact_dedup_against(new, old, "text", "doc_id", new_min_id).take_all()
+        )
+        assert got == want
+        return got
+
+    def test_matches_exact_path(self):
+        old = _ds([(i, f"doc {i} body {i % 50}") for i in range(300)])
+        new = _ds(
+            [(1000 + i, f"doc {i} body {i % 50}") for i in range(40)]  # dups of old
+            + [(1100 + j, f"pair {j // 2}") for j in range(20)]  # within-new dup pairs
+            + [(1200 + j, f"fresh {j}") for j in range(50)]
+            + [(1300, None)]
+        )
+        kept = self._equiv(new, old, 1000, nbits=1 << 12, num_hashes=4)
+        assert len(kept) == 61  # 10 pair winners + 50 fresh + the null
+
+    def test_fp_heavy_bitmap_still_exact(self):
+        # 256-bit bitmap over 300 old keys: nearly everything bloom-hits,
+        # exercising the candidate-join path end to end
+        old = _ds([(i, f"doc {i} body {i % 50}") for i in range(300)])
+        new = _ds([(1000 + j, f"fresh {j}") for j in range(50)])
+        self._equiv(new, old, 1000, nbits=256, num_hashes=3)
+
+    def test_hit_key_limit_raises(self):
+        from weiser_ai_ray.pipelines.dedup import exact_dedup_bloom_against
+
+        old = _ds([(i, f"t{i}") for i in range(64)])
+        new = _ds([(100 + i, f"t{i}") for i in range(64)])  # every row hits
+        with pytest.raises(ValueError, match="hit_key_limit"):
+            exact_dedup_bloom_against(
+                new, old, "text", "doc_id", 100, nbits=1 << 12, hit_key_limit=8
+            ).take_all()

@@ -1791,6 +1791,152 @@ def exact_dedup_against(
     return semi_anti_join(new_ds, winners, id_col, "__keep", anti=False)
 
 
+def _bloom_or_bits(words: np.ndarray, h: np.ndarray, num_hashes: int, nbits: int) -> None:
+    """Set the ``num_hashes`` double-hashing positions of each 64-bit
+    key into the packed uint64 bitmap, in place."""
+    h1 = h.astype(np.uint64)
+    h2 = _bloom_h2(h1)
+    for i in range(num_hashes):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(nbits)
+        np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+
+
+def _bloom_member(words: np.ndarray, h: np.ndarray, num_hashes: int, nbits: int) -> np.ndarray:
+    h1 = h.astype(np.uint64)
+    h2 = _bloom_h2(h1)
+    m = np.ones(len(h1), dtype=bool)
+    for i in range(num_hashes):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(nbits)
+        bit = (words[(pos >> np.uint64(6)).astype(np.int64)] >> (pos & np.uint64(63))) & np.uint64(1)
+        m &= bit.astype(bool)
+    return m
+
+
+def _bloom_h2(h1: np.ndarray) -> np.ndarray:
+    from .sketches import _splitmix64
+
+    # odd second hash so the double-hashing stride never collapses
+    return _splitmix64(h1 ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+
+
+def bloom_filter_aggregate(
+    text_col: str, nbits: int = 1 << 23, num_hashes: int = 5, name: str = "bloom"
+) -> "ray.data.aggregate.AggregateFn":
+    """Ray-native Bloom-filter build over sha256-derived 64-bit content
+    keys: per-block bit-sets, OR-merged by the engine's own reduce tree
+    — the driver receives ONE nbits/8-byte bitmap no matter the corpus
+    size. Null texts key on the same null-digest the dedup family uses,
+    so membership semantics match IS NOT DISTINCT FROM."""
+    from ray.data.aggregate import AggregateFn
+
+    nwords = (int(nbits) + 63) // 64
+
+    def accumulate_block(words: np.ndarray, block: pa.Table) -> np.ndarray:
+        hashed = add_content_hash128(block.select([text_col]), text_col)
+        _bloom_or_bits(words, hashed["__h1"].to_numpy(zero_copy_only=False), num_hashes, nbits)
+        return words
+
+    return AggregateFn(
+        init=lambda _key: np.zeros(nwords, dtype=np.uint64),
+        accumulate_block=accumulate_block,
+        merge=lambda a, b: np.bitwise_or(a, b),
+        finalize=lambda w: w,
+        name=name,
+    )
+
+
+def exact_dedup_bloom_against(
+    new_ds: "ray.data.Dataset",
+    old_ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    new_min_id: int,
+    nbits: int = 1 << 23,
+    num_hashes: int = 5,
+    hit_key_limit: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """exact_dedup_against semantics (min-id winners over old ∪ new,
+    restricted to new ids) with a Bloom prefilter so the ACCEPTED
+    CORPUS NEVER SHUFFLES — the continuous-ingest shape where old is
+    enormous and mostly irrelevant to any one arriving shard:
+
+      1. one streaming pass folds old's content keys into an nbits
+         bitmap via the engine's reduce tree (driver state = nbits/8 B)
+      2. new splits on broadcast membership: Bloom MISSES cannot exist
+         in old (no false negatives) and equal texts always land on the
+         same side, so misses only need new-vs-new exact_dedup
+      3. Bloom HITS (true matches + false positives, rate
+         (1-e^(-kn/m))^k — size nbits ≈ 10 bits per old distinct for
+         <1%) collect their DISTINCT keys (bounded by hit_key_limit),
+         old streams once more through a sorted-array searchsorted to
+         keep only candidate rows, and the tiny hit-vs-candidates
+         exact_dedup_against finishes exactly.
+
+    Final answer is exact — the filter only routes; every survivor
+    decision is made by the 128-bit key paths. Raises if the hit side
+    exceeds hit_key_limit distinct keys (undersized bitmap or a shard
+    that's mostly duplicates — fall back to exact_dedup_against)."""
+    words = old_ds.select_columns([text_col]).aggregate(
+        bloom_filter_aggregate(text_col, nbits, num_hashes)
+    )["bloom"]
+    words_ref = ray.put(words)
+
+    def tag(b: pa.Table) -> pa.Table:
+        w = ray.get(words_ref)
+        hashed = add_content_hash128(b, text_col)
+        m = _bloom_member(w, hashed["__h1"].to_numpy(zero_copy_only=False), num_hashes, nbits)
+        return b.append_column("__hit", pa.array(m))
+
+    tagged = new_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def side(want_hit: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = b["__hit"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(m if want_hit else ~m)).drop_columns(["__hit"])
+
+        return tagged.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    miss, hit = side(False), side(True)
+
+    kept_miss = exact_dedup(miss, text_col, id_col)
+
+    # distinct 64-bit keys of the hit side — O(true dups + fp) by the
+    # routing above; explicit limit keeps the broadcast honest
+    keys: set = set()
+    hit_keys_ds = hit.map_batches(
+        lambda b: pa.table(
+            {"__h1": add_content_hash128(b.select([text_col]), text_col)["__h1"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    for b in hit_keys_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        keys.update(b["__h1"].to_numpy(zero_copy_only=False).tolist())
+        if len(keys) > hit_key_limit:
+            raise ValueError(
+                f"bloom hit side exceeds hit_key_limit={hit_key_limit} distinct keys; "
+                "resize nbits or use exact_dedup_against"
+            )
+    key_line = np.sort(np.array(sorted(keys), dtype=np.int64))
+    key_ref = ray.put(key_line)
+
+    def old_candidates(b: pa.Table) -> pa.Table:
+        line = ray.get(key_ref)
+        if not len(line):
+            return b.slice(0, 0)
+        h1 = add_content_hash128(b.select([text_col]), text_col)["__h1"].to_numpy(
+            zero_copy_only=False
+        )
+        idx = np.searchsorted(line, h1)
+        ok = (idx < len(line)) & (line[np.minimum(idx, len(line) - 1)] == h1)
+        return b.filter(pa.array(ok))
+
+    old_cand = old_ds.map_batches(old_candidates, batch_format="pyarrow", zero_copy_batch=True)
+    kept_hit = exact_dedup_against(hit, old_cand, text_col, id_col, new_min_id)
+    return kept_miss.union(kept_hit)
+
+
 def minhash_lsh_dedup_against(
     new_ds: "ray.data.Dataset",
     old_ds: "ray.data.Dataset",
