@@ -1,0 +1,81 @@
+"""Group-level gating (groupgate.filter_groups_by_stat / group_stats):
+DuckDB parity over the fixture corpus plus null/edge semantics."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from tests.conftest import SF_DIR
+
+from weiser_ai_ray.pipelines.groupgate import filter_groups_by_stat, group_stats
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    return c
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupGate:
+    def test_group_stats_matches_duckdb(self, con):
+        ds = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["source", "n_chars"]
+        )
+        got = (
+            group_stats(ds, "source", "n_chars")
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)[["source", "sum", "cnt", "min", "max", "mean"]]
+        )
+        want = con.sql(
+            "SELECT source, CAST(sum(n_chars) AS DOUBLE) AS sum,"
+            " count(n_chars) AS cnt, CAST(min(n_chars) AS DOUBLE) AS min,"
+            " CAST(max(n_chars) AS DOUBLE) AS max, avg(n_chars) AS mean"
+            " FROM documents WHERE source IS NOT NULL"
+            " GROUP BY source ORDER BY source"
+        ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_filter_matches_having(self, con):
+        ds = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+        ).materialize()
+        got = (
+            filter_groups_by_stat(ds, "source", "n_chars", "mean", "ge", 300.0)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)[["doc_id"]]
+        )
+        want = con.sql(
+            "SELECT doc_id FROM documents WHERE source IN ("
+            " SELECT source FROM documents GROUP BY source"
+            " HAVING avg(n_chars) >= 300.0) ORDER BY doc_id"
+        ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert 0 < len(got) < ds.count()  # a real group-level cut happened
+
+    def test_null_semantics_and_count(self):
+        t = pa.table(
+            {
+                "g": ["a", "a", "b", "b", None, "c"],
+                "v": pa.array([10, None, 1, 2, 99, None], pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        # count counts NON-NULL values: a=1, b=2, c=0
+        kept = filter_groups_by_stat(ds, "g", "v", "count", "ge", 2).to_pandas()
+        assert sorted(kept["g"]) == ["b", "b"]
+        # all-null group 'c' has NULL mean -> fails; null group key drops
+        kept2 = filter_groups_by_stat(ds, "g", "v", "mean", "ge", 0).to_pandas()
+        assert sorted(kept2["g"]) == ["a", "a", "b", "b"]
+
+    def test_bad_args_raise(self):
+        ds = ray.data.from_arrow(pa.table({"g": ["a"], "v": [1]}))
+        with pytest.raises(ValueError):
+            filter_groups_by_stat(ds, "g", "v", "median", "ge", 1)
+        with pytest.raises(ValueError):
+            filter_groups_by_stat(ds, "g", "v", "mean", "between", 1)

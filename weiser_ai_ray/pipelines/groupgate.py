@@ -1,0 +1,114 @@
+"""Group-level corpus gating: drop WHOLE groups (repos, domains,
+sources) whose aggregate statistic fails a predicate — the
+hierarchical filter web pipelines run before per-doc rules (e.g. "drop
+repos whose mean file length is tiny" or "domains with < 5 docs").
+
+Not in the reference (SURVEY.md §2.8): weiser's grouped checks EMIT a
+metric per group; this op turns the same grouped aggregate into a
+row-level filter decision.
+
+Scale shape: per-batch Arrow group_by partials (one digest row per
+group per batch — the corpus row count never shuffles), one native
+groupby over the shrunken digests, then joins.semi_anti_join carries
+the passing keys back over the corpus (broadcast while the key set is
+small, Dataset.join hash shuffle beyond its limit — the group count is
+the op's only growth axis and the join fallback holds at any size).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+_AGGS = ("mean", "sum", "count", "min", "max")
+_CONDS = {
+    "ge": pc.greater_equal,
+    "gt": pc.greater,
+    "le": pc.less_equal,
+    "lt": pc.less,
+}
+
+
+def group_stats(
+    ds: "ray.data.Dataset", group_col: str, value_col: str
+) -> "ray.data.Dataset":
+    """(group, sum, cnt, min, max, mean) per group — SQL semantics:
+    nulls excluded from every aggregate (cnt = COUNT(value)), null
+    group keys dropped (callers mirror with WHERE g IS NOT NULL)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select([group_col, value_col]).filter(pc.is_valid(b[group_col]))
+        g = t.group_by([group_col]).aggregate(
+            [(value_col, "sum"), (value_col, "count"), (value_col, "min"), (value_col, "max")]
+        )
+        return pa.table(
+            {
+                group_col: g[group_col],
+                "__s": pc.cast(g[f"{value_col}_sum"], pa.float64()),
+                "__c": pc.cast(g[f"{value_col}_count"], pa.int64()),
+                "__mn": pc.cast(g[f"{value_col}_min"], pa.float64()),
+                "__mx": pc.cast(g[f"{value_col}_max"], pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = parts.groupby(group_col).aggregate(
+        Sum("__s", alias_name="sum"),
+        Sum("__c", alias_name="cnt"),
+        Min("__mn", alias_name="min"),
+        Max("__mx", alias_name="max"),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        cnt = b["cnt"].to_numpy(zero_copy_only=False)
+        s = b["sum"].to_numpy(zero_copy_only=False)
+        # all-null groups: SQL SUM/AVG/MIN/MAX are NULL, COUNT is 0
+        mean = pa.array(
+            [si / ci if ci else None for si, ci in zip(s, cnt)], type=pa.float64()
+        )
+        empty = pc.equal(b["cnt"], 0)
+        null_if_empty = lambda col: pc.if_else(empty, pa.scalar(None, pa.float64()), col)
+        return pa.table(
+            {
+                group_col: b[group_col],
+                "sum": null_if_empty(b["sum"]),
+                "cnt": b["cnt"],
+                "min": null_if_empty(b["min"]),
+                "max": null_if_empty(b["max"]),
+                "mean": mean,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def filter_groups_by_stat(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    agg: str,
+    condition: str,
+    threshold: float,
+) -> "ray.data.Dataset":
+    """Keep only rows whose GROUP passes ``condition(agg(value),
+    threshold)`` — equivalent SQL: ``WHERE g IN (SELECT g ... GROUP BY
+    g HAVING agg(v) >= t)``. Groups whose aggregate is NULL (all-null
+    values) fail, like SQL HAVING on NULL; rows with a null group key
+    always drop (EXISTS semantics, mirror with WHERE g IS NOT NULL)."""
+    if agg not in _AGGS:
+        raise ValueError(f"agg must be one of {_AGGS}, got {agg!r}")
+    if condition not in _CONDS:
+        raise ValueError(f"condition must be one of {tuple(_CONDS)}, got {condition!r}")
+    cmp = _CONDS[condition]
+    stats = group_stats(ds, group_col, value_col)
+
+    def passing(b: pa.Table) -> pa.Table:
+        m = pc.fill_null(cmp(b[agg if agg != "count" else "cnt"], threshold), False)
+        return pa.table({group_col: b.filter(m)[group_col]})
+
+    keys = stats.map_batches(passing, batch_format="pyarrow", zero_copy_batch=True)
+    from ..joins import semi_anti_join
+
+    return semi_anti_join(ds, keys, group_col, group_col, anti=False)
