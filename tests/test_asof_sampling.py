@@ -275,3 +275,50 @@ class TestAssignSplits:
         df2 = assign_splits(ds, "id", {"train": 0.8, "valid": 0.1, "test": 0.1}).to_pandas()
         assert df.sort_values("id", na_position="last")["split"].fillna("∅").tolist() == \
                df2.sort_values("id", na_position="last")["split"].fillna("∅").tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSampleCapPerGroup:
+    def test_matches_qualify(self):
+        import pandas as pd
+
+        from weiser_ai_ray.pipelines.sampling import sample_cap_per_group
+
+        ds = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "source"]
+        )
+        got = (
+            sample_cap_per_group(ds, "source", "doc_id", 12, seed=7)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)[["doc_id", "source"]]
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        want = con.execute(
+            "SELECT doc_id, source FROM documents WHERE source IS NOT NULL"
+            " QUALIFY ROW_NUMBER() OVER (PARTITION BY source"
+            "  ORDER BY md5('7-' || CAST(doc_id AS VARCHAR)), doc_id) <= 12"
+            " ORDER BY doc_id"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        n = ds.count()
+        assert 0 < len(got) < n
+
+    def test_under_cap_group_passes_whole_and_null_keys_drop(self):
+        from weiser_ai_ray.pipelines.sampling import sample_cap_per_group
+
+        t = pa.table(
+            {
+                "g": ["a", "a", "a", "b", None],
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            }
+        )
+        out = sample_cap_per_group(
+            ray.data.from_arrow(t), "g", "doc_id", 2, seed=0
+        ).to_pandas()
+        assert len(out[out["g"] == "a"]) == 2
+        assert sorted(out[out["g"] == "b"]["doc_id"]) == [4]
+        assert not out["g"].isna().any()

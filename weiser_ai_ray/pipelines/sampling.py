@@ -164,6 +164,45 @@ def topk_per_group(
     return partials.groupby(group).map_groups(combine, batch_format="pyarrow")
 
 
+def sample_cap_per_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    id_col: str,
+    cap: int,
+    seed: int = 0,
+) -> "ray.data.Dataset":
+    """Deterministic per-group CAP — at most ``cap`` rows per group,
+    chosen as the cap-lowest rows on the md5(seed || '-' || id) hex
+    line (a uniform without-replacement draw per group): the corpus
+    rebalancing step that stops one domain/repo from dominating the
+    mix. Groups under the cap pass through whole; the draw is stable
+    across reruns, block layouts and cluster sizes, and
+    SQL-expressible (QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER
+    BY md5(...), id) <= cap). Shuffle is topk_per_group's partials-only
+    combine — O(groups x cap) rows, never the corpus."""
+
+    def key(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # null group keys drop (Ray's sort-based groupby cannot key on
+        # null; mirror with WHERE g IS NOT NULL)
+        b = b.filter(pc.is_valid(b[group_col]))
+        ids = b[id_col].to_pylist()
+        keys = [
+            None if v is None else hashlib.md5(f"{seed}-{v}".encode()).hexdigest()
+            for v in ids
+        ]
+        return b.append_column("__h", pa.array(keys, type=pa.string()))
+
+    keyed = ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+    capped = topk_per_group(keyed, group_col, ["__h", id_col], cap, ascending=True)
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["__h"])
+
+    return capped.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def global_topk(
     ds: "ray.data.Dataset",
     order: Sequence[str],
