@@ -1646,6 +1646,56 @@ def q_dedup_exact_incremental(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+def q_compression_ratio(sf_dir: str) -> pa.Table:
+    """zlib compression-ratio quality signal per doc (rows-only: SQL
+    has no zlib; determinism and value sanity are test-gated)."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.textstats import compression_ratio
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    pdf = (
+        compression_ratio(ds, "text", "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def q_sample_cap_per_group(sf_dir: str) -> pa.Table:
+    """Corpus-mix rebalancing: cap every source at 12 docs via the
+    per-group md5-line draw; the oracle's QUALIFY ROW_NUMBER over the
+    same key puts the draw, the tie-break and the cap under the hash."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.sampling import sample_cap_per_group
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"])
+    out = sample_cap_per_group(ds, "source", "doc_id", 12, seed=7)
+    pdf = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(pdf[["doc_id", "source"]], preserve_index=False)
+
+
+def q_filter_groups_by_stat(sf_dir: str) -> pa.Table:
+    """Hierarchical gating: keep docs of sources whose MEAN n_chars >=
+    300 (drop whole low-quality groups before per-doc rules). Digest-
+    only group stats + semi-join back — the HAVING threshold, null
+    handling and the join are all under the hash."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.groupgate import filter_groups_by_stat
+
+    ds = __rps(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+        cache=True,
+    )
+    kept = filter_groups_by_stat(ds, "source", "n_chars", "mean", "ge", 300.0)
+    pdf = kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(pdf[["doc_id", "source"]], preserve_index=False)
+
+
 def q_dedup_exact_bloom(sf_dir: str) -> pa.Table:
     """Same continuous-ingest split as dedup_exact_incremental, run
     through the Bloom-prefiltered path (old corpus folds to ONE bitmap
@@ -1920,6 +1970,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_concat_source": q_group_concat_source,
         "filter_by_quantile_docs": q_filter_by_quantile,
         "dedup_exact_bloom_incremental": q_dedup_exact_bloom,
+        "filter_groups_by_stat_docs": q_filter_groups_by_stat,
+        "sample_cap_per_group_docs": q_sample_cap_per_group,
         # -- oracle-backed, green in previous rounds --
         "numeric_revenue": q_numeric_revenue,
         "avg_order_total": q_avg_order_total,
@@ -1987,6 +2039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_topk": q_lsh_topk,
         "embedding_kmeans": q_embedding_kmeans,
         "semdedup_pairs_embeddings": q_semdedup_pairs,
+        "compression_ratio_docs": q_compression_ratio,
         "metrics_last_values": q_metrics_last_values,
     }
 
@@ -2456,6 +2509,19 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(start_off // 512 AS BIGINT) AS chunk_first,"
             "  CAST((start_off + n_tok - 1) // 512 AS BIGINT) AS chunk_last"
             " FROM s ORDER BY doc_id"
+        ),
+        "sample_cap_per_group_docs": (
+            "SELECT doc_id, source FROM documents WHERE source IS NOT NULL"
+            " QUALIFY ROW_NUMBER() OVER (PARTITION BY source"
+            "  ORDER BY md5('7-' || CAST(doc_id AS VARCHAR)), doc_id) <= 12"
+            " ORDER BY doc_id"
+        ),
+        "filter_groups_by_stat_docs": (
+            "SELECT d.doc_id, d.source FROM documents d"
+            " WHERE d.source IS NOT NULL AND d.source IN ("
+            "  SELECT source FROM documents WHERE source IS NOT NULL"
+            "  GROUP BY source HAVING avg(n_chars) >= 300.0)"
+            " ORDER BY d.doc_id"
         ),
         "dedup_exact_bloom_incremental": (
             "WITH s AS (SELECT (MAX(doc_id) * 4) // 5 AS cut FROM documents),"

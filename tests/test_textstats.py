@@ -1,6 +1,8 @@
 """Text-analysis operators vs DuckDB oracles on the documents table."""
 
 import duckdb
+import pandas as pd
+import pyarrow as pa
 import pytest
 import ray.data
 
@@ -285,3 +287,55 @@ class TestVocabOov:
         assert df["doc_id"].tolist() == [0, 1]  # null/empty docs emit nothing
         assert df.loc[0, ["n_tokens", "n_oov"]].tolist() == [6, 1]  # c
         assert df.loc[1, ["n_tokens", "n_oov"]].tolist() == [5, 3]  # z z q
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCompressionRatio:
+    def test_values_and_nulls(self):
+        import zlib
+
+        import ray.data
+
+        from weiser_ai_ray.pipelines.textstats import compression_ratio
+
+        rep = "abc " * 200  # highly compressible
+        rnd = "qx7Zk2Lw9pT4vR8s" * 3  # short, low-redundancy
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array([rep, rnd, None, ""], pa.large_string()),
+            }
+        )
+        out = (
+            compression_ratio(ray.data.from_arrow(t), "text", "doc_id")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["n_bytes"][0] == len(rep.encode())
+        assert out["n_compressed"][0] == len(zlib.compress(rep.encode(), 6))
+        # repetitive text compresses much harder than low-redundancy text
+        assert out["compression_ratio"][0] < 0.1 < out["compression_ratio"][1]
+        assert pd.isna(out["compression_ratio"][2]) and pd.isna(out["n_bytes"][2])
+        assert out["n_bytes"][3] == 0 and pd.isna(out["compression_ratio"][3])
+
+    def test_deterministic_across_layouts(self):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.textstats import compression_ratio
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(100), pa.int64()),
+                "text": pa.array([f"doc {i} " + "z" * (i % 17) for i in range(100)]),
+            }
+        )
+        a = (
+            compression_ratio(ray.data.from_arrow(t), "text", "doc_id")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            compression_ratio(ray.data.from_arrow(t).repartition(7), "text", "doc_id")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)

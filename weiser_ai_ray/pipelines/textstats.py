@@ -45,6 +45,49 @@ def token_count_stats(ds: "ray.data.Dataset", group_col: str = "source") -> "ray
     )
 
 
+def compression_ratio(
+    ds: "ray.data.Dataset", text_col: str, id_col: str, level: int = 6
+) -> "ray.data.Dataset":
+    """Per-doc zlib compression ratio — the entropy/repetitiveness
+    quality signal (highly templated or generated text compresses far
+    below prose; near-random text barely compresses): (id, n_bytes,
+    n_compressed, ratio=compressed/raw). Null or empty text emits NULL
+    ratio. Per-row zlib IS a loop of C calls (a documented exception
+    like jsonops' json.loads — there is no Arrow kernel); everything
+    else stays columnar and the stage is embarrassingly parallel.
+    Rows-only verification (SQL has no zlib); determinism comes from
+    zlib's fixed output for a fixed (input, level)."""
+    import zlib
+
+    lvl = int(level)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        raw_n, comp_n, ratio = [], [], []
+        for t in batch[text_col].to_pylist():
+            if not t:
+                raw_n.append(0 if t == "" else None)
+                comp_n.append(None)
+                ratio.append(None)
+                continue
+            bb = t.encode("utf-8")
+            c = len(zlib.compress(bb, lvl))
+            raw_n.append(len(bb))
+            comp_n.append(c)
+            ratio.append(c / len(bb))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_bytes": pa.array(raw_n, type=pa.int64()),
+                "n_compressed": pa.array(comp_n, type=pa.int64()),
+                "compression_ratio": pa.array(ratio, type=pa.float64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def quality_scores(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Per-document quality features: length, token count, punctuation
     ratio, stopword ratio, mean word length. Stays per-row (no shuffle);
