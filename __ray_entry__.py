@@ -921,6 +921,32 @@ def q_score_bigram_lm(sf_dir: str) -> pa.Table:
     )
 
 
+def q_lm_quality_filter(sf_dir: str) -> pa.Table:
+    """Self-trained perplexity gate: train the bigram LM on the
+    corpus, score every doc, keep docs at/above the corpus p25 of
+    avg_logp — training, scoring, the deterministic-sample quantile
+    AND the boundary compare are all one SQL statement on the oracle
+    side, so the whole chain is under the hash."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.repetition import lm_quality_filter
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    df = (
+        lm_quality_filter(ds, q=0.25)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"], type=pa.int64()),
+            "n_bigrams": pa.array(df["n_bigrams"], type=pa.int64()),
+            "avg_logp": pa.array(df["avg_logp"], type=pa.float64()),
+        }
+    )
+
+
 def q_sample_weighted(sf_dir: str) -> pa.Table:
     """Per-row-weighted deterministic Bernoulli sample (importance
     resampling): keep probability min(1, n_chars/900), decided on the
@@ -1972,6 +1998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_bloom_incremental": q_dedup_exact_bloom,
         "filter_groups_by_stat_docs": q_filter_groups_by_stat,
         "sample_cap_per_group_docs": q_sample_cap_per_group,
+        "lm_quality_filter_docs": q_lm_quality_filter,
         # -- oracle-backed, green in previous rounds --
         "numeric_revenue": q_numeric_revenue,
         "avg_order_total": q_avg_order_total,
@@ -2301,6 +2328,34 @@ def oracle_sql() -> dict[str, str]:
             "   AS DOUBLE) / count(*) / 1000000.0 AS avg_logp"
             " FROM g LEFT JOIN lm ON g.w1 = lm.w1 AND g.w2 = lm.w2"
             " GROUP BY g.doc_id ORDER BY g.doc_id"
+        ),
+        # the whole train -> score -> quantile-gate chain as one
+        # statement: scoring CTE identical to score_bigram_lm_docs,
+        # then the deterministic md5-line sample quantile + compare
+        "lm_quality_filter_docs": (
+            "WITH toks AS (SELECT doc_id,"
+            " list_filter(regexp_split_to_array(coalesce(text,''),'\\s+'), x->x!='') w"
+            " FROM documents),"
+            " g AS (SELECT doc_id,"
+            "  unnest(CASE WHEN len(w)>=2 THEN"
+            "   list_transform(generate_series(1,len(w)-1), i->w[i]) ELSE [] END) w1,"
+            "  unnest(CASE WHEN len(w)>=2 THEN"
+            "   list_transform(generate_series(1,len(w)-1), i->w[i+1]) ELSE [] END) w2"
+            "  FROM toks),"
+            " c2 AS (SELECT w1, w2, count(*)::BIGINT cnt FROM g GROUP BY 1, 2),"
+            " c1 AS (SELECT w1, sum(cnt) tot FROM c2 GROUP BY 1),"
+            " lm AS (SELECT c2.w1, c2.w2, ROUND(ln(c2.cnt / c1.tot), 6) logp"
+            "  FROM c2 JOIN c1 USING (w1) WHERE c2.cnt >= 2),"
+            " sc AS (SELECT g.doc_id, count(*)::BIGINT AS n_bigrams,"
+            "  CAST(SUM(CAST(ROUND(coalesce(lm.logp, -20.0) * 1000000.0) AS BIGINT))"
+            "   AS DOUBLE) / count(*) / 1000000.0 AS avg_logp"
+            "  FROM g LEFT JOIN lm ON g.w1 = lm.w1 AND g.w2 = lm.w2"
+            "  GROUP BY g.doc_id),"
+            " s AS (SELECT quantile_cont(avg_logp, 0.25) AS t FROM"
+            "  (SELECT avg_logp FROM sc"
+            "   ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 2048))"
+            " SELECT sc.doc_id, sc.n_bigrams, sc.avg_logp FROM sc, s"
+            " WHERE sc.avg_logp >= s.t ORDER BY sc.doc_id"
         ),
         # weighted Bernoulli sample: 32-bit md5 prefix vs per-row
         # floor(min(1, w*s) * 2^32) threshold — identical IEEE ops

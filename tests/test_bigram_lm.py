@@ -154,3 +154,31 @@ class TestScoreBigramLM:
         assert out.loc[0, "avg_logp"] == pytest.approx(round((2 * l5 - 20.0) / 3, 6))
         assert out.loc[1, "n_bigrams"] == 1
         assert out.loc[1, "avg_logp"] == pytest.approx(-20.0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLmQualityFilter:
+    def test_keeps_top_quantile_and_scores_survive(self):
+        import pyarrow as pa
+
+        from weiser_ai_ray.pipelines.repetition import lm_quality_filter, score_bigram_lm
+
+        # 40 fluent docs sharing bigrams + 10 gibberish docs with unique
+        # pairs (every bigram unseen after min_count pruning -> floor)
+        rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(40)]
+        rows += [(100 + j, f"zx{j}q wv{j}k pl{j}m rr{j}t") for j in range(10)]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.large_string()),
+                }
+            )
+        )
+        kept = lm_quality_filter(ds, q=0.25, min_count=2).to_pandas()
+        kept_ids = set(kept["doc_id"])
+        # the gibberish block scores at the floor and falls below p25
+        assert all(100 + j not in kept_ids for j in range(10))
+        assert all(i in kept_ids for i in range(40))
+        # survivors carry their scores, all above the floor
+        assert (kept["avg_logp"] > -20.0).all()

@@ -481,3 +481,32 @@ def score_bigram_lm(
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def lm_quality_filter(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q: float = 0.25,
+    min_count: int = 2,
+    floor_logp: float = -20.0,
+    sample_size: int = 2048,
+) -> "ray.data.Dataset":
+    """The self-trained perplexity gate end to end: train the bigram LM
+    on the corpus, score every doc against it, and keep docs at/above
+    the corpus ``q``-quantile of avg_logp — 'drop the least-likely X%
+    under the corpus's own language model', with the cut point a corpus
+    statistic rather than a constant. Pure composition of three
+    oracle-proven stages (train_bigram_lm → score_bigram_lm →
+    sketches.filter_by_quantile), each keeping its scale contract:
+    digest-only LM shuffle, broadcast LM line + streaming score, one
+    broadcast scalar threshold. The scored narrow table (id, n_bigrams,
+    avg_logp) is materialized once because the quantile pass and the
+    filter pass both read it. Docs with zero bigrams have no score and
+    drop, like the SQL scoring CTE. Output: surviving (id, n_bigrams,
+    avg_logp) rows."""
+    from .sketches import filter_by_quantile
+
+    lm = train_bigram_lm(ds, text_col, min_count)
+    scored = score_bigram_lm(ds, lm, text_col, id_col, floor_logp).materialize()
+    return filter_by_quantile(scored, "avg_logp", id_col, q, keep="ge", sample_size=sample_size)
