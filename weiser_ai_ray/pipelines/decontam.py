@@ -167,6 +167,47 @@ def decontaminate(
     return ds.map_batches(_Filter(), batch_format="pyarrow", zero_copy_batch=True)
 
 
+def dedup_lines_within_doc(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    separator: str = "\n",
+) -> "ray.data.Dataset":
+    """Remove REPEATED lines WITHIN each document, keeping the first
+    occurrence in place — the intra-doc cleanup for boilerplate that
+    repeats inside one page (nav bars, cookie banners, license headers
+    pasted per function). Complements dedup_segments, which removes
+    corpus-wide duplicated segments including their first copy.
+
+    Returns (id_col, clean_text, n_removed); null text stays null.
+    Embarrassingly parallel — no shuffle at all; the per-row
+    ``dict.fromkeys`` first-occurrence dedup is a single C call per
+    doc (same documented exception class as json.loads)."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        clean, removed = [], []
+        for t in batch[text_col].to_pylist():
+            if t is None:
+                clean.append(None)
+                removed.append(None)
+                continue
+            lines = t.split(separator)
+            uniq = list(dict.fromkeys(lines))
+            clean.append(separator.join(uniq))
+            removed.append(len(lines) - len(uniq))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "clean_text": pa.array(clean, type=pa.large_string()),
+                "n_removed": pa.array(removed, type=pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def dedup_segments(
     ds: "ray.data.Dataset",
     text_col: str,
