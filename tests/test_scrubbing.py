@@ -149,3 +149,53 @@ class TestScrubSqlParity:
         """
         want = [r[1] for r in con.execute(sql).fetchall()]
         assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNormalizeText:
+    def test_unicode_parity_with_duckdb(self):
+        import duckdb
+        import pandas as pd
+
+        from weiser_ai_ray.pipelines.scrubbing import normalize_text
+
+        texts = [
+            "Café  DELUXE",          # composed e-acute, double space
+            "Café deluxe",          # decomposed -> NFC must compose
+            " keep ",           # NBSP edges: SQL trim removes Zs
+            "İSTANBUL tabs\t\tend ",  # dotted capital I full casefold
+            "\x85nel\x85",                # NEL is NOT trimmed by SQL trim
+            " ls ",             # line/para separators survive
+            "MIXED \u3000 ideographic\u3000",
+            "", "  ", None, "straße Ǆ ǅ",
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.large_string()),
+            }
+        )
+        got = (
+            normalize_text(ray.data.from_arrow(t))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("docs_arrow", t)
+        want = con.execute(
+            "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)),"
+            " '\\s+', ' ', 'g')) AS normalized FROM docs_arrow ORDER BY doc_id"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # sanity: NFC actually composed the decomposed variant
+        assert got["normalized"][0] == got["normalized"][1]
+
+    def test_flags_off(self):
+        from weiser_ai_ray.pipelines.scrubbing import normalize_text
+
+        t = pa.table(
+            {"doc_id": pa.array([1], pa.int64()), "text": pa.array([" A  B "], pa.large_string())}
+        )
+        out = normalize_text(
+            ray.data.from_arrow(t), lowercase=False, collapse_ws=False
+        ).to_pandas()
+        assert out["normalized"][0] == " A  B "

@@ -68,3 +68,56 @@ def scrub_texts(
         zero_copy_batch=True,
         concurrency=concurrency,
     )
+
+
+def normalize_text(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    nfc: bool = True,
+    lowercase: bool = True,
+    collapse_ws: bool = True,
+) -> "ray.data.Dataset":
+    """Text canonicalization — the pre-dedup normalizer (near-identical
+    pages differing only in case/whitespace/combining-char encoding
+    should hash together before exact dedup): Unicode NFC, utf8proc
+    lowercase, whitespace runs collapsed to one space + trim, in that
+    order. Null stays null.
+
+    Every step has an exact SQL twin (nfc_normalize, lower,
+    trim(regexp_replace(.., '\\s+', ' ', 'g'))) and the engine uses the
+    SAME underlying libraries — NFC via Python unicodedata (a per-row C
+    call, the documented exception class), lowercase via Arrow's
+    utf8proc kernel (DuckDB's lower is also utf8proc), and the
+    whitespace regex via Arrow's RE2 (DuckDB's regexp_replace is RE2) —
+    so parity holds byte-for-byte on non-ASCII text too. Stateless,
+    zero shuffle. Output: (id, normalized)."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if nfc:
+            col = pa.array(
+                [None if t is None else unicodedata.normalize("NFC", t) for t in col.to_pylist()],
+                type=pa.large_string(),
+            )
+        else:
+            col = pc.cast(col, pa.large_string())
+        if lowercase:
+            col = pc.utf8_lower(col)
+        if collapse_ws:
+            # SQL trim() removes exactly the Unicode Zs category (space
+            # separators incl. NBSP) and NOT control whitespace — pinned
+            # by probing chr(9..0x3000) against DuckDB; \t\n\r etc. are
+            # already collapsed to ' ' by the RE2 pass on both sides
+            zs = (" \u00a0\u1680"
+                  + "".join(chr(c) for c in range(0x2000, 0x200B))
+                  + "\u202f\u205f\u3000")
+            col = pc.utf8_trim(pc.replace_substring_regex(col, r"\s+", " "), characters=zs)
+        return pa.table({id_col: batch[id_col], "normalized": col})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
