@@ -214,3 +214,30 @@ class TestExactDedupBloomAgainst:
             exact_dedup_bloom_against(
                 new, old, "text", "doc_id", 100, nbits=1 << 12, hit_key_limit=8
             ).take_all()
+
+    def test_prebuilt_bloom_reuse(self):
+        import numpy as np
+        import ray
+
+        from weiser_ai_ray.pipelines.dedup import (
+            bloom_filter_aggregate,
+            exact_dedup_bloom_against,
+        )
+
+        old = _ds([(i, f"t{i}") for i in range(50)])
+        bits = old.select_columns(["text"]).aggregate(
+            bloom_filter_aggregate("text", nbits=1 << 12)
+        )["bloom"]
+        new = _ds([(100, "t3"), (101, "fresh")])
+        kept = sorted(
+            r["doc_id"]
+            for r in exact_dedup_bloom_against(
+                new, old, "text", "doc_id", 100, nbits=1 << 12, prebuilt_bloom=bits
+            ).take_all()
+        )
+        assert kept == [101]
+        with pytest.raises(ValueError, match="nbits"):
+            exact_dedup_bloom_against(
+                new, old, "text", "doc_id", 100, nbits=1 << 13,
+                prebuilt_bloom=np.zeros(4, np.uint64),
+            )

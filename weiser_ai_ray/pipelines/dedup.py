@@ -1855,6 +1855,7 @@ def exact_dedup_bloom_against(
     nbits: int = 1 << 23,
     num_hashes: int = 5,
     hit_key_limit: int = 5_000_000,
+    prebuilt_bloom: "np.ndarray | None" = None,
 ) -> "ray.data.Dataset":
     """exact_dedup_against semantics (min-id winners over old ∪ new,
     restricted to new ids) with a Bloom prefilter so the ACCEPTED
@@ -1876,10 +1877,26 @@ def exact_dedup_bloom_against(
     Final answer is exact — the filter only routes; every survivor
     decision is made by the 128-bit key paths. Raises if the hit side
     exceeds hit_key_limit distinct keys (undersized bitmap or a shard
-    that's mostly duplicates — fall back to exact_dedup_against)."""
-    words = old_ds.select_columns([text_col]).aggregate(
-        bloom_filter_aggregate(text_col, nbits, num_hashes)
-    )["bloom"]
+    that's mostly duplicates — fall back to exact_dedup_against).
+
+    AMORTIZATION is where this plan beats exact_dedup_against: pass a
+    ``prebuilt_bloom`` bitmap (persist the bloom_filter_aggregate
+    result once per accepted-corpus epoch) and the old corpus is
+    scanned only for hit-side candidates — a shard with no matches
+    never touches old at all, vs exact_dedup_against re-shuffling
+    old's digests for EVERY arriving shard. Single-shot on a corpus
+    whose digest shuffle is already cheap, the extra hash pass can
+    cost more than it saves (measured at 3M: 51 s vs 33 s) — the
+    bitmap's reuse across shards and a large old/new ratio are the
+    regimes it exists for."""
+    if prebuilt_bloom is not None:
+        words = np.asarray(prebuilt_bloom, dtype=np.uint64)
+        if len(words) != (int(nbits) + 63) // 64:
+            raise ValueError("prebuilt_bloom length does not match nbits")
+    else:
+        words = old_ds.select_columns([text_col]).aggregate(
+            bloom_filter_aggregate(text_col, nbits, num_hashes)
+        )["bloom"]
     words_ref = ray.put(words)
 
     def tag(b: pa.Table) -> pa.Table:
