@@ -1672,6 +1672,44 @@ def q_dedup_exact_incremental(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+def q_normalize_text(sf_dir: str) -> pa.Table:
+    """Pre-dedup text canonicalization (NFC + lower + whitespace
+    collapse): both sides run utf8proc + RE2, so the parity holds
+    byte-for-byte including non-ASCII — all three steps under the
+    hash."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.scrubbing import normalize_text
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    pdf = (
+        normalize_text(ds, "text", "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def q_dedup_lines_within_doc(sf_dir: str) -> pa.Table:
+    """Intra-doc repeated-token removal (first occurrence kept in
+    place): the oracle rebuilds every cleaned string via min-ordinal
+    grouping + ordered string_agg, so splitting, first-occurrence
+    choice and the rejoin are all under the hash."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.decontam import dedup_lines_within_doc
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    pdf = (
+        dedup_lines_within_doc(ds, "text", "doc_id", separator=" ")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 def q_compression_ratio(sf_dir: str) -> pa.Table:
     """zlib compression-ratio quality signal per doc (rows-only: SQL
     has no zlib; determinism and value sanity are test-gated)."""
@@ -1999,6 +2037,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_groups_by_stat_docs": q_filter_groups_by_stat,
         "sample_cap_per_group_docs": q_sample_cap_per_group,
         "lm_quality_filter_docs": q_lm_quality_filter,
+        "dedup_lines_within_doc": q_dedup_lines_within_doc,
+        "normalize_text_docs": q_normalize_text,
         # -- oracle-backed, green in previous rounds --
         "numeric_revenue": q_numeric_revenue,
         "avg_order_total": q_avg_order_total,
@@ -2538,6 +2578,22 @@ def oracle_sql() -> dict[str, str]:
             "  AND NOT EXISTS (SELECT 1 FROM grams gr JOIN bl USING (g)"
             "   WHERE gr.doc_id = d.doc_id)"
             " ORDER BY d.doc_id"
+        ),
+        "normalize_text_docs": (
+            "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)),"
+            " '\\s+', ' ', 'g')) AS normalized FROM documents ORDER BY doc_id"
+        ),
+        "dedup_lines_within_doc": (
+            "WITH ex AS (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i"
+            "  FROM (SELECT doc_id, string_split(text, ' ') AS ls FROM documents"
+            "   WHERE text IS NOT NULL)),"
+            " segs AS (SELECT doc_id, i, ls[i] AS seg FROM ex),"
+            " f AS (SELECT doc_id, seg, min(i) AS mi FROM segs GROUP BY 1, 2),"
+            " reb AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY mi) AS clean_text,"
+            "  count(*) AS n_kept FROM f GROUP BY doc_id)"
+            " SELECT d.doc_id, r.clean_text,"
+            "  CAST(len(string_split(d.text, ' ')) - r.n_kept AS BIGINT) AS n_removed"
+            " FROM documents d LEFT JOIN reb r USING (doc_id) ORDER BY d.doc_id"
         ),
         "dedup_segments_documents": (
             "WITH ex AS (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i"

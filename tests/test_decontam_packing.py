@@ -415,3 +415,48 @@ class TestGroupConcatDocs:
         assert got["text"][0] == "A|C"
         assert got["text"][1] is None or pd.isna(got["text"][1])
         assert got["text"][2] == "solo"
+
+
+class TestDedupLinesWithinDoc:
+    def test_matches_duckdb(self, ray_session, con):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.decontam import dedup_lines_within_doc
+
+        docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        got = (
+            dedup_lines_within_doc(docs, "text", "doc_id", separator=" ")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        want = con.sql(
+            "WITH ex AS (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i"
+            "  FROM (SELECT doc_id, string_split(text, ' ') AS ls FROM documents"
+            "   WHERE text IS NOT NULL)),"
+            " segs AS (SELECT doc_id, i, ls[i] AS seg FROM ex),"
+            " f AS (SELECT doc_id, seg, min(i) AS mi FROM segs GROUP BY 1, 2),"
+            " reb AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY mi) AS clean_text,"
+            "  count(*) AS n_kept FROM f GROUP BY doc_id)"
+            " SELECT d.doc_id, r.clean_text,"
+            "  CAST(len(string_split(d.text, ' ')) - r.n_kept AS BIGINT) AS n_removed"
+            " FROM documents d LEFT JOIN reb r USING (doc_id) ORDER BY d.doc_id"
+        ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_first_occurrence_kept_in_place(self, ray_session):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.decontam import dedup_lines_within_doc
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["b\na\nb\nc\na", "", None], pa.large_string()),
+            }
+        )
+        out = (
+            dedup_lines_within_doc(ray.data.from_arrow(t), "text", "doc_id")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert out["clean_text"][0] == "b\na\nc" and out["n_removed"][0] == 2
+        assert out["clean_text"][1] == "" and out["n_removed"][1] == 0
+        assert pd.isna(out["clean_text"][2]) and pd.isna(out["n_removed"][2])
