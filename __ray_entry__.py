@@ -1760,6 +1760,37 @@ def q_filter_groups_by_stat(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf[["doc_id", "source"]], preserve_index=False)
 
 
+def q_heavy_keys_sketch(sf_dir: str) -> pa.Table:
+    """Misra-Gries streaming top-k in the exact regime (capacity 4096
+    >= 1000 distinct suppliers, so the summary never trims, max_err=0
+    and counts equal GROUP BY exactly — the guarantee the oracle
+    states); the approximate regime is accuracy-gated in tests."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.sketches import heavy_keys_sketch
+
+    ds = __rps(os.path.join(sf_dir, "lineitem.parquet"), columns=["l_suppkey"])
+    return heavy_keys_sketch(ds, "l_suppkey", k=10, capacity=4096)
+
+
+def q_filter_by_group_quantile(sf_dir: str) -> pa.Table:
+    """Per-group dynamic threshold: keep docs at/above their OWN
+    source's median n_chars — per-group sample, per-group quantile_cont
+    and the boundary compare all under the hash."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.sketches import filter_by_group_quantile
+
+    ds = __rps(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+        cache=True,
+    )
+    kept = filter_by_group_quantile(ds, "source", "n_chars", "doc_id", 0.5, keep="ge")
+    pdf = kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(pdf[["doc_id", "source", "n_chars"]], preserve_index=False)
+
+
 def q_dedup_exact_bloom(sf_dir: str) -> pa.Table:
     """Same continuous-ingest split as dedup_exact_incremental, run
     through the Bloom-prefiltered path (old corpus folds to ONE bitmap
@@ -2039,6 +2070,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_quality_filter_docs": q_lm_quality_filter,
         "dedup_lines_within_doc": q_dedup_lines_within_doc,
         "normalize_text_docs": q_normalize_text,
+        "filter_by_group_quantile_docs": q_filter_by_group_quantile,
+        "heavy_keys_sketch_lineitem": q_heavy_keys_sketch,
         # -- oracle-backed, green in previous rounds --
         "numeric_revenue": q_numeric_revenue,
         "avg_order_total": q_avg_order_total,
@@ -2578,6 +2611,24 @@ def oracle_sql() -> dict[str, str]:
             "  AND NOT EXISTS (SELECT 1 FROM grams gr JOIN bl USING (g)"
             "   WHERE gr.doc_id = d.doc_id)"
             " ORDER BY d.doc_id"
+        ),
+        "heavy_keys_sketch_lineitem": (
+            "SELECT l_suppkey, CAST(count(*) AS BIGINT) AS est_cnt,"
+            " CAST(0 AS BIGINT) AS max_err,"
+            " (SELECT CAST(count(*) AS BIGINT) FROM lineitem"
+            "  WHERE l_suppkey IS NOT NULL) AS n_rows"
+            " FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY l_suppkey"
+            " ORDER BY est_cnt DESC, l_suppkey LIMIT 10"
+        ),
+        "filter_by_group_quantile_docs": (
+            "WITH s AS (SELECT source, quantile_cont(n_chars, 0.5) AS t FROM"
+            "  (SELECT source, n_chars,"
+            "    ROW_NUMBER() OVER (PARTITION BY source"
+            "     ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn"
+            "   FROM documents WHERE n_chars IS NOT NULL)"
+            "  WHERE rn <= 512 GROUP BY source)"
+            " SELECT d.doc_id, d.source, d.n_chars FROM documents d"
+            " JOIN s USING (source) WHERE d.n_chars >= s.t ORDER BY d.doc_id"
         ),
         "normalize_text_docs": (
             "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)),"

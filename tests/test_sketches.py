@@ -241,3 +241,110 @@ class TestFilterByQuantile:
         assert filter_by_quantile(allnull, "v", "id", 0.5).count() == 0
         with pytest.raises(ValueError):
             filter_by_quantile(ds, "v", "id", 0.5, keep="gt")
+
+
+class TestFilterByGroupQuantile:
+    def test_matches_duckdb(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from weiser_ai_ray.pipelines.sketches import filter_by_group_quantile
+
+        ds = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+        ).materialize()
+        got = (
+            filter_by_group_quantile(ds, "source", "n_chars", "doc_id", 0.5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)[["doc_id", "source", "n_chars"]]
+        )
+        want = pd.DataFrame(
+            _exact(
+                "WITH s AS (SELECT source, quantile_cont(n_chars, 0.5) AS t FROM"
+                "  (SELECT source, n_chars,"
+                "    ROW_NUMBER() OVER (PARTITION BY source"
+                "     ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn"
+                "   FROM documents WHERE n_chars IS NOT NULL)"
+                "  WHERE rn <= 512 GROUP BY source)"
+                " SELECT d.doc_id, d.source, d.n_chars FROM documents d"
+                " JOIN s USING (source) WHERE d.n_chars >= s.t ORDER BY d.doc_id"
+            ),
+            columns=["doc_id", "source", "n_chars"],
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # every group got its own cut: survivors exist in every source
+        assert got["source"].nunique() == 20
+        assert 0 < len(got) < ds.count()
+
+    def test_null_group_and_value_drop(self, ray_session):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.sketches import filter_by_group_quantile
+
+        t = pa.table(
+            {
+                "g": ["a", "a", "a", None, "b"],
+                "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "v": pa.array([1, 2, 3, 100, None], pa.int64()),
+            }
+        )
+        out = filter_by_group_quantile(
+            ray.data.from_arrow(t), "g", "v", "id", 0.5
+        ).to_pandas()
+        # a-median = 2 -> ids 2,3 kept; null group drops; b all-null drops
+        assert sorted(out["id"]) == [2, 3]
+
+
+class TestHeavyKeysSketch:
+    def test_exact_regime_matches_group_by(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from weiser_ai_ray.pipelines.sketches import heavy_keys_sketch
+
+        ds = ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_suppkey"])
+        got = heavy_keys_sketch(ds, "l_suppkey", k=10, capacity=4096).to_pandas()
+        want = pd.DataFrame(
+            _exact(
+                "SELECT l_suppkey, CAST(count(*) AS BIGINT) FROM lineitem"
+                " WHERE l_suppkey IS NOT NULL GROUP BY l_suppkey"
+                " ORDER BY 2 DESC, 1 LIMIT 10"
+            ),
+            columns=["l_suppkey", "est_cnt"],
+        )
+        assert (got["max_err"] == 0).all()
+        pd.testing.assert_frame_equal(
+            got[["l_suppkey", "est_cnt"]], want, check_dtype=False
+        )
+
+    def test_approximate_regime_error_bound(self, ray_session):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.sketches import heavy_keys_sketch
+
+        # zipf-ish: key j appears ~N/j times; capacity far below distinct
+        keys = []
+        for j in range(1, 400):
+            keys.extend([j] * (4000 // j))
+        t = pa.table({"k": pa.array(keys, pa.int64())})
+        cap = 64
+        got = heavy_keys_sketch(
+            ray.data.from_arrow(t).repartition(8), "k", k=5, capacity=cap
+        ).to_pandas()
+        n = len(keys)
+        assert (got["max_err"] <= n // cap).all()
+        # the true heavy hitters (keys 1..5) survive, estimates within err
+        assert set(got["k"]) == {1, 2, 3, 4, 5}
+        for _, r in got.iterrows():
+            true = 4000 // r["k"]
+            assert r["est_cnt"] <= true <= r["est_cnt"] + r["max_err"]
+
+    def test_nulls_dropped(self, ray_session):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.sketches import heavy_keys_sketch
+
+        t = pa.table({"k": pa.array(["a", "a", None, "b"], pa.string())})
+        got = heavy_keys_sketch(ray.data.from_arrow(t), "k", k=5, capacity=10).to_pandas()
+        assert list(got["k"]) == ["a", "b"] and got["n_rows"][0] == 3

@@ -321,6 +321,96 @@ def approx_quantiles_by(
     return sampled.groupby(group_col).map_groups(per_group, batch_format="pyarrow")
 
 
+class _MGState:
+    """Picklable Misra-Gries summary: value -> undercounted count, at
+    most ``capacity`` entries, plus the accumulated decrement bound
+    (true_count - est <= err for every value, err <= n/capacity)."""
+
+    __slots__ = ("capacity", "counts", "err", "n")
+
+    def __init__(self, capacity: int):
+        self.capacity = capacity
+        self.counts: dict = {}
+        self.err = 0
+        self.n = 0
+
+    def _trim(self) -> None:
+        if len(self.counts) <= self.capacity:
+            return
+        # mergeable-summaries trim (Agarwal et al., PODS 2012): subtract
+        # the (capacity+1)-th largest count from everything, drop <= 0
+        vals = sorted(self.counts.values(), reverse=True)
+        m = vals[self.capacity]
+        self.err += m
+        self.counts = {v: c - m for v, c in self.counts.items() if c > m}
+
+    def add_counts(self, pairs) -> "_MGState":
+        for v, c in pairs:
+            self.n += c
+            self.counts[v] = self.counts.get(v, 0) + c
+        self._trim()
+        return self
+
+    def merge(self, other: "_MGState") -> "_MGState":
+        for v, c in other.counts.items():
+            self.counts[v] = self.counts.get(v, 0) + c
+        self.n += other.n
+        self.err += other.err
+        self._trim()
+        return self
+
+
+def mg_aggregate(col: str, capacity: int = 4096, name: str = "mg") -> "ray.data.aggregate.AggregateFn":
+    """Misra-Gries heavy-hitters as a Ray-native AggregateFn: per-block
+    Arrow value_counts fold into a bounded summary, the engine's reduce
+    tree merges summaries — driver state is O(capacity) no matter the
+    corpus. Nulls dropped (SQL GROUP BY-on-value semantics for counts
+    of non-null keys)."""
+    from ray.data.aggregate import AggregateFn
+
+    def accumulate_block(state: _MGState, block: pa.Table) -> _MGState:
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(block[col].drop_null())
+        return state.add_counts(
+            (vc.field("values")[i].as_py(), vc.field("counts")[i].as_py())
+            for i in range(len(vc))
+        )
+
+    return AggregateFn(
+        init=lambda _key: _MGState(capacity),
+        accumulate_block=accumulate_block,
+        merge=lambda a, b: a.merge(b),
+        finalize=lambda s: s,
+        name=name,
+    )
+
+
+def heavy_keys_sketch(
+    ds: "ray.data.Dataset", col: str, k: int = 10, capacity: int = 4096
+) -> pa.Table:
+    """One-pass streaming top-k values of ``col`` with bounded state —
+    the scale path when exact heavy_keys' digest shuffle (O(distinct))
+    is itself too wide (e.g. top URLs over 10^12 rows with 10^10
+    distinct): (col, est_cnt, max_err, n_rows). Estimates UNDERCOUNT by
+    at most max_err <= n/capacity (the Misra-Gries guarantee); with
+    capacity >= distinct values the summary never trims, max_err = 0
+    and the counts are EXACT (the oracle-checked regime). Merge order
+    affects which sub-threshold keys survive trims, so the approximate
+    regime is accuracy-gated rather than SQL-compared. Ties in est_cnt
+    break value-ascending like heavy_keys."""
+    s: _MGState = ds.aggregate(mg_aggregate(col, capacity))["mg"]
+    top = sorted(s.counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table(
+        {
+            col: pa.array([v for v, _ in top]),
+            "est_cnt": pa.array([int(c) for _, c in top], type=pa.int64()),
+            "max_err": pa.array([int(s.err)] * len(top), type=pa.int64()),
+            "n_rows": pa.array([int(s.n)] * len(top), type=pa.int64()),
+        }
+    )
+
+
 def filter_by_quantile(
     ds: "ray.data.Dataset",
     value_col: str,
@@ -353,6 +443,55 @@ def filter_by_quantile(
             return b.slice(0, 0)
         cmp = pc.greater_equal if keep == "ge" else pc.less_equal
         m = cmp(pc.cast(b[value_col], pa.float64()), pa.scalar(float(thr)))
+        return b.filter(pc.fill_null(m, False))
+
+    return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def filter_by_group_quantile(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    q: float,
+    keep: str = "ge",
+    per_group_sample: int = 512,
+) -> "ray.data.Dataset":
+    """Per-GROUP dynamic-threshold filter: each group gets its OWN
+    q-quantile cut point (per-language/per-repo quality bars — a global
+    threshold over-prunes low-resource groups and under-prunes dominant
+    ones). Pass 1 is approx_quantiles_by's deterministic per-group
+    sample (grouped partial-top-k on the md5(id) line, O(groups ×
+    sample) shuffle); the per-group thresholds broadcast as ONE dict
+    (O(groups) driver state — same small-side contract as the
+    decontamination blocklist) and pass 2 streams the corpus through a
+    vectorized compare against each row's group threshold. Rows with a
+    null value or a null/unseen group key drop on both sides (an
+    unseen group means every value was null, so its threshold is
+    NULL)."""
+    import pyarrow.compute as pc
+
+    if keep not in ("ge", "le"):
+        raise ValueError(f"keep must be 'ge' or 'le', got {keep!r}")
+    thr_tbl = approx_quantiles_by(ds, group_col, value_col, id_col, [q], per_group_sample)
+    qname = f"q_{str(q).replace('.', '_')}"
+    thr = {
+        r[group_col]: r[qname]
+        for b in thr_tbl.iter_batches(batch_size=None, batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    thr_ref = ray.put(thr)
+
+    def flt(b: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        cuts = pa.array(
+            # null group keys never match (JOIN semantics), even if the
+            # sampler emitted a null-keyed group
+            [None if g is None else t.get(g) for g in b[group_col].to_pylist()],
+            type=pa.float64(),
+        )
+        cmp = pc.greater_equal if keep == "ge" else pc.less_equal
+        m = cmp(pc.cast(b[value_col], pa.float64()), cuts)
         return b.filter(pc.fill_null(m, False))
 
     return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
