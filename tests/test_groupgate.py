@@ -79,3 +79,60 @@ class TestGroupGate:
             filter_groups_by_stat(ds, "g", "v", "median", "ge", 1)
         with pytest.raises(ValueError):
             filter_groups_by_stat(ds, "g", "v", "mean", "between", 1)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupOpsProperty:
+    """Randomized DuckDB parity for the group-shaped operators (seeded
+    trials): nullable keys, nullable values, duplicate order keys
+    avoided by construction (the documented uniqueness contract)."""
+
+    def test_random_tables(self):
+        import random
+
+        import duckdb
+
+        from weiser_ai_ray.pipelines.packing import group_concat_docs
+
+        rng = random.Random(7)
+        for trial in range(12):
+            n = rng.randint(1, 60)
+            groups = [rng.choice(["a", "b", "c", None]) for _ in range(n)]
+            ks = rng.sample(range(1000), n)  # unique order keys
+            texts = [
+                rng.choice([None, "", "x", "hello world", "line1\nline2", str(rng.random())])
+                for _ in range(n)
+            ]
+            vals = [rng.choice([None, 0, 1, -5, 17, 123456]) for _ in range(n)]
+            t = pa.table(
+                {
+                    "g": pa.array(groups, pa.string()),
+                    "k": pa.array(ks, pa.int64()),
+                    "text": pa.array(texts, pa.large_string()),
+                    "v": pa.array(vals, pa.int64()),
+                }
+            )
+            con = duckdb.connect()
+            con.register("t", t)
+            ds = ray.data.from_arrow(t)
+
+            got = (
+                group_concat_docs(ds, "g", "k", "text", sep="|")
+                .to_pandas().sort_values("g").reset_index(drop=True)
+            )
+            want = con.sql(
+                "SELECT g, CAST(count(text) AS BIGINT) AS n_docs,"
+                " string_agg(text, '|' ORDER BY k) AS text"
+                " FROM t WHERE g IS NOT NULL GROUP BY g ORDER BY g"
+            ).df()
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+            got2 = (
+                filter_groups_by_stat(ds, "g", "v", "mean", "ge", 1.0)
+                .to_pandas().sort_values("k").reset_index(drop=True)[["g", "k"]]
+            )
+            want2 = con.sql(
+                "SELECT g, k FROM t WHERE g IS NOT NULL AND g IN ("
+                " SELECT g FROM t GROUP BY g HAVING avg(v) >= 1.0) ORDER BY k"
+            ).df()
+            pd.testing.assert_frame_equal(got2, want2, check_dtype=False)

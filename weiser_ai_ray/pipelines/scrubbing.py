@@ -121,3 +121,61 @@ def normalize_text(
     return ds.select_columns([id_col, text_col]).map_batches(
         per_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def pii_spans(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    """PII/secret SPANS instead of rewrites — the audit/annotation
+    view: one row per match, (id, rule, start, end, n_chars), offsets
+    into the ORIGINAL text (the rewriting scrub applies rules
+    sequentially so later offsets shift; spans-on-original is the
+    contract annotation pipelines want, and it means span counts can
+    exceed the scrub's n_<rule> when an earlier rule's rewrite hides a
+    later rule's match). Matched text itself is NOT emitted — a span
+    table that re-leaks the PII it found defeats the point; slice the
+    source row on demand. Row-expanding flat-map family, zero shuffle;
+    rules + gates compile once per actor. Rows-only verification (SQL
+    regexp functions expose no match offsets); span correctness is
+    pinned by unit tests against re.finditer."""
+
+    class _SpanStage:
+        def __init__(self):
+            self.scrubber = Scrubber()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, rules, starts, ends = [], [], [], []
+            texts = batch[text_col].to_pylist()
+            id_vals = batch[id_col].to_pylist()
+            for i, t in enumerate(texts):
+                if not t:
+                    continue
+                lc = t.lower()
+                for name, rx, _rep, gate in self.scrubber.rules:
+                    if gate is not None:
+                        ci, subs = gate
+                        if not any(g in (lc if ci else t) for g in subs):
+                            continue
+                    for m in rx.finditer(t):
+                        ids.append(id_vals[i])
+                        rules.append(name)
+                        starts.append(m.start())
+                        ends.append(m.end())
+            return pa.table(
+                {
+                    id_col: pa.array(ids, type=pa.int64()),
+                    "rule": pa.array(rules, type=pa.string()),
+                    "start": pa.array(starts, type=pa.int64()),
+                    "end": pa.array(ends, type=pa.int64()),
+                    "n_chars": pa.array(
+                        [e - s for s, e in zip(starts, ends)], type=pa.int64()
+                    ),
+                }
+            )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _SpanStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency
+    )
