@@ -1693,6 +1693,25 @@ def q_dedup_exact_incremental(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+def q_dedup_substrings(sf_dir: str) -> pa.Table:
+    """Duplicated-substring removal (5-token windows, corpus-wide
+    count > 1): the oracle recomputes window hashes, counts, coverage
+    expansion and the token-level rebuild in SQL, so hashing, flag
+    routing AND the sliding-window coverage are all under the hash."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.decontam import dedup_substrings
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    pdf = (
+        dedup_substrings(ds, "text", "doc_id", window=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 def q_normalize_text(sf_dir: str) -> pa.Table:
     """Pre-dedup text canonicalization (NFC + lower + whitespace
     collapse): both sides run utf8proc + RE2, so the parity holds
@@ -2093,6 +2112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text_docs": q_normalize_text,
         "filter_by_group_quantile_docs": q_filter_by_group_quantile,
         "heavy_keys_sketch_lineitem": q_heavy_keys_sketch,
+        "dedup_substrings_documents": q_dedup_substrings,
         # -- oracle-backed, green in previous rounds --
         "numeric_revenue": q_numeric_revenue,
         "avg_order_total": q_avg_order_total,
@@ -2633,6 +2653,32 @@ def oracle_sql() -> dict[str, str]:
             "  AND NOT EXISTS (SELECT 1 FROM grams gr JOIN bl USING (g)"
             "   WHERE gr.doc_id = d.doc_id)"
             " ORDER BY d.doc_id"
+        ),
+        "dedup_substrings_documents": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents"
+            "  WHERE text IS NOT NULL),"
+            " wins AS (SELECT doc_id, i,"
+            "  CAST(concat('0x', substr(md5(array_to_string(w[i:i+4], ' ')), 1, 15)) AS BIGINT) h"
+            "  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-5+1)) AS i) u"
+            "  WHERE len(w) >= 5),"
+            " cnt AS (SELECT h, count(*) c FROM wins GROUP BY h),"
+            " flg AS (SELECT doc_id, i FROM wins JOIN cnt USING (h) WHERE c > 1),"
+            " cov AS (SELECT DISTINCT doc_id, i + j AS pos FROM flg,"
+            "  LATERAL (SELECT unnest(generate_series(0, 4)) AS j) v),"
+            " tokpos AS (SELECT t.doc_id, i AS pos, w[i] AS tok FROM toks t,"
+            "  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) u),"
+            " kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp"
+            "  WHERE NOT EXISTS (SELECT 1 FROM cov c"
+            "   WHERE c.doc_id = tp.doc_id AND c.pos = tp.pos)),"
+            " reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,"
+            "  count(*) AS n_kept FROM kept GROUP BY doc_id)"
+            " SELECT d.doc_id,"
+            "  CASE WHEN d.text IS NULL THEN NULL"
+            "   ELSE COALESCE(r.clean_text, '') END AS clean_text,"
+            "  CAST(CASE WHEN d.text IS NULL THEN NULL"
+            "   ELSE len(string_split(d.text, ' ')) - COALESCE(r.n_kept, 0) END"
+            "   AS BIGINT) AS n_removed"
+            " FROM documents d LEFT JOIN reb r USING (doc_id) ORDER BY d.doc_id"
         ),
         "heavy_keys_sketch_lineitem": (
             "SELECT l_suppkey, CAST(count(*) AS BIGINT) AS est_cnt,"

@@ -460,3 +460,92 @@ class TestDedupLinesWithinDoc:
         assert out["clean_text"][0] == "b\na\nc" and out["n_removed"][0] == 2
         assert out["clean_text"][1] == "" and out["n_removed"][1] == 0
         assert pd.isna(out["clean_text"][2]) and pd.isna(out["n_removed"][2])
+
+
+class TestDedupSubstrings:
+    def test_matches_duckdb(self, ray_session, con):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.decontam import dedup_substrings
+
+        docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        got = (
+            dedup_substrings(docs, "text", "doc_id", window=5)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        want = con.sql(
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents"
+            "  WHERE text IS NOT NULL),"
+            " wins AS (SELECT doc_id, i,"
+            "  CAST(concat('0x', substr(md5(array_to_string(w[i:i+4], ' ')), 1, 15)) AS BIGINT) h"
+            "  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-5+1)) AS i) u"
+            "  WHERE len(w) >= 5),"
+            " cnt AS (SELECT h, count(*) c FROM wins GROUP BY h),"
+            " flg AS (SELECT doc_id, i FROM wins JOIN cnt USING (h) WHERE c > 1),"
+            " cov AS (SELECT DISTINCT doc_id, i + j AS pos FROM flg,"
+            "  LATERAL (SELECT unnest(generate_series(0, 4)) AS j) v),"
+            " tokpos AS (SELECT t.doc_id, i AS pos, w[i] AS tok FROM toks t,"
+            "  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) u),"
+            " kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp"
+            "  WHERE NOT EXISTS (SELECT 1 FROM cov c"
+            "   WHERE c.doc_id = tp.doc_id AND c.pos = tp.pos)),"
+            " reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,"
+            "  count(*) AS n_kept FROM kept GROUP BY doc_id)"
+            " SELECT d.doc_id,"
+            "  CASE WHEN d.text IS NULL THEN NULL"
+            "   ELSE COALESCE(r.clean_text, '') END AS clean_text,"
+            "  CAST(CASE WHEN d.text IS NULL THEN NULL"
+            "   ELSE len(string_split(d.text, ' ')) - COALESCE(r.n_kept, 0) END"
+            "   AS BIGINT) AS n_removed"
+            " FROM documents d LEFT JOIN reb r USING (doc_id) ORDER BY d.doc_id"
+        ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert (got["n_removed"] > 0).any()
+
+    def test_planted_semantics(self, ray_session):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.decontam import dedup_substrings
+
+        boiler = "shared run of five tokens"  # 5-token duplicated run
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": pa.array(
+                    [
+                        f"alpha start {boiler} tail one",
+                        f"beta {boiler} other ending two",
+                        "wholly unique text with nothing repeated here",
+                        "tiny doc",  # < window tokens: passes whole
+                        None,
+                    ],
+                    pa.large_string(),
+                ),
+            }
+        )
+        out = (
+            dedup_substrings(ray.data.from_arrow(t), "text", "doc_id", window=5)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        # the shared run is removed from BOTH docs, the rest kept in place
+        assert boiler not in out["clean_text"][0] and boiler not in out["clean_text"][1]
+        assert out["clean_text"][0].startswith("alpha start") and out["clean_text"][0].endswith("tail one")
+        assert out["n_removed"][0] == 5 and out["n_removed"][1] == 5
+        assert out["clean_text"][2] == t["text"][2].as_py() and out["n_removed"][2] == 0
+        assert out["clean_text"][3] == "tiny doc"
+        assert pd.isna(out["clean_text"][4])
+
+    def test_identical_docs_collapse_to_empty(self, ray_session):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.decontam import dedup_substrings
+
+        txt = "one two three four five six seven"
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array([txt, txt], pa.large_string()),
+            }
+        )
+        out = dedup_substrings(ray.data.from_arrow(t), "text", "doc_id", window=5).to_pandas()
+        assert (out["clean_text"] == "").all() and (out["n_removed"] == 7).all()

@@ -32,6 +32,8 @@ tests at small scale.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -302,3 +304,120 @@ def dedup_segments(
             )
 
     return ds.map_batches(_Rebuild(), batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dedup_substrings(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    window: int = 5,
+    max_count: int = 1,
+) -> "ray.data.Dataset":
+    """Duplicated-SUBSTRING removal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — public): drop every
+    token covered by any ``window``-token run whose corpus-wide
+    occurrence count exceeds ``max_count``, keeping the rest of the doc
+    in place. Doc-level dedup misses partially-copied boilerplate;
+    line-level (dedup_segments) misses copies that don't align on
+    separators — token windows catch both. The published method builds
+    a suffix array for arbitrary-length repeats; fixed-window hashing
+    is the streaming equivalent (every duplicated run >= window tokens
+    is fully covered by duplicated windows, shorter repeats are
+    deliberately kept).
+
+    Tokens are ``text.split(' ')`` (ANSI string_split); the window hash
+    is md5 of the space-joined window, first 15 hex chars as int64 —
+    bit-identical to SQL ('0x' || substr(md5(s),1,15))::BIGINT (the
+    winnowing operator's proven recipe). Docs shorter than ``window``
+    tokens pass through whole; a fully-duplicated doc collapses to ''
+    (its every window is shared); null text stays null. Returns
+    (id_col, clean_text, n_removed-tokens).
+
+    Scale shape is dedup_segments': pass 1 shuffles only window-hash
+    DIGESTS through the coarse count reduce; the flagged set (windows
+    duplicated more than max_count times ≪ distinct windows) broadcasts
+    once as a sorted int64 line; pass 2 streams — coverage is one
+    sliding-window OR per doc, vectorized with a prefix-sum over flag
+    deltas."""
+    from weiser_ai_ray.pipelines.dedup import overcount_keys_ds
+
+    w = int(window)
+    if w < 2:
+        raise ValueError("window must be >= 2")
+
+    def win_hashes(toks: list) -> np.ndarray:
+        m = len(toks) - w + 1
+        if m <= 0:
+            return np.empty(0, dtype=np.int64)
+        md5 = hashlib.md5
+        return np.fromiter(
+            (
+                int(md5(" ".join(toks[i : i + w]).encode()).hexdigest()[:15], 16)
+                for i in range(m)
+            ),
+            dtype=np.int64,
+            count=m,
+        )
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch[text_col].to_pylist():
+            if t is not None:
+                out.append(win_hashes(t.split(" ")))
+        h = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+        return pa.table({"h": pa.array(h, type=pa.int64())})
+
+    flagged = _collect_distinct(
+        overcount_keys_ds(
+            ds.map_batches(pass1, batch_format="pyarrow", zero_copy_batch=True),
+            "h",
+            max_count,
+        ),
+        "h",
+        np.int64,
+    )
+    flag_ref = ray.put(np.sort(flagged))
+
+    class _Rebuild:
+        def __init__(self):
+            self._fl: np.ndarray | None = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._fl is None:
+                self._fl = ray.get(flag_ref)
+            fl = self._fl
+            clean, removed = [], []
+            for t in batch[text_col].to_pylist():
+                if t is None:
+                    clean.append(None)
+                    removed.append(None)
+                    continue
+                toks = t.split(" ")
+                h = win_hashes(toks)
+                if not len(h) or not len(fl):
+                    clean.append(t)
+                    removed.append(0)
+                    continue
+                idx = np.searchsorted(fl, h)
+                bad = (idx < len(fl)) & (fl[np.minimum(idx, len(fl) - 1)] == h)
+                # coverage via flag-delta prefix sum: window i covers
+                # tokens [i, i+w); covered[j] = any bad window overlaps j
+                delta = np.zeros(len(toks) + 1, dtype=np.int64)
+                starts = np.nonzero(bad)[0]
+                np.add.at(delta, starts, 1)
+                np.add.at(delta, np.minimum(starts + w, len(toks)), -1)
+                covered = np.cumsum(delta[:-1]) > 0
+                kept = [tok for tok, c in zip(toks, covered) if not c]
+                clean.append(" ".join(kept))
+                removed.append(int(covered.sum()))
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "clean_text": pa.array(clean, type=pa.large_string()),
+                    "n_removed": pa.array(removed, type=pa.int64()),
+                }
+            )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _Rebuild, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
