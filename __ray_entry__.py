@@ -1800,6 +1800,25 @@ def q_filter_groups_by_stat(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf[["doc_id", "source"]], preserve_index=False)
 
 
+def q_range_partition_ids(sf_dir: str) -> pa.Table:
+    """Equi-depth range-partitioner bucket ids (8 buckets over
+    o_totalprice): deterministic-sample cut points + one searchsorted —
+    the sorted-layout primitive without a global sort; cuts AND the
+    boundary compares are under the hash."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.sketches import range_partition_ids
+
+    ds = __rps(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+        cache=True,
+    )
+    out = range_partition_ids(ds, "o_totalprice", "o_orderkey", 8)
+    pdf = out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    return pa.Table.from_pandas(pdf[["o_orderkey", "bucket"]], preserve_index=False)
+
+
 def q_heavy_keys_sketch(sf_dir: str) -> pa.Table:
     """Misra-Gries streaming top-k in the exact regime (capacity 4096
     >= 1000 distinct suppliers, so the summary never trims, max_err=0
@@ -2113,6 +2132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_by_group_quantile_docs": q_filter_by_group_quantile,
         "heavy_keys_sketch_lineitem": q_heavy_keys_sketch,
         "dedup_substrings_documents": q_dedup_substrings,
+        "range_partition_ids_orders": q_range_partition_ids,
         # -- oracle-backed, green in previous rounds --
         "numeric_revenue": q_numeric_revenue,
         "avg_order_total": q_avg_order_total,
@@ -2653,6 +2673,20 @@ def oracle_sql() -> dict[str, str]:
             "  AND NOT EXISTS (SELECT 1 FROM grams gr JOIN bl USING (g)"
             "   WHERE gr.doc_id = d.doc_id)"
             " ORDER BY d.doc_id"
+        ),
+        "range_partition_ids_orders": (
+            "WITH smp AS (SELECT o_totalprice AS v FROM orders"
+            "  WHERE o_totalprice IS NOT NULL"
+            "  ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 8192),"
+            " cuts AS (SELECT unnest(["
+            "  quantile_cont(v, 0.125), quantile_cont(v, 0.25),"
+            "  quantile_cont(v, 0.375), quantile_cont(v, 0.5),"
+            "  quantile_cont(v, 0.625), quantile_cont(v, 0.75),"
+            "  quantile_cont(v, 0.875)]) AS t FROM smp)"
+            " SELECT o_orderkey, CAST(CASE WHEN o_totalprice IS NULL THEN NULL"
+            "  ELSE (SELECT count(*) FROM cuts WHERE o_totalprice >= t) END"
+            "  AS BIGINT) AS bucket"
+            " FROM orders ORDER BY o_orderkey"
         ),
         "dedup_substrings_documents": (
             "WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents"

@@ -549,3 +549,23 @@ class TestDedupSubstrings:
         )
         out = dedup_substrings(ray.data.from_arrow(t), "text", "doc_id", window=5).to_pandas()
         assert (out["clean_text"] == "").all() and (out["n_removed"] == 7).all()
+
+    def test_poly_hasher_same_removal(self, ray_session):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.decontam import dedup_substrings
+
+        docs = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        ).materialize()
+        a = (
+            dedup_substrings(docs, "text", "doc_id", window=5)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            dedup_substrings(docs, "text", "doc_id", window=5, hasher="poly")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        with pytest.raises(ValueError, match="hasher"):
+            dedup_substrings(docs, "text", "doc_id", hasher="xx")

@@ -348,3 +348,69 @@ class TestHeavyKeysSketch:
         t = pa.table({"k": pa.array(["a", "a", None, "b"], pa.string())})
         got = heavy_keys_sketch(ray.data.from_arrow(t), "k", k=5, capacity=10).to_pandas()
         assert list(got["k"]) == ["a", "b"] and got["n_rows"][0] == 3
+
+
+class TestRangePartitionIds:
+    def test_balanced_and_matches_duckdb(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from weiser_ai_ray.pipelines.sketches import range_partition_ids
+
+        ds = ray.data.read_parquet(
+            f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+        ).materialize()
+        got = (
+            range_partition_ids(ds, "o_totalprice", "o_orderkey", 8)
+            .to_pandas()
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)[["o_orderkey", "bucket"]]
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')"
+        )
+        want = con.execute(
+            "WITH smp AS (SELECT o_totalprice AS v FROM orders"
+            "  WHERE o_totalprice IS NOT NULL"
+            "  ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 8192),"
+            " cuts AS (SELECT unnest(["
+            "  quantile_cont(v, 0.125), quantile_cont(v, 0.25),"
+            "  quantile_cont(v, 0.375), quantile_cont(v, 0.5),"
+            "  quantile_cont(v, 0.625), quantile_cont(v, 0.75),"
+            "  quantile_cont(v, 0.875)]) AS t FROM smp)"
+            " SELECT o_orderkey, CAST(CASE WHEN o_totalprice IS NULL THEN NULL"
+            "  ELSE (SELECT count(*) FROM cuts WHERE o_totalprice >= t) END"
+            "  AS BIGINT) AS bucket FROM orders ORDER BY o_orderkey"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        sizes = np.bincount(got["bucket"].dropna().astype(int), minlength=8)
+        n = sizes.sum()
+        assert sizes.min() > 0.8 * n / 8 and sizes.max() < 1.2 * n / 8
+
+    def test_nulls_and_all_null(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from weiser_ai_ray.pipelines.sketches import range_partition_ids
+
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4], pa.int64()),
+                "v": pa.array([1.0, None, 100.0, 50.0], pa.float64()),
+            }
+        )
+        out = (
+            range_partition_ids(ray.data.from_arrow(t), "v", "id", 2)
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        assert pd.isna(out["bucket"][1])
+        assert out["bucket"][0] == 0 and out["bucket"][2] == 1
+        allnull = ray.data.from_arrow(
+            pa.table({"id": pa.array([1], pa.int64()), "v": pa.array([None], pa.float64())})
+        )
+        out2 = range_partition_ids(allnull, "v", "id", 4).to_pandas()
+        assert pd.isna(out2["bucket"][0])
+        with pytest.raises(ValueError):
+            range_partition_ids(allnull, "v", "id", 1)
