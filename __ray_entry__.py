@@ -1800,6 +1800,43 @@ def q_filter_groups_by_stat(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf[["doc_id", "source"]], preserve_index=False)
 
 
+def q_extract_urls(sf_dir: str) -> pa.Table:
+    """URL extraction + domain normalization over a deterministically
+    URL-planted corpus (testdata has no URLs): the ASCII-only pattern
+    matches byte-identically in Python re and RE2, so extraction,
+    authority parsing, lowercasing and port-stripping are all under
+    the hash."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.textstats import extract_urls
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = []
+        for d, t in zip(ids, texts):
+            parts = [t if t is not None else "", f"\nsee https://ex{d % 13}.org/p/{d}"]
+            if d % 3 == 0:
+                parts.append(f" and http://www.Ex{d % 5}.COM:8080/a?q={d}&x=1")
+            if d % 7 == 0:
+                parts.append(f" plus https://sub.ex{d % 13}.org/path#frag")
+            out.append("".join(parts))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": pa.array(out, type=pa.large_string())}
+        )
+
+    planted = ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    pdf = (
+        extract_urls(planted)
+        .to_pandas()
+        .sort_values(["doc_id", "url"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 def q_range_partition_ids(sf_dir: str) -> pa.Table:
     """Equi-depth range-partitioner bucket ids (8 buckets over
     o_totalprice): deterministic-sample cut points + one searchsorted —
@@ -2133,6 +2170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_keys_sketch_lineitem": q_heavy_keys_sketch,
         "dedup_substrings_documents": q_dedup_substrings,
         "range_partition_ids_orders": q_range_partition_ids,
+        "extract_urls_docs": q_extract_urls,
         # -- oracle-backed, green in previous rounds --
         "numeric_revenue": q_numeric_revenue,
         "avg_order_total": q_avg_order_total,
@@ -2673,6 +2711,20 @@ def oracle_sql() -> dict[str, str]:
             "  AND NOT EXISTS (SELECT 1 FROM grams gr JOIN bl USING (g)"
             "   WHERE gr.doc_id = d.doc_id)"
             " ORDER BY d.doc_id"
+        ),
+        "extract_urls_docs": (
+            "WITH planted AS (SELECT doc_id, coalesce(text, '')"
+            " || chr(10) || 'see https://ex' || (doc_id % 13) || '.org/p/' || doc_id"
+            " || CASE WHEN doc_id % 3 = 0 THEN ' and http://www.Ex' || (doc_id % 5)"
+            "     || '.COM:8080/a?q=' || doc_id || '&x=1' ELSE '' END"
+            " || CASE WHEN doc_id % 7 = 0 THEN ' plus https://sub.ex' || (doc_id % 13)"
+            "     || '.org/path#frag' ELSE '' END AS t FROM documents),"
+            " u AS (SELECT doc_id, unnest(regexp_extract_all(t,"
+            "  'https?://[A-Za-z0-9._~:/?#@!$&''()*+,;=%\\-]+')) AS url FROM planted)"
+            " SELECT doc_id, url,"
+            "  regexp_replace(lower(regexp_extract(url, 'https?://([^/?#]+)', 1)),"
+            "   ':[0-9]+$', '') AS domain"
+            " FROM u ORDER BY doc_id, url"
         ),
         "range_partition_ids_orders": (
             "WITH smp AS (SELECT o_totalprice AS v FROM orders"

@@ -339,3 +339,48 @@ class TestCompressionRatio:
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExtractUrls:
+    def test_extraction_and_domain_normalization(self):
+        import pandas as pd
+        import ray.data
+
+        from weiser_ai_ray.pipelines.textstats import extract_urls
+
+        texts = [
+            "go to https://Ex.ORG/a?q=1 and http://sub.ex.com:8080/path#f now",
+            "no links here",
+            None,
+            "",
+            "trailing https://x.io/p, punctuation",  # comma IS in the URL charset
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.large_string()),
+            }
+        )
+        got = (
+            extract_urls(ray.data.from_arrow(t))
+            .to_pandas()
+            .sort_values(["doc_id", "url"])
+            .reset_index(drop=True)
+        )
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("docs_arrow", t)
+        want = con.execute(
+            "WITH u AS (SELECT doc_id, unnest(regexp_extract_all(text,"
+            " 'https?://[A-Za-z0-9._~:/?#@!$&''()*+,;=%\\-]+')) AS url FROM docs_arrow)"
+            " SELECT doc_id, url,"
+            "  regexp_replace(lower(regexp_extract(url, 'https?://([^/?#]+)', 1)),"
+            "   ':[0-9]+$', '') AS domain FROM u ORDER BY doc_id, url"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # domain normalization: case folded, port stripped, path dropped
+        by_url = dict(zip(got["url"], got["domain"]))
+        assert by_url["https://Ex.ORG/a?q=1"] == "ex.org"
+        assert by_url["http://sub.ex.com:8080/path#f"] == "sub.ex.com"

@@ -421,3 +421,50 @@ def vocab_oov_counts(
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+URL_PATTERN = r"https?://[A-Za-z0-9._~:/?#@!$&'()*+,;=%\-]+"
+_AUTHORITY_PATTERN = r"https?://([^/?#]+)"
+
+
+def extract_urls(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Row-expanding URL extraction + domain normalization — the
+    link-graph / domain-statistics feed (per-domain caps, blocklists
+    and dedup all key on this): one output row per match, (id, url,
+    domain), domain = lowercased authority with any :port stripped.
+
+    The pattern uses only explicit ASCII classes, so Python re and
+    RE2 (DuckDB regexp_extract_all) match byte-identically — the
+    extraction itself is oracle-comparable. Zero shuffle; chain into
+    heavy_keys / heavy_keys_sketch for top-domain profiles or
+    groupgate for per-domain caps."""
+    import re
+
+    url_rx = re.compile(URL_PATTERN)
+    auth_rx = re.compile(_AUTHORITY_PATTERN)
+    port_rx = re.compile(r":[0-9]+$")
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids, urls, doms = [], [], []
+        id_vals = batch[id_col].to_pylist()
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            if not t:
+                continue
+            for u in url_rx.findall(t):
+                m = auth_rx.match(u)
+                ids.append(id_vals[i])
+                urls.append(u)
+                doms.append(port_rx.sub("", m.group(1).lower()) if m else None)
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "url": pa.array(urls, type=pa.string()),
+                "domain": pa.array(doms, type=pa.string()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
