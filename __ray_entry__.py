@@ -1800,6 +1800,25 @@ def q_filter_groups_by_stat(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf[["doc_id", "source"]], preserve_index=False)
 
 
+def q_group_mean_embedding(sf_dir: str) -> pa.Table:
+    """Per-label embedding centroids in long (label, dim, mean, n)
+    format — partial vector sums per batch, one digest groupby; ROUND
+    to 6 decimals on both sides absorbs distributed summation-order
+    drift (the engine's standard ROUND()-aggregate contract)."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.vectors import group_mean_embedding
+
+    ds = __rps(os.path.join(sf_dir, "embeddings.parquet"))
+    pdf = (
+        group_mean_embedding(ds, "embedding", "label")
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 def q_extract_urls(sf_dir: str) -> pa.Table:
     """URL extraction + domain normalization over a deterministically
     URL-planted corpus (testdata has no URLs): the ASCII-only pattern
@@ -2171,6 +2190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substrings_documents": q_dedup_substrings,
         "range_partition_ids_orders": q_range_partition_ids,
         "extract_urls_docs": q_extract_urls,
+        "group_mean_embedding": q_group_mean_embedding,
         # -- oracle-backed, green in previous rounds --
         "numeric_revenue": q_numeric_revenue,
         "avg_order_total": q_avg_order_total,
@@ -2711,6 +2731,15 @@ def oracle_sql() -> dict[str, str]:
             "  AND NOT EXISTS (SELECT 1 FROM grams gr JOIN bl USING (g)"
             "   WHERE gr.doc_id = d.doc_id)"
             " ORDER BY d.doc_id"
+        ),
+        "group_mean_embedding": (
+            "WITH e AS (SELECT label, embedding FROM embeddings"
+            "  WHERE label IS NOT NULL AND embedding IS NOT NULL),"
+            " x AS (SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v"
+            "  FROM e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u)"
+            " SELECT label, dim, ROUND(SUM(v) / count(*), 6) AS mean,"
+            "  CAST(count(*) AS BIGINT) AS n"
+            " FROM x GROUP BY label, dim ORDER BY label, dim"
         ),
         "extract_urls_docs": (
             "WITH planted AS (SELECT doc_id, coalesce(text, '')"

@@ -1,0 +1,71 @@
+"""Vector aggregates (vectors.group_mean_embedding): DuckDB parity +
+null/ragged semantics + layout invariance."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from tests.conftest import SF_DIR
+
+from weiser_ai_ray.pipelines.vectors import group_mean_embedding
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupMeanEmbedding:
+    def test_matches_duckdb(self):
+        ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        got = (
+            group_mean_embedding(ds, "embedding", "label")
+            .to_pandas().sort_values(["label", "dim"]).reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+        )
+        want = con.execute(
+            "WITH e AS (SELECT label, embedding FROM embeddings"
+            "  WHERE label IS NOT NULL AND embedding IS NOT NULL),"
+            " x AS (SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v"
+            "  FROM e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u)"
+            " SELECT label, dim, ROUND(SUM(v) / count(*), 6) AS mean,"
+            "  CAST(count(*) AS BIGINT) AS n"
+            " FROM x GROUP BY label, dim ORDER BY label, dim"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_nulls_layout_and_ragged(self):
+        t = pa.table(
+            {
+                "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 3.0], [3.0, 5.0], None, [7.0, 9.0]],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0, 0, 0, None], pa.int32()),
+            }
+        )
+        out = (
+            group_mean_embedding(ray.data.from_arrow(t), "embedding", "label")
+            .to_pandas().sort_values(["label", "dim"]).reset_index(drop=True)
+        )
+        # null vector and null label both drop; group 0 = mean of rows 1,2
+        assert list(out["mean"]) == [2.0, 4.0] and list(out["n"]) == [2, 2]
+        out2 = (
+            group_mean_embedding(
+                ray.data.from_arrow(t).repartition(3), "embedding", "label"
+            )
+            .to_pandas().sort_values(["label", "dim"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, out2)
+        ragged = pa.table(
+            {
+                "vec_id": pa.array([1, 2], pa.int64()),
+                "embedding": pa.array([[1.0], [1.0, 2.0]], pa.list_(pa.float32())),
+                "label": pa.array([0, 0], pa.int32()),
+            }
+        )
+        with pytest.raises(Exception, match="ragged"):
+            group_mean_embedding(ray.data.from_arrow(ragged), "embedding", "label").to_pandas()

@@ -1,0 +1,92 @@
+"""Vector-column aggregates over an embeddings table
+(vec_id, embedding list<float>, label).
+
+Not in the reference (SURVEY.md §2.8) — embedding-pipeline analytics:
+per-group centroids feed cluster drift checks, class prototypes and
+SemDeDup-style bucket seeding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def group_mean_embedding(
+    ds: "ray.data.Dataset",
+    vec_col: str,
+    group_col: str,
+    round_decimals: int = 6,
+) -> "ray.data.Dataset":
+    """Element-wise per-group centroid in LONG format — one row per
+    (group, dim): (group, dim, mean, n). Long output keeps every value
+    a scalar column the oracle gate can hash (a list-typed centroid
+    column hashes differently across Arrow/pandas).
+
+    Plan: each batch reduces to (group, dim, partial_sum, partial_n)
+    rows — groups×dims per batch, corpus vectors never shuffle — then
+    one groupby-sum and a vectorized divide. Sums accumulate in
+    float64; ``round_decimals`` (SQL ROUND twin) absorbs the
+    summation-order float drift that distributed partials make
+    inherent — the same contract the engine's ROUND()-ed SQL
+    aggregates use. Null vectors and null group keys drop (SQL AVG +
+    GROUP BY join semantics); ragged vector lengths raise."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = b.select([group_col, vec_col]).filter(
+            pc.and_(pc.is_valid(b[group_col]), pc.is_valid(b[vec_col]))
+        )
+        if not t.num_rows:
+            return pa.table(
+                {
+                    group_col: pa.array([], b[group_col].type),
+                    "dim": pa.array([], pa.int64()),
+                    "__s": pa.array([], pa.float64()),
+                    "__c": pa.array([], pa.int64()),
+                }
+            )
+        col = t[vec_col].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+        dim = int(offs[0])
+        if (offs != dim).any():
+            raise ValueError("ragged vector lengths in group_mean_embedding")
+        mat = flat.reshape(-1, dim)
+        groups = t[group_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(groups, kind="stable")
+        mat, groups = mat[order], groups[order]
+        bounds = np.nonzero(np.concatenate([[True], groups[1:] != groups[:-1]]))[0]
+        sums = np.add.reduceat(mat, bounds, axis=0)
+        cnts = np.diff(np.concatenate([bounds, [len(groups)]]))
+        ng = len(bounds)
+        return pa.table(
+            {
+                group_col: pa.array(np.repeat(groups[bounds], dim)),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), ng)),
+                "__s": pa.array(sums.reshape(-1)),
+                "__c": pa.array(np.repeat(cnts.astype(np.int64), dim)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = parts.groupby([group_col, "dim"]).aggregate(
+        Sum("__s", alias_name="s"), Sum("__c", alias_name="n")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                group_col: b[group_col],
+                "dim": b["dim"],
+                "mean": pa.array(np.round(s / n, round_decimals), type=pa.float64()),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
