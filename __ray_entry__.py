@@ -1819,6 +1819,25 @@ def q_group_mean_embedding(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def q_centroid_distances(sf_dir: str) -> pa.Table:
+    """Distance of every embedding to its own label's centroid (the
+    data-pruning outlier signal): centroid reduce, broadcast matrix,
+    streaming L2 kernel — centroids AND distances under the hash (both
+    sides ROUND(6), measuring against identical rounded prototypes)."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.vectors import centroid_distances
+
+    ds = __rps(os.path.join(sf_dir, "embeddings.parquet"), cache=True)
+    pdf = (
+        centroid_distances(ds, "embedding", "label", "vec_id", metric="l2")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 def q_extract_urls(sf_dir: str) -> pa.Table:
     """URL extraction + domain normalization over a deterministically
     URL-planted corpus (testdata has no URLs): the ASCII-only pattern
@@ -2191,6 +2210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_partition_ids_orders": q_range_partition_ids,
         "extract_urls_docs": q_extract_urls,
         "group_mean_embedding": q_group_mean_embedding,
+        "centroid_distances_embeddings": q_centroid_distances,
         # -- oracle-backed, green in previous rounds --
         "numeric_revenue": q_numeric_revenue,
         "avg_order_total": q_avg_order_total,
@@ -2731,6 +2751,18 @@ def oracle_sql() -> dict[str, str]:
             "  AND NOT EXISTS (SELECT 1 FROM grams gr JOIN bl USING (g)"
             "   WHERE gr.doc_id = d.doc_id)"
             " ORDER BY d.doc_id"
+        ),
+        "centroid_distances_embeddings": (
+            "WITH e AS (SELECT vec_id, label, embedding FROM embeddings"
+            "  WHERE label IS NOT NULL AND embedding IS NOT NULL),"
+            " x AS (SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v"
+            "  FROM e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),"
+            " c AS (SELECT label, dim, ROUND(SUM(v) / count(*), 6) AS mean"
+            "  FROM x GROUP BY label, dim),"
+            " cl AS (SELECT label, list(mean ORDER BY dim) AS cent FROM c GROUP BY label)"
+            " SELECT e.vec_id, e.label,"
+            "  ROUND(list_distance(CAST(e.embedding AS DOUBLE[]), cl.cent), 6) AS dist"
+            " FROM e JOIN cl USING (label) ORDER BY e.vec_id"
         ),
         "group_mean_embedding": (
             "WITH e AS (SELECT label, embedding FROM embeddings"

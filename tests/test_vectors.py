@@ -69,3 +69,58 @@ class TestGroupMeanEmbedding:
         )
         with pytest.raises(Exception, match="ragged"):
             group_mean_embedding(ray.data.from_arrow(ragged), "embedding", "label").to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCentroidDistances:
+    def test_l2_matches_duckdb(self):
+        from weiser_ai_ray.pipelines.vectors import centroid_distances
+
+        ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet").materialize()
+        got = (
+            centroid_distances(ds, "embedding", "label", "vec_id")
+            .to_pandas().sort_values("vec_id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+        )
+        want = con.execute(
+            "WITH e AS (SELECT vec_id, label, embedding FROM embeddings"
+            "  WHERE label IS NOT NULL AND embedding IS NOT NULL),"
+            " x AS (SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v"
+            "  FROM e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),"
+            " c AS (SELECT label, dim, ROUND(SUM(v) / count(*), 6) AS mean"
+            "  FROM x GROUP BY label, dim),"
+            " cl AS (SELECT label, list(mean ORDER BY dim) AS cent FROM c GROUP BY label)"
+            " SELECT e.vec_id, e.label,"
+            "  ROUND(list_distance(CAST(e.embedding AS DOUBLE[]), cl.cent), 6) AS dist"
+            " FROM e JOIN cl USING (label) ORDER BY e.vec_id"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert (got["dist"] >= 0).all() and got["dist"].max() > 0
+
+    def test_cosine_and_zero_norm(self):
+        from weiser_ai_ray.pipelines.vectors import centroid_distances
+
+        t = pa.table(
+            {
+                "vec_id": pa.array([1, 2, 3], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.0], [0.0, 1.0], [0.0, 0.0]], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0, 0, 0], pa.int32()),
+            }
+        )
+        out = (
+            centroid_distances(
+                ray.data.from_arrow(t), "embedding", "label", "vec_id", metric="cosine"
+            )
+            .to_pandas().sort_values("vec_id").reset_index(drop=True)
+        )
+        # centroid (1/3, 1/3): both unit vectors at 45 deg -> 1 - cos(45)
+        assert abs(out["dist"][0] - (1 - np.cos(np.pi / 4))) < 1e-6
+        assert abs(out["dist"][0] - out["dist"][1]) < 1e-12
+        assert pd.isna(out["dist"][2])  # zero-norm row -> NULL
+        with pytest.raises(ValueError):
+            centroid_distances(ray.data.from_arrow(t), "embedding", "label", "vec_id", metric="dot")

@@ -90,3 +90,73 @@ def group_mean_embedding(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def centroid_distances(
+    ds: "ray.data.Dataset",
+    vec_col: str,
+    group_col: str,
+    id_col: str,
+    metric: str = "l2",
+    round_decimals: int = 6,
+) -> "ray.data.Dataset":
+    """Distance from every vector to ITS OWN group's centroid — the
+    data-pruning signal (SemDeDup/SSL-prototype style: far-from-
+    prototype rows are outliers or mislabels; near-duplicates cluster
+    at the bottom). Two passes: group_mean_embedding's digest-only
+    centroid reduce, centroids broadcast as ONE (groups × dim) matrix,
+    then the corpus streams through a vectorized distance kernel.
+    Output (id, group, dist); metric 'l2' or 'cosine' (cosine = 1 -
+    cos sim; zero-norm vectors emit NULL like SQL division). Rows with
+    null vector/group drop. The centroid is the ROUNDed mean (the
+    exact values the oracle recomputes), so both sides measure against
+    bit-identical prototypes."""
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"metric must be 'l2' or 'cosine', got {metric!r}")
+    cent = group_mean_embedding(ds, vec_col, group_col, round_decimals)
+    by_group: dict = {}
+    for b in cent.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for r in b.to_pylist():
+            by_group.setdefault(r[group_col], {})[r["dim"]] = r["mean"]
+    cents = {
+        g: np.array([d[i] for i in range(len(d))], dtype=np.float64)
+        for g, d in by_group.items()
+    }
+    cent_ref = ray.put(cents)
+
+    def dist(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cs = ray.get(cent_ref)
+        t = b.select([id_col, group_col, vec_col]).filter(
+            pc.and_(pc.is_valid(b[group_col]), pc.is_valid(b[vec_col]))
+        )
+        if not t.num_rows:
+            return pa.table(
+                {
+                    id_col: pa.array([], b[id_col].type),
+                    group_col: pa.array([], b[group_col].type),
+                    "dist": pa.array([], pa.float64()),
+                }
+            )
+        col = t[vec_col].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(flat) // t.num_rows
+        mat = flat.reshape(-1, dim)
+        groups = t[group_col].to_pylist()
+        cmat = np.stack([cs[g] for g in groups])
+        if metric == "l2":
+            d = np.sqrt(((mat - cmat) ** 2).sum(axis=1))
+        else:
+            num = (mat * cmat).sum(axis=1)
+            den = np.linalg.norm(mat, axis=1) * np.linalg.norm(cmat, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                d = 1.0 - num / den
+            d[den == 0.0] = np.nan
+        vals = np.round(d, round_decimals)
+        arr = pa.array(vals, type=pa.float64())
+        if np.isnan(vals).any():
+            arr = pc.if_else(pa.array(~np.isnan(vals)), arr, pa.scalar(None, pa.float64()))
+        return pa.table({id_col: t[id_col], group_col: t[group_col], "dist": arr})
+
+    return ds.map_batches(dist, batch_format="pyarrow", zero_copy_batch=True)
