@@ -1819,6 +1819,24 @@ def q_group_mean_embedding(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def q_token_entropy(sf_dir: str) -> pa.Table:
+    """Per-doc token-distribution Shannon entropy (diversity quality
+    signal): tokenization, frequency math and the -p ln p fold are all
+    one SQL statement on the oracle side (ROUND(6) both sides)."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.repetition import token_entropy
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    pdf = (
+        token_entropy(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 def q_centroid_distances(sf_dir: str) -> pa.Table:
     """Distance of every embedding to its own label's centroid (the
     data-pruning outlier signal): centroid reduce, broadcast matrix,
@@ -2211,6 +2229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_urls_docs": q_extract_urls,
         "group_mean_embedding": q_group_mean_embedding,
         "centroid_distances_embeddings": q_centroid_distances,
+        "token_entropy_docs": q_token_entropy,
         # -- oracle-backed, green in previous rounds --
         "numeric_revenue": q_numeric_revenue,
         "avg_order_total": q_avg_order_total,
@@ -2751,6 +2770,18 @@ def oracle_sql() -> dict[str, str]:
             "  AND NOT EXISTS (SELECT 1 FROM grams gr JOIN bl USING (g)"
             "   WHERE gr.doc_id = d.doc_id)"
             " ORDER BY d.doc_id"
+        ),
+        "token_entropy_docs": (
+            "WITH toks AS (SELECT doc_id,"
+            " unnest(list_filter(regexp_split_to_array(coalesce(text,''),'\\s+'),"
+            "  x->x!='')) AS tok FROM documents),"
+            " c AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),"
+            " t AS (SELECT doc_id, SUM(c) AS n FROM c GROUP BY 1),"
+            " h AS (SELECT c.doc_id, CAST(t.n AS BIGINT) AS n_tokens,"
+            "  ROUND(SUM(-(c.c / t.n) * ln(c.c / t.n)), 6) AS entropy"
+            "  FROM c JOIN t USING (doc_id) GROUP BY c.doc_id, t.n)"
+            " SELECT d.doc_id, h.n_tokens, h.entropy"
+            " FROM documents d LEFT JOIN h USING (doc_id) ORDER BY d.doc_id"
         ),
         "centroid_distances_embeddings": (
             "WITH e AS (SELECT vec_id, label, embedding FROM embeddings"

@@ -123,3 +123,58 @@ class TestSessionize:
         out = sessionize(ev, gap_minutes=30).to_pandas().sort_values(["user_id", "session_idx"])
         assert out["n_events"].tolist() == [1, 1, 1]
         assert out["session_idx"].tolist() == [0, 1, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTokenEntropy:
+    def test_hand_computed_and_nulls(self):
+        import math
+
+        import pyarrow as pa
+        import ray.data
+
+        from weiser_ai_ray.pipelines.repetition import token_entropy
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    ["a a a a", "a b c d", None, "  "], pa.large_string()
+                ),
+            }
+        )
+        out = (
+            token_entropy(ray.data.from_arrow(t))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert out["entropy"][0] == 0.0 and out["n_tokens"][0] == 4
+        assert abs(out["entropy"][1] - math.log(4)) < 1e-6
+        assert out["entropy"].isna()[2] and out["n_tokens"].isna()[3]
+
+    def test_matches_duckdb(self):
+        import duckdb
+        import pandas as pd
+        import ray.data
+
+        from tests.conftest import SF_DIR
+        from weiser_ai_ray.pipelines.repetition import token_entropy
+
+        ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        got = token_entropy(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        want = con.execute(
+            "WITH toks AS (SELECT doc_id,"
+            " unnest(list_filter(regexp_split_to_array(coalesce(text,''),'\\s+'),"
+            "  x->x!='')) AS tok FROM documents),"
+            " c AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),"
+            " t AS (SELECT doc_id, SUM(c) AS n FROM c GROUP BY 1),"
+            " h AS (SELECT c.doc_id, CAST(t.n AS BIGINT) AS n_tokens,"
+            "  ROUND(SUM(-(c.c / t.n) * ln(c.c / t.n)), 6) AS entropy"
+            "  FROM c JOIN t USING (doc_id) GROUP BY c.doc_id, t.n)"
+            " SELECT d.doc_id, h.n_tokens, h.entropy"
+            " FROM documents d LEFT JOIN h USING (doc_id) ORDER BY d.doc_id"
+        ).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -510,3 +510,45 @@ def lm_quality_filter(
     lm = train_bigram_lm(ds, text_col, min_count)
     scored = score_bigram_lm(ds, lm, text_col, id_col, floor_logp).materialize()
     return filter_by_quantile(scored, "avg_logp", id_col, q, keep="ge", sample_size=sample_size)
+
+
+def token_entropy(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_decimals: int = 6,
+) -> "ray.data.Dataset":
+    """Per-document Shannon entropy of the token distribution —
+    the repetitiveness/diversity quality signal on the same axis as
+    repetition_scores (H = -Σ p ln p over token frequencies; templated
+    or looped text scores low, varied prose high). Output (id,
+    n_tokens, entropy); docs with zero tokens (empty/null text) emit
+    NULLs, like the SQL LEFT JOIN onto a scoring CTE. One _word_rows
+    integer-coding pass + one np.unique per batch — no per-row Python;
+    ROUND absorbs summation-order drift exactly as the other ROUND()
+    aggregates do."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        row_ids, codes, ncodes, _ = _word_rows(batch[text_col])
+        total = np.bincount(row_ids, minlength=n).astype(np.float64)
+        ent = np.zeros(n, dtype=np.float64)
+        if len(codes):
+            pair_key = row_ids * max(ncodes, 1) + codes
+            uk, cnt = np.unique(pair_key, return_counts=True)
+            rows_of = uk // max(ncodes, 1)
+            p = cnt / total[rows_of]
+            np.add.at(ent, rows_of, -p * np.log(p))
+        has = total > 0
+        ent_arr = pa.array(
+            [round(float(e), round_decimals) if h else None for e, h in zip(ent, has)],
+            type=pa.float64(),
+        )
+        ntok_arr = pa.array(
+            [int(t) if h else None for t, h in zip(total, has)], type=pa.int64()
+        )
+        return pa.table({id_col: batch[id_col], "n_tokens": ntok_arr, "entropy": ent_arr})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
