@@ -1,0 +1,98 @@
+"""Empty-input robustness sweep for the session-3 operators: every new
+Dataset->Dataset op must yield a clean empty (or well-defined) result
+on a zero-row table, not crash — the behavior resumable shard-level
+pipelines hit on empty partitions."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+
+def _empty_docs():
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.large_string()),
+                "source": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        )
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmptyInputs:
+    def test_streaming_maps(self):
+        from weiser_ai_ray.pipelines.decontam import dedup_lines_within_doc
+        from weiser_ai_ray.pipelines.scrubbing import normalize_text, pii_spans
+        from weiser_ai_ray.pipelines.textstats import compression_ratio, extract_urls
+        from weiser_ai_ray.pipelines.repetition import token_entropy
+
+        e = _empty_docs()
+        assert dedup_lines_within_doc(e, "text", "doc_id").count() == 0
+        assert normalize_text(e).count() == 0
+        assert pii_spans(e).count() == 0
+        assert compression_ratio(e, "text", "doc_id").count() == 0
+        assert extract_urls(e).count() == 0
+        assert token_entropy(e).count() == 0
+
+    def test_group_ops(self):
+        from weiser_ai_ray.pipelines.groupgate import filter_groups_by_stat, group_stats
+        from weiser_ai_ray.pipelines.packing import group_concat_docs
+        from weiser_ai_ray.pipelines.sampling import sample_cap_per_group
+
+        e = _empty_docs()
+        assert group_stats(e, "source", "n_chars").count() == 0
+        assert filter_groups_by_stat(e, "source", "n_chars", "mean", "ge", 1).count() == 0
+        assert group_concat_docs(e, "source", "doc_id", "text").count() == 0
+        assert sample_cap_per_group(e, "source", "doc_id", 5).count() == 0
+
+    def test_quantile_and_sketch_ops(self):
+        from weiser_ai_ray.pipelines.sketches import (
+            filter_by_quantile,
+            filter_by_group_quantile,
+            heavy_keys_sketch,
+            range_partition_ids,
+        )
+
+        e = _empty_docs()
+        assert filter_by_quantile(e, "n_chars", "doc_id", 0.5).count() == 0
+        assert filter_by_group_quantile(e, "source", "n_chars", "doc_id", 0.5).count() == 0
+        assert heavy_keys_sketch(e, "source", k=5, capacity=8).num_rows == 0
+        assert range_partition_ids(e, "n_chars", "doc_id", 4).count() == 0
+
+    def test_dedup_and_lm_ops(self):
+        from weiser_ai_ray.pipelines.decontam import dedup_substrings
+        from weiser_ai_ray.pipelines.dedup import exact_dedup_bloom_against
+        from weiser_ai_ray.pipelines.repetition import lm_quality_filter
+
+        e = _empty_docs()
+        assert dedup_substrings(e, "text", "doc_id").count() == 0
+        assert lm_quality_filter(e).count() == 0
+        new = ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([10], pa.int64()), "text": pa.array(["x"], pa.large_string())}
+            )
+        )
+        # empty accepted corpus: everything in the shard is new
+        kept = exact_dedup_bloom_against(
+            new, _empty_docs().select_columns(["doc_id", "text"]), "text", "doc_id", 10, nbits=1 << 10
+        )
+        assert sorted(r["doc_id"] for r in kept.take_all()) == [10]
+
+    def test_vector_ops(self):
+        from weiser_ai_ray.pipelines.vectors import centroid_distances, group_mean_embedding
+
+        e = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float32())),
+                    "label": pa.array([], pa.int32()),
+                }
+            )
+        )
+        assert group_mean_embedding(e, "embedding", "label").count() == 0
+        assert centroid_distances(e, "embedding", "label", "vec_id").count() == 0
