@@ -252,3 +252,75 @@ class TestExportJsonlAndHarmonizedRead:
             json.loads(l) for f in glob.glob(out + "/*.json") for l in open(f)
         ]
         assert len(rows) == 10
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWriteParquetResumable:
+    def _docs(self):
+        import pyarrow as pa
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(100), pa.int64()),
+                    "bucket": pa.array([i % 4 for i in range(100)], pa.int64()),
+                }
+            )
+        )
+
+    def test_write_then_resume_skips_completed(self, tmp_path):
+        import os
+
+        import pyarrow.dataset as pads
+
+        from weiser_ai_ray.loader.export import write_parquet_resumable
+
+        out = str(tmp_path / "sink")
+        r1 = write_parquet_resumable(self._docs(), out, "bucket", run_id="r1")
+        assert r1 == {"written": 4, "skipped": 0, "rows": 100}
+        t = pads.dataset(out, format="parquet", ignore_prefixes=["manifest"]).to_table()
+        assert t.num_rows == 100
+
+        # record mtimes; a full rerun must touch nothing
+        paths = sorted(
+            os.path.join(dp, f) for dp, _, fs in os.walk(out) for f in fs if f.endswith(".parquet")
+        )
+        mt = [os.path.getmtime(p) for p in paths]
+        r2 = write_parquet_resumable(self._docs(), out, "bucket", run_id="r2")
+        assert r2 == {"written": 0, "skipped": 4, "rows": 0}
+        assert [os.path.getmtime(p) for p in paths] == mt
+
+    def test_partial_dir_wiped_and_rewritten(self, tmp_path):
+        import json
+        import os
+
+        import pyarrow.dataset as pads
+
+        from weiser_ai_ray.loader.export import write_parquet_resumable
+
+        out = str(tmp_path / "sink")
+        write_parquet_resumable(self._docs(), out, "bucket")
+        # simulate a crash: drop bucket 2's manifest line, corrupt its dir
+        man = os.path.join(out, "manifest.jsonl")
+        lines = [l for l in open(man) if json.loads(l)["partition_id"] != "2"]
+        open(man, "w").writelines(lines)
+        with open(os.path.join(out, "part=2", "junk.tmp"), "w") as f:
+            f.write("partial")
+        r = write_parquet_resumable(self._docs(), out, "bucket")
+        assert r["written"] == 1 and r["skipped"] == 3 and r["rows"] == 25
+        assert not os.path.exists(os.path.join(out, "part=2", "junk.tmp"))
+        t = pads.dataset(out, format="parquet", ignore_prefixes=["manifest"]).to_table()
+        assert t.num_rows == 100
+
+    def test_null_pid_raises(self, tmp_path):
+        import pyarrow as pa
+        import ray.data
+
+        from weiser_ai_ray.loader.export import write_parquet_resumable
+
+        bad = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([1], pa.int64()), "bucket": pa.array([None], pa.int64())})
+        )
+        with pytest.raises(ValueError, match="null partition"):
+            write_parquet_resumable(bad, str(tmp_path / "x"), "bucket")

@@ -172,3 +172,96 @@ def export_jsonl(
         ds = ds.repartition(blocks)
     ds.write_json(out_dir)
     return n
+
+
+def write_parquet_resumable(ds, out_dir: str, partition_col: str, run_id: str = "") -> dict:
+    """Generic exactly-once-per-partition Parquet sink — the quality
+    pipeline's manifest-resume contract (state.manifest) exposed for
+    ANY Dataset: rows land in ``out_dir/part=<pid>/data.parquet``, each
+    completed partition appends one fsynced manifest line, and a rerun
+    (a) skips completed partitions without reprocessing their rows and
+    (b) wipes any partial directory of an uncommitted partition before
+    rewriting it. Pair with sketches.range_partition_ids or a hash
+    bucket for the partition column; null partition ids raise (a row
+    that belongs to no recovery unit cannot be made exactly-once).
+
+    Scale shape: one digest pass for the distinct pid set, a broadcast
+    pending-set filter, then groupby(pid).map_groups writers — each
+    partition's rows co-locate once and stream to their own file.
+    Returns {written, skipped, rows}."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..state.manifest import PartitionManifest
+
+    manifest = PartitionManifest(os.path.join(out_dir, "manifest.jsonl"))
+    done = set(manifest.completed())
+
+    pid_ds = ds.select_columns([partition_col]).map_batches(
+        lambda b: pa.table({partition_col: pc.unique(b[partition_col])}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pids: set = set()
+    for b in pid_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        vals = b[partition_col].to_pylist()
+        if any(v is None for v in vals):
+            raise ValueError("null partition ids in write_parquet_resumable")
+        pids.update(vals)
+    # manifest keys are strings; compare stringified
+    pending = sorted((p for p in pids if str(p) not in done), key=str)
+    if not pending:
+        return {"written": 0, "skipped": len(pids), "rows": 0}
+
+    PartitionManifest.clean_partition_outputs(
+        os.path.join(out_dir, f"part={p}") for p in pending
+    )
+    pend_ref = ray.put(set(pending))
+
+    def keep_pending(b: pa.Table) -> pa.Table:
+        pend = ray.get(pend_ref)
+        mask = np.array([v in pend for v in b[partition_col].to_pylist()])
+        return b.filter(pa.array(mask))
+
+    def write_part(group: pa.Table) -> pa.Table:
+        pid = group[partition_col][0].as_py()
+        d = os.path.join(out_dir, f"part={pid}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(group, os.path.join(d, "data.parquet"))
+        return pa.table(
+            {
+                "partition_id": pa.array([str(pid)], pa.string()),
+                "n_rows": pa.array([group.num_rows], pa.int64()),
+            }
+        )
+
+    recs = (
+        ds.map_batches(keep_pending, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(partition_col)
+        .map_groups(write_part, batch_format="pyarrow")
+        .take_all()
+    )
+    # commit AFTER all writes succeeded; one fsynced append
+    from datetime import datetime, timezone
+
+    manifest.mark(
+        {
+            "partition_id": r["partition_id"],
+            "run_id": run_id,
+            "n_input": r["n_rows"],
+            "n_kept": r["n_rows"],
+            "n_metrics": 0,
+            "ts": datetime.now(timezone.utc).isoformat(),
+        }
+        for r in recs
+    )
+    return {
+        "written": len(recs),
+        "skipped": len(pids) - len(pending),
+        "rows": int(sum(r["n_rows"] for r in recs)),
+    }
