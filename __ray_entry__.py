@@ -1819,6 +1819,24 @@ def q_group_mean_embedding(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def q_prune_by_centroid(sf_dir: str) -> pa.Table:
+    """Prototype pruning: keep embeddings at/below the corpus p90 of
+    distance-to-own-centroid — centroids, distances, the deterministic
+    sample quantile AND the boundary compare in one oracle statement."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.vectors import prune_by_centroid_distance
+
+    ds = __rps(os.path.join(sf_dir, "embeddings.parquet"), cache=True)
+    pdf = (
+        prune_by_centroid_distance(ds, "embedding", "label", "vec_id", q=0.9)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 def q_token_entropy(sf_dir: str) -> pa.Table:
     """Per-doc token-distribution Shannon entropy (diversity quality
     signal): tokenization, frequency math and the -p ln p fold are all
@@ -2230,6 +2248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_mean_embedding": q_group_mean_embedding,
         "centroid_distances_embeddings": q_centroid_distances,
         "token_entropy_docs": q_token_entropy,
+        "prune_by_centroid_embeddings": q_prune_by_centroid,
         # -- oracle-backed, green in previous rounds --
         "numeric_revenue": q_numeric_revenue,
         "avg_order_total": q_avg_order_total,
@@ -2770,6 +2789,23 @@ def oracle_sql() -> dict[str, str]:
             "  AND NOT EXISTS (SELECT 1 FROM grams gr JOIN bl USING (g)"
             "   WHERE gr.doc_id = d.doc_id)"
             " ORDER BY d.doc_id"
+        ),
+        "prune_by_centroid_embeddings": (
+            "WITH e AS (SELECT vec_id, label, embedding FROM embeddings"
+            "  WHERE label IS NOT NULL AND embedding IS NOT NULL),"
+            " x AS (SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v"
+            "  FROM e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),"
+            " c AS (SELECT label, dim, ROUND(SUM(v) / count(*), 6) AS mean"
+            "  FROM x GROUP BY label, dim),"
+            " cl AS (SELECT label, list(mean ORDER BY dim) AS cent FROM c GROUP BY label),"
+            " dst AS (SELECT e.vec_id, e.label,"
+            "  ROUND(list_distance(CAST(e.embedding AS DOUBLE[]), cl.cent), 6) AS dist"
+            "  FROM e JOIN cl USING (label)),"
+            " s AS (SELECT quantile_cont(dist, 0.9) AS t FROM"
+            "  (SELECT dist FROM dst WHERE dist IS NOT NULL"
+            "   ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 2048))"
+            " SELECT d.vec_id, d.label, d.dist FROM dst d, s"
+            " WHERE d.dist <= s.t ORDER BY d.vec_id"
         ),
         "token_entropy_docs": (
             "WITH toks AS (SELECT doc_id,"

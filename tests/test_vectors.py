@@ -124,3 +124,26 @@ class TestCentroidDistances:
         assert pd.isna(out["dist"][2])  # zero-norm row -> NULL
         with pytest.raises(ValueError):
             centroid_distances(ray.data.from_arrow(t), "embedding", "label", "vec_id", metric="dot")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPruneByCentroidDistance:
+    def test_planted_outlier_dropped(self):
+        from weiser_ai_ray.pipelines.vectors import prune_by_centroid_distance
+
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(0, 0.05, size=(40, 8)).astype(np.float32)
+        vecs[7] += 50.0  # planted far outlier
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(40), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+                "label": pa.array([0] * 40, pa.int32()),
+            }
+        )
+        kept = (
+            prune_by_centroid_distance(ray.data.from_arrow(t), "embedding", "label", "vec_id", q=0.9)
+            .to_pandas()
+        )
+        assert 7 not in set(kept["vec_id"])
+        assert 30 <= len(kept) < 40

@@ -160,3 +160,25 @@ def centroid_distances(
         return pa.table({id_col: t[id_col], group_col: t[group_col], "dist": arr})
 
     return ds.map_batches(dist, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def prune_by_centroid_distance(
+    ds: "ray.data.Dataset",
+    vec_col: str,
+    group_col: str,
+    id_col: str,
+    q: float = 0.9,
+    metric: str = "l2",
+) -> "ray.data.Dataset":
+    """SSL-prototype pruning end to end: keep embeddings whose distance
+    to their own group centroid is at/below the corpus ``q``-quantile
+    (drop the farthest (1-q) as outliers/mislabels). Pure composition
+    of two oracle-proven stages (centroid_distances →
+    sketches.filter_by_quantile on the md5-line sample); the narrow
+    (id, group, dist) table is materialized once because the quantile
+    pass and the filter pass both read it. Output: surviving (id,
+    group, dist) rows."""
+    from .sketches import filter_by_quantile
+
+    dists = centroid_distances(ds, vec_col, group_col, id_col, metric).materialize()
+    return filter_by_quantile(dists, "dist", id_col, q, keep="le")
