@@ -971,6 +971,32 @@ def q_sample_weighted(sf_dir: str) -> pa.Table:
     )
 
 
+def q_sample_temperature_mix(sf_dir: str) -> pa.Table:
+    """Temperature-based (alpha=0.5) corpus-mix rebalancing over the
+    per-source counts: target share of source g is n_g^0.5 / sum
+    n_h^0.5, realised as a per-group deterministic Bernoulli fraction
+    on the md5(doc_id) 32-bit line. Budget = 35% of the corpus. Every
+    float op (pow, ordered sum, /, *, floor) mirrors the oracle's
+    IEEE doubles, so keep decisions are bit-identical."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.sampling import sample_temperature_mix
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"])
+    df = (
+        sample_temperature_mix(ds, "doc_id", "source", alpha=0.5, budget_frac=0.35)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"], type=pa.int64()),
+            "source": pa.array(df["source"], type=pa.string()),
+        }
+    )
+
+
 def q_ann_topk(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -2249,6 +2275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_distances_embeddings": q_centroid_distances,
         "token_entropy_docs": q_token_entropy,
         "prune_by_centroid_embeddings": q_prune_by_centroid,
+        "sample_temperature_mix_docs": q_sample_temperature_mix,
         # -- oracle-backed, green in previous rounds --
         "numeric_revenue": q_numeric_revenue,
         "avg_order_total": q_avg_order_total,
@@ -2616,6 +2643,26 @@ def oracle_sql() -> dict[str, str]:
             "  < CAST(floor(least(1.0, n_chars * (1.0/900.0)) * 4294967296.0)"
             "    AS BIGINT)"
             " ORDER BY doc_id"
+        ),
+        # temperature (alpha=0.5) corpus-mix resampling: per-group keep
+        # fraction floor(min(1, b*n^a/tot/n) * 2^32) with the SAME IEEE
+        # op order as the engine (pow, str-ordered tot fold, /, *,
+        # floor); membership decided on the 32-bit md5(doc_id) line
+        "sample_temperature_mix_docs": (
+            "WITH cnt AS (SELECT source AS g, COUNT(*) AS n FROM documents"
+            "  WHERE source IS NOT NULL AND doc_id IS NOT NULL GROUP BY source),"
+            " tot AS (SELECT SUM(pow(CAST(n AS DOUBLE), 0.5)"
+            "   ORDER BY CAST(g AS VARCHAR)) AS t,"
+            "  CAST(SUM(n) AS DOUBLE) AS total FROM cnt),"
+            " thr AS (SELECT g, CAST(floor(least(1.0,"
+            "   0.35 * tot.total * pow(CAST(n AS DOUBLE), 0.5) / tot.t"
+            "    / CAST(n AS DOUBLE)) * 4294967296.0) AS BIGINT) AS thr"
+            "  FROM cnt, tot)"
+            " SELECT d.doc_id, d.source FROM documents d"
+            " JOIN thr ON d.source = thr.g"
+            " WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT"
+            "  < thr.thr"
+            " ORDER BY d.doc_id"
         ),
         # MLE bigram LM: denominators sum over ALL pairs of the context
         # word; min_count prunes output rows only

@@ -322,3 +322,114 @@ class TestSampleCapPerGroup:
         assert len(out[out["g"] == "a"]) == 2
         assert sorted(out[out["g"] == "b"]["doc_id"]) == [4]
         assert not out["g"].isna().any()
+
+
+class TestSampleTemperatureMix:
+    def test_matches_duckdb_chain(self):
+        from weiser_ai_ray.pipelines.sampling import sample_temperature_mix
+
+        ds = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "source"]
+        )
+        got = (
+            sample_temperature_mix(ds, "doc_id", "source", alpha=0.5, budget_frac=0.35)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        want = con.execute(
+            """
+            WITH cnt AS (SELECT source AS g, COUNT(*) AS n FROM documents
+              WHERE source IS NOT NULL AND doc_id IS NOT NULL GROUP BY source),
+            tot AS (SELECT SUM(pow(CAST(n AS DOUBLE), 0.5)
+               ORDER BY CAST(g AS VARCHAR)) AS t,
+              CAST(SUM(n) AS DOUBLE) AS total FROM cnt),
+            thr AS (SELECT g, CAST(floor(least(1.0,
+               0.35 * tot.total * pow(CAST(n AS DOUBLE), 0.5) / tot.t
+                / CAST(n AS DOUBLE)) * 4294967296.0) AS BIGINT) AS thr
+              FROM cnt, tot)
+            SELECT d.doc_id, d.source FROM documents d
+            JOIN thr ON d.source = thr.g
+            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT
+              < thr.thr
+            ORDER BY d.doc_id
+            """
+        ).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert 0 < len(got) < ds.count()
+
+    def test_flattens_toward_low_resource_groups(self):
+        # alpha=0.5: a 1600-row group's keep fraction is 1/4 of a
+        # 100-row group's (f_g ∝ n_g^(a-1)); expected output per group
+        # is b * n^a / tot, equal sizes when budget is split by sqrt(n).
+        from weiser_ai_ray.pipelines.sampling import sample_temperature_mix
+
+        n_heavy, n_light = 1600, 100
+        t = pa.table(
+            {
+                "id": pa.array(range(n_heavy + n_light), pa.int64()),
+                "g": ["heavy"] * n_heavy + ["light"] * n_light,
+            }
+        )
+        out = sample_temperature_mix(
+            ray.data.from_arrow(t), "id", "g", budget=500.0, alpha=0.5
+        ).to_pandas()
+        by = out.groupby("g").size()
+        # target: heavy 400, light 100 (sqrt ratio 4:1); md5-line
+        # binomial noise stays well within these bands
+        assert 320 <= by.get("heavy", 0) <= 480
+        assert 75 <= by.get("light", 0) <= 100
+        frac_heavy = by.get("heavy", 0) / n_heavy
+        frac_light = by.get("light", 0) / n_light
+        assert frac_light > 2.5 * frac_heavy
+
+    def test_alpha_one_is_uniform_and_budget_frac_equivalence(self):
+        from weiser_ai_ray.pipelines.sampling import sample_temperature_mix
+
+        t = pa.table(
+            {
+                "id": pa.array(range(1000), pa.int64()),
+                "g": ["a"] * 900 + ["b"] * 100,
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        # alpha=1: every group keeps the same fraction b/N — identical
+        # keep set to budget_frac with the same b
+        got_abs = sample_temperature_mix(ds, "id", "g", budget=400.0, alpha=1.0)
+        got_frac = sample_temperature_mix(ds, "id", "g", budget_frac=0.4, alpha=1.0)
+        a = sorted(got_abs.to_pandas()["id"])
+        b = sorted(got_frac.to_pandas()["id"])
+        assert a == b and 300 < len(a) < 500
+
+    def test_null_rows_drop_and_layout_stability(self):
+        from weiser_ai_ray.pipelines.sampling import sample_temperature_mix
+
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3, None, 5, 6, 7, 8], pa.int64()),
+                "g": ["a", "a", None, "b", "b", "b", "a", "a"],
+            }
+        )
+        one = sample_temperature_mix(
+            ray.data.from_arrow(t), "id", "g", budget=6.0, alpha=0.5
+        ).to_pandas()
+        many = sample_temperature_mix(
+            ray.data.from_arrow(t).repartition(4), "id", "g", budget=6.0, alpha=0.5
+        ).to_pandas()
+        assert not one["id"].isna().any() and not one["g"].isna().any()
+        assert sorted(one["id"]) == sorted(many["id"])
+
+    def test_arg_validation(self):
+        from weiser_ai_ray.pipelines.sampling import sample_temperature_mix
+
+        ds = ray.data.from_arrow(pa.table({"id": [1], "g": ["a"]}))
+        with pytest.raises(ValueError):
+            sample_temperature_mix(ds, "id", "g", budget=1.0, alpha=0.0)
+        with pytest.raises(ValueError):
+            sample_temperature_mix(ds, "id", "g", budget=1.0, budget_frac=0.5)
+        with pytest.raises(ValueError):
+            sample_temperature_mix(ds, "id", "g")

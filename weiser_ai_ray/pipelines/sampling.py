@@ -395,3 +395,91 @@ def assign_splits(
         return b.append_column(out_col, pa.array(out, type=pa.string()))
 
     return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_temperature_mix(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    group_col: str,
+    budget: float | None = None,
+    alpha: float = 0.5,
+    budget_frac: float | None = None,
+) -> "ray.data.Dataset":
+    """Temperature-based corpus-mix rebalancing (the multilingual-LM
+    "alpha sampling" of XLM-R / mT5): the target share of group g is
+    ``n_g**alpha / sum_h n_h**alpha`` — alpha<1 flattens the mix
+    toward low-resource groups, alpha=1 keeps natural proportions —
+    and each row of g is kept with probability
+    ``f_g = min(1, budget * n_g**alpha / tot / n_g)`` so the expected
+    output size is ~``budget`` rows (exactly budget-shaped when no
+    group saturates f_g=1).
+
+    Plan: one O(groups) digest count reduce (corpus rows never
+    shuffle), a driver-side fraction table folded in sorted-group
+    order (so the ``tot`` sum is bit-reproducible), then the same
+    streaming 32-bit md5(key)-line filter as ``sample_weighted`` —
+    ``u32(md5(key)) < floor(f_g * 2**32)`` with every float op
+    (pow, /, *, floor) mirroring the SQL oracle's IEEE doubles, so
+    keep decisions are bit-identical. Null keys and null groups drop
+    (SQL join/comparison semantics). Layout-, rerun- and
+    cluster-size-stable; no corpus shuffle; driver state O(groups).
+
+    Exactly one of ``budget`` (absolute rows) or ``budget_frac``
+    (fraction of the non-null corpus, resolved from the same count
+    pass so the oracle can state it scale-independently) is given."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("sample_temperature_mix: alpha must be in (0, 1]")
+    if (budget is None) == (budget_frac is None):
+        raise ValueError("sample_temperature_mix: give exactly one of budget / budget_frac")
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = b.select([group_col, key_col]).filter(
+            pc.and_(pc.is_valid(b[group_col]), pc.is_valid(b[key_col]))
+        )
+        g = t.group_by([group_col]).aggregate([(key_col, "count")])
+        return pa.table(
+            {group_col: g[group_col], "__c": pc.cast(g[f"{key_col}_count"], pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .aggregate(Sum("__c", alias_name="cnt"))
+        .take_all()
+    )  # O(groups) rows on the driver — the operator's inherent bound
+    counts.sort(key=lambda r: str(r[group_col]))
+    n = {r[group_col]: np.float64(r["cnt"]) for r in counts if r["cnt"]}
+    tot = np.float64(0.0)
+    pw = {}
+    for g in n:  # sorted fold == SQL sum(... ORDER BY g)
+        pw[g] = np.float64(n[g]) ** np.float64(alpha)
+        tot = tot + pw[g]
+    if budget_frac is not None:
+        # integer row total is exact, so this product is order-free
+        total_rows = np.float64(int(sum(int(r["cnt"]) for r in counts)))
+        b = np.float64(budget_frac) * total_rows
+    else:
+        b = np.float64(budget)
+    thr = {
+        g: float(np.floor(np.minimum(np.float64(1.0), b * pw[g] / tot / n[g]) * np.float64(4294967296.0)))
+        for g in n
+    }
+
+    def keep(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_pylist()
+        groups = t[group_col].to_pylist()
+        mask = pa.array(
+            [
+                k is not None
+                and g in thr
+                and int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) < thr[g]
+                for k, g in zip(keys, groups)
+            ]
+        )
+        return t.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
