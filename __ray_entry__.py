@@ -997,6 +997,33 @@ def q_sample_temperature_mix(sf_dir: str) -> pa.Table:
     )
 
 
+def q_upsample_temperature_mix(sf_dir: str) -> pa.Table:
+    """Repetition-based (alpha=0.4) corpus-mix upsampling: each row of
+    source g is emitted floor(r_g) times plus one extra copy below the
+    frac(r_g) point of its 32-bit md5(doc_id) line, r_g = b*n^0.4/tot/n
+    with budget b = 1.6x the corpus — low-resource sources repeat,
+    heavy sources thin. Copy counts are bit-identical to the oracle's
+    generate_series bound."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.sampling import upsample_temperature_mix
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"])
+    df = (
+        upsample_temperature_mix(ds, "doc_id", "source", alpha=0.4, budget_frac=1.6)
+        .to_pandas()
+        .sort_values(["doc_id", "copy_idx"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"], type=pa.int64()),
+            "source": pa.array(df["source"], type=pa.string()),
+            "copy_idx": pa.array(df["copy_idx"], type=pa.int64()),
+        }
+    )
+
+
 def q_ann_topk(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -2276,6 +2303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy_docs": q_token_entropy,
         "prune_by_centroid_embeddings": q_prune_by_centroid,
         "sample_temperature_mix_docs": q_sample_temperature_mix,
+        "upsample_temperature_mix_docs": q_upsample_temperature_mix,
         # -- oracle-backed, green in previous rounds --
         "numeric_revenue": q_numeric_revenue,
         "avg_order_total": q_avg_order_total,
@@ -2663,6 +2691,30 @@ def oracle_sql() -> dict[str, str]:
             " WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT"
             "  < thr.thr"
             " ORDER BY d.doc_id"
+        ),
+        # repetition-based (alpha=0.4, budget 1.6x corpus) upsampling:
+        # per-row copy count = floor(r_g) + (md5 line < frac(r_g));
+        # generate_series(0, copies-1) realises the repeats, with the
+        # SAME IEEE op order (pow, ordered tot fold, *, /, floor)
+        "upsample_temperature_mix_docs": (
+            "WITH cnt AS (SELECT source AS g, COUNT(*) AS n FROM documents"
+            "  WHERE source IS NOT NULL AND doc_id IS NOT NULL GROUP BY source),"
+            " tot AS (SELECT SUM(pow(CAST(n AS DOUBLE), 0.4)"
+            "   ORDER BY CAST(g AS VARCHAR)) AS t,"
+            "  CAST(SUM(n) AS DOUBLE) AS total FROM cnt),"
+            " rate AS (SELECT g,"
+            "   1.6 * tot.total * pow(CAST(n AS DOUBLE), 0.4) / tot.t"
+            "    / CAST(n AS DOUBLE) AS r FROM cnt, tot),"
+            " thr AS (SELECT g, CAST(floor(r) AS BIGINT) AS base,"
+            "   CAST(floor((r - floor(r)) * 4294967296.0) AS BIGINT) AS fthr"
+            "  FROM rate)"
+            " SELECT doc_id, source, copy_idx FROM ("
+            "  SELECT d.doc_id, d.source,"
+            "   unnest(generate_series(0, thr.base"
+            "    + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT"
+            "       < thr.fthr THEN 1 ELSE 0 END - 1)) AS copy_idx"
+            "  FROM documents d JOIN thr ON d.source = thr.g)"
+            " ORDER BY doc_id, copy_idx"
         ),
         # MLE bigram LM: denominators sum over ALL pairs of the context
         # word; min_count prunes output rows only

@@ -433,3 +433,80 @@ class TestSampleTemperatureMix:
             sample_temperature_mix(ds, "id", "g", budget=1.0, budget_frac=0.5)
         with pytest.raises(ValueError):
             sample_temperature_mix(ds, "id", "g")
+
+
+class TestUpsampleTemperatureMix:
+    def test_matches_duckdb_chain(self):
+        import __ray_entry__ as e
+
+        got = (
+            e.queries()["upsample_temperature_mix_docs"](SF_DIR)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        want = con.execute(e.oracle_sql()["upsample_temperature_mix_docs"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert len(got) > 0
+
+    def test_light_group_repeats_heavy_group_thins(self):
+        # alpha=0.5, budget == corpus size: r_g = N * sqrt(n_g)/tot/n_g;
+        # with 1600 heavy / 100 light rows, r_light = 4*r_heavy — light
+        # rows repeat (r>1) while heavy rows thin (r<1)
+        from weiser_ai_ray.pipelines.sampling import upsample_temperature_mix
+
+        n_heavy, n_light = 1600, 100
+        t = pa.table(
+            {
+                "id": pa.array(range(n_heavy + n_light), pa.int64()),
+                "g": ["heavy"] * n_heavy + ["light"] * n_light,
+            }
+        )
+        out = upsample_temperature_mix(
+            ray.data.from_arrow(t), "id", "g", budget=1700.0, alpha=0.5
+        ).to_pandas()
+        by = out.groupby("g").size()
+        # targets: heavy 1360, light 340 (sqrt mix 4:1 over 1700)
+        assert 1250 <= by["heavy"] <= 1470
+        assert 300 <= by["light"] <= 380
+        # every light row appears at least floor(3.4)=3 times
+        light_counts = out[out["g"] == "light"].groupby("id").size()
+        assert light_counts.min() >= 3
+        # heavy rows never repeat (r < 1)
+        assert out[out["g"] == "heavy"].groupby("id").size().max() == 1
+        # (id, copy_idx) unique; copy_idx dense from 0 per id
+        assert not out.duplicated(["id", "copy_idx"]).any()
+        assert (out.groupby("id")["copy_idx"].max() + 1 == out.groupby("id").size()).all()
+
+    def test_null_rows_drop_and_layout_stability(self):
+        from weiser_ai_ray.pipelines.sampling import upsample_temperature_mix
+
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3, None, 5, 6, 7, 8], pa.int64()),
+                "g": ["a", "a", None, "b", "b", "b", "a", "a"],
+            }
+        )
+        one = upsample_temperature_mix(
+            ray.data.from_arrow(t), "id", "g", budget=12.0, alpha=0.5
+        ).to_pandas()
+        many = upsample_temperature_mix(
+            ray.data.from_arrow(t).repartition(4), "id", "g", budget=12.0, alpha=0.5
+        ).to_pandas()
+        assert not one["id"].isna().any() and not one["g"].isna().any()
+        key = lambda df: sorted(zip(df["id"], df["copy_idx"]))
+        assert key(one) == key(many)
+
+    def test_arg_validation(self):
+        from weiser_ai_ray.pipelines.sampling import upsample_temperature_mix
+
+        ds = ray.data.from_arrow(pa.table({"id": [1], "g": ["a"]}))
+        with pytest.raises(ValueError):
+            upsample_temperature_mix(ds, "id", "g", budget=1.0, alpha=1.5)
+        with pytest.raises(ValueError):
+            upsample_temperature_mix(ds, "id", "g", budget=1.0, budget_frac=0.5)
+        with pytest.raises(ValueError):
+            upsample_temperature_mix(ds, "id", "g")

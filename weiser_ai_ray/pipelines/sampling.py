@@ -397,6 +397,56 @@ def assign_splits(
     return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _temperature_stats(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    group_col: str,
+    alpha: float,
+    budget: float | None,
+    budget_frac: float | None,
+):
+    """Shared alpha-sampling stats pass: one O(groups) digest count
+    reduce (corpus rows never shuffle), then a driver-side fold in
+    sorted-group order so the ``tot = sum_h n_h**alpha`` accumulation
+    is bit-reproducible against a SQL ``SUM(... ORDER BY g)``.
+    Returns (per-group counts n, per-group n**alpha pw, tot, budget b
+    as IEEE doubles)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.select([group_col, key_col]).filter(
+            pc.and_(pc.is_valid(batch[group_col]), pc.is_valid(batch[key_col]))
+        )
+        g = t.group_by([group_col]).aggregate([(key_col, "count")])
+        return pa.table(
+            {group_col: g[group_col], "__c": pc.cast(g[f"{key_col}_count"], pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .aggregate(Sum("__c", alias_name="cnt"))
+        .take_all()
+    )  # O(groups) rows on the driver — the operator's inherent bound
+    counts.sort(key=lambda r: str(r[group_col]))
+    n = {r[group_col]: np.float64(r["cnt"]) for r in counts if r["cnt"]}
+    tot = np.float64(0.0)
+    pw = {}
+    for g in n:  # sorted fold == SQL sum(... ORDER BY g)
+        pw[g] = np.float64(n[g]) ** np.float64(alpha)
+        tot = tot + pw[g]
+    if budget_frac is not None:
+        # integer row total is exact, so this product is order-free
+        total_rows = np.float64(int(sum(int(r["cnt"]) for r in counts)))
+        b = np.float64(budget_frac) * total_rows
+    else:
+        b = np.float64(budget)
+    return n, pw, tot, b
+
+
 def sample_temperature_mix(
     ds: "ray.data.Dataset",
     key_col: str,
@@ -431,39 +481,7 @@ def sample_temperature_mix(
         raise ValueError("sample_temperature_mix: alpha must be in (0, 1]")
     if (budget is None) == (budget_frac is None):
         raise ValueError("sample_temperature_mix: give exactly one of budget / budget_frac")
-
-    def partial(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t = b.select([group_col, key_col]).filter(
-            pc.and_(pc.is_valid(b[group_col]), pc.is_valid(b[key_col]))
-        )
-        g = t.group_by([group_col]).aggregate([(key_col, "count")])
-        return pa.table(
-            {group_col: g[group_col], "__c": pc.cast(g[f"{key_col}_count"], pa.int64())}
-        )
-
-    from ray.data.aggregate import Sum
-
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(group_col)
-        .aggregate(Sum("__c", alias_name="cnt"))
-        .take_all()
-    )  # O(groups) rows on the driver — the operator's inherent bound
-    counts.sort(key=lambda r: str(r[group_col]))
-    n = {r[group_col]: np.float64(r["cnt"]) for r in counts if r["cnt"]}
-    tot = np.float64(0.0)
-    pw = {}
-    for g in n:  # sorted fold == SQL sum(... ORDER BY g)
-        pw[g] = np.float64(n[g]) ** np.float64(alpha)
-        tot = tot + pw[g]
-    if budget_frac is not None:
-        # integer row total is exact, so this product is order-free
-        total_rows = np.float64(int(sum(int(r["cnt"]) for r in counts)))
-        b = np.float64(budget_frac) * total_rows
-    else:
-        b = np.float64(budget)
+    n, pw, tot, b = _temperature_stats(ds, key_col, group_col, alpha, budget, budget_frac)
     thr = {
         g: float(np.floor(np.minimum(np.float64(1.0), b * pw[g] / tot / n[g]) * np.float64(4294967296.0)))
         for g in n
@@ -483,3 +501,66 @@ def sample_temperature_mix(
         return t.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def upsample_temperature_mix(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    group_col: str,
+    budget: float | None = None,
+    alpha: float = 0.5,
+    budget_frac: float | None = None,
+    copy_col: str = "copy_idx",
+) -> "ray.data.Dataset":
+    """Repetition-based temperature resampling: the upsampling
+    complement of :func:`sample_temperature_mix`. Each row of group g
+    is emitted ``r_g = budget * n_g**alpha / tot / n_g`` times in
+    expectation — ``floor(r_g)`` whole copies plus one extra when the
+    row's 32-bit md5(key) line value falls under ``frac(r_g)`` — so
+    low-resource groups are REPEATED (r_g > 1, the mT5/XLM-R "sample
+    with replacement up to temperature" regime) while heavy groups are
+    thinned (r_g < 1), and the expected output is ~``budget`` rows at
+    exactly the n_g**alpha / tot mix. Output rows carry ``copy_col``
+    (0-based copy index) so downstream shuffles can decorrelate the
+    repeats; (key, copy_idx) is a unique key.
+
+    Same plan shape as the downsampler: O(groups) digest count reduce,
+    driver-side sorted-fold rate table with IEEE op order mirroring
+    the SQL oracle (so copy counts are bit-identical to
+    ``floor(r)`` + a ``u32(md5(key)) < floor(frac(r)*2**32)`` compare),
+    then one streaming row-expanding map — no corpus shuffle. Null
+    keys/groups drop (SQL join semantics)."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("upsample_temperature_mix: alpha must be in (0, 1]")
+    if (budget is None) == (budget_frac is None):
+        raise ValueError(
+            "upsample_temperature_mix: give exactly one of budget / budget_frac"
+        )
+    n, pw, tot, b = _temperature_stats(ds, key_col, group_col, alpha, budget, budget_frac)
+    base = {}
+    fthr = {}
+    for g in n:
+        r = b * pw[g] / tot / n[g]  # same IEEE op order as the oracle
+        base[g] = int(np.floor(r))
+        fthr[g] = float(np.floor((r - np.floor(r)) * np.float64(4294967296.0)))
+
+    def expand(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_pylist()
+        groups = t[group_col].to_pylist()
+        copies = np.zeros(t.num_rows, dtype=np.int64)
+        for i, (k, g) in enumerate(zip(keys, groups)):
+            if k is None or g not in base:
+                continue
+            extra = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) < fthr[g]
+            copies[i] = base[g] + extra
+        total = int(copies.sum())
+        if total == 0:
+            out = t.slice(0, 0)
+            return out.append_column(copy_col, pa.array([], type=pa.int64()))
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), copies)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(copies) - copies, copies
+        )
+        return t.take(idx).append_column(copy_col, pa.array(within, type=pa.int64()))
+
+    return ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
