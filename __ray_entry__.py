@@ -997,6 +997,34 @@ def q_sample_temperature_mix(sf_dir: str) -> pa.Table:
     )
 
 
+def q_dedup_keep_best(sf_dir: str) -> pa.Table:
+    """Quality-aware canonical dedup: rows whose NFC/lower/ws-collapsed
+    text is identical keep only the highest-n_chars copy (min doc_id on
+    ties) — "keep the best copy, not the first copy". Digest-only
+    shuffle; output rows keep original bytes."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.dedup import exact_dedup_keep_best
+
+    ds = __rps(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source", "n_chars"],
+    )
+    df = (
+        exact_dedup_keep_best(ds, "text", "doc_id", "n_chars")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"], type=pa.int64()),
+            "source": pa.array(df["source"], type=pa.string()),
+            "n_chars": pa.array(df["n_chars"], type=pa.int64()),
+        }
+    )
+
+
 def q_upsample_temperature_mix(sf_dir: str) -> pa.Table:
     """Repetition-based (alpha=0.4) corpus-mix upsampling: each row of
     source g is emitted floor(r_g) times plus one extra copy below the
@@ -2304,6 +2332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prune_by_centroid_embeddings": q_prune_by_centroid,
         "sample_temperature_mix_docs": q_sample_temperature_mix,
         "upsample_temperature_mix_docs": q_upsample_temperature_mix,
+        "dedup_keep_best_docs": q_dedup_keep_best,
         # -- oracle-backed, green in previous rounds --
         "numeric_revenue": q_numeric_revenue,
         "avg_order_total": q_avg_order_total,
@@ -2691,6 +2720,17 @@ def oracle_sql() -> dict[str, str]:
             " WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT"
             "  < thr.thr"
             " ORDER BY d.doc_id"
+        ),
+        # quality-aware canonical dedup: the window argmax over the
+        # SAME canonicalization chain as normalize_text_docs
+        "dedup_keep_best_docs": (
+            "WITH k AS (SELECT doc_id, source, n_chars,"
+            "  trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))"
+            "   AS norm FROM documents)"
+            " SELECT doc_id, source, n_chars FROM k"
+            " QUALIFY row_number() OVER (PARTITION BY norm"
+            "  ORDER BY n_chars DESC NULLS LAST, doc_id) = 1"
+            " ORDER BY doc_id"
         ),
         # repetition-based (alpha=0.4, budget 1.6x corpus) upsampling:
         # per-row copy count = floor(r_g) + (md5 line < frac(r_g));

@@ -361,3 +361,93 @@ class TestSimHashOversizedBuckets:
         got = self._run_verifier(ids, hs)
         want = self._brute_edges(ids, hs)
         assert self._components(ids, got) == self._components(ids, want)
+
+
+class TestExactDedupKeepBest:
+    def _fixture(self):
+        # canonical groups: A = {"Hello World" variants}, B = {"unique"},
+        # C = null texts; scores pick the LONGEST original copy
+        return pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+                "text": [
+                    "Hello World",
+                    "  hello   world  ",  # canonical dup of 1, longer original
+                    "HELLO\tWORLD",  # canonical dup of 1
+                    "unique text",
+                    None,
+                    None,
+                    "hello world",  # canonical dup of 1
+                ],
+                "score": pa.array([11, 17, 12, 11, None, 3, 11], pa.int64()),
+            }
+        )
+
+    def test_keeps_max_score_row_original_bytes(self):
+        from weiser_ai_ray.pipelines.dedup import exact_dedup_keep_best
+
+        out = (
+            exact_dedup_keep_best(
+                ray.data.from_arrow(self._fixture()), "text", "doc_id", "score"
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # group A winner: doc 2 (score 17); B: doc 4; nulls: doc 6 (3 > NULL)
+        assert list(out["doc_id"]) == [2, 4, 6]
+        # original bytes survive, not the canonical form
+        assert out.loc[0, "text"] == "  hello   world  "
+
+    def test_score_ties_break_to_min_id_and_null_scores_lose(self):
+        from weiser_ai_ray.pipelines.dedup import exact_dedup_keep_best
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+                "text": ["Same Doc", "same doc", "SAME DOC", "same  doc"],
+                "score": pa.array([5, None, 5, 4], pa.int64()),
+            }
+        )
+        out = exact_dedup_keep_best(
+            ray.data.from_arrow(t), "text", "doc_id", "score"
+        ).to_pandas()
+        assert list(out["doc_id"]) == [10]
+
+    def test_matches_duckdb_window_argmax(self, documents):
+        from weiser_ai_ray.pipelines.dedup import exact_dedup_keep_best
+
+        got = (
+            exact_dedup_keep_best(documents, "text", "doc_id", "n_chars")
+            .to_pandas()[["doc_id", "n_chars"]]
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        want = con.execute(
+            """
+            WITH k AS (SELECT doc_id, n_chars,
+              trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS norm
+             FROM documents)
+            SELECT doc_id, n_chars FROM k
+            QUALIFY row_number() OVER (PARTITION BY norm
+              ORDER BY n_chars DESC NULLS LAST, doc_id) = 1
+            ORDER BY doc_id
+            """
+        ).fetchdf()
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_join_fallback_same_answer(self):
+        from weiser_ai_ray.pipelines.dedup import exact_dedup_keep_best
+
+        ds = ray.data.from_arrow(self._fixture()).repartition(3)
+        fast = exact_dedup_keep_best(ds, "text", "doc_id", "score").to_pandas()
+        joiny = exact_dedup_keep_best(
+            ds, "text", "doc_id", "score", broadcast_limit=0
+        ).to_pandas()
+        assert sorted(fast["doc_id"]) == sorted(joiny["doc_id"])

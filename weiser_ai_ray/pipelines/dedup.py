@@ -174,15 +174,18 @@ def exact_dedup_ids(ds: "ray.data.Dataset", text_col: str, id_col: str) -> "ray.
 
 
 def _winners_by_hash(
-    hashed: "ray.data.Dataset", id_col: str, nparts: int
+    hashed: "ray.data.Dataset", id_col: str, nparts: int, score_col: Optional[str] = None
 ) -> "ray.data.Dataset":
-    """(__h1, __h2, __keep_id, __n) — min id and row count per distinct
-    128-bit content key. A native groupby here hits Ray's
-    one-group-per-row pathology (exact dedup keys are ~all distinct:
-    measured 30 s for 3M rows vs 4 s this way); instead the narrow
-    (h1, h2, id) rows shuffle into ``nparts`` COARSE partitions (keys
-    co-locate because the partition is a pure function of h1) and each
-    partition reduces with one numpy lexsort + segment scan."""
+    """(__h1, __h2, __keep_id, __n) — winner id and row count per
+    distinct 128-bit content key. Winner = min id, or, when
+    ``score_col`` is given, the max-score row with min-id tie-break
+    (SQL ``ORDER BY score DESC NULLS LAST, id``). A native groupby here
+    hits Ray's one-group-per-row pathology (exact dedup keys are ~all
+    distinct: measured 30 s for 3M rows vs 4 s this way); instead the
+    narrow (h1, h2, id[, score]) rows shuffle into ``nparts`` COARSE
+    partitions (keys co-locate because the partition is a pure function
+    of h1) and each partition reduces with one numpy lexsort + segment
+    scan."""
 
     def part(b: pa.Table) -> pa.Table:
         h1 = b["__h1"].to_numpy(zero_copy_only=False)
@@ -201,7 +204,13 @@ def _winners_by_hash(
                     "__n": pa.array([], pa.int64()),
                 }
             )
-        order = np.lexsort((ids, h2, h1))
+        if score_col is not None:
+            # null scores lose to any real score (SQL NULLS LAST)
+            sc = g[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            sc = np.where(np.isnan(sc), -np.inf, sc)
+            order = np.lexsort((ids, -sc, h2, h1))
+        else:
+            order = np.lexsort((ids, h2, h1))
         h1s, h2s, idss = h1[order], h2[order], ids[order]
         new = np.ones(len(h1s), dtype=bool)
         new[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
@@ -216,8 +225,9 @@ def _winners_by_hash(
             }
         )
 
+    cols = ["__h1", "__h2", id_col] + ([score_col] if score_col else [])
     return (
-        hashed.select_columns(["__h1", "__h2", id_col])
+        hashed.select_columns(cols)
         .map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__part")
         .map_groups(reduce_group, batch_format="pyarrow")
@@ -230,8 +240,14 @@ def exact_dedup(
     id_col: str,
     num_partitions: Optional[int] = None,
     broadcast_limit: int = 5_000_000,
+    score_col: Optional[str] = None,
+    canonicalize: bool = False,
 ) -> "ray.data.Dataset":
-    """Full surviving rows: min(id) per distinct text.
+    """Full surviving rows: min(id) per distinct text — or, with
+    ``score_col``, the MAX-SCORE row per distinct text (min-id
+    tie-break); with ``canonicalize``, "distinct" is over the
+    NFC/lower/ws-collapsed text (scrubbing.canonicalize_column) while
+    output rows keep their original bytes.
 
     Two plans behind one semantics, picked by DUPLICATE count (never by
     corpus size):
@@ -248,10 +264,26 @@ def exact_dedup(
                the compact key, nothing driver-held), which holds at
                any duplicate density."""
     nparts = num_partitions or _verify_partitions()
-    hashed = ds.map_batches(
-        lambda b: add_content_hash128(b, text_col), batch_format="pyarrow", zero_copy_batch=True
-    )
-    winners = _winners_by_hash(hashed, id_col, nparts)
+    if canonicalize:
+        from weiser_ai_ray.pipelines.scrubbing import canonicalize_column
+
+        def hash_pass(b: pa.Table) -> pa.Table:
+            canon = b.set_column(
+                b.schema.get_field_index(text_col), text_col,
+                canonicalize_column(b[text_col]),
+            )
+            keyed = add_content_hash128(canon, text_col)
+            # winner hashes come from the canonical text; output rows
+            # keep the ORIGINAL bytes
+            return b.append_column("__h1", keyed["__h1"]).append_column(
+                "__h2", keyed["__h2"]
+            )
+    else:
+        def hash_pass(b: pa.Table) -> pa.Table:
+            return add_content_hash128(b, text_col)
+
+    hashed = ds.map_batches(hash_pass, batch_format="pyarrow", zero_copy_batch=True)
+    winners = _winners_by_hash(hashed, id_col, nparts, score_col=score_col)
 
     # stream dup winners to the driver, bailing out at the limit
     dup_map: Optional[dict] = {}
@@ -283,18 +315,68 @@ def exact_dedup(
 
         return hashed.map_batches(drop_losers, batch_format="pyarrow", zero_copy_batch=True)
 
-    joined = hashed.join(
-        winners.drop_columns(["__n"]),
-        join_type="inner",
-        num_partitions=nparts,
-        on=("__h1", "__h2"),
+    # Fallback: ONE full-row shuffle into coarse h1-keyed partitions;
+    # every copy of a key co-locates, so winners are picked locally per
+    # partition with the same lexsort rule — no second dataset, no
+    # Dataset.join (whose hash shuffle chokes on the zero-column empty
+    # blocks map_groups emits for empty partitions). Per-partition
+    # working set is ~corpus/nparts rows — raise num_partitions for
+    # very large corpora.
+    def part_rows(b: pa.Table) -> pa.Table:
+        h1 = b["__h1"].to_numpy(zero_copy_only=False)
+        return b.append_column("__part", pa.array((h1 % nparts).astype(np.int32)))
+
+    def local_winners(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g
+        h1 = g["__h1"].to_numpy(zero_copy_only=False)
+        h2 = g["__h2"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        if score_col is not None:
+            sc = g[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            sc = np.where(np.isnan(sc), -np.inf, sc)
+            order = np.lexsort((ids, -sc, h2, h1))
+        else:
+            order = np.lexsort((ids, h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        new = np.ones(len(h1s), dtype=bool)
+        new[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        return g.take(order[new]).drop_columns(["__h1", "__h2", "__part"])
+
+    return (
+        hashed.map_batches(part_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(local_winners, batch_format="pyarrow")
     )
 
-    def keep_winner(batch: pa.Table) -> pa.Table:
-        out = batch.filter(pc.equal(batch[id_col], batch["__keep_id"]))
-        return out.drop_columns(["__h1", "__h2", "__keep_id"])
 
-    return joined.map_batches(keep_winner, batch_format="pyarrow", zero_copy_batch=True)
+def exact_dedup_keep_best(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    score_col: str,
+    canonicalize: bool = True,
+    num_partitions: Optional[int] = None,
+    broadcast_limit: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Quality-aware dedup: among rows whose CANONICALIZED text
+    (NFC/lower/ws-collapse — near-identical pages differing only in
+    case/whitespace/encoding hash together) is identical, keep the one
+    with the highest ``score_col`` (SQL ``ORDER BY score DESC NULLS
+    LAST, id``) — the curation rule "keep the best copy, not the first
+    copy" (e.g. the longest or highest-quality-scored duplicate).
+    Output rows keep their original bytes. Same two-plan scale shape as
+    :func:`exact_dedup` (digest-only shuffle; O(dup-clusters) broadcast
+    fast path, hash-join fallback)."""
+    return exact_dedup(
+        ds,
+        text_col,
+        id_col,
+        num_partitions=num_partitions,
+        broadcast_limit=broadcast_limit,
+        score_col=score_col,
+        canonicalize=canonicalize,
+    )
 
 
 # ----------------------------------------------------------------------

@@ -92,35 +92,46 @@ def normalize_text(
     whitespace regex via Arrow's RE2 (DuckDB's regexp_replace is RE2) —
     so parity holds byte-for-byte on non-ASCII text too. Stateless,
     zero shuffle. Output: (id, normalized)."""
-    import unicodedata
-
-    import pyarrow.compute as pc
-
     def per_batch(batch: pa.Table) -> pa.Table:
-        col = batch[text_col]
-        if nfc:
-            col = pa.array(
-                [None if t is None else unicodedata.normalize("NFC", t) for t in col.to_pylist()],
-                type=pa.large_string(),
-            )
-        else:
-            col = pc.cast(col, pa.large_string())
-        if lowercase:
-            col = pc.utf8_lower(col)
-        if collapse_ws:
-            # SQL trim() removes exactly the Unicode Zs category (space
-            # separators incl. NBSP) and NOT control whitespace — pinned
-            # by probing chr(9..0x3000) against DuckDB; \t\n\r etc. are
-            # already collapsed to ' ' by the RE2 pass on both sides
-            zs = (" \u00a0\u1680"
-                  + "".join(chr(c) for c in range(0x2000, 0x200B))
-                  + "\u202f\u205f\u3000")
-            col = pc.utf8_trim(pc.replace_substring_regex(col, r"\s+", " "), characters=zs)
+        col = canonicalize_column(
+            batch[text_col], nfc=nfc, lowercase=lowercase, collapse_ws=collapse_ws
+        )
         return pa.table({id_col: batch[id_col], "normalized": col})
 
     return ds.select_columns([id_col, text_col]).map_batches(
         per_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def canonicalize_column(col, nfc: bool = True, lowercase: bool = True,
+                        collapse_ws: bool = True):
+    """The column-level canonicalizer behind :func:`normalize_text`
+    (NFC -> utf8proc lower -> RE2 ws-collapse -> Zs-exact trim), usable
+    inside other operators' batch functions (e.g. canonical-key dedup).
+    Same byte-exact SQL parity contract as normalize_text."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    if nfc:
+        col = pa.array(
+            [None if t is None else unicodedata.normalize("NFC", t) for t in col.to_pylist()],
+            type=pa.large_string(),
+        )
+    else:
+        col = pc.cast(col, pa.large_string())
+    if lowercase:
+        col = pc.utf8_lower(col)
+    if collapse_ws:
+        # SQL trim() removes exactly the Unicode Zs category (space
+        # separators incl. NBSP) and NOT control whitespace — pinned
+        # by probing chr(9..0x3000) against DuckDB; \t\n\r etc. are
+        # already collapsed to ' ' by the RE2 pass on both sides
+        zs = (" \u00a0\u1680"
+              + "".join(chr(c) for c in range(0x2000, 0x200B))
+              + "\u202f\u205f\u3000")
+        col = pc.utf8_trim(pc.replace_substring_regex(col, r"\s+", " "), characters=zs)
+    return col
 
 
 def pii_spans(
