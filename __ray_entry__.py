@@ -997,6 +997,55 @@ def q_sample_temperature_mix(sf_dir: str) -> pa.Table:
     )
 
 
+def q_event_gaps(sf_dir: str) -> pa.Table:
+    """Per-event inter-arrival time (the LAG window primitive): gap_us
+    since the same user's previous event, null for the first — one
+    coarse user-bucket shuffle + vectorized shifted diff."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.repetition import event_gaps
+
+    ds = __rps(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts", "user_id"]
+    )
+    df = event_gaps(ds).to_pandas().sort_values("event_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "event_id": pa.array(df["event_id"], type=pa.int64()),
+            "user_id": pa.array(df["user_id"], type=pa.int64()),
+            "ts": pa.array(df["ts"], type=pa.timestamp("us")),
+            "gap_us": pa.array(df["gap_us"], type=pa.int64()),
+        }
+    )
+
+
+def q_bm25_scores(sf_dir: str) -> pa.Table:
+    """Okapi BM25 of every document against a 3-term query set: one
+    (doc, term, tf, score) row per match — idf, tf-normalization,
+    avgdl and the full score expression mirror the oracle's IEEE
+    double ops (ln not log1p), rounded to 6 on both sides like
+    tfidf_top_terms."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.textstats import bm25_scores
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    df = (
+        bm25_scores(ds, ["hash", "spark", "table"])
+        .to_pandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"], type=pa.int64()),
+            "term": pa.array(df["term"], type=pa.string()),
+            "tf": pa.array(df["tf"], type=pa.int64()),
+            "score": pa.array(df["score"], type=pa.float64()),
+        }
+    )
+
+
 def q_dedup_keep_best(sf_dir: str) -> pa.Table:
     """Quality-aware canonical dedup: rows whose NFC/lower/ws-collapsed
     text is identical keep only the highest-n_chars copy (min doc_id on
@@ -1774,6 +1823,37 @@ def q_dedup_exact_incremental(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+def q_minhash_dedup_incremental(sf_dir: str) -> pa.Table:
+    """Continuous-ingest NEAR-dup dedup: the top-fifth of doc_ids
+    arrives as a new shard and minhash-LSH-dedupes against the accepted
+    rest — batch-equivalent semantics (verified edges over old ∪ new,
+    union-find, min-id survivors, restricted to new ids). Rows-only by
+    design: LSH recall is probabilistic, so correctness is pinned by
+    the golden-survivor unit tests instead of a SQL oracle."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.dedup import minhash_lsh_dedup_against
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), cache=True)
+    cut = int(ds.max("doc_id")) * 4 // 5
+
+    def is_old(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.less(b["doc_id"], cut))
+
+    def is_new(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater_equal(b["doc_id"], cut))
+
+    old_ds = ds.map_batches(is_old, batch_format="pyarrow", zero_copy_batch=True)
+    new_ds = ds.map_batches(is_new, batch_format="pyarrow", zero_copy_batch=True)
+    kept = minhash_lsh_dedup_against(new_ds, old_ds, "text", "doc_id", cut)
+    ids = sorted(r["doc_id"] for r in kept.select_columns(["doc_id"]).take_all())
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+
 def q_dedup_substrings(sf_dir: str) -> pa.Table:
     """Duplicated-substring removal (5-token windows, corpus-wide
     count > 1): the oracle recomputes window hashes, counts, coverage
@@ -2333,6 +2413,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_temperature_mix_docs": q_sample_temperature_mix,
         "upsample_temperature_mix_docs": q_upsample_temperature_mix,
         "dedup_keep_best_docs": q_dedup_keep_best,
+        "bm25_scores_docs": q_bm25_scores,
+        "event_gaps_lag": q_event_gaps,
         # -- oracle-backed, green in previous rounds --
         "numeric_revenue": q_numeric_revenue,
         "avg_order_total": q_avg_order_total,
@@ -2393,6 +2475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "minhash_dedup_full_rows": q_minhash_dedup_full_rows,
         "minhash_dedup_distributed": q_minhash_dedup_distributed,
+        "minhash_dedup_incremental": q_minhash_dedup_incremental,
         "kll_quantiles_price": q_kll_quantiles_price,
         "simhash_dedup_documents": q_simhash_dedup_documents,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -2720,6 +2803,38 @@ def oracle_sql() -> dict[str, str]:
             " WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT"
             "  < thr.thr"
             " ORDER BY d.doc_id"
+        ),
+        # LAG inter-arrival deltas: integer microsecond diffs, ties
+        # ordered by (ts, event_id) on both sides
+        "event_gaps_lag": (
+            "SELECT event_id, user_id, ts,"
+            " epoch_us(ts) - lag(epoch_us(ts)) OVER"
+            "  (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us"
+            " FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL"
+            " ORDER BY event_id"
+        ),
+        # Okapi BM25 per (doc, matched query term): idf, avgdl and the
+        # score expression written with the engine's exact IEEE op
+        # order; ROUND(.,6) on both sides (tfidf convention)
+        "bm25_scores_docs": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            " regexp_split_to_array(lower(coalesce(text,'')),'\\s+'), x->x!='')) AS term"
+            " FROM documents),"
+            " q(term) AS (VALUES ('hash'),('spark'),('table')),"
+            " tf AS (SELECT doc_id, term, count(*) AS tf FROM toks"
+            "  JOIN q USING (term) GROUP BY 1,2),"
+            " dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),"
+            " df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks"
+            "  JOIN q USING (term) GROUP BY 1),"
+            " stats AS (SELECT count(*)::DOUBLE AS n FROM documents),"
+            " tot AS (SELECT count(*)::DOUBLE AS toks FROM toks)"
+            " SELECT tf.doc_id, tf.term, tf.tf,"
+            "  ROUND(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))"
+            "   * (tf.tf * (1.2 + 1))"
+            "   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (tot.toks / stats.n)))"
+            "  , 6) AS score"
+            " FROM tf JOIN dl USING (doc_id) JOIN df USING (term), stats, tot"
+            " ORDER BY tf.doc_id, tf.term"
         ),
         # quality-aware canonical dedup: the window argmax over the
         # SAME canonicalization chain as normalize_text_docs

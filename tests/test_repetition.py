@@ -178,3 +178,46 @@ class TestTokenEntropy:
             " FROM documents d LEFT JOIN h USING (doc_id) ORDER BY d.doc_id"
         ).fetchdf()
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventGaps:
+    def test_matches_duckdb_lag(self):
+        import pandas as pd
+
+        import __ray_entry__ as e
+
+        got = e.queries()["event_gaps_lag"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+        want = con.execute(e.oracle_sql()["event_gaps_lag"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_first_event_null_ties_deterministic(self):
+        from weiser_ai_ray.pipelines.repetition import event_gaps
+
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        t = pa.table(
+            {
+                "event_id": pa.array([3, 1, 2, 4, 5], pa.int64()),
+                # user 7: two events at the SAME ts (ids 1,3) then +10s (id 2)
+                "ts": pa.array(
+                    [base, base, base + 10_000_000, base + 5_000_000, None],
+                    type=pa.timestamp("us"),
+                ),
+                "user_id": pa.array([7, 7, 7, 8, None], pa.int64()),
+            }
+        )
+        out = (
+            event_gaps(ray.data.from_arrow(t).repartition(3))
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        # null user/ts rows drop
+        assert list(out["event_id"]) == [1, 2, 3, 4]
+        by = {r.event_id: r.gap_us for r in out.itertuples()}
+        assert np.isnan(by[1])  # first of user 7 (tie broken by id)
+        assert by[3] == 0  # same-ts successor
+        assert by[2] == 10_000_000
+        assert np.isnan(by[4])  # first of user 8

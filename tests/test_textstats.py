@@ -384,3 +384,66 @@ class TestExtractUrls:
         by_url = dict(zip(got["url"], got["domain"]))
         assert by_url["https://Ex.ORG/a?q=1"] == "ex.org"
         assert by_url["http://sub.ex.com:8080/path#f"] == "sub.ex.com"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBM25:
+    def test_closed_form_single_doc(self):
+        from math import log
+
+        from weiser_ai_ray.pipelines.textstats import bm25_scores
+
+        # 2 docs: "a a b" and "b c"; query {a, b}; N=2, toks=5, avgdl=2.5
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": ["a a b", "b c"],
+            }
+        )
+        out = (
+            bm25_scores(ray.data.from_arrow(t), ["a", "b"])
+            .to_pandas()
+            .sort_values(["doc_id", "term"])
+            .reset_index(drop=True)
+        )
+        assert list(zip(out["doc_id"], out["term"], out["tf"])) == [
+            (1, "a", 2),
+            (1, "b", 1),
+            (2, "b", 1),
+        ]
+        avgdl = 5 / 2
+        idf_a = log(1 + (2 - 1 + 0.5) / (1 + 0.5))  # df(a)=1
+        idf_b = log(1 + (2 - 2 + 0.5) / (2 + 0.5))  # df(b)=2
+        exp_a1 = round(idf_a * (2 * 2.2) / (2 + 1.2 * (1 - 0.75 + 0.75 * 3 / avgdl)), 6)
+        exp_b2 = round(idf_b * (1 * 2.2) / (1 + 1.2 * (1 - 0.75 + 0.75 * 2 / avgdl)), 6)
+        assert out.loc[0, "score"] == pytest.approx(exp_a1, abs=1e-9)
+        assert out.loc[2, "score"] == pytest.approx(exp_b2, abs=1e-9)
+
+    def test_matches_duckdb_exactly(self):
+        import __ray_entry__ as e
+
+        got = e.queries()["bm25_scores_docs"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        )
+        want = con.execute(e.oracle_sql()["bm25_scores_docs"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    def test_null_and_unmatched_texts_absent(self):
+        from weiser_ai_ray.pipelines.textstats import bm25_scores
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": ["x y z", None, "a"],
+            }
+        )
+        out = bm25_scores(ray.data.from_arrow(t), ["a"]).to_pandas()
+        assert list(out["doc_id"]) == [3]
+
+    def test_rejects_empty_query(self):
+        from weiser_ai_ray.pipelines.textstats import bm25_scores
+
+        with pytest.raises(ValueError):
+            bm25_scores(ray.data.from_arrow(pa.table({"doc_id": [1], "text": ["a"]})), [])

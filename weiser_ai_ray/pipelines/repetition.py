@@ -289,6 +289,85 @@ def sessionize(
     )
 
 
+def event_gaps(
+    events: "ray.data.Dataset",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    nparts: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-event LAG delta: for every event, the microseconds since the
+    same user's PREVIOUS event (null for a user's first) — the window
+    ``lag`` primitive (inter-arrival times feed bot detection, session
+    features, rate limits). Ordering within a user is (ts, id) so ties
+    are deterministic. Rows with null user/ts drop (documented; SQL
+    twin filters the same).
+
+    Same scale shape as sessionize: events shuffle ONCE on a coarse
+    user-hash bucket (all of a user's events co-locate), then one
+    vectorized lexsort + shifted diff per partition. Output: (id, user,
+    ts, gap_us int64-nullable)."""
+    if nparts is None:
+        try:
+            nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            nparts = 8
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.select([user_col, ts_col, id_col]).filter(
+            pc.and_(pc.is_valid(batch[user_col]), pc.is_valid(batch[ts_col]))
+        )
+        uid = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (uid * np.int64(-7046029254386353131)) & np.int64(0x7FFFFFFFFFFFFFFF)
+        return batch.append_column("__part", pa.array((h % nparts).astype(np.int32)))
+
+    def gaps(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                user_col: pa.array([], pa.int64()),
+                ts_col: pa.array([], pa.timestamp("us")),
+                "gap_us": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        uid = group[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            group[ts_col]
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        order = np.lexsort((ids, ts, uid))
+        uid, ids, ts = uid[order], ids[order], ts[order]
+        gap = np.empty(len(uid), dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        first = np.ones(len(uid), dtype=bool)
+        first[1:] = uid[1:] != uid[:-1]
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                user_col: pa.array(uid),
+                ts_col: pa.array(ts.astype("datetime64[us]")),
+                "gap_us": pa.array(
+                    np.where(first, 0, gap), type=pa.int64(), mask=first
+                ),
+            }
+        )
+
+    return (
+        events.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(gaps, batch_format="pyarrow")
+    )
+
+
 def train_bigram_lm(
     ds: "ray.data.Dataset",
     text_col: str = "text",

@@ -468,3 +468,132 @@ def extract_urls(
     return ds.select_columns([id_col, text_col]).map_batches(
         per_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def bm25_scores(
+    ds: "ray.data.Dataset",
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "ray.data.Dataset":
+    """Okapi BM25 relevance of every document against a small query
+    term set — the retrieval-side scorer a training-data pipeline uses
+    to mine topical subsets ("find docs about X") without an index.
+    Output: one (id, term, tf, score) row per document x matched query
+    term (summing per-doc is the caller's/SQL's choice — emitting
+    per-term contributions keeps the float fold order out of the
+    contract). idf is the Robertson-Sparck-Jones form
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))`` (never negative), tf
+    normalization ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``.
+
+    Plan: pass 1 streams per-batch PARTIALS — per query term a
+    document-frequency count, plus total token count and doc count —
+    O(terms) rows to the driver, no shuffle; pass 2 streams the corpus
+    once more, computing tf/dl vectorized (one np.unique over the
+    token list per batch) and the score per matched term. Zero
+    shuffles; driver state O(query terms). Tokenization = lowercase +
+    whitespace split, empties dropped — identical to tfidf_top_terms
+    and its SQL twin. Null/empty texts have dl=0 and match nothing."""
+    if not query_terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
+    qset = sorted(set(query_terms))
+
+    def _tokens(batch: pa.Table):
+        """(flat_tokens, row_ids, per-row token counts) — the
+        tfidf_top_terms tokenizer."""
+        n = batch.num_rows
+        text = pc.utf8_lower(
+            pc.coalesce(batch[text_col].cast(pa.string()), pa.scalar("", type=pa.string()))
+        )
+        words = pc.split_pattern_regex(text, r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = np.asarray(words.flatten().to_pylist(), dtype=object)
+        counts = np.asarray(
+            pc.list_value_length(words).to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+        keep = flat != ""
+        return flat[keep], row_ids[keep]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, row_ids = _tokens(batch)
+        names, dfs = [], []
+        for t in qset:
+            names.append(t)
+            dfs.append(int(len(np.unique(row_ids[flat == t]))))
+        return pa.table(
+            {
+                "term": pa.array(names, pa.string()),
+                "df": pa.array(dfs, pa.int64()),
+                "toks": pa.array([len(flat)] + [0] * (len(names) - 1), pa.int64()),
+                "docs": pa.array([batch.num_rows] + [0] * (len(names) - 1), pa.int64()),
+            }
+        )
+
+    agg = {t: 0 for t in qset}
+    total_toks = 0
+    total_docs = 0
+    for blk in ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        for t, d in zip(blk["term"].to_pylist(), blk["df"].to_pylist()):
+            agg[t] += d
+        total_toks += int(pc.sum(blk["toks"]).as_py() or 0)
+        total_docs += int(pc.sum(blk["docs"]).as_py() or 0)
+
+    n_f = np.float64(total_docs)
+    avgdl = np.float64(total_toks) / n_f if total_docs else np.float64(1.0)
+    # np.log(1.0 + x), NOT log1p: the SQL twin computes ln(1 + x) and
+    # log1p's extra precision would drift the last ulp
+    idf = {
+        t: np.log(
+            np.float64(1.0)
+            + (n_f - np.float64(agg[t]) + np.float64(0.5)) / (np.float64(agg[t]) + np.float64(0.5))
+        )
+        for t in qset
+    }
+    k1_f, b_f = np.float64(k1), np.float64(b)
+
+    def score(batch: pa.Table) -> pa.Table:
+        flat, row_ids = _tokens(batch)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        dl = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(dl, row_ids, 1)
+        out_id, out_term, out_tf, out_s = [], [], [], []
+        for t in qset:
+            rows = row_ids[flat == t]
+            if not len(rows):
+                continue
+            urows, tf = np.unique(rows, return_counts=True)
+            tf_f = tf.astype(np.float64)
+            dl_f = dl[urows].astype(np.float64)
+            denom = tf_f + k1_f * (np.float64(1.0) - b_f + b_f * dl_f / avgdl)
+            s = idf[t] * (tf_f * (k1_f + np.float64(1.0))) / denom
+            out_id.append(ids[urows])
+            out_term.extend([t] * len(urows))
+            out_tf.append(tf)
+            out_s.append(s)
+        if not out_id:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                "term": pa.array(out_term, pa.string()),
+                "tf": pa.array(np.concatenate(out_tf), pa.int64()),
+                "score": pa.array(np.round(np.concatenate(out_s), 6), pa.float64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
