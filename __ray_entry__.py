@@ -997,6 +997,32 @@ def q_sample_temperature_mix(sf_dir: str) -> pa.Table:
     )
 
 
+def q_global_row_number(sf_dir: str) -> pa.Table:
+    """Exact global row_number() OVER (ORDER BY o_totalprice,
+    o_orderkey) without a global sort: sampled range buckets (ties
+    never straddle), O(B) count reduce + driver prefix-sum offsets,
+    digest-only bucket shuffle with a local lexsort."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.sketches import global_row_number
+
+    ds = __rps(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
+    )
+    df = (
+        global_row_number(ds, "o_totalprice", "o_orderkey")
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "o_orderkey": pa.array(df["o_orderkey"], type=pa.int64()),
+            "rank": pa.array(df["rank"], type=pa.int64()),
+        }
+    )
+
+
 def q_event_gaps(sf_dir: str) -> pa.Table:
     """Per-event inter-arrival time (the LAG window primitive): gap_us
     since the same user's previous event, null for the first — one
@@ -2415,6 +2441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best_docs": q_dedup_keep_best,
         "bm25_scores_docs": q_bm25_scores,
         "event_gaps_lag": q_event_gaps,
+        "global_row_number_orders": q_global_row_number,
         # -- oracle-backed, green in previous rounds --
         "numeric_revenue": q_numeric_revenue,
         "avg_order_total": q_avg_order_total,
@@ -2803,6 +2830,13 @@ def oracle_sql() -> dict[str, str]:
             " WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT"
             "  < thr.thr"
             " ORDER BY d.doc_id"
+        ),
+        # exact distributed row_number: rank values are cut-choice
+        # independent, so the plain window function is the oracle
+        "global_row_number_orders": (
+            "SELECT o_orderkey, row_number() OVER"
+            "  (ORDER BY o_totalprice, o_orderkey) AS rank"
+            " FROM orders ORDER BY o_orderkey"
         ),
         # LAG inter-arrival deltas: integer microsecond diffs, ties
         # ordered by (ts, event_id) on both sides

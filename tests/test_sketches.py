@@ -231,6 +231,8 @@ class TestFilterByQuantile:
         t = pa.table(
             {"id": [1, 2, 3, 4, 5], "v": pa.array([10, 20, None, 40, 50], pa.int64())}
         )
+        import ray.data
+
         ds = ray.data.from_arrow(t)
         kept = filter_by_quantile(ds, "v", "id", 0.5, keep="le").to_pandas()
         # sample = {10,20,40,50}, median 30.0 -> keep v <= 30; null row drops
@@ -414,3 +416,39 @@ class TestRangePartitionIds:
         assert pd.isna(out2["bucket"][0])
         with pytest.raises(ValueError):
             range_partition_ids(allnull, "v", "id", 1)
+
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGlobalRowNumber:
+    def test_matches_window_function_orders(self):
+        import pandas as pd
+
+        import __ray_entry__ as e
+
+        got = e.queries()["global_row_number_orders"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+        want = con.execute(e.oracle_sql()["global_row_number_orders"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_ties_nulls_and_layout_stability(self):
+        from weiser_ai_ray.pipelines.sketches import global_row_number
+
+        t = pa.table(
+            {
+                "id": pa.array([5, 1, 2, 3, 4, 6, 7, 8], pa.int64()),
+                "v": pa.array([3.5, 1.0, None, 3.5, 0.5, None, 3.5, 2.0], pa.float64()),
+            }
+        )
+        import ray.data
+
+        ds = ray.data.from_arrow(t)
+        one = global_row_number(ds, "v", "id", num_buckets=4).to_pandas()
+        many = global_row_number(
+            ds.repartition(4), "v", "id", num_buckets=2
+        ).to_pandas()
+        ranks = dict(zip(one["id"], one["rank"]))
+        # order: 0.5(4) 1.0(1) 2.0(8) 3.5(5<7... id order 3,5,7) nulls(2,6)
+        assert ranks == {4: 1, 1: 2, 8: 3, 3: 4, 5: 5, 7: 6, 2: 7, 6: 8}
+        assert dict(zip(many["id"], many["rank"])) == ranks

@@ -613,3 +613,108 @@ def heavy_keys(
             "share": pa.array(share, type=pa.float64()),
         }
     )
+
+
+def global_row_number(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    id_col: str,
+    num_buckets: int | None = None,
+    sample_size: int = 8192,
+    out_col: str = "rank",
+) -> "ray.data.Dataset":
+    """Exact global ``row_number() OVER (ORDER BY value, id)`` (1-based;
+    null values last, ordered by id) WITHOUT a global sort — the window
+    primitive behind "give every row its position in the corpus order"
+    (curriculum ordering by difficulty score, stable pagination,
+    percentile tables).
+
+    Plan: (1) range-bucket rows on the sampled cut points of
+    ``range_partition_ids`` — ``searchsorted(side='right')`` puts every
+    copy of a value in the SAME bucket, so no value straddles a
+    boundary and within-bucket order is globally consistent; null
+    values route to one trailing bucket (SQL NULLS LAST); (2) O(B)
+    per-bucket counts reduce to the driver, exclusive prefix-sum gives
+    each bucket its global offset; (3) the (bucket, id, value) DIGEST
+    rows — never full rows — shuffle once into bucket groups, each
+    lexsorted locally, rank = offset + local position. The rank is
+    EXACT for any cut choice; cuts only balance the buckets. Skew
+    contract: a single value held by X% of the corpus lands in one
+    bucket — profile with heavy_keys first, as with every
+    key-partitioned operator here."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    if num_buckets:
+        b = int(num_buckets)
+    else:
+        try:
+            b = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            b = 8
+    qs = [i / b for i in range(1, b)] if b >= 2 else []
+    if qs:
+        thr = approx_quantiles(ds, value_col, id_col, qs, sample_size)
+        cuts = np.array(
+            [thr[i][0].as_py() for i in range(thr.num_columns)], dtype=np.float64
+        )
+        if np.isnan(cuts).any():
+            cuts = np.empty(0, dtype=np.float64)
+    else:
+        cuts = np.empty(0, dtype=np.float64)
+    null_bucket = len(cuts) + 1  # one past the last value bucket
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        bk = np.searchsorted(cuts, v, side="right").astype(np.int64)
+        bk[np.isnan(v)] = null_bucket
+        return pa.table(
+            {
+                "__bucket": pa.array(bk, type=pa.int64()),
+                id_col: batch[id_col],
+                value_col: batch[value_col],
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["__bucket"]).aggregate([(id_col, "count")])
+        return pa.table(
+            {
+                "__bucket": g["__bucket"],
+                "__c": pc.cast(g[f"{id_col}_count"], pa.int64()),
+            }
+        )
+
+    counts = (
+        tagged.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .aggregate(Sum("__c", alias_name="n"))
+        .take_all()
+    )  # O(buckets) driver rows
+    counts.sort(key=lambda r: r["__bucket"])
+    offsets = {}
+    run = 0
+    for r in counts:
+        offsets[r["__bucket"]] = run
+        run += int(r["n"])
+
+    def local_rank(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), out_col: pa.array([], pa.int64())}
+            )
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        bucket = int(g["__bucket"][0].as_py())
+        if bucket == null_bucket:
+            order = np.argsort(ids, kind="stable")
+        else:
+            vals = g[value_col].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, vals))
+        base = offsets.get(bucket, 0)
+        rank = np.empty(len(ids), dtype=np.int64)
+        rank[order] = base + 1 + np.arange(len(ids), dtype=np.int64)
+        return pa.table({id_col: g[id_col], out_col: pa.array(rank, pa.int64())})
+
+    return tagged.groupby("__bucket").map_groups(local_rank, batch_format="pyarrow")
