@@ -997,6 +997,61 @@ def q_sample_temperature_mix(sf_dir: str) -> pa.Table:
     )
 
 
+def q_grouped_row_number(sf_dir: str) -> pa.Table:
+    """Within-group row_number (PARTITION BY o_custkey ORDER BY
+    o_totalprice, o_orderkey): one coarse group-bucket shuffle +
+    segment-relative arange."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.windows import grouped_row_number
+
+    ds = __rps(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    df = (
+        grouped_row_number(ds, "o_custkey", "o_totalprice", "o_orderkey")
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "o_orderkey": pa.array(df["o_orderkey"], type=pa.int64()),
+            "o_custkey": pa.array(df["o_custkey"], type=pa.int64()),
+            "rn": pa.array(df["rn"], type=pa.int64()),
+        }
+    )
+
+
+def q_grouped_running_sum(sf_dir: str) -> pa.Table:
+    """Per-user running total of value in integer cents (fixed-point
+    scaling keeps the float fold order out of the contract): cumulative
+    SUM window via one coarse user-bucket shuffle + rebased cumsum."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.windows import grouped_running_sum
+
+    ds = __rps(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    df = (
+        grouped_running_sum(ds, "user_id", "ts", "event_id", "value")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "event_id": pa.array(df["event_id"], type=pa.int64()),
+            "user_id": pa.array(df["user_id"], type=pa.int64()),
+            "ts": pa.array(df["ts"], type=pa.timestamp("us")),
+            "running": pa.array(df["running"], type=pa.int64()),
+        }
+    )
+
+
 def q_global_row_number(sf_dir: str) -> pa.Table:
     """Exact global row_number() OVER (ORDER BY o_totalprice,
     o_orderkey) without a global sort: sampled range buckets (ties
@@ -2442,6 +2497,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores_docs": q_bm25_scores,
         "event_gaps_lag": q_event_gaps,
         "global_row_number_orders": q_global_row_number,
+        "grouped_row_number_orders": q_grouped_row_number,
+        "grouped_running_sum_events": q_grouped_running_sum,
         # -- oracle-backed, green in previous rounds --
         "numeric_revenue": q_numeric_revenue,
         "avg_order_total": q_avg_order_total,
@@ -2830,6 +2887,23 @@ def oracle_sql() -> dict[str, str]:
             " WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT"
             "  < thr.thr"
             " ORDER BY d.doc_id"
+        ),
+        # within-group row_number: plain window oracle; null groups
+        # filtered on both sides
+        "grouped_row_number_orders": (
+            "SELECT o_orderkey, o_custkey, row_number() OVER"
+            "  (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS rn"
+            " FROM orders WHERE o_custkey IS NOT NULL ORDER BY o_orderkey"
+        ),
+        # cumulative per-user SUM in integer cents: fixed-point before
+        # the window so both sides accumulate exact int64
+        "grouped_running_sum_events": (
+            "SELECT event_id, user_id, ts,"
+            " CAST(SUM(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) OVER"
+            "  (PARTITION BY user_id ORDER BY ts, event_id"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running"
+            " FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL"
+            " ORDER BY event_id"
         ),
         # exact distributed row_number: rank values are cut-choice
         # independent, so the plain window function is the oracle

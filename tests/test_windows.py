@@ -7,6 +7,7 @@ import pyarrow as pa
 import pytest
 
 from tests.conftest import SF_DIR
+import ray.data
 
 
 @pytest.fixture(scope="module")
@@ -171,3 +172,73 @@ def test_sample_fraction_bounds(ray_session):
     docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
     assert sample_fraction(docs, "doc_id", 0.0).count() == 0
     assert sample_fraction(docs, "doc_id", 1.0).count() == docs.count()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedRowNumber:
+    def test_matches_window_function(self):
+        import pandas as pd
+
+        import __ray_entry__ as e
+
+        got = e.queries()["grouped_row_number_orders"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+        want = con.execute(e.oracle_sql()["grouped_row_number_orders"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_null_values_last_null_groups_drop(self):
+        from weiser_ai_ray.pipelines.windows import grouped_row_number
+
+        t = pa.table(
+            {
+                "g": pa.array([1, 1, 1, None, 2], pa.int64()),
+                "v": pa.array([5.0, None, 1.0, 2.0, 9.0], pa.float64()),
+                "id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+            }
+        )
+        out = (
+            grouped_row_number(ray.data.from_arrow(t).repartition(3), "g", "v", "id")
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        assert list(out["id"]) == [10, 11, 12, 14]
+        rn = dict(zip(out["id"], out["rn"]))
+        assert rn == {12: 1, 10: 2, 11: 3, 14: 1}  # null v last in group 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedRunningSum:
+    def test_matches_window_function(self):
+        import pandas as pd
+
+        import __ray_entry__ as e
+
+        got = e.queries()["grouped_running_sum_events"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+        want = con.execute(e.oracle_sql()["grouped_running_sum_events"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_rebased_per_group_and_null_value_zero(self):
+        from weiser_ai_ray.pipelines.windows import grouped_running_sum
+
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        t = pa.table(
+            {
+                "u": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                "ts": pa.array(
+                    [base, base + 1, base + 2, base, base + 1], type=pa.timestamp("us")
+                ),
+                "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "v": pa.array([1.25, None, 2.0, 10.0, 0.5], pa.float64()),
+            }
+        )
+        out = (
+            grouped_running_sum(ray.data.from_arrow(t).repartition(2), "u", "ts", "id", "v")
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        assert list(out["running"]) == [125, 125, 325, 1000, 1050]

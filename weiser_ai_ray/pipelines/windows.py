@@ -273,3 +273,161 @@ def zscore_by_group(
         )
 
     return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_row_number(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    out_col: str = "rn",
+    nparts: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-group ``row_number() OVER (PARTITION BY group ORDER BY
+    value, id)`` (1-based) — the within-group ordering primitive
+    (curriculum position inside a source, per-user event sequence
+    numbers). Rows with null group drop (window partitions of interest
+    are real keys; SQL twin filters the same); null values sort LAST
+    (DuckDB default), ties by id.
+
+    Same scale layout as rolling_avg_per_key: rows shuffle ONCE on a
+    coarse group-hash bucket (all of a group's rows co-locate,
+    cluster-sized bucket count), then one lexsort + segment-relative
+    arange per partition. Contract: a bucket's rows fit a worker's
+    heap — many small groups is the design point; for ONE giant
+    ordered domain use global_row_number instead. Returns
+    (id, group, out_col)."""
+    if nparts is None:
+        try:
+            nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            nparts = 8
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        batch = batch.select([group_col, value_col, id_col]).filter(
+            pc.is_valid(batch[group_col])
+        )
+        kv = batch[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (kv * np.int64(-7046029254386353131)) & np.int64(0x7FFFFFFFFFFFFFFF)
+        return batch.append_column("__part", pa.array((h % nparts).astype(np.int32)))
+
+    def rank(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                group_col: pa.array([], pa.int64()),
+                out_col: pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        g = group[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        vals = group[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        vals = np.where(np.isnan(vals), np.inf, vals)  # NULLS LAST
+        order = np.lexsort((ids, vals, g))
+        gs = g[order]
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = gs[1:] != gs[:-1]
+        seg_starts = np.nonzero(first)[0]
+        seg_len = np.diff(np.concatenate([seg_starts, [len(gs)]]))
+        rn = np.arange(len(gs), dtype=np.int64) - np.repeat(seg_starts, seg_len) + 1
+        out = np.empty(len(gs), dtype=np.int64)
+        out[order] = rn
+        return pa.table(
+            {
+                id_col: group[id_col],
+                group_col: group[group_col],
+                out_col: pa.array(out, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(rank, batch_format="pyarrow")
+    )
+
+
+def grouped_running_sum(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    scale: int = 100,
+    nparts: int | None = None,
+) -> "ray.data.Dataset":
+    """Cumulative per-key running total — ``SUM(round(v*scale)) OVER
+    (PARTITION BY group ORDER BY ts, id ROWS UNBOUNDED PRECEDING)`` as
+    an exact INTEGER accumulation (values are scaled to fixed-point
+    first, so there is NO float fold order in the contract — running
+    account balances / budget counters want exactness anyway). Null
+    values count as 0 (SQL twin coalesces); null group/ts rows drop.
+
+    One coarse group-hash-bucket shuffle, then a lexsort + int64
+    cumsum with per-group rebasing. Returns
+    (id, group, ts, running)."""
+    if nparts is None:
+        try:
+            nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            nparts = 8
+    sc = np.float64(scale)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        batch = batch.select([group_col, ts_col, id_col, value_col]).filter(
+            pc.and_(pc.is_valid(batch[group_col]), pc.is_valid(batch[ts_col]))
+        )
+        kv = batch[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (kv * np.int64(-7046029254386353131)) & np.int64(0x7FFFFFFFFFFFFFFF)
+        return batch.append_column("__part", pa.array((h % nparts).astype(np.int32)))
+
+    def run(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                group_col: pa.array([], pa.int64()),
+                ts_col: pa.array([], pa.timestamp("us")),
+                "running": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        g = group[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            group[ts_col]
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        v = group[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.where(np.isnan(v), 0, np.round(v * sc)).astype(np.int64)
+        order = np.lexsort((ids, ts, g))
+        gs, cs = g[order], cents[order]
+        cum = np.cumsum(cs)
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = gs[1:] != gs[:-1]
+        seg_starts = np.nonzero(first)[0]
+        seg_len = np.diff(np.concatenate([seg_starts, [len(gs)]]))
+        # rebase each group's cumsum to start at its own first element
+        base = np.repeat(cum[seg_starts] - cs[seg_starts], seg_len)
+        run_sorted = cum - base
+        out = np.empty(len(gs), dtype=np.int64)
+        out[order] = run_sorted
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                group_col: pa.array(g),
+                ts_col: pa.array(ts.astype("datetime64[us]")),
+                "running": pa.array(out, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(run, batch_format="pyarrow")
+    )
