@@ -997,6 +997,37 @@ def q_sample_temperature_mix(sf_dir: str) -> pa.Table:
     )
 
 
+def q_curate2(sf_dir: str) -> pa.Table:
+    """Second flagship curation chain, composed from this round's
+    operators: canonical keep-best dedup (NFC/lower/ws-collapse key,
+    longest copy wins) -> dynamic p25 length gate (deterministic-sample
+    quantile over the SURVIVORS) -> temperature (alpha=0.5) corpus-mix
+    downsample to half the gated corpus. Every stage is individually
+    bit-exact vs SQL, so the one-statement CTE oracle pins the whole
+    composition."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.dedup import exact_dedup_keep_best
+    from weiser_ai_ray.pipelines.sampling import sample_temperature_mix
+    from weiser_ai_ray.pipelines.sketches import filter_by_quantile
+
+    ds = __rps(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source", "n_chars"],
+    )
+    d1 = exact_dedup_keep_best(ds, "text", "doc_id", "n_chars")
+    d2 = filter_by_quantile(d1, "n_chars", "doc_id", 0.25, keep="ge")
+    d3 = sample_temperature_mix(d2, "doc_id", "source", alpha=0.5, budget_frac=0.5)
+    df = d3.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"], type=pa.int64()),
+            "source": pa.array(df["source"], type=pa.string()),
+            "n_chars": pa.array(df["n_chars"], type=pa.int64()),
+        }
+    )
+
+
 def q_grouped_row_number(sf_dir: str) -> pa.Table:
     """Within-group row_number (PARTITION BY o_custkey ORDER BY
     o_totalprice, o_orderkey): one coarse group-bucket shuffle +
@@ -2497,6 +2528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores_docs": q_bm25_scores,
         "event_gaps_lag": q_event_gaps,
         "global_row_number_orders": q_global_row_number,
+        "curate2_documents": q_curate2,
         "grouped_row_number_orders": q_grouped_row_number,
         "grouped_running_sum_events": q_grouped_running_sum,
         # -- oracle-backed, green in previous rounds --
@@ -2887,6 +2919,36 @@ def oracle_sql() -> dict[str, str]:
             " WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT"
             "  < thr.thr"
             " ORDER BY d.doc_id"
+        ),
+        # curate2: the full canonical-dedup -> p25 gate -> temperature
+        # downsample chain as one CTE statement (each stage reuses its
+        # standalone oracle's expressions verbatim)
+        "curate2_documents": (
+            "WITH k AS (SELECT doc_id, source, n_chars,"
+            "  trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))"
+            "   AS norm FROM documents),"
+            " w AS (SELECT doc_id, source, n_chars FROM k"
+            "  QUALIFY row_number() OVER (PARTITION BY norm"
+            "   ORDER BY n_chars DESC NULLS LAST, doc_id) = 1),"
+            " s AS (SELECT quantile_cont(n_chars, 0.25) AS t FROM"
+            "  (SELECT n_chars, doc_id FROM w WHERE n_chars IS NOT NULL"
+            "   ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 2048)),"
+            " f AS (SELECT w.doc_id, w.source, w.n_chars FROM w, s"
+            "  WHERE w.n_chars >= s.t),"
+            " cnt AS (SELECT source AS g, COUNT(*) AS n FROM f"
+            "  WHERE source IS NOT NULL AND doc_id IS NOT NULL GROUP BY source),"
+            " tot AS (SELECT SUM(pow(CAST(n AS DOUBLE), 0.5)"
+            "   ORDER BY CAST(g AS VARCHAR)) AS t2,"
+            "  CAST(SUM(n) AS DOUBLE) AS total FROM cnt),"
+            " thr AS (SELECT g, CAST(floor(least(1.0,"
+            "   0.5 * tot.total * pow(CAST(n AS DOUBLE), 0.5) / tot.t2"
+            "    / CAST(n AS DOUBLE)) * 4294967296.0) AS BIGINT) AS thr"
+            "  FROM cnt, tot)"
+            " SELECT f.doc_id, f.source, f.n_chars FROM f"
+            " JOIN thr ON f.source = thr.g"
+            " WHERE ('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)),1,8))::BIGINT"
+            "  < thr.thr"
+            " ORDER BY f.doc_id"
         ),
         # within-group row_number: plain window oracle; null groups
         # filtered on both sides

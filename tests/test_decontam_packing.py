@@ -569,3 +569,20 @@ class TestDedupSubstrings:
         pd.testing.assert_frame_equal(a, b)
         with pytest.raises(ValueError, match="hasher"):
             dedup_substrings(docs, "text", "doc_id", hasher="xx")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCurate2Composition:
+    def test_chain_matches_one_statement_oracle(self):
+        import __ray_entry__ as e
+
+        got = e.queries()["curate2_documents"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        )
+        want = con.execute(e.oracle_sql()["curate2_documents"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+        # the chain actually cuts: dedup+gate+mix leave a strict subset
+        n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+        assert 0 < len(got) < n_docs
