@@ -1028,6 +1028,91 @@ def q_curate2(sf_dir: str) -> pa.Table:
     )
 
 
+def q_global_ntile(sf_dir: str) -> pa.Table:
+    """Exact ntile(8) OVER (ORDER BY o_totalprice, o_orderkey): same
+    digest-only range-bucket plan as global_row_number — the count
+    reduce already yields the corpus total, so the tile is a closed
+    form of the exact rank with no extra pass or shuffle."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.sketches import global_ntile
+
+    ds = __rps(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
+    )
+    df = (
+        global_ntile(ds, "o_totalprice", "o_orderkey", 8)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "o_orderkey": pa.array(df["o_orderkey"], type=pa.int64()),
+            "tile": pa.array(df["tile"], type=pa.int64()),
+        }
+    )
+
+
+def q_unpivot_lineitem(sf_dir: str) -> pa.Table:
+    """Wide -> long melt (SQL UNPIVOT) of three lineitem measures:
+    stateless row-expanding map, zero shuffle, null measures dropped.
+    (l_orderkey, l_linenumber) is NOT unique in the fixture, so the
+    canonical order includes (name, value)."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.pivot import unpivot
+
+    ds = __rps(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"],
+    )
+    df = (
+        unpivot(ds, ["l_orderkey", "l_linenumber"], ["l_quantity", "l_discount", "l_tax"])
+        .to_pandas()
+        .sort_values(["l_orderkey", "l_linenumber", "name", "value"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "l_orderkey": pa.array(df["l_orderkey"], type=pa.int64()),
+            "l_linenumber": pa.array(df["l_linenumber"], type=pa.int64()),
+            "name": pa.array(df["name"], type=pa.string()),
+            "value": pa.array(df["value"], type=pa.float64()),
+        }
+    )
+
+
+def q_rollup_orders(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(o_orderstatus, o_orderpriority) sum+count of
+    o_totalprice: one corpus pass builds the finest digest; coarser
+    levels re-aggregate the O(groups) digest on the driver."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.pivot import rollup_sum
+
+    ds = __rps(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+    t = rollup_sum(
+        ds, ["o_orderstatus", "o_orderpriority"], "o_totalprice", sum_col="sum_price"
+    )
+    df = t.to_pandas()
+    df["sum_price"] = df["sum_price"].round(2)
+    df = df.sort_values(
+        ["o_orderstatus", "o_orderpriority", "n"], na_position="first"
+    ).reset_index(drop=True)
+    return pa.table(
+        {
+            "o_orderstatus": pa.array(df["o_orderstatus"], type=pa.string()),
+            "o_orderpriority": pa.array(df["o_orderpriority"], type=pa.string()),
+            "sum_price": pa.array(df["sum_price"], type=pa.float64()),
+            "n": pa.array(df["n"], type=pa.int64()),
+        }
+    )
+
+
 def q_grouped_row_number(sf_dir: str) -> pa.Table:
     """Within-group row_number (PARTITION BY o_custkey ORDER BY
     o_totalprice, o_orderkey): one coarse group-bucket shuffle +
@@ -2528,6 +2613,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores_docs": q_bm25_scores,
         "event_gaps_lag": q_event_gaps,
         "global_row_number_orders": q_global_row_number,
+        "global_ntile_orders": q_global_ntile,
+        "unpivot_lineitem": q_unpivot_lineitem,
+        "rollup_orders": q_rollup_orders,
         "curate2_documents": q_curate2,
         "grouped_row_number_orders": q_grouped_row_number,
         "grouped_running_sum_events": q_grouped_running_sum,
@@ -2973,6 +3061,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, row_number() OVER"
             "  (ORDER BY o_totalprice, o_orderkey) AS rank"
             " FROM orders ORDER BY o_orderkey"
+        ),
+        "global_ntile_orders": (
+            "SELECT o_orderkey, CAST(ntile(8) OVER"
+            "  (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile"
+            " FROM orders ORDER BY o_orderkey"
+        ),
+        # unpivot: (l_orderkey, l_linenumber) is not unique in the
+        # fixture, so (name, value) completes the canonical order
+        "unpivot_lineitem": (
+            "SELECT l_orderkey, l_linenumber, name,"
+            "  CAST(value AS DOUBLE) AS value FROM"
+            " (UNPIVOT (SELECT l_orderkey, l_linenumber,"
+            "   CAST(l_quantity AS DOUBLE) AS l_quantity,"
+            "   CAST(l_discount AS DOUBLE) AS l_discount,"
+            "   CAST(l_tax AS DOUBLE) AS l_tax FROM lineitem)"
+            "  ON l_quantity, l_discount, l_tax INTO NAME name VALUE value)"
+            " ORDER BY l_orderkey, l_linenumber, name, value"
+        ),
+        "rollup_orders": (
+            "SELECT o_orderstatus, o_orderpriority,"
+            "  round(SUM(o_totalprice), 2) AS sum_price,"
+            "  CAST(COUNT(*) AS BIGINT) AS n"
+            " FROM orders WHERE o_orderstatus IS NOT NULL"
+            "  AND o_orderpriority IS NOT NULL"
+            " GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"
+            " ORDER BY o_orderstatus NULLS FIRST,"
+            "  o_orderpriority NULLS FIRST, n"
         ),
         # LAG inter-arrival deltas: integer microsecond diffs, ties
         # ordered by (ts, event_id) on both sides

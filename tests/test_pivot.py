@@ -68,3 +68,95 @@ class TestPivotCounts:
         )
         assert df.loc[0].tolist() == ["a", 0, 0]
         assert df.loc[1].tolist() == ["b", 0, 4]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUnpivot:
+    def test_matches_duckdb_unpivot(self):
+        import duckdb
+        import pandas as pd
+
+        import __ray_entry__ as e
+        from tests.conftest import SF_DIR
+
+        got = e.queries()["unpivot_lineitem"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{SF_DIR}/lineitem.parquet'"
+        )
+        want = con.execute(e.oracle_sql()["unpivot_lineitem"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_null_handling_and_include_nulls(self):
+        from weiser_ai_ray.pipelines.pivot import unpivot
+
+        t = pa.table(
+            {
+                "id": pa.array([1, 2], pa.int64()),
+                "a": pa.array([1.5, None], pa.float64()),
+                "b": pa.array([None, 4], pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        df = unpivot(ds, ["id"], ["a", "b"]).to_pandas()
+        # null measures dropped (UNPIVOT default)
+        assert sorted(zip(df["id"], df["name"], df["value"])) == [
+            (1, "a", 1.5),
+            (2, "b", 4.0),
+        ]
+        df2 = unpivot(ds, ["id"], ["a", "b"], include_nulls=True).to_pandas()
+        assert len(df2) == 4
+        with pytest.raises(ValueError, match="value_cols"):
+            unpivot(ds, ["id"], [])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRollupSum:
+    def test_matches_duckdb_rollup(self):
+        import duckdb
+        import pandas as pd
+
+        import __ray_entry__ as e
+        from tests.conftest import SF_DIR
+
+        got = e.queries()["rollup_orders"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+        want = con.execute(e.oracle_sql()["rollup_orders"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_levels_and_null_group_rows_excluded(self):
+        from weiser_ai_ray.pipelines.pivot import rollup_sum
+
+        t = pa.table(
+            {
+                "a": pa.array(["x", "x", "y", None], pa.string()),
+                "b": pa.array(["p", "q", "p", "p"], pa.string()),
+                "v": pa.array([1.0, 2.0, 4.0, 100.0], pa.float64()),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        out = rollup_sum(ds, ["a", "b"], "v").to_pandas()
+        # finest: (x,p) (x,q) (y,p); level 1: (x) (y); grand total
+        assert len(out) == 6
+        grand = out[out["a"].isna() & out["b"].isna()]
+        assert float(grand["sum_v"].iloc[0]) == 7.0  # null-a row excluded
+        assert int(grand["n"].iloc[0]) == 3
+        lvl1 = out[out["a"].notna() & out["b"].isna()].set_index("a")
+        assert float(lvl1.loc["x", "sum_v"]) == 3.0
+        assert float(lvl1.loc["y", "sum_v"]) == 4.0
+        with pytest.raises(ValueError, match="group_cols"):
+            rollup_sum(ds, [], "v")
+
+    def test_empty_input(self):
+        from weiser_ai_ray.pipelines.pivot import rollup_sum
+
+        t = pa.table(
+            {
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "v": pa.array([], pa.float64()),
+            }
+        )
+        out = rollup_sum(ray.data.from_arrow(t), ["a", "b"], "v")
+        assert out.num_rows == 0

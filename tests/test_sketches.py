@@ -452,3 +452,45 @@ class TestGlobalRowNumber:
         # order: 0.5(4) 1.0(1) 2.0(8) 3.5(5<7... id order 3,5,7) nulls(2,6)
         assert ranks == {4: 1, 1: 2, 8: 3, 3: 4, 5: 5, 7: 6, 2: 7, 6: 8}
         assert dict(zip(many["id"], many["rank"])) == ranks
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGlobalNtile:
+    def test_matches_ntile_window_orders(self):
+        import pandas as pd
+
+        import __ray_entry__ as e
+
+        got = e.queries()["global_ntile_orders"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+        want = con.execute(e.oracle_sql()["global_ntile_orders"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_sql_tile_sizing_and_small_n(self):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.sketches import global_ntile
+
+        # n=10, k=4 -> tile sizes 3,3,2,2 (first n%k tiles get ceil)
+        t = pa.table(
+            {
+                "id": pa.array(list(range(10)), pa.int64()),
+                "v": pa.array([float(9 - i) for i in range(10)], pa.float64()),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        df = global_ntile(ds, "v", "id", 4, num_buckets=3).to_pandas()
+        sizes = df.groupby("tile").size().to_dict()
+        assert sizes == {1: 3, 2: 3, 3: 2, 4: 2}
+        # v descending by id -> rank order is id reversed
+        tiles = dict(zip(df["id"], df["tile"]))
+        assert tiles[9] == 1 and tiles[0] == 4
+        # k > n: every row its own tile
+        tiny = ray.data.from_arrow(
+            pa.table({"id": pa.array([2, 1], pa.int64()), "v": pa.array([5.0, 1.0])})
+        )
+        d2 = global_ntile(tiny, "v", "id", 7).to_pandas()
+        assert dict(zip(d2["id"], d2["tile"])) == {1: 1, 2: 2}
+        with pytest.raises(ValueError, match="tiles"):
+            global_ntile(tiny, "v", "id", 0)

@@ -85,3 +85,122 @@ def pivot_counts(
         return pa.table(cols)
 
     return parts.groupby(row_key).map_groups(widen, batch_format="pyarrow")
+
+
+def unpivot(
+    ds: "ray.data.Dataset",
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    name_col: str = "name",
+    value_col: str = "value",
+    include_nulls: bool = False,
+) -> "ray.data.Dataset":
+    """Wide -> long (melt, SQL ``UNPIVOT``): one output row per
+    (input row x value column), carrying ``id_cols`` plus the source
+    column's name and its value cast to float64 (numeric measures —
+    the common-type contract a melt needs to stack columns into one).
+    Null measures are dropped by default, matching ``UNPIVOT``;
+    ``include_nulls=True`` keeps them (pandas ``melt`` semantics).
+
+    Scale shape: a stateless row-expanding map — zero shuffle, output
+    is exactly ``len(value_cols)`` x input rows streamed block by
+    block. The inverse of ``pivot_counts`` above."""
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    ids = list(id_cols)
+    vcs = list(value_cols)
+    needed = ids + vcs
+
+    def melt(batch: pa.Table) -> pa.Table:
+        t = batch.select(needed)
+        outs = []
+        for c in vcs:
+            v = pc.cast(t[c], pa.float64())
+            cols = {i: t[i] for i in ids}
+            cols[name_col] = pa.array([c] * t.num_rows, type=pa.string())
+            cols[value_col] = v
+            piece = pa.table(cols)
+            if not include_nulls:
+                piece = piece.filter(pc.is_valid(piece[value_col]))
+            outs.append(piece)
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def rollup_sum(
+    ds: "ray.data.Dataset",
+    group_cols: Sequence[str],
+    measure: str,
+    sum_col: Optional[str] = None,
+    count_col: str = "n",
+) -> pa.Table:
+    """``GROUP BY ROLLUP(a, b, ...)``: sum + count of ``measure`` at
+    every prefix level of ``group_cols`` — (a, b), (a,), and the grand
+    total — with rolled-up key columns null, exactly as SQL emits them.
+    Rows with a null in any group column are excluded (they would be
+    ambiguous against the rolled-up nulls; SQL disambiguates with
+    GROUPING(), which a plain-columns table cannot carry).
+
+    Scale shape: ONE corpus pass builds the finest-level digest
+    (per-batch Arrow group_by partials -> one multi-key groupby over
+    O(blocks x groups) digest rows); every coarser level is a
+    re-aggregation of that O(groups) digest on the driver — the
+    corpus is never re-read or re-shuffled per level. Output is
+    O(groups) by construction (it IS the rollup), the same inherent
+    driver bound as ``pivot_counts``."""
+    from ray.data.aggregate import Sum
+
+    gcs = list(group_cols)
+    if not gcs:
+        raise ValueError("group_cols must be non-empty")
+    sc = sum_col or f"sum_{measure}"
+    needed = gcs + [measure]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(needed)
+        mask = pc.is_valid(t[gcs[0]])
+        for c in gcs[1:]:
+            mask = pc.and_(mask, pc.is_valid(t[c]))
+        t = t.filter(mask)
+        g = t.group_by(gcs).aggregate([(measure, "sum"), ([], "count_all")])
+        cols = {c: g[c] for c in gcs}
+        cols["__s"] = pc.cast(g[f"{measure}_sum"], pa.float64())
+        cols["__n"] = pc.cast(g["count_all"], pa.int64())
+        return pa.table(cols)
+
+    digest = pa.Table.from_pylist(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(gcs)
+        .aggregate(Sum("__s", alias_name="__s2"), Sum("__n", alias_name="__n2"))
+        .take_all()
+    )  # O(groups) driver rows — the operator's output bound
+    levels = []
+    base_fields = {c: digest[c].type for c in gcs} if digest.num_rows else {}
+    for k in range(len(gcs), -1, -1):
+        if digest.num_rows == 0:
+            break
+        kept = gcs[:k]
+        if k:
+            g = digest.group_by(kept).aggregate([("__s2", "sum"), ("__n2", "sum")])
+            s, n = g["__s2_sum"], g["__n2_sum"]
+        else:
+            g = None
+            s = pa.array([pc.sum(digest["__s2"]).as_py()], type=pa.float64())
+            n = pa.array([pc.sum(digest["__n2"]).as_py()], type=pa.int64())
+        nrows = len(s)
+        cols = {}
+        for c in gcs:
+            if g is not None and c in kept:
+                cols[c] = g[c]
+            else:
+                cols[c] = pa.nulls(nrows, type=base_fields[c])
+        cols[sc] = pc.cast(s, pa.float64())
+        cols[count_col] = pc.cast(n, pa.int64())
+        levels.append(pa.table(cols))
+    if not levels:
+        cols = {c: pa.nulls(0, type=pa.string()) for c in gcs}
+        cols[sc] = pa.nulls(0, type=pa.float64())
+        cols[count_col] = pa.nulls(0, type=pa.int64())
+        return pa.table(cols)
+    return pa.concat_tables(levels, promote_options="default")

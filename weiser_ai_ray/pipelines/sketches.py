@@ -642,6 +642,103 @@ def global_row_number(
     contract: a single value held by X% of the corpus lands in one
     bucket — profile with heavy_keys first, as with every
     key-partitioned operator here."""
+    tagged, offsets, _, null_bucket = _ranked_bucket_plan(
+        ds, value_col, id_col, num_buckets, sample_size
+    )
+
+    def local_rank(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), out_col: pa.array([], pa.int64())}
+            )
+        rank = _bucket_ranks(g, id_col, value_col, null_bucket, offsets)
+        return pa.table({id_col: g[id_col], out_col: pa.array(rank, pa.int64())})
+
+    return tagged.groupby("__bucket").map_groups(local_rank, batch_format="pyarrow")
+
+
+def global_ntile(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    id_col: str,
+    tiles: int,
+    num_buckets: int | None = None,
+    sample_size: int = 8192,
+    out_col: str = "tile",
+) -> "ray.data.Dataset":
+    """Exact ``ntile(k) OVER (ORDER BY value, id)`` (SQL semantics: the
+    first ``n % k`` tiles hold ``ceil(n/k)`` rows, the rest
+    ``floor(n/k)``; null values sort last) — the "assign every row its
+    decile/percentile bin" primitive behind difficulty-bucketed
+    curricula and quantile-stratified exports.
+
+    Same digest-only plan as ``global_row_number`` (which see): the
+    bucket-count reduce already yields the exact corpus total, so the
+    tile is a closed form of the exact global rank — no extra pass,
+    no extra shuffle over ``row_number`` itself."""
+    if tiles < 1:
+        raise ValueError("tiles must be >= 1")
+    tagged, offsets, total, null_bucket = _ranked_bucket_plan(
+        ds, value_col, id_col, num_buckets, sample_size
+    )
+    k = int(tiles)
+    small = max(total // k, 0)
+    big_tiles = total % k
+    boundary = big_tiles * (small + 1)  # rows living in the ceil-sized tiles
+
+    def local_tile(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), out_col: pa.array([], pa.int64())}
+            )
+        rank = _bucket_ranks(g, id_col, value_col, null_bucket, offsets)
+        r0 = rank - 1  # 0-based position
+        if small == 0:
+            tile = rank  # k >= n: one row per tile
+        else:
+            in_big = r0 < boundary
+            tile = np.where(
+                in_big,
+                r0 // (small + 1) + 1,
+                big_tiles + (r0 - boundary) // small + 1,
+            ).astype(np.int64)
+        return pa.table({id_col: g[id_col], out_col: pa.array(tile, pa.int64())})
+
+    return tagged.groupby("__bucket").map_groups(local_tile, batch_format="pyarrow")
+
+
+def _bucket_ranks(
+    g: pa.Table,
+    id_col: str,
+    value_col: str,
+    null_bucket: int,
+    offsets: dict,
+) -> np.ndarray:
+    """Exact 1-based global ranks for one bucket group (rows of the
+    tagged digest): bucket offset + stable local lexsort position."""
+    ids = g[id_col].to_numpy(zero_copy_only=False)
+    bucket = int(g["__bucket"][0].as_py())
+    if bucket == null_bucket:
+        order = np.argsort(ids, kind="stable")
+    else:
+        vals = g[value_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, vals))
+    base = offsets.get(bucket, 0)
+    rank = np.empty(len(ids), dtype=np.int64)
+    rank[order] = base + 1 + np.arange(len(ids), dtype=np.int64)
+    return rank
+
+
+def _ranked_bucket_plan(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    id_col: str,
+    num_buckets: int | None,
+    sample_size: int,
+):
+    """Shared rank-machinery: sample cuts -> bucket-tagged digest ->
+    O(buckets) count reduce -> driver prefix-sum offsets. Returns
+    ``(tagged_digest, offsets, total_rows, null_bucket)``."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
@@ -699,22 +796,4 @@ def global_row_number(
     for r in counts:
         offsets[r["__bucket"]] = run
         run += int(r["n"])
-
-    def local_rank(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return pa.table(
-                {id_col: pa.array([], pa.int64()), out_col: pa.array([], pa.int64())}
-            )
-        ids = g[id_col].to_numpy(zero_copy_only=False)
-        bucket = int(g["__bucket"][0].as_py())
-        if bucket == null_bucket:
-            order = np.argsort(ids, kind="stable")
-        else:
-            vals = g[value_col].to_numpy(zero_copy_only=False)
-            order = np.lexsort((ids, vals))
-        base = offsets.get(bucket, 0)
-        rank = np.empty(len(ids), dtype=np.int64)
-        rank[order] = base + 1 + np.arange(len(ids), dtype=np.int64)
-        return pa.table({id_col: g[id_col], out_col: pa.array(rank, pa.int64())})
-
-    return tagged.groupby("__bucket").map_groups(local_rank, batch_format="pyarrow")
+    return tagged, offsets, run, null_bucket
