@@ -1113,6 +1113,63 @@ def q_rollup_orders(sf_dir: str) -> pa.Table:
     )
 
 
+def q_select_by_budget(sf_dir: str) -> pa.Table:
+    """Budgeted top-score selection ("best docs until the token budget
+    runs out"): maximal (score DESC, id) prefix with running weight
+    <= budget. Digest-only bucket plan; only the one cut bucket sorts;
+    the kept set is a broadcast O(1) boundary comparison."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.selection import select_by_budget
+
+    ds = __rps(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    # relative budget (a third of the corpus chars) so the same oracle
+    # constant works at every scale factor
+    budget = int(float(ds.sum("n_chars")) * 0.33)
+    df = (
+        select_by_budget(ds, "n_chars", "doc_id", "n_chars", budget)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"], type=pa.int64()),
+            "source": pa.array(df["source"], type=pa.string()),
+            "n_chars": pa.array(df["n_chars"], type=pa.int64()),
+        }
+    )
+
+
+def q_blend_zscores(sf_dir: str) -> pa.Table:
+    """Weighted z-score blend of two numeric signals into one
+    composite score (SQL STDDEV parity): Chan-merged (n, mean, M2)
+    partials, broadcast stats, one streaming map."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.selection import blend_zscores
+
+    ds = __rps(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice", "o_custkey"],
+    )
+    df = (
+        blend_zscores(ds, ["o_totalprice", "o_custkey"], [0.7, 0.3], "o_orderkey")
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "o_orderkey": pa.array(df["o_orderkey"], type=pa.int64()),
+            "blend": pa.array(df["blend"].round(6), type=pa.float64()),
+        }
+    )
+
+
 def q_grouped_row_number(sf_dir: str) -> pa.Table:
     """Within-group row_number (PARTITION BY o_custkey ORDER BY
     o_totalprice, o_orderkey): one coarse group-bucket shuffle +
@@ -2616,6 +2673,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_ntile_orders": q_global_ntile,
         "unpivot_lineitem": q_unpivot_lineitem,
         "rollup_orders": q_rollup_orders,
+        "select_by_budget_docs": q_select_by_budget,
+        "blend_zscores_orders": q_blend_zscores,
         "curate2_documents": q_curate2,
         "grouped_row_number_orders": q_grouped_row_number,
         "grouped_running_sum_events": q_grouped_running_sum,
@@ -3088,6 +3147,27 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"
             " ORDER BY o_orderstatus NULLS FIRST,"
             "  o_orderpriority NULLS FIRST, n"
+        ),
+        # budgeted selection: maximal (score DESC, id) prefix whose
+        # exact int running weight fits a third of the corpus chars
+        "select_by_budget_docs": (
+            "WITH b AS (SELECT CAST(floor(CAST(SUM(n_chars) AS DOUBLE)"
+            "   * 0.33) AS BIGINT) AS budget FROM documents),"
+            " r AS (SELECT doc_id, source, n_chars,"
+            "  SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id) AS cw"
+            "  FROM documents)"
+            " SELECT doc_id, source, n_chars FROM r, b"
+            " WHERE cw <= b.budget ORDER BY doc_id"
+        ),
+        "blend_zscores_orders": (
+            "WITH s AS (SELECT AVG(o_totalprice) m1, STDDEV(o_totalprice) s1,"
+            "  AVG(o_custkey) m2, STDDEV(o_custkey) s2 FROM orders"
+            "  WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL)"
+            " SELECT o_orderkey, round(0.7*((o_totalprice-m1)/s1)"
+            "  + 0.3*((o_custkey-m2)/s2), 6) AS blend"
+            " FROM orders, s"
+            " WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL"
+            " ORDER BY o_orderkey"
         ),
         # LAG inter-arrival deltas: integer microsecond diffs, ties
         # ordered by (ts, event_id) on both sides

@@ -1,0 +1,85 @@
+"""Budgeted corpus selection + z-score blending
+(pipelines/selection.py): SQL window parity, boundary exactness at
+bucket edges, empty/degenerate budgets, constant columns."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from tests.conftest import SF_DIR
+from weiser_ai_ray.pipelines.selection import blend_zscores, select_by_budget
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSelectByBudget:
+    def test_matches_running_sum_oracle(self):
+        import __ray_entry__ as e
+
+        got = e.queries()["select_by_budget_docs"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        )
+        want = con.execute(e.oracle_sql()["select_by_budget_docs"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # kept weight actually fits the budget and is maximal
+        total = con.execute("SELECT SUM(n_chars) FROM documents").fetchone()[0]
+        budget = int(float(total) * 0.33)
+        assert got["n_chars"].sum() <= budget
+
+    def test_boundary_ties_and_edges(self):
+        # ties on score at the cut: id breaks them, every copy of a
+        # score lives in one bucket so the boundary never straddles
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "s": pa.array([9.0, 5.0, 5.0, 5.0, 2.0, None], pa.float64()),
+                "w": pa.array([10, 10, 10, 10, 10, 10], pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        kept = select_by_budget(ds, "s", "id", "w", 30, num_buckets=3).to_pandas()
+        assert sorted(kept["id"]) == [1, 2, 3]  # 5.0 tie broken by id
+        # budget 0 -> nothing; budget covers all -> identity incl null score
+        assert select_by_budget(ds, "s", "id", "w", 0).count() == 0
+        assert select_by_budget(ds, "s", "id", "w", 60).count() == 6
+        # null scores sort last: budget 50 keeps all scored rows only
+        k2 = select_by_budget(ds, "s", "id", "w", 50).to_pandas()
+        assert sorted(k2["id"]) == [1, 2, 3, 4, 5]
+        with pytest.raises(ValueError, match="budget"):
+            select_by_budget(ds, "s", "id", "w", -1)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBlendZscores:
+    def test_matches_stddev_oracle(self):
+        import __ray_entry__ as e
+
+        got = e.queries()["blend_zscores_orders"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+        want = con.execute(e.oracle_sql()["blend_zscores_orders"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_nulls_dropped_and_constant_column(self):
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4], pa.int64()),
+                "a": pa.array([1.0, 2.0, 3.0, None], pa.float64()),
+                "c": pa.array([7.0, 7.0, 7.0, 7.0], pa.float64()),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        df = (
+            blend_zscores(ds, ["a", "c"], [1.0, 5.0], "id")
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        # null-a row excluded; constant c contributes 0
+        assert list(df["id"]) == [1, 2, 3]
+        assert df["blend"].round(9).tolist() == [-1.0, 0.0, 1.0]
+        with pytest.raises(ValueError, match="weights"):
+            blend_zscores(ds, ["a"], [1.0, 2.0], "id")

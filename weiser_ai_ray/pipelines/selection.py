@@ -1,0 +1,256 @@
+"""Budgeted corpus selection: pick the BEST documents until a token
+budget runs out, and blend several quality signals into one score.
+
+``select_by_budget`` is the "take the best 1T tokens" operator behind
+quality-ranked pretraining mixes (e.g. DSIR / phi-style curation):
+order by (score DESC, id), keep the maximal prefix whose cumulative
+weight fits the budget. The plan never sorts the corpus: sampled range
+buckets on the score give an O(B) per-bucket weight reduce; the driver
+prefix-sums bucket totals to locate the single CUT bucket; one
+map_groups over that bucket's digest finds the exact boundary row; the
+corpus then stream-filters on the O(1) broadcast boundary pair. Two
+streaming passes + one digest shuffle, driver state O(buckets).
+
+Weights are cast to int64 (token counts are integral), so the running
+total is exact — no float fold-order ambiguity against the SQL window
+``SUM(w) OVER (ORDER BY score DESC, id)``.
+
+``blend_zscores`` standardizes each signal column to a z-score
+(Chan-merged mean/M2 partials, one tiny reduce) and emits the weighted
+sum — the standard way to combine heterogeneous quality scores
+(perplexity, length, repetition) without one scale dominating.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from .sketches import approx_quantiles
+
+
+def select_by_budget(
+    ds: "ray.data.Dataset",
+    score_col: str,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    num_buckets: Optional[int] = None,
+    sample_size: int = 8192,
+) -> "ray.data.Dataset":
+    """Keep rows in (score DESC, id ASC) order while the running sum of
+    ``weight_col`` stays within ``budget`` — the maximal prefix with
+    ``SUM(w) OVER (ORDER BY score DESC, id) <= budget``. Null scores
+    sort last (never selected unless the budget survives every scored
+    row); weights must be non-negative integers.
+
+    Scale shape: digest pass tags (bucket, id, score, weight) on
+    sampled score cuts (side='right' on the negated score keeps every
+    copy of a score in ONE bucket, so the boundary never straddles);
+    O(B) weight totals prefix-sum on the driver; only the one cut
+    bucket is locally sorted (a ~1/B digest slice inside map_groups);
+    the kept set is then just a lexicographic comparison against the
+    broadcast boundary (score*, id*) — buckets fully inside the budget
+    stream through untouched, buckets past it drop wholesale."""
+    from ray.data.aggregate import Sum
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    if num_buckets:
+        b = int(num_buckets)
+    else:
+        try:
+            b = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            b = 8
+    qs = [i / b for i in range(1, b)] if b >= 2 else []
+    neg = ds.map_batches(
+        lambda t: pa.table(
+            {
+                id_col: t[id_col],
+                "__ns": pc.multiply(pc.cast(t[score_col], pa.float64()), -1.0),
+                "__w": pc.cast(t[weight_col], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()  # digest projection reused by two passes below
+    if qs:
+        thr = approx_quantiles(neg, "__ns", id_col, qs, sample_size)
+        cuts = np.array(
+            [thr[i][0].as_py() for i in range(thr.num_columns)], dtype=np.float64
+        )
+        if np.isnan(cuts).any():
+            cuts = np.empty(0, dtype=np.float64)
+    else:
+        cuts = np.empty(0, dtype=np.float64)
+    null_bucket = len(cuts) + 1
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t["__ns"].to_numpy(zero_copy_only=False)
+        bk = np.searchsorted(cuts, v, side="right").astype(np.int64)
+        bk[np.isnan(v)] = null_bucket
+        return t.append_column("__bucket", pa.array(bk, type=pa.int64()))
+
+    tagged = neg.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def wpartial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["__bucket"]).aggregate([("__w", "sum")])
+        return pa.table(
+            {"__bucket": g["__bucket"], "__t": pc.cast(g["__w_sum"], pa.int64())}
+        )
+
+    totals = (
+        tagged.map_batches(wpartial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .aggregate(Sum("__t", alias_name="w"))
+        .take_all()
+    )  # O(buckets) driver rows
+    totals.sort(key=lambda r: r["__bucket"])
+    run = 0
+    cut_bucket, cut_offset = None, 0
+    full_through = -1  # last bucket kept wholesale
+    for r in totals:
+        w = int(r["w"])
+        if run + w <= budget:
+            run += w
+            full_through = int(r["__bucket"])
+            continue
+        cut_bucket, cut_offset = int(r["__bucket"]), run
+        break
+    if cut_bucket is None:
+        return ds  # whole corpus fits the budget
+
+    def find_boundary(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"ns": pa.array([], pa.float64()), "bid": pa.array([], pa.int64())}
+        )
+        if g.num_rows == 0 or int(g["__bucket"][0].as_py()) != cut_bucket:
+            return empty
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        ns = g["__ns"].to_numpy(zero_copy_only=False)
+        ws = g["__w"].to_numpy(zero_copy_only=False)
+        order = (
+            np.argsort(ids, kind="stable")
+            if cut_bucket == null_bucket
+            else np.lexsort((ids, ns))
+        )
+        cum = cut_offset + np.cumsum(ws[order], dtype=np.int64)
+        keep = np.nonzero(cum <= budget)[0]
+        if not len(keep):
+            return empty
+        last = order[keep[-1]]
+        return pa.table(
+            {
+                "ns": pa.array([float(ns[last])], pa.float64()),
+                "bid": pa.array([int(ids[last])], pa.int64()),
+            }
+        )
+
+    boundary = (
+        tagged.groupby("__bucket")
+        .map_groups(find_boundary, batch_format="pyarrow")
+        .take_all()
+    )
+    if boundary:
+        b_ns, b_id = float(boundary[0]["ns"]), int(boundary[0]["bid"])
+        b_null = bool(np.isnan(b_ns))
+    else:
+        b_ns, b_id, b_null = None, None, None
+
+    def keep_rows(t: pa.Table) -> pa.Table:
+        v = pc.multiply(pc.cast(t[score_col], pa.float64()), -1.0).to_numpy(
+            zero_copy_only=False
+        )
+        bk = np.searchsorted(cuts, v, side="right")
+        bk[np.isnan(v)] = null_bucket
+        mask = bk <= full_through
+        if b_ns is not None:
+            inb = bk == cut_bucket
+            if inb.any():
+                ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+                if b_null:
+                    sel = np.isnan(v) & (ids <= b_id)
+                else:
+                    sel = (v < b_ns) | ((v == b_ns) & (ids <= b_id))
+                mask |= inb & sel
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def blend_zscores(
+    ds: "ray.data.Dataset",
+    cols: Sequence[str],
+    weights: Sequence[float],
+    id_col: str,
+    out_col: str = "blend",
+) -> "ray.data.Dataset":
+    """Weighted sum of per-column z-scores: ``sum_i w_i * (x_i - mean_i)
+    / stddev_i`` (sample stddev, SQL STDDEV) — one composite quality
+    score from heterogeneous signals. Rows with a null in ANY signal
+    column are excluded on both sides (a null would silently zero one
+    signal's vote). Constant columns (stddev 0) contribute 0.
+
+    Scale shape: per-batch Chan partials (n, mean, M2) per column fold
+    to the driver — O(blocks x cols) tiny rows, no shuffle — then the
+    broadcast (mean, std) pairs drive one streaming map."""
+    cs = list(cols)
+    ws = [float(w) for w in weights]
+    if len(cs) != len(ws) or not cs:
+        raise ValueError("cols and weights must be equal-length and non-empty")
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        mask = pc.is_valid(t[cs[0]])
+        for c in cs[1:]:
+            mask = pc.and_(mask, pc.is_valid(t[c]))
+        t = t.filter(mask)
+        out = {"__n": pa.array([t.num_rows], pa.int64())}
+        for c in cs:
+            x = pc.cast(t[c], pa.float64()).to_numpy(zero_copy_only=False)
+            m = float(x.mean()) if len(x) else 0.0
+            m2 = float(((x - m) ** 2).sum()) if len(x) else 0.0
+            out[f"__m_{c}"] = pa.array([m], pa.float64())
+            out[f"__m2_{c}"] = pa.array([m2], pa.float64())
+        return pa.table(out)
+
+    parts = ds.map_batches(
+        stat_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # O(blocks) driver rows
+    stats = {}
+    for c in cs:
+        n, mean, m2 = 0, 0.0, 0.0
+        for p in parts:
+            nb = int(p["__n"])
+            if nb == 0:
+                continue
+            mb, m2b = float(p[f"__m_{c}"]), float(p[f"__m2_{c}"])
+            # Chan et al. pairwise merge: exact-stable partial combine
+            delta = mb - mean
+            tot = n + nb
+            m2 = m2 + m2b + delta * delta * n * nb / tot
+            mean = mean + delta * nb / tot
+            n = tot
+        sd = (m2 / (n - 1)) ** 0.5 if n > 1 else 0.0
+        stats[c] = (mean, sd)
+
+    def score(t: pa.Table) -> pa.Table:
+        mask = pc.is_valid(t[cs[0]])
+        for c in cs[1:]:
+            mask = pc.and_(mask, pc.is_valid(t[c]))
+        t = t.filter(mask)
+        acc = np.zeros(t.num_rows, dtype=np.float64)
+        for c, w in zip(cs, ws):
+            mean, sd = stats[c]
+            if sd == 0.0:
+                continue
+            x = pc.cast(t[c], pa.float64()).to_numpy(zero_copy_only=False)
+            acc += w * (x - mean) / sd
+        return pa.table({id_col: t[id_col], out_col: pa.array(acc, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
