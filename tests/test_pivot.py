@@ -109,6 +109,13 @@ class TestUnpivot:
         with pytest.raises(ValueError, match="value_cols"):
             unpivot(ds, ["id"], [])
 
+    def test_duplicate_value_cols_rejected(self):
+        from weiser_ai_ray.pipelines.pivot import unpivot
+
+        t = pa.table({"id": pa.array([1], pa.int64()), "a": pa.array([1.0])})
+        with pytest.raises(ValueError, match="distinct"):
+            unpivot(ray.data.from_arrow(t), ["id"], ["a", "a"])
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestRollupSum:

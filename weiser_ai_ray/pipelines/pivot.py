@@ -107,6 +107,8 @@ def unpivot(
     block. The inverse of ``pivot_counts`` above."""
     if not value_cols:
         raise ValueError("value_cols must be non-empty")
+    if len(set(value_cols)) != len(list(value_cols)):
+        raise ValueError("value_cols must be distinct")
     ids = list(id_cols)
     vcs = list(value_cols)
     needed = ids + vcs
