@@ -1170,6 +1170,62 @@ def q_blend_zscores(sf_dir: str) -> pa.Table:
     )
 
 
+def q_rank_metrics(sf_dir: str) -> pa.Table:
+    """The full SQL rank family (row_number, tie-aware rank,
+    percent_rank, cume_dist) in one digest-only pass: ties never
+    straddle a bucket, so tie-min/tie-max positions are exact from
+    the bucket offset + a local lexsort."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.sketches import global_rank_metrics
+
+    ds = __rps(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
+    )
+    df = (
+        global_rank_metrics(ds, "o_totalprice", "o_orderkey")
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "o_orderkey": pa.array(df["o_orderkey"], type=pa.int64()),
+            "rn": pa.array(df["rn"], type=pa.int64()),
+            "rank": pa.array(df["rank"], type=pa.int64()),
+            "percent_rank": pa.array(df["percent_rank"].round(9), type=pa.float64()),
+            "cume_dist": pa.array(df["cume_dist"].round(9), type=pa.float64()),
+        }
+    )
+
+
+def q_grouped_shift(sf_dir: str) -> pa.Table:
+    """Generic LAG(value, 2) within user ordered by (ts, event_id):
+    one coarse group-bucket shuffle + vectorized lexsort/shifted Arrow
+    take per partition (any value type)."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.windows import grouped_shift
+
+    ds = __rps(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    df = (
+        grouped_shift(ds, "user_id", "ts", "value", "event_id", offset=2, out_col="prev2")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "event_id": pa.array(df["event_id"], type=pa.int64()),
+            "user_id": pa.array(df["user_id"], type=pa.int64()),
+            "prev2": pa.array(df["prev2"], type=pa.float64()),
+        }
+    )
+
+
 def q_grouped_row_number(sf_dir: str) -> pa.Table:
     """Within-group row_number (PARTITION BY o_custkey ORDER BY
     o_totalprice, o_orderkey): one coarse group-bucket shuffle +
@@ -2675,6 +2731,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_orders": q_rollup_orders,
         "select_by_budget_docs": q_select_by_budget,
         "blend_zscores_orders": q_blend_zscores,
+        "rank_metrics_orders": q_rank_metrics,
+        "grouped_shift_events": q_grouped_shift,
         "curate2_documents": q_curate2,
         "grouped_row_number_orders": q_grouped_row_number,
         "grouped_running_sum_events": q_grouped_running_sum,
@@ -3158,6 +3216,21 @@ def oracle_sql() -> dict[str, str]:
             "  FROM documents)"
             " SELECT doc_id, source, n_chars FROM r, b"
             " WHERE cw <= b.budget ORDER BY doc_id"
+        ),
+        "rank_metrics_orders": (
+            "SELECT o_orderkey,"
+            "  row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,"
+            "  rank() OVER (ORDER BY o_totalprice) AS rank,"
+            "  round(percent_rank() OVER (ORDER BY o_totalprice), 9)"
+            "   AS percent_rank,"
+            "  round(cume_dist() OVER (ORDER BY o_totalprice), 9) AS cume_dist"
+            " FROM orders ORDER BY o_orderkey"
+        ),
+        "grouped_shift_events": (
+            "SELECT event_id, user_id, lag(value, 2) OVER"
+            "  (PARTITION BY user_id ORDER BY ts, event_id) AS prev2"
+            " FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL"
+            " ORDER BY event_id"
         ),
         "blend_zscores_orders": (
             "WITH s AS (SELECT AVG(o_totalprice) m1, STDDEV(o_totalprice) s1,"

@@ -494,3 +494,43 @@ class TestGlobalNtile:
         assert dict(zip(d2["id"], d2["tile"])) == {1: 1, 2: 2}
         with pytest.raises(ValueError, match="tiles"):
             global_ntile(tiny, "v", "id", 0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGlobalRankMetrics:
+    def test_matches_sql_rank_family(self):
+        import pandas as pd
+
+        import __ray_entry__ as e
+
+        got = e.queries()["rank_metrics_orders"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+        want = con.execute(e.oracle_sql()["rank_metrics_orders"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_ties_and_nulls_pinned(self):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.sketches import global_rank_metrics
+
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "v": pa.array([2.0, 1.0, 2.0, None, 1.0, None], pa.float64()),
+            }
+        )
+        df = (
+            global_rank_metrics(ray.data.from_arrow(t), "v", "id", num_buckets=3)
+            .to_pandas()
+            .set_index("id")
+        )
+        # order: 1.0(2,5) 2.0(1,3) null(4,6); n=6
+        assert df.loc[2, "rank"] == 1 and df.loc[5, "rank"] == 1
+        assert df.loc[1, "rank"] == 3 and df.loc[3, "rank"] == 3
+        assert df.loc[4, "rank"] == 5 and df.loc[6, "rank"] == 5
+        assert list(df.sort_values("rn")["rn"]) == [1, 2, 3, 4, 5, 6]
+        assert df.loc[2, "percent_rank"] == 0.0
+        assert round(df.loc[1, "percent_rank"], 9) == round(2 / 5, 9)
+        assert round(df.loc[2, "cume_dist"], 9) == round(2 / 6, 9)
+        assert df.loc[4, "cume_dist"] == 1.0 and df.loc[6, "cume_dist"] == 1.0

@@ -242,3 +242,50 @@ class TestGroupedRunningSum:
             .reset_index(drop=True)
         )
         assert list(out["running"]) == [125, 125, 325, 1000, 1050]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedShift:
+    def test_matches_lag_oracle(self):
+        import duckdb
+        import pandas as pd
+
+        import __ray_entry__ as e
+        from tests.conftest import SF_DIR
+
+        got = e.queries()["grouped_shift_events"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+        want = con.execute(e.oracle_sql()["grouped_shift_events"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_lead_string_and_edges(self):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.windows import grouped_shift
+
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4], pa.int64()),
+                "g": pa.array([1, 1, 1, 2], pa.int64()),
+                "o": pa.array([1.0, 2.0, 3.0, 1.0], pa.float64()),
+                "s": pa.array(["a", "b", "c", "d"], pa.string()),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        lead = (
+            grouped_shift(ds, "g", "o", "s", "id", offset=-1, out_col="nxt")
+            .to_pandas()
+            .sort_values("id")
+        )
+        assert list(lead["nxt"]) == ["b", "c", None, None]
+        lag = (
+            grouped_shift(ds, "g", "o", "s", "id", offset=1, out_col="prv")
+            .to_pandas()
+            .sort_values("id")
+        )
+        assert list(lag["prv"]) == [None, "a", "b", None]
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="offset"):
+            grouped_shift(ds, "g", "o", "s", "id", offset=0)

@@ -707,6 +707,77 @@ def global_ntile(
     return tagged.groupby("__bucket").map_groups(local_tile, batch_format="pyarrow")
 
 
+def global_rank_metrics(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    id_col: str,
+    num_buckets: int | None = None,
+    sample_size: int = 8192,
+) -> "ray.data.Dataset":
+    """The full SQL rank family in one digest pass: ``row_number()``
+    (value, id order), tie-aware ``rank()`` (gaps), ``percent_rank()``
+    ((rank-1)/(n-1)) and ``cume_dist()`` (peers-inclusive fraction) —
+    the normalization layer behind percentile-scaled quality scores.
+
+    Same plan as ``global_row_number``: every copy of a value lands in
+    ONE bucket (searchsorted side='right'), so tie groups never
+    straddle a boundary and the tie-min rank / tie-max cume position
+    are exact from the bucket offset + a local lexsort. Null values
+    are one trailing peer group (SQL NULLS LAST): rank = its offset+1
+    for all, cume_dist = 1.0."""
+    tagged, offsets, total, null_bucket = _ranked_bucket_plan(
+        ds, value_col, id_col, num_buckets, sample_size
+    )
+    denom = float(total - 1) if total > 1 else 1.0
+
+    def local(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "rn": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "percent_rank": pa.array([], pa.float64()),
+                    "cume_dist": pa.array([], pa.float64()),
+                }
+            )
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        bucket = int(g["__bucket"][0].as_py())
+        base = offsets.get(bucket, 0)
+        m = len(ids)
+        if bucket == null_bucket:
+            order = np.argsort(ids, kind="stable")
+            seg_first = np.zeros(m, dtype=np.int64)  # one peer group
+            seg_last = np.full(m, m, dtype=np.int64)
+        else:
+            vals = g[value_col].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, vals))
+            sv = vals[order]
+            new = np.ones(m, dtype=bool)
+            new[1:] = sv[1:] != sv[:-1]
+            starts = np.nonzero(new)[0]
+            lens = np.diff(np.concatenate([starts, [m]]))
+            seg_first = np.repeat(starts, lens)
+            seg_last = np.repeat(starts + lens, lens)
+        rn = np.empty(m, dtype=np.int64)
+        rn[order] = base + 1 + np.arange(m, dtype=np.int64)
+        rank = np.empty(m, dtype=np.int64)
+        rank[order] = base + 1 + seg_first
+        cume = np.empty(m, dtype=np.float64)
+        cume[order] = (base + seg_last) / float(total)
+        return pa.table(
+            {
+                id_col: g[id_col],
+                "rn": pa.array(rn, pa.int64()),
+                "rank": pa.array(rank, pa.int64()),
+                "percent_rank": pa.array((rank - 1) / denom, pa.float64()),
+                "cume_dist": pa.array(cume, pa.float64()),
+            }
+        )
+
+    return tagged.groupby("__bucket").map_groups(local, batch_format="pyarrow")
+
+
 def _bucket_ranks(
     g: pa.Table,
     id_col: str,

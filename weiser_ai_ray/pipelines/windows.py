@@ -431,3 +431,87 @@ def grouped_running_sum(
         .groupby("__part")
         .map_groups(run, batch_format="pyarrow")
     )
+
+
+def grouped_shift(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    order_col: str,
+    val_col: str,
+    id_col: str,
+    offset: int = 1,
+    out_col: str = "shifted",
+    nparts: int | None = None,
+) -> "ray.data.Dataset":
+    """Generic ``LAG(val, offset)`` / ``LEAD(val, -offset)`` within a
+    group ordered by (order_col, id): each row gets the value of the
+    row ``offset`` positions BEFORE it (negative offset looks ahead),
+    null past the group's edge — the building block behind
+    inter-arrival deltas, previous-state comparisons and next-event
+    labels. Works on ANY value type (Arrow take, not numpy), so
+    lagging a string column is fine. Rows with null group or null
+    order key drop (SQL twin filters the same); order ties break by
+    id.
+
+    Same scale layout as grouped_row_number: ONE coarse group-hash
+    bucket shuffle co-locates each group, then one lexsort + shifted
+    take per partition. Returns (id, group, out_col)."""
+    if offset == 0:
+        raise ValueError("offset must be non-zero (0 is the row itself)")
+    if nparts is None:
+        try:
+            nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            nparts = 8
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        batch = batch.select([group_col, order_col, val_col, id_col]).filter(
+            pc.and_(pc.is_valid(batch[group_col]), pc.is_valid(batch[order_col]))
+        )
+        kv = batch[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (kv * np.int64(-7046029254386353131)) & np.int64(0x7FFFFFFFFFFFFFFF)
+        return batch.append_column("__part", pa.array((h % nparts).astype(np.int32)))
+
+    def shift(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            vt = (
+                group.schema.field(val_col).type
+                if val_col in group.schema.names
+                else pa.float64()
+            )
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    group_col: pa.array([], pa.int64()),
+                    out_col: pa.nulls(0, type=vt),
+                }
+            )
+        g = group[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        ov = group[order_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((ids, ov, g))
+        m = len(order)
+        pos = np.arange(m, dtype=np.int64)
+        src = pos - offset
+        ok = (src >= 0) & (src < m)
+        src_c = np.clip(src, 0, m - 1)
+        gs = g[order]
+        ok &= gs[src_c] == gs  # never cross a group boundary
+        # sorted-space source row -> original row indices, null where off-edge
+        take_idx = np.where(ok, order[src_c], -1)
+        inv = np.empty(m, dtype=np.int64)
+        inv[order] = take_idx
+        shifted = pc.take(
+            group[val_col],
+            pa.array(np.where(inv >= 0, inv, 0), pa.int64()),
+        )
+        shifted = pc.if_else(pa.array(inv >= 0), shifted, pa.nulls(m, type=group.schema.field(val_col).type))
+        return pa.table(
+            {id_col: group[id_col], group_col: group[group_col], out_col: shifted}
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(shift, batch_format="pyarrow")
+    )
