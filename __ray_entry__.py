@@ -1226,6 +1226,50 @@ def q_grouped_shift(sf_dir: str) -> pa.Table:
     )
 
 
+def q_corr_matrix(sf_dir: str) -> pa.Table:
+    """Pairwise Pearson correlation of three lineitem measures from
+    ONE corpus pass: per-batch centered co-moment partials, bivariate
+    Chan merge on the driver, d x d normalize. SQL corr() parity
+    (any-null rows excluded so every pair sees the same rows)."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.regress import corr_matrix
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = __rps(os.path.join(sf_dir, "lineitem.parquet"), columns=cols)
+    t = corr_matrix(ds, cols, round_to=9)
+    df = t.to_pandas().sort_values(["col_a", "col_b"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "col_a": pa.array(df["col_a"], type=pa.string()),
+            "col_b": pa.array(df["col_b"], type=pa.string()),
+            "corr": pa.array(df["corr"], type=pa.float64()),
+        }
+    )
+
+
+def q_linreg(sf_dir: str) -> pa.Table:
+    """Closed-form least squares l_extendedprice ~ l_quantity from the
+    same one-pass moments (centered normal equations; the intercept is
+    absorbed by the centering). regr_slope/regr_intercept parity."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.regress import linear_fit
+
+    ds = __rps(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice"],
+    )
+    m = linear_fit(ds, ["l_quantity"], "l_extendedprice")
+    return pa.table(
+        {
+            "slope": pa.array([round(m["coef"][0], 5)], type=pa.float64()),
+            "intercept": pa.array([round(m["intercept"], 2)], type=pa.float64()),
+            "n": pa.array([m["n"]], type=pa.int64()),
+        }
+    )
+
+
 def q_grouped_row_number(sf_dir: str) -> pa.Table:
     """Within-group row_number (PARTITION BY o_custkey ORDER BY
     o_totalprice, o_orderkey): one coarse group-bucket shuffle +
@@ -2733,6 +2777,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blend_zscores_orders": q_blend_zscores,
         "rank_metrics_orders": q_rank_metrics,
         "grouped_shift_events": q_grouped_shift,
+        "corr_matrix_lineitem": q_corr_matrix,
+        "linreg_price_qty": q_linreg,
         "curate2_documents": q_curate2,
         "grouped_row_number_orders": q_grouped_row_number,
         "grouped_running_sum_events": q_grouped_running_sum,
@@ -3231,6 +3277,42 @@ def oracle_sql() -> dict[str, str]:
             "  (PARTITION BY user_id ORDER BY ts, event_id) AS prev2"
             " FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL"
             " ORDER BY event_id"
+        ),
+        # corr matrix: one corr() row per ordered column pair, same
+        # complete-rows filter on both sides
+        "corr_matrix_lineitem": (
+            "WITH t AS (SELECT l_quantity, l_extendedprice, l_discount"
+            "  FROM lineitem WHERE l_quantity IS NOT NULL"
+            "  AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),"
+            " c(col_a) AS (VALUES ('l_quantity'), ('l_extendedprice'),"
+            "  ('l_discount'))"
+            " SELECT a.col_a, b.col_a AS col_b,"
+            "  round(CASE"
+            "   WHEN a.col_a='l_quantity' AND b.col_a='l_quantity'"
+            "    THEN (SELECT corr(l_quantity, l_quantity) FROM t)"
+            "   WHEN a.col_a='l_quantity' AND b.col_a='l_extendedprice'"
+            "    THEN (SELECT corr(l_quantity, l_extendedprice) FROM t)"
+            "   WHEN a.col_a='l_quantity' AND b.col_a='l_discount'"
+            "    THEN (SELECT corr(l_quantity, l_discount) FROM t)"
+            "   WHEN a.col_a='l_extendedprice' AND b.col_a='l_quantity'"
+            "    THEN (SELECT corr(l_extendedprice, l_quantity) FROM t)"
+            "   WHEN a.col_a='l_extendedprice' AND b.col_a='l_extendedprice'"
+            "    THEN (SELECT corr(l_extendedprice, l_extendedprice) FROM t)"
+            "   WHEN a.col_a='l_extendedprice' AND b.col_a='l_discount'"
+            "    THEN (SELECT corr(l_extendedprice, l_discount) FROM t)"
+            "   WHEN a.col_a='l_discount' AND b.col_a='l_quantity'"
+            "    THEN (SELECT corr(l_discount, l_quantity) FROM t)"
+            "   WHEN a.col_a='l_discount' AND b.col_a='l_extendedprice'"
+            "    THEN (SELECT corr(l_discount, l_extendedprice) FROM t)"
+            "   ELSE (SELECT corr(l_discount, l_discount) FROM t)"
+            "  END, 9) AS corr"
+            " FROM c a, c b ORDER BY a.col_a, b.col_a"
+        ),
+        "linreg_price_qty": (
+            "SELECT round(regr_slope(l_extendedprice, l_quantity), 5) AS slope,"
+            "  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,"
+            "  CAST(COUNT(*) AS BIGINT) AS n FROM lineitem"
+            " WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL"
         ),
         "blend_zscores_orders": (
             "WITH s AS (SELECT AVG(o_totalprice) m1, STDDEV(o_totalprice) s1,"

@@ -1,0 +1,96 @@
+"""One-pass second-moment stats (pipelines/regress.py): correlation
+matrix vs SQL corr(), closed-form linear fit vs regr_slope and numpy
+lstsq, layout independence, degenerate inputs."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from tests.conftest import SF_DIR
+from weiser_ai_ray.pipelines.regress import corr_matrix, linear_fit, linear_score
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCorrMatrix:
+    def test_matches_sql_corr(self):
+        import __ray_entry__ as e
+
+        got = e.queries()["corr_matrix_lineitem"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{SF_DIR}/lineitem.parquet'"
+        )
+        want = con.execute(e.oracle_sql()["corr_matrix_lineitem"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_constant_column_is_null_and_layout_independent(self):
+        t = pa.table(
+            {
+                "a": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+                "b": pa.array([2.0, 4.0, 6.0, 8.0], pa.float64()),
+                "c": pa.array([7.0, 7.0, 7.0, 7.0], pa.float64()),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        one = corr_matrix(ds, ["a", "b", "c"], round_to=9).to_pandas()
+        many = corr_matrix(
+            ds.repartition(3), ["a", "b", "c"], round_to=9
+        ).to_pandas()
+        pd.testing.assert_frame_equal(one, many)
+        m = one.set_index(["col_a", "col_b"])["corr"]
+        assert m[("a", "b")] == 1.0 and m[("a", "a")] == 1.0
+        assert np.isnan(m[("a", "c")]) and np.isnan(m[("c", "c")])
+        with pytest.raises(ValueError, match="two columns"):
+            corr_matrix(ds, ["a"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLinearFit:
+    def test_matches_regr_slope_oracle(self):
+        import __ray_entry__ as e
+
+        got = e.queries()["linreg_price_qty"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{SF_DIR}/lineitem.parquet'"
+        )
+        want = con.execute(e.oracle_sql()["linreg_price_qty"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_multifeature_matches_lstsq_and_scoring(self):
+        rng = np.random.RandomState(7)
+        n = 5000
+        x1, x2 = rng.normal(0, 2, n), rng.normal(5, 3, n)
+        y = 1.5 * x1 - 0.7 * x2 + 4.0 + rng.normal(0, 0.1, n)
+        t = pa.table(
+            {
+                "id": pa.array(np.arange(n), pa.int64()),
+                "x1": pa.array(x1, pa.float64()),
+                "x2": pa.array(x2, pa.float64()),
+                "y": pa.array(y, pa.float64()),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(8)
+        m = linear_fit(ds, ["x1", "x2"], "y")
+        X = np.column_stack([x1, x2, np.ones(n)])
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        assert np.allclose(m["coef"], beta[:2], rtol=1e-8)
+        assert abs(m["intercept"] - beta[2]) < 1e-8
+        assert m["n"] == n
+        scored = (
+            linear_score(ds, ["x1", "x2"], m, "id")
+            .to_pandas()
+            .sort_values("id")["yhat"]
+            .to_numpy()
+        )
+        assert np.allclose(scored, X @ beta, atol=0.2)
+        with pytest.raises(ValueError, match="x_cols"):
+            linear_fit(ds, [], "y")
+
+    def test_too_few_rows_raises(self):
+        t = pa.table({"x": pa.array([1.0]), "y": pa.array([2.0])})
+        with pytest.raises(ValueError, match="at least 2"):
+            linear_fit(ray.data.from_arrow(t), ["x"], "y")

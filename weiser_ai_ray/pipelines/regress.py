@@ -1,0 +1,159 @@
+"""One-pass distributed second-moment statistics: correlation matrices
+and exact closed-form linear regression (a linear quality probe).
+
+Both ride the same scale shape: every batch folds its rows into O(d^2)
+sufficient statistics (count, mean vector, centered co-moment matrix —
+the bivariate Chan et al. pairwise-merge, so the combine is numerically
+stable and layout-independent), the driver merges O(blocks) such
+digests, and the model/matrix falls out of a d x d solve. The corpus
+is read once, nothing shuffles, and d (the signal count) is tiny by
+construction — this is exactly how you fit a linear probe over
+quality signals at 10^12 rows.
+
+``linear_fit`` solves the least-squares normal equations from the
+merged moments (optionally ridge-regularized); ``linear_score`` then
+applies the fitted coefficients in one streaming map — the same
+train -> apply split as the bigram-LM quality gate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def _moment_partials(ds: "ray.data.Dataset", cs: "list[str]") -> tuple:
+    """Merged (n, mean[d], M2[d,d]) over rows with no null in any
+    column: per-batch centered co-moments, Chan-merged on the driver
+    (O(blocks) tiny rows, no shuffle)."""
+    d = len(cs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.is_valid(t[cs[0]])
+        for c in cs[1:]:
+            mask = pc.and_(mask, pc.is_valid(t[c]))
+        t = t.filter(mask)
+        X = np.column_stack(
+            [pc.cast(t[c], pa.float64()).to_numpy(zero_copy_only=False) for c in cs]
+        ) if t.num_rows else np.zeros((0, d))
+        n = len(X)
+        mean = X.mean(axis=0) if n else np.zeros(d)
+        Xc = X - mean
+        m2 = Xc.T @ Xc if n else np.zeros((d, d))
+        return pa.table(
+            {
+                "__n": pa.array([n], pa.int64()),
+                "__mean": pa.array([mean.tolist()], pa.list_(pa.float64())),
+                "__m2": pa.array([m2.reshape(-1).tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    n, mean, M2 = 0, np.zeros(d), np.zeros((d, d))
+    for p in parts:
+        nb = int(p["__n"])
+        if nb == 0:
+            continue
+        mb = np.asarray(p["__mean"], dtype=np.float64)
+        m2b = np.asarray(p["__m2"], dtype=np.float64).reshape(d, d)
+        delta = mb - mean
+        tot = n + nb
+        M2 = M2 + m2b + np.outer(delta, delta) * (n * nb / tot)
+        mean = mean + delta * (nb / tot)
+        n = tot
+    return n, mean, M2
+
+
+def corr_matrix(
+    ds: "ray.data.Dataset", cols: Sequence[str], round_to: Optional[int] = None
+) -> pa.Table:
+    """Sample Pearson correlation between every pair of ``cols`` (SQL
+    ``corr()`` semantics: rows with a null in ANY listed column are
+    excluded so every pair sees the same row set). Long output —
+    one (col_a, col_b, corr) row per ordered pair incl. the diagonal —
+    so SQL can pin it directly. Constant columns yield null (SQL
+    corr() with zero variance)."""
+    cs = list(cols)
+    if len(cs) < 2:
+        raise ValueError("need at least two columns")
+    n, _, M2 = _moment_partials(ds, cs)
+    d = len(cs)
+    sd = np.sqrt(np.diag(M2))
+    a_out, b_out, v_out = [], [], []
+    for i in range(d):
+        for j in range(d):
+            a_out.append(cs[i])
+            b_out.append(cs[j])
+            if n < 2 or sd[i] == 0.0 or sd[j] == 0.0:
+                v_out.append(None)
+            else:
+                v = M2[i, j] / (sd[i] * sd[j])
+                v_out.append(round(v, round_to) if round_to is not None else v)
+    return pa.table(
+        {
+            "col_a": pa.array(a_out, pa.string()),
+            "col_b": pa.array(b_out, pa.string()),
+            "corr": pa.array(v_out, pa.float64()),
+        }
+    )
+
+
+def linear_fit(
+    ds: "ray.data.Dataset",
+    x_cols: Sequence[str],
+    y_col: str,
+    ridge: float = 0.0,
+) -> dict:
+    """Exact closed-form least squares ``y ~ x_cols + intercept`` from
+    the one-pass moments: centering the moments absorbs the intercept,
+    so the solve is the d x d system ``(Cov_xx + ridge*I) beta =
+    Cov_xy`` and ``intercept = mean_y - beta . mean_x``. Identical to
+    SQL ``regr_slope``/``regr_intercept`` in the 1-feature case.
+    Returns {"coef": [...], "intercept": float, "n": int}."""
+    xs = list(x_cols)
+    if not xs:
+        raise ValueError("x_cols must be non-empty")
+    cs = xs + [y_col]
+    n, mean, M2 = _moment_partials(ds, cs)
+    d = len(xs)
+    if n < 2:
+        raise ValueError(f"need at least 2 complete rows, got {n}")
+    Sxx = M2[:d, :d] + float(ridge) * np.eye(d)
+    Sxy = M2[:d, d]
+    beta = np.linalg.solve(Sxx, Sxy)
+    intercept = float(mean[d] - beta @ mean[:d])
+    return {"coef": [float(b) for b in beta], "intercept": intercept, "n": n}
+
+
+def linear_score(
+    ds: "ray.data.Dataset",
+    x_cols: Sequence[str],
+    model: dict,
+    id_col: str,
+    out_col: str = "yhat",
+) -> "ray.data.Dataset":
+    """Apply a ``linear_fit`` model in one streaming map: ``yhat =
+    coef . x + intercept`` per row (rows with a null feature drop, as
+    in fitting)."""
+    xs = list(x_cols)
+    beta = np.asarray(model["coef"], dtype=np.float64)
+    b0 = float(model["intercept"])
+
+    def score(t: pa.Table) -> pa.Table:
+        mask = pc.is_valid(t[xs[0]])
+        for c in xs[1:]:
+            mask = pc.and_(mask, pc.is_valid(t[c]))
+        t = t.filter(mask)
+        X = np.column_stack(
+            [pc.cast(t[c], pa.float64()).to_numpy(zero_copy_only=False) for c in xs]
+        ) if t.num_rows else np.zeros((0, len(xs)))
+        yhat = X @ beta + b0
+        return pa.table({id_col: t[id_col], out_col: pa.array(yhat, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
