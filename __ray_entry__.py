@@ -1270,6 +1270,62 @@ def q_linreg(sf_dir: str) -> pa.Table:
     )
 
 
+def q_logistic_probe(sf_dir: str) -> pa.Table:
+    """Quality-classifier probe: IRLS logistic regression over the
+    64-dim embeddings (y = label < 5), then streaming scoring. Each
+    Newton step is one corpus pass of gradient/Hessian digests; no
+    SQL twin (iterative), so rows-only. Deterministic across layouts."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from weiser_ai_ray.pipelines.regress import logistic_fit, logistic_score
+
+    ds = __rps(os.path.join(sf_dir, "embeddings.parquet")).map_batches(
+        lambda t: t.append_column("y", pc.cast(pc.less(t["label"], 5), pa.int8())),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ds = ds.materialize()  # two consumers: fit passes + scoring
+    m = logistic_fit(ds, "y", vec_col="embedding", iters=12)
+    df = (
+        logistic_score(ds, m, "vec_id", vec_col="embedding")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "vec_id": pa.array(df["vec_id"], type=pa.int64()),
+            "p": pa.array(df["p"].round(9), type=pa.float64()),
+        }
+    )
+
+
+def q_pca_embeddings(sf_dir: str) -> pa.Table:
+    """Top-8 PCA of the embedding column (one-pass covariance, driver
+    eigh, sign-normalized components) + streaming projection. No SQL
+    twin (eigendecomposition), so rows-only; layout-deterministic."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.regress import pca_fit, pca_transform
+
+    ds = __rps(os.path.join(sf_dir, "embeddings.parquet")).materialize()
+    m = pca_fit(ds, "embedding", 8)
+    df = (
+        pca_transform(ds, m, "vec_id", "embedding")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pc1 = [round(float(v[0]), 9) for v in df["pc"]]
+    return pa.table(
+        {
+            "vec_id": pa.array(df["vec_id"], type=pa.int64()),
+            "pc1": pa.array(pc1, type=pa.float64()),
+        }
+    )
+
+
 def q_grouped_row_number(sf_dir: str) -> pa.Table:
     """Within-group row_number (PARTITION BY o_custkey ORDER BY
     o_totalprice, o_orderkey): one coarse group-bucket shuffle +
@@ -2853,6 +2909,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio_docs": q_compression_ratio,
         "pii_spans_docs": q_pii_spans,
         "metrics_last_values": q_metrics_last_values,
+        "logistic_probe_embeddings": q_logistic_probe,
+        "pca_embeddings": q_pca_embeddings,
     }
 
 

@@ -10,7 +10,15 @@ import pytest
 import ray.data
 
 from tests.conftest import SF_DIR
-from weiser_ai_ray.pipelines.regress import corr_matrix, linear_fit, linear_score
+from weiser_ai_ray.pipelines.regress import (
+    corr_matrix,
+    linear_fit,
+    linear_score,
+    logistic_fit,
+    logistic_score,
+    pca_fit,
+    pca_transform,
+)
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -94,3 +102,85 @@ class TestLinearFit:
         t = pa.table({"x": pa.array([1.0]), "y": pa.array([2.0])})
         with pytest.raises(ValueError, match="at least 2"):
             linear_fit(ray.data.from_arrow(t), ["x"], "y")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLogisticFit:
+    def _ds(self):
+        import pyarrow.compute as pc
+
+        ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        return ds.map_batches(
+            lambda t: t.append_column(
+                "y", pc.cast(pc.less(t["label"], 5), pa.int8())
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+
+    def test_matches_local_irls_and_scores(self):
+        ds = self._ds()
+        m = logistic_fit(ds, "y", vec_col="embedding", iters=12)
+        df = ds.to_pandas()
+        X = np.vstack(df["embedding"].to_numpy())
+        y = df["y"].to_numpy().astype(float)
+        Xa = np.column_stack([X, np.ones(len(y))])
+        beta = np.zeros(Xa.shape[1])
+        for _ in range(m["iters_run"]):
+            p = np.clip(1 / (1 + np.exp(-(Xa @ beta))), 1e-12, 1 - 1e-12)
+            w = p * (1 - p)
+            step = np.linalg.solve(
+                (Xa * w[:, None]).T @ Xa + 1e-6 * np.eye(Xa.shape[1]),
+                Xa.T @ (y - p),
+            )
+            beta += step
+            if np.abs(step).max() < 1e-8:
+                break
+        assert np.allclose(m["coef"], beta[:-1], rtol=1e-6, atol=1e-8)
+        assert abs(m["intercept"] - beta[-1]) < 1e-6
+        sc = (
+            logistic_score(ds, m, "vec_id", vec_col="embedding")
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        want = 1 / (1 + np.exp(-(X @ np.array(m["coef"]) + m["intercept"])))
+        assert np.allclose(np.sort(sc["p"]), np.sort(want), atol=1e-12)
+
+    def test_arg_validation(self):
+        ds = self._ds()
+        with pytest.raises(ValueError, match="exactly one"):
+            logistic_fit(ds, "y")
+        with pytest.raises(ValueError, match="exactly one"):
+            logistic_fit(ds, "y", x_cols=["a"], vec_col="embedding")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPca:
+    def test_matches_numpy_eigh_and_layout_independent(self):
+        ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet").materialize()
+        m = pca_fit(ds, "embedding", 8)
+        X = np.vstack(ds.to_pandas()["embedding"].to_numpy())
+        ev, evec = np.linalg.eigh(np.cov(X.T))
+        idx = np.argsort(ev)[::-1][:8]
+        comps = evec[:, idx].T
+        for i in range(8):
+            j = int(np.abs(comps[i]).argmax())
+            if comps[i, j] < 0:
+                comps[i] = -comps[i]
+        assert np.allclose(m["components"], comps, atol=1e-8)
+        assert np.allclose(m["explained_variance"], ev[idx], rtol=1e-9)
+        m2 = pca_fit(ds.repartition(7), "embedding", 8)
+        assert np.allclose(m["components"], m2["components"], atol=1e-10)
+        got = (
+            pca_transform(ds, m, "vec_id", "embedding")
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        Y = (X - np.array(m["mean"])) @ np.array(m["components"]).T
+        assert np.allclose(
+            np.sort(np.vstack(got["pc"].to_numpy()), axis=None),
+            np.sort(Y, axis=None),
+            atol=1e-10,
+        )
+        with pytest.raises(ValueError, match="k must be"):
+            pca_fit(ds, "embedding", 0)

@@ -26,6 +26,35 @@ import pyarrow.compute as pc
 import ray.data
 
 
+def _filter_complete(t: pa.Table, cs: "list[str]") -> pa.Table:
+    mask = pc.is_valid(t[cs[0]])
+    for c in cs[1:]:
+        mask = pc.and_(mask, pc.is_valid(t[c]))
+    return t.filter(mask)
+
+
+def _vec_matrix(t: pa.Table, vec_col: str) -> np.ndarray:
+    """(rows, dim) float64 view of a list<float> column (uniform
+    lengths required)."""
+    col = t[vec_col].combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+    if len(offs) == 0:
+        return np.zeros((0, 0))
+    dim = int(offs[0])
+    if (offs != dim).any():
+        raise ValueError("ragged vector lengths")
+    return flat.reshape(-1, dim)
+
+
+def _col_matrix(t: pa.Table, cs: "list[str]") -> np.ndarray:
+    if not t.num_rows:
+        return np.zeros((0, len(cs)))
+    return np.column_stack(
+        [pc.cast(t[c], pa.float64()).to_numpy(zero_copy_only=False) for c in cs]
+    )
+
+
 def _moment_partials(ds: "ray.data.Dataset", cs: "list[str]") -> tuple:
     """Merged (n, mean[d], M2[d,d]) over rows with no null in any
     column: per-batch centered co-moments, Chan-merged on the driver
@@ -33,13 +62,8 @@ def _moment_partials(ds: "ray.data.Dataset", cs: "list[str]") -> tuple:
     d = len(cs)
 
     def partial(t: pa.Table) -> pa.Table:
-        mask = pc.is_valid(t[cs[0]])
-        for c in cs[1:]:
-            mask = pc.and_(mask, pc.is_valid(t[c]))
-        t = t.filter(mask)
-        X = np.column_stack(
-            [pc.cast(t[c], pa.float64()).to_numpy(zero_copy_only=False) for c in cs]
-        ) if t.num_rows else np.zeros((0, d))
+        t = _filter_complete(t, cs)
+        X = _col_matrix(t, cs)
         n = len(X)
         mean = X.mean(axis=0) if n else np.zeros(d)
         Xc = X - mean
@@ -157,3 +181,222 @@ def linear_score(
         return pa.table({id_col: t[id_col], out_col: pa.array(yhat, pa.float64())})
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def logistic_fit(
+    ds: "ray.data.Dataset",
+    y_col: str,
+    x_cols: Optional[Sequence[str]] = None,
+    vec_col: Optional[str] = None,
+    iters: int = 8,
+    ridge: float = 1e-6,
+    tol: float = 1e-8,
+) -> dict:
+    """Distributed logistic regression by IRLS (Newton's method) — the
+    quality-CLASSIFIER probe (fastText-style "good vs bad doc" heads
+    are trained exactly like this over embedding or signal features).
+    Features come from scalar ``x_cols`` OR a list<float> ``vec_col``;
+    ``y_col`` must be 0/1 (rows with nulls drop).
+
+    Scale shape: each Newton step is ONE corpus pass — every batch
+    folds its rows into the (d+1) gradient and (d+1)^2 Hessian of the
+    log-likelihood at the broadcast current weights; the driver merges
+    O(blocks) digests and solves the (d+1) x (d+1) system. Total cost
+    O(iters x corpus) streaming + O(d^2) driver state; no shuffle
+    ever. Stops early when the step's max component < ``tol``.
+    Returns {"coef", "intercept", "n", "iters_run", "converged"}."""
+    if (x_cols is None) == (vec_col is None):
+        raise ValueError("pass exactly one of x_cols / vec_col")
+    xs = list(x_cols) if x_cols is not None else None
+    need = (xs or [vec_col]) + [y_col]
+
+    # probe the feature dimension from one batch
+    d = len(xs) if xs is not None else None
+    if d is None:
+        head = _filter_complete(ds.limit(1).take_batch(1, batch_format="pyarrow"), need)
+        if head.num_rows == 0:
+            raise ValueError("no complete rows to infer vector dim from")
+        d = _vec_matrix(head, vec_col).shape[1]
+
+    beta = np.zeros(d + 1)  # [weights..., intercept]
+    n_seen = 0
+    converged = False
+    it = 0
+    for it in range(1, iters + 1):
+        b = beta.copy()
+
+        def newton_partial(t: pa.Table) -> pa.Table:
+            t = _filter_complete(t, need)
+            X = _vec_matrix(t, vec_col) if xs is None else _col_matrix(t, xs)
+            if X.shape[0] and X.shape[1] != d:
+                raise ValueError(f"feature dim {X.shape[1]} != {d}")
+            y = (
+                pc.cast(t[y_col], pa.float64()).to_numpy(zero_copy_only=False)
+                if t.num_rows
+                else np.zeros(0)
+            )
+            z = X @ b[:d] + b[d]
+            p = 1.0 / (1.0 + np.exp(-z))
+            p = np.clip(p, 1e-12, 1.0 - 1e-12)
+            w = p * (1.0 - p)
+            Xa = np.column_stack([X, np.ones(len(y))]) if len(y) else np.zeros((0, d + 1))
+            grad = Xa.T @ (y - p)
+            hess = (Xa * w[:, None]).T @ Xa
+            return pa.table(
+                {
+                    "__n": pa.array([len(y)], pa.int64()),
+                    "__g": pa.array([grad.tolist()], pa.list_(pa.float64())),
+                    "__h": pa.array([hess.reshape(-1).tolist()], pa.list_(pa.float64())),
+                }
+            )
+
+        parts = ds.map_batches(
+            newton_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        n_seen = sum(int(p["__n"]) for p in parts)
+        if n_seen == 0:
+            raise ValueError("no complete rows")
+        grad = np.zeros(d + 1)
+        hess = np.zeros((d + 1, d + 1))
+        for p in parts:
+            grad += np.asarray(p["__g"], dtype=np.float64)
+            hess += np.asarray(p["__h"], dtype=np.float64).reshape(d + 1, d + 1)
+        step = np.linalg.solve(hess + float(ridge) * np.eye(d + 1), grad)
+        beta = beta + step
+        if np.abs(step).max() < tol:
+            converged = True
+            break
+    return {
+        "coef": [float(v) for v in beta[:d]],
+        "intercept": float(beta[d]),
+        "n": n_seen,
+        "iters_run": it,
+        "converged": converged,
+    }
+
+
+def logistic_score(
+    ds: "ray.data.Dataset",
+    model: dict,
+    id_col: str,
+    x_cols: Optional[Sequence[str]] = None,
+    vec_col: Optional[str] = None,
+    out_col: str = "p",
+) -> "ray.data.Dataset":
+    """Apply a ``logistic_fit`` model in one streaming map: per-row
+    predicted probability sigmoid(coef . x + intercept)."""
+    if (x_cols is None) == (vec_col is None):
+        raise ValueError("pass exactly one of x_cols / vec_col")
+    xs = list(x_cols) if x_cols is not None else None
+    need = xs or [vec_col]
+    beta = np.asarray(model["coef"], dtype=np.float64)
+    b0 = float(model["intercept"])
+
+    def score(t: pa.Table) -> pa.Table:
+        t = _filter_complete(t, need)
+        X = _vec_matrix(t, vec_col) if xs is None else _col_matrix(t, xs)
+        p = 1.0 / (1.0 + np.exp(-(X @ beta + b0))) if t.num_rows else np.zeros(0)
+        return pa.table({id_col: t[id_col], out_col: pa.array(p, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _vec_moment_partials(ds: "ray.data.Dataset", vec_col: str) -> tuple:
+    """(n, mean[d], M2[d,d]) for a list<float> column — the vector twin
+    of ``_moment_partials`` (same Chan merge)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[vec_col]))
+        X = _vec_matrix(t, vec_col)
+        n = X.shape[0]
+        dd = X.shape[1]
+        mean = X.mean(axis=0) if n else np.zeros(dd)
+        Xc = X - mean
+        m2 = Xc.T @ Xc if n else np.zeros((dd, dd))
+        return pa.table(
+            {
+                "__n": pa.array([n], pa.int64()),
+                "__mean": pa.array([mean.tolist()], pa.list_(pa.float64())),
+                "__m2": pa.array([m2.reshape(-1).tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    n, mean, M2 = 0, None, None
+    for p in parts:
+        nb = int(p["__n"])
+        if nb == 0:
+            continue
+        mb = np.asarray(p["__mean"], dtype=np.float64)
+        dd = len(mb)
+        m2b = np.asarray(p["__m2"], dtype=np.float64).reshape(dd, dd)
+        if mean is None:
+            mean, M2 = np.zeros(dd), np.zeros((dd, dd))
+        delta = mb - mean
+        tot = n + nb
+        M2 = M2 + m2b + np.outer(delta, delta) * (n * nb / tot)
+        mean = mean + delta * (nb / tot)
+        n = tot
+    if mean is None:
+        raise ValueError("no non-null vectors")
+    return n, mean, M2
+
+
+def pca_fit(ds: "ray.data.Dataset", vec_col: str, k: int) -> dict:
+    """Top-``k`` principal components of a list<float> embedding
+    column from the one-pass covariance (same moment digests as
+    ``corr_matrix``; eigendecomposition of the d x d covariance on the
+    driver). Components are sign-normalized (largest-|.| entry
+    positive), so the result is deterministic across block layouts.
+    Returns {"mean", "components" (k x d row-major), "explained_variance",
+    "n"} — feed to ``pca_transform`` for whitening/compression before
+    clustering or SemDeDup."""
+    n, mean, M2 = _vec_moment_partials(ds, vec_col)
+    if n < 2:
+        raise ValueError(f"need at least 2 vectors, got {n}")
+    d = len(mean)
+    if not 1 <= k <= d:
+        raise ValueError(f"k must be in [1, {d}]")
+    cov = M2 / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    idx = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, idx].T  # (k, d)
+    for i in range(k):  # deterministic sign
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {
+        "mean": [float(v) for v in mean],
+        "components": [[float(v) for v in row] for row in comps],
+        "explained_variance": [float(evals[i]) for i in idx],
+        "n": n,
+    }
+
+
+def pca_transform(
+    ds: "ray.data.Dataset",
+    model: dict,
+    id_col: str,
+    vec_col: str,
+    out_col: str = "pc",
+) -> "ray.data.Dataset":
+    """Project vectors onto a ``pca_fit`` basis in one streaming map:
+    ``(x - mean) @ components.T`` per row, emitted as a list<double>
+    column of length k."""
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    comps = np.asarray(model["components"], dtype=np.float64)
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[vec_col]))
+        X = _vec_matrix(t, vec_col)
+        Y = (X - mean) @ comps.T if X.shape[0] else np.zeros((0, comps.shape[0]))
+        return pa.table(
+            {
+                id_col: t[id_col],
+                out_col: pa.array(list(Y), pa.list_(pa.float64())),
+            }
+        )
+
+    return ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
