@@ -96,3 +96,45 @@ class TestEmptyInputs:
         )
         assert group_mean_embedding(e, "embedding", "label").count() == 0
         assert centroid_distances(e, "embedding", "label", "vec_id").count() == 0
+
+    def test_session6_rank_reshape_selection_ops(self):
+        from weiser_ai_ray.pipelines.pivot import rollup_sum, unpivot
+        from weiser_ai_ray.pipelines.selection import blend_zscores, select_by_budget
+        from weiser_ai_ray.pipelines.sketches import global_ntile, global_rank_metrics
+        from weiser_ai_ray.pipelines.windows import grouped_shift
+
+        e = _empty_docs()
+        assert global_ntile(e, "n_chars", "doc_id", 4).count() == 0
+        assert global_rank_metrics(e, "n_chars", "doc_id").count() == 0
+        assert unpivot(e, ["doc_id"], ["n_chars"]).count() == 0
+        assert rollup_sum(e, ["source"], "n_chars").num_rows == 0
+        assert select_by_budget(e, "n_chars", "doc_id", "n_chars", 100).count() == 0
+        assert blend_zscores(e, ["n_chars"], [1.0], "doc_id").count() == 0
+        assert grouped_shift(e, "doc_id", "n_chars", "text", "doc_id").count() == 0
+
+    def test_session6_regress_ops(self):
+        from weiser_ai_ray.pipelines.regress import (
+            corr_matrix,
+            linear_fit,
+            logistic_fit,
+            pca_fit,
+        )
+
+        e = _empty_docs()
+        # corr over an empty corpus: every pair null (n < 2)
+        t = corr_matrix(e, ["doc_id", "n_chars"]).to_pandas()
+        assert len(t) == 4 and t["corr"].isna().all()
+        with pytest.raises(ValueError, match="at least 2"):
+            linear_fit(e, ["doc_id"], "n_chars")
+        with pytest.raises(ValueError, match="no complete rows"):
+            logistic_fit(e, "n_chars", x_cols=["doc_id"], iters=1)
+        ev = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float32())),
+                }
+            )
+        )
+        with pytest.raises(ValueError, match="no non-null vectors"):
+            pca_fit(ev, "embedding", 2)
