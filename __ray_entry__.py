@@ -1326,6 +1326,34 @@ def q_pca_embeddings(sf_dir: str) -> pa.Table:
     )
 
 
+def q_grouped_ntile(sf_dir: str) -> pa.Table:
+    """Per-group ntile(4) (PARTITION BY o_custkey ORDER BY
+    o_totalprice, o_orderkey): one coarse group-bucket shuffle; each
+    group is whole inside its bucket, so the SQL tile sizing is a
+    closed form of the local segment position/length."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.windows import grouped_ntile
+
+    ds = __rps(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    df = (
+        grouped_ntile(ds, "o_custkey", "o_totalprice", "o_orderkey", 4)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "o_orderkey": pa.array(df["o_orderkey"], type=pa.int64()),
+            "o_custkey": pa.array(df["o_custkey"], type=pa.int64()),
+            "tile": pa.array(df["tile"], type=pa.int64()),
+        }
+    )
+
+
 def q_grouped_row_number(sf_dir: str) -> pa.Table:
     """Within-group row_number (PARTITION BY o_custkey ORDER BY
     o_totalprice, o_orderkey): one coarse group-bucket shuffle +
@@ -2835,6 +2863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_shift_events": q_grouped_shift,
         "corr_matrix_lineitem": q_corr_matrix,
         "linreg_price_qty": q_linreg,
+        "grouped_ntile_orders": q_grouped_ntile,
         "curate2_documents": q_curate2,
         "grouped_row_number_orders": q_grouped_row_number,
         "grouped_running_sum_events": q_grouped_running_sum,
@@ -3287,6 +3316,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, CAST(ntile(8) OVER"
             "  (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile"
             " FROM orders ORDER BY o_orderkey"
+        ),
+        "grouped_ntile_orders": (
+            "SELECT o_orderkey, o_custkey, CAST(ntile(4) OVER"
+            "  (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)"
+            "  AS BIGINT) AS tile"
+            " FROM orders WHERE o_custkey IS NOT NULL ORDER BY o_orderkey"
         ),
         # unpivot: (l_orderkey, l_linenumber) is not unique in the
         # fixture, so (name, value) completes the canonical order

@@ -289,3 +289,47 @@ class TestGroupedShift:
 
         with _pytest.raises(ValueError, match="offset"):
             grouped_shift(ds, "g", "o", "s", "id", offset=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedNtile:
+    def test_matches_sql_ntile(self):
+        import duckdb
+        import pandas as pd
+
+        import __ray_entry__ as e
+        from tests.conftest import SF_DIR
+
+        got = e.queries()["grouped_ntile_orders"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+        want = con.execute(e.oracle_sql()["grouped_ntile_orders"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_sizing_small_groups_and_nulls(self):
+        import pytest as _pytest
+        import ray.data
+
+        from weiser_ai_ray.pipelines.windows import grouped_ntile
+
+        t = pa.table(
+            {
+                "id": pa.array(list(range(1, 9)), pa.int64()),
+                "g": pa.array([1, 1, 1, 1, 1, 2, 2, None], pa.int64()),
+                "v": pa.array([5.0, 4.0, 3.0, 2.0, 1.0, 9.0, None, 1.0], pa.float64()),
+            }
+        )
+        df = (
+            grouped_ntile(ray.data.from_arrow(t), "g", "v", "id", 2)
+            .to_pandas()
+            .set_index("id")
+        )
+        # group 1 (5 rows): tiles 3+2 by ascending v -> ids 5,4,3 | 2,1
+        assert df.loc[5, "tile"] == 1 and df.loc[4, "tile"] == 1 and df.loc[3, "tile"] == 1
+        assert df.loc[2, "tile"] == 2 and df.loc[1, "tile"] == 2
+        # group 2: null v sorts last -> id 6 tile 1, id 7 tile 2
+        assert df.loc[6, "tile"] == 1 and df.loc[7, "tile"] == 2
+        # null group dropped
+        assert 8 not in df.index
+        with _pytest.raises(ValueError, match="tiles"):
+            grouped_ntile(ray.data.from_arrow(t), "g", "v", "id", 0)

@@ -79,7 +79,9 @@ def select_by_budget(
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    ).materialize()  # digest projection reused by two passes below
+    ).materialize()  # 24-byte/row digest, reused by THREE consumers
+    # (cut sampling, bucket totals, boundary search) instead of
+    # re-running the upstream lineage; spills via the object store
     if qs:
         thr = approx_quantiles(neg, "__ns", id_col, qs, sample_size)
         cuts = np.array(

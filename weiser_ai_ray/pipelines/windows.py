@@ -515,3 +515,88 @@ def grouped_shift(
         .groupby("__part")
         .map_groups(shift, batch_format="pyarrow")
     )
+
+
+def grouped_ntile(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    tiles: int,
+    out_col: str = "tile",
+    nparts: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-group ``ntile(k) OVER (PARTITION BY group ORDER BY value,
+    id)`` — quantile bins WITHIN each domain/source (per-domain
+    difficulty buckets for curriculum mixes), SQL sizing (first
+    ``n % k`` tiles get the extra row). Null groups drop, null values
+    sort last, ties by id — same contracts as grouped_row_number,
+    whose coarse group-hash bucket layout this rides: one shuffle,
+    then tile = closed form of the segment-relative position and the
+    LOCAL segment length (each group is whole inside its bucket, so
+    no second pass is needed)."""
+    if tiles < 1:
+        raise ValueError("tiles must be >= 1")
+    if nparts is None:
+        try:
+            nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            nparts = 8
+    k = int(tiles)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        batch = batch.select([group_col, value_col, id_col]).filter(
+            pc.is_valid(batch[group_col])
+        )
+        kv = batch[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (kv * np.int64(-7046029254386353131)) & np.int64(0x7FFFFFFFFFFFFFFF)
+        return batch.append_column("__part", pa.array((h % nparts).astype(np.int32)))
+
+    def tile_fn(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    group_col: pa.array([], pa.int64()),
+                    out_col: pa.array([], pa.int64()),
+                }
+            )
+        g = group[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        vals = group[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        vals = np.where(np.isnan(vals), np.inf, vals)  # NULLS LAST
+        order = np.lexsort((ids, vals, g))
+        gs = g[order]
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = gs[1:] != gs[:-1]
+        seg_starts = np.nonzero(first)[0]
+        seg_len = np.diff(np.concatenate([seg_starts, [len(gs)]]))
+        r0 = np.arange(len(gs), dtype=np.int64) - np.repeat(seg_starts, seg_len)
+        n = np.repeat(seg_len, seg_len).astype(np.int64)
+        small = n // k
+        big = n % k
+        boundary = big * (small + 1)
+        tile = np.where(
+            small == 0,
+            r0 + 1,  # k >= group size: one row per tile
+            np.where(
+                r0 < boundary,
+                r0 // np.maximum(small + 1, 1) + 1,
+                big + (r0 - boundary) // np.maximum(small, 1) + 1,
+            ),
+        ).astype(np.int64)
+        out = np.empty(len(gs), dtype=np.int64)
+        out[order] = tile
+        return pa.table(
+            {
+                id_col: group[id_col],
+                group_col: group[group_col],
+                out_col: pa.array(out, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(tile_fn, batch_format="pyarrow")
+    )
