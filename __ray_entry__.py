@@ -1354,6 +1354,61 @@ def q_grouped_ntile(sf_dir: str) -> pa.Table:
     )
 
 
+def q_budget_per_group(sf_dir: str) -> pa.Table:
+    """Per-DOMAIN budgeted selection: within each source, keep the
+    best docs (score = n_chars) while the running weight fits 40% of
+    the source's total chars. One coarse bucket shuffle, exact int
+    segment cumsum, zero driver state."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.selection import select_by_budget_per_group
+
+    ds = __rps(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    df = (
+        select_by_budget_per_group(ds, "source", "n_chars", "doc_id", "n_chars", 0.4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"], type=pa.int64()),
+            "source": pa.array(df["source"], type=pa.string()),
+            "n_chars": pa.array(df["n_chars"], type=pa.int64()),
+        }
+    )
+
+
+def q_rolling_minmax(sf_dir: str) -> pa.Table:
+    """Rolling MIN/MAX over the last 5 events per user (ts, id order):
+    the rolling_avg layout plus k-1 shifted vectorized folds."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.windows import rolling_minmax_per_key
+
+    ds = __rps(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    df = (
+        rolling_minmax_per_key(ds, "user_id", "ts", "event_id", "value", 5)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "event_id": pa.array(df["event_id"], type=pa.int64()),
+            "user_id": pa.array(df["user_id"], type=pa.int64()),
+            "rolling_min": pa.array(df["rolling_min"].round(6), type=pa.float64()),
+            "rolling_max": pa.array(df["rolling_max"].round(6), type=pa.float64()),
+        }
+    )
+
+
 def q_grouped_row_number(sf_dir: str) -> pa.Table:
     """Within-group row_number (PARTITION BY o_custkey ORDER BY
     o_totalprice, o_orderkey): one coarse group-bucket shuffle +
@@ -2864,6 +2919,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_matrix_lineitem": q_corr_matrix,
         "linreg_price_qty": q_linreg,
         "grouped_ntile_orders": q_grouped_ntile,
+        "budget_per_group_docs": q_budget_per_group,
+        "rolling_minmax_events": q_rolling_minmax,
         "curate2_documents": q_curate2,
         "grouped_row_number_orders": q_grouped_row_number,
         "grouped_running_sum_events": q_grouped_running_sum,
@@ -3406,6 +3463,26 @@ def oracle_sql() -> dict[str, str]:
             "  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,"
             "  CAST(COUNT(*) AS BIGINT) AS n FROM lineitem"
             " WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL"
+        ),
+        "budget_per_group_docs": (
+            "WITH r AS (SELECT doc_id, source, n_chars,"
+            "  SUM(n_chars) OVER (PARTITION BY source"
+            "   ORDER BY n_chars DESC, doc_id) AS cw,"
+            "  SUM(n_chars) OVER (PARTITION BY source) AS tot"
+            "  FROM documents WHERE source IS NOT NULL"
+            "  AND n_chars IS NOT NULL)"
+            " SELECT doc_id, source, n_chars FROM r"
+            " WHERE cw <= floor(0.4 * tot) ORDER BY doc_id"
+        ),
+        "rolling_minmax_events": (
+            "SELECT event_id, user_id,"
+            "  round(MIN(value) OVER (PARTITION BY user_id ORDER BY ts,"
+            "   event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)"
+            "   AS rolling_min,"
+            "  round(MAX(value) OVER (PARTITION BY user_id ORDER BY ts,"
+            "   event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)"
+            "   AS rolling_max"
+            " FROM events ORDER BY event_id"
         ),
         "blend_zscores_orders": (
             "WITH s AS (SELECT AVG(o_totalprice) m1, STDDEV(o_totalprice) s1,"

@@ -9,7 +9,11 @@ import pytest
 import ray.data
 
 from tests.conftest import SF_DIR
-from weiser_ai_ray.pipelines.selection import blend_zscores, select_by_budget
+from weiser_ai_ray.pipelines.selection import (
+    blend_zscores,
+    select_by_budget,
+    select_by_budget_per_group,
+)
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -83,3 +87,48 @@ class TestBlendZscores:
         assert df["blend"].round(9).tolist() == [-1.0, 0.0, 1.0]
         with pytest.raises(ValueError, match="weights"):
             blend_zscores(ds, ["a"], [1.0, 2.0], "id")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSelectByBudgetPerGroup:
+    def test_matches_partitioned_running_sum_oracle(self):
+        import __ray_entry__ as e
+
+        got = e.queries()["budget_per_group_docs"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        )
+        want = con.execute(e.oracle_sql()["budget_per_group_docs"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # every source stays within its own 40% char budget
+        tot = got.groupby("source")["n_chars"].sum()
+        full = (
+            con.execute(
+                "SELECT source, SUM(n_chars) FROM documents"
+                " WHERE source IS NOT NULL GROUP BY source"
+            ).fetchdf()
+            .set_index("source")
+            .iloc[:, 0]
+        )
+        for s, v in tot.items():
+            assert v <= int(0.4 * full[s])
+
+    def test_string_groups_ties_and_frac_edges(self):
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "g": pa.array(["a", "a", "a", "b", "b", None], pa.string()),
+                "s": pa.array([3.0, 2.0, 2.0, 9.0, 1.0, 5.0], pa.float64()),
+                "w": pa.array([10, 10, 10, 10, 10, 10], pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        kept = select_by_budget_per_group(ds, "g", "s", "id", "w", 0.67).to_pandas()
+        # a: budget floor(30*.67)=20 -> ids 1,2 (tie 2.0 broken by id)
+        # b: budget 13 -> id 4 only; null group dropped
+        assert sorted(kept["id"]) == [1, 2, 4]
+        assert select_by_budget_per_group(ds, "g", "s", "id", "w", 0.0).count() == 0
+        assert select_by_budget_per_group(ds, "g", "s", "id", "w", 1.0).count() == 5
+        with pytest.raises(ValueError, match="budget_frac"):
+            select_by_budget_per_group(ds, "g", "s", "id", "w", 1.5)

@@ -333,3 +333,45 @@ class TestGroupedNtile:
         assert 8 not in df.index
         with _pytest.raises(ValueError, match="tiles"):
             grouped_ntile(ray.data.from_arrow(t), "g", "v", "id", 0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRollingMinMax:
+    def test_matches_sql_window(self):
+        import duckdb
+        import pandas as pd
+
+        import __ray_entry__ as e
+        from tests.conftest import SF_DIR
+
+        got = e.queries()["rolling_minmax_events"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+        want = con.execute(e.oracle_sql()["rolling_minmax_events"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_null_values_and_window_edges(self):
+        import pytest as _pytest
+        import ray.data
+
+        from weiser_ai_ray.pipelines.windows import rolling_minmax_per_key
+
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4], pa.int64()),
+                "k": pa.array([7, 7, 7, 7], pa.int64()),
+                "ts": pa.array([1, 2, 3, 4], pa.timestamp("us")),
+                "v": pa.array([5.0, None, 1.0, None], pa.float64()),
+            }
+        )
+        df = (
+            rolling_minmax_per_key(ray.data.from_arrow(t), "k", "ts", "id", "v", 2)
+            .to_pandas()
+            .set_index("id")
+        )
+        # SQL MIN/MAX ignore nulls; all-null window -> null
+        assert df.loc[1, "rolling_min"] == 5.0 and df.loc[2, "rolling_min"] == 5.0
+        assert df.loc[3, "rolling_min"] == 1.0 and df.loc[4, "rolling_min"] == 1.0
+        assert df.loc[3, "rolling_max"] == 1.0
+        with _pytest.raises(ValueError, match="window_rows"):
+            rolling_minmax_per_key(ray.data.from_arrow(t), "k", "ts", "id", "v", 0)

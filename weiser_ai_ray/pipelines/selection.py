@@ -256,3 +256,84 @@ def blend_zscores(
         return pa.table({id_col: t[id_col], out_col: pa.array(acc, pa.float64())})
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def select_by_budget_per_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    weight_col: str,
+    budget_frac: float,
+    nparts: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Per-DOMAIN budgeted selection: within each group, keep rows in
+    (score DESC, id) order while the running weight stays within
+    ``budget_frac`` of the group's total weight — "give every source a
+    token budget and keep its best documents". SQL semantics:
+    ``SUM(w) OVER (PARTITION BY g ORDER BY score DESC, id) <=
+    floor(budget_frac * group_total)``. Weights are exact int64; null
+    scores sort last; rows with null group/weight drop.
+
+    Scale shape: ONE coarse group-hash bucket shuffle co-locates each
+    group (the grouped_row_number layout — many-small-groups design
+    point; for one giant domain use the global ``select_by_budget``),
+    then a vectorized per-partition lexsort + segment cumsum decides
+    membership locally. No driver state at all."""
+    if not 0.0 <= budget_frac <= 1.0:
+        raise ValueError("budget_frac must be in [0, 1]")
+    if nparts is None:
+        try:
+            nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            nparts = 8
+
+    from .sketches import hash64_column
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch[group_col]), pc.is_valid(batch[weight_col]))
+        )
+        # generic (string or int) group keys: route partitions by hash;
+        # the in-partition segment key is an EXACT dictionary code
+        gh = hash64_column(batch[group_col])
+        return batch.append_column(
+            "__part", pa.array((gh % np.uint64(nparts)).astype(np.int32))
+        )
+
+    def pick(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group.drop_columns(["__part"])
+        g = (
+            group[group_col]
+            .combine_chunks()
+            .dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        w = pc.cast(group[weight_col], pa.int64()).to_numpy(zero_copy_only=False)
+        s = pc.cast(group[score_col], pa.float64()).to_numpy(zero_copy_only=False)
+        ns = np.where(np.isnan(s), np.inf, -s)  # score DESC, nulls last
+        order = np.lexsort((ids, ns, g))
+        gs, ws = g[order], w[order]
+        m = len(gs)
+        new = np.ones(m, dtype=bool)
+        new[1:] = gs[1:] != gs[:-1]
+        starts = np.nonzero(new)[0]
+        lens = np.diff(np.concatenate([starts, [m]]))
+        csum = np.cumsum(ws, dtype=np.int64)
+        seg_base = np.repeat(np.concatenate([[0], csum[starts[1:] - 1]]), lens)
+        run = csum - seg_base  # inclusive running weight within group
+        seg_total = np.repeat(run[starts + lens - 1], lens)
+        budget = np.floor(seg_total * float(budget_frac)).astype(np.int64)
+        keep_sorted = run <= budget
+        keep = np.empty(m, dtype=bool)
+        keep[order] = keep_sorted
+        return group.drop_columns(["__part"]).filter(pa.array(keep))
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(pick, batch_format="pyarrow")
+    )

@@ -600,3 +600,92 @@ def grouped_ntile(
         .groupby("__part")
         .map_groups(tile_fn, batch_format="pyarrow")
     )
+
+
+def rolling_minmax_per_key(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    window_rows: int,
+    nparts: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-row MIN and MAX of ``value_col`` over the last
+    ``window_rows`` rows (incl. current) per key, ordered by (ts, id)
+    — ``MIN/MAX(v) OVER (PARTITION BY key ORDER BY ts, id ROWS
+    window_rows-1 PRECEDING)`` — the spike/floor detector companion to
+    ``rolling_avg_per_key``, whose one-coarse-bucket-shuffle layout
+    this shares. Per-partition work is a lexsort + ``window_rows - 1``
+    vectorized shifted-min/max folds (O(rows x window) — the window is
+    a small constant by contract; min/max admit no prefix-sum trick
+    without a deque). Null values propagate per SQL (MIN ignores
+    nulls; a window of only nulls yields null)."""
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+    if nparts is None:
+        try:
+            nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            nparts = 8
+    k = int(window_rows)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        kv = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (kv * np.int64(-7046029254386353131)) & np.int64(0x7FFFFFFFFFFFFFFF)
+        return pa.table(
+            {
+                "__part": pa.array((h % nparts).astype(np.int32)),
+                key_col: batch[key_col],
+                ts_col: batch[ts_col],
+                id_col: batch[id_col],
+                value_col: pc.cast(batch[value_col], pa.float64()),
+            }
+        )
+
+    def roll(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    key_col: pa.array([], pa.int64()),
+                    "rolling_min": pa.array([], pa.float64()),
+                    "rolling_max": pa.array([], pa.float64()),
+                }
+            )
+        key = group[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_us(group[ts_col])
+        rid = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = group[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((rid, ts, key))
+        key, rid, val = key[order], rid[order], val[order]
+        # nan = SQL null: ignored by min/max via +-inf stand-ins
+        lo = np.where(np.isnan(val), np.inf, val)
+        hi = np.where(np.isnan(val), -np.inf, val)
+        mn, mx = lo.copy(), hi.copy()
+        for j in range(1, k):
+            same = np.zeros(n, dtype=bool)
+            same[j:] = key[j:] == key[:-j]
+            cand_lo = np.full(n, np.inf)
+            cand_lo[j:] = lo[:-j]
+            cand_hi = np.full(n, -np.inf)
+            cand_hi[j:] = hi[:-j]
+            mn = np.minimum(mn, np.where(same, cand_lo, np.inf))
+            mx = np.maximum(mx, np.where(same, cand_hi, -np.inf))
+        mn_out = np.where(np.isinf(mn), np.nan, mn)
+        mx_out = np.where(np.isinf(mx), np.nan, mx)
+        return pa.table(
+            {
+                id_col: pa.array(rid),
+                key_col: pa.array(key),
+                "rolling_min": pa.array(mn_out),
+                "rolling_max": pa.array(mx_out),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(roll, batch_format="pyarrow")
+    )
