@@ -1409,6 +1409,30 @@ def q_rolling_minmax(sf_dir: str) -> pa.Table:
     )
 
 
+def q_winsorize(sf_dir: str) -> pa.Table:
+    """Winsorize o_totalprice to its [p05, p95] deterministic-sample
+    quantile band (bit-reproducible thresholds, streaming clip)."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.selection import winsorize
+
+    ds = __rps(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
+    )
+    df = (
+        winsorize(ds, "o_totalprice", "o_orderkey", 0.05, 0.95, out_col="clipped")
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "o_orderkey": pa.array(df["o_orderkey"], type=pa.int64()),
+            "clipped": pa.array(df["clipped"].round(6), type=pa.float64()),
+        }
+    )
+
+
 def q_grouped_row_number(sf_dir: str) -> pa.Table:
     """Within-group row_number (PARTITION BY o_custkey ORDER BY
     o_totalprice, o_orderkey): one coarse group-bucket shuffle +
@@ -2921,6 +2945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_ntile_orders": q_grouped_ntile,
         "budget_per_group_docs": q_budget_per_group,
         "rolling_minmax_events": q_rolling_minmax,
+        "winsorize_orders": q_winsorize,
         "curate2_documents": q_curate2,
         "grouped_row_number_orders": q_grouped_row_number,
         "grouped_running_sum_events": q_grouped_running_sum,
@@ -3463,6 +3488,18 @@ def oracle_sql() -> dict[str, str]:
             "  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,"
             "  CAST(COUNT(*) AS BIGINT) AS n FROM lineitem"
             " WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL"
+        ),
+        # winsorize: thresholds from the same md5-line deterministic
+        # sample as filter_by_quantile, then least/greatest clip
+        "winsorize_orders": (
+            "WITH s AS (SELECT quantile_cont(o_totalprice, 0.05) AS lo,"
+            "  quantile_cont(o_totalprice, 0.95) AS hi FROM"
+            "  (SELECT o_totalprice FROM orders WHERE o_totalprice IS NOT NULL"
+            "   ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 2048))"
+            " SELECT o.o_orderkey,"
+            "  round(least(greatest(CAST(o.o_totalprice AS DOUBLE), s.lo),"
+            "   s.hi), 6) AS clipped"
+            " FROM orders o, s ORDER BY o.o_orderkey"
         ),
         "budget_per_group_docs": (
             "WITH r AS (SELECT doc_id, source, n_chars,"

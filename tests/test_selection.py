@@ -132,3 +132,41 @@ class TestSelectByBudgetPerGroup:
         assert select_by_budget_per_group(ds, "g", "s", "id", "w", 1.0).count() == 5
         with pytest.raises(ValueError, match="budget_frac"):
             select_by_budget_per_group(ds, "g", "s", "id", "w", 1.5)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWinsorize:
+    def test_matches_quantile_clip_oracle(self):
+        import __ray_entry__ as e
+
+        got = e.queries()["winsorize_orders"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+        want = con.execute(e.oracle_sql()["winsorize_orders"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # band actually clips: min/max of output inside the raw range
+        raw = con.execute(
+            "SELECT min(o_totalprice), max(o_totalprice) FROM orders"
+        ).fetchone()
+        assert got["clipped"].min() > raw[0] and got["clipped"].max() < raw[1]
+
+    def test_nulls_pass_through_and_validation(self):
+        from weiser_ai_ray.pipelines.selection import winsorize
+
+        t = pa.table(
+            {
+                "id": pa.array(list(range(1, 7)), pa.int64()),
+                "v": pa.array([1.0, 2.0, None, 100.0, 3.0, 4.0], pa.float64()),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        df = (
+            winsorize(ds, "v", "id", 0.0, 0.8)
+            .to_pandas()
+            .set_index("id")
+        )
+        assert pd.isna(df.loc[3, "v"])  # null stays null, not clamped
+        assert df.loc[4, "v"] < 100.0  # outlier clipped down
+        assert df.loc[1, "v"] == 1.0
+        with pytest.raises(ValueError, match="lo_q"):
+            winsorize(ds, "v", "id", 0.9, 0.1)

@@ -337,3 +337,44 @@ def select_by_budget_per_group(
         .groupby("__part")
         .map_groups(pick, batch_format="pyarrow")
     )
+
+
+def winsorize(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    id_col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    sample_size: int = 2048,
+    out_col: Optional[str] = None,
+) -> "ray.data.Dataset":
+    """Clip ``value_col`` to its [lo_q, hi_q] quantile band (outlier
+    winsorization before z-scoring / blending, so one pathological doc
+    can't drag a signal's scale). Thresholds come from the
+    deterministic md5-line sample (the bit-reproducible
+    ``approx_quantiles`` estimator, so SQL can pin them exactly); the
+    clip itself is one streaming map. Null values pass through
+    unchanged (SQL ``least``/``greatest`` of null is null)."""
+    if not 0.0 <= lo_q <= hi_q <= 1.0:
+        raise ValueError("need 0 <= lo_q <= hi_q <= 1")
+    thr = approx_quantiles(ds, value_col, id_col, [lo_q, hi_q], sample_size)
+    lo = thr[0][0].as_py()
+    hi = thr[1][0].as_py()
+    oc = out_col or value_col
+
+    def clip(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[value_col], pa.float64())
+        if lo is not None:
+            v = pc.max_element_wise(
+                v, pa.scalar(float(lo), pa.float64()), skip_nulls=False
+            )
+            v = pc.min_element_wise(
+                v, pa.scalar(float(hi), pa.float64()), skip_nulls=False
+            )
+        if oc in t.column_names:
+            t = t.set_column(t.schema.get_field_index(oc), oc, v)
+        else:
+            t = t.append_column(oc, v)
+        return t
+
+    return ds.map_batches(clip, batch_format="pyarrow", zero_copy_batch=True)
