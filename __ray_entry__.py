@@ -1433,6 +1433,66 @@ def q_winsorize(sf_dir: str) -> pa.Table:
     )
 
 
+def q_curate3(sf_dir: str) -> pa.Table:
+    """Third flagship chain — composite-quality budgeted selection:
+    winsorize the length signal -> z-blend it with a token-count
+    signal (0.6/0.4, rounded to 6dp so the selection boundary is
+    float-exact vs SQL) -> keep the best docs until 30% of the corpus
+    chars are spent. Every stage zero-or-digest shuffle; one-statement
+    CTE oracle reuses each stage's SQL verbatim."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from weiser_ai_ray.pipelines.selection import (
+        blend_zscores,
+        select_by_budget,
+        winsorize,
+    )
+
+    def signals(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "spaces": pc.cast(pc.count_substring(t["text"], " "), pa.int64()),
+            }
+        )
+
+    ds = (
+        __rps(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "n_chars"],
+        )
+        .map_batches(signals, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    w = winsorize(ds, "n_chars", "doc_id", 0.05, 0.95, out_col="clipped")
+    b = blend_zscores(
+        w, ["clipped", "spaces"], [0.6, 0.4], "doc_id", keep_cols=["n_chars"]
+    )
+    b = b.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("blend"), "blend", pc.round(t["blend"], 6)
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    budget = int(float(b.sum("n_chars")) * 0.3)
+    df = (
+        select_by_budget(b, "blend", "doc_id", "n_chars", budget)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"], type=pa.int64()),
+            "n_chars": pa.array(df["n_chars"], type=pa.int64()),
+            "score": pa.array(df["blend"], type=pa.float64()),
+        }
+    )
+
+
 def q_grouped_row_number(sf_dir: str) -> pa.Table:
     """Within-group row_number (PARTITION BY o_custkey ORDER BY
     o_totalprice, o_orderkey): one coarse group-bucket shuffle +
@@ -2946,6 +3006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_per_group_docs": q_budget_per_group,
         "rolling_minmax_events": q_rolling_minmax,
         "winsorize_orders": q_winsorize,
+        "curate3_documents": q_curate3,
         "curate2_documents": q_curate2,
         "grouped_row_number_orders": q_grouped_row_number,
         "grouped_running_sum_events": q_grouped_running_sum,
@@ -3488,6 +3549,32 @@ def oracle_sql() -> dict[str, str]:
             "  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,"
             "  CAST(COUNT(*) AS BIGINT) AS n FROM lineitem"
             " WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL"
+        ),
+        # curate3: winsorize -> z-blend -> budgeted selection as one
+        # CTE statement, each stage's SQL reused verbatim
+        "curate3_documents": (
+            "WITH sig AS (SELECT doc_id, n_chars,"
+            "  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)"
+            "   AS spaces FROM documents),"
+            " q AS (SELECT quantile_cont(n_chars, 0.05) lo,"
+            "  quantile_cont(n_chars, 0.95) hi FROM"
+            "  (SELECT n_chars FROM sig WHERE n_chars IS NOT NULL"
+            "   ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 2048)),"
+            " w AS (SELECT doc_id, n_chars, spaces,"
+            "  least(greatest(CAST(n_chars AS DOUBLE), q.lo), q.hi) AS clipped"
+            "  FROM sig, q),"
+            " st AS (SELECT AVG(clipped) m1, STDDEV(clipped) s1,"
+            "  AVG(spaces) m2, STDDEV(spaces) s2 FROM w"
+            "  WHERE clipped IS NOT NULL AND spaces IS NOT NULL),"
+            " sc AS (SELECT doc_id, n_chars,"
+            "  round(0.6*((clipped-m1)/s1) + 0.4*((spaces-m2)/s2), 6) AS score"
+            "  FROM w, st WHERE clipped IS NOT NULL AND spaces IS NOT NULL),"
+            " b AS (SELECT CAST(floor(CAST(SUM(n_chars) AS DOUBLE) * 0.3)"
+            "   AS BIGINT) AS budget FROM sc),"
+            " r AS (SELECT doc_id, n_chars, score,"
+            "  SUM(n_chars) OVER (ORDER BY score DESC, doc_id) AS cw FROM sc)"
+            " SELECT r.doc_id, r.n_chars, r.score FROM r, b"
+            " WHERE r.cw <= b.budget ORDER BY r.doc_id"
         ),
         # winsorize: thresholds from the same md5-line deterministic
         # sample as filter_by_quantile, then least/greatest clip

@@ -170,3 +170,22 @@ class TestWinsorize:
         assert df.loc[1, "v"] == 1.0
         with pytest.raises(ValueError, match="lo_q"):
             winsorize(ds, "v", "id", 0.9, 0.1)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCurate3Composition:
+    def test_chain_matches_one_statement_oracle(self):
+        import __ray_entry__ as e
+
+        got = e.queries()["curate3_documents"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        )
+        want = con.execute(e.oracle_sql()["curate3_documents"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+        # the budget actually bites and the kept set is quality-ranked
+        n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+        assert 0 < len(got) < n_docs
+        total = con.execute("SELECT SUM(n_chars) FROM documents").fetchone()[0]
+        assert got["n_chars"].sum() <= int(float(total) * 0.3)

@@ -192,6 +192,7 @@ def blend_zscores(
     weights: Sequence[float],
     id_col: str,
     out_col: str = "blend",
+    keep_cols: Optional[Sequence[str]] = None,
 ) -> "ray.data.Dataset":
     """Weighted sum of per-column z-scores: ``sum_i w_i * (x_i - mean_i)
     / stddev_i`` (sample stddev, SQL STDDEV) — one composite quality
@@ -253,7 +254,11 @@ def blend_zscores(
                 continue
             x = pc.cast(t[c], pa.float64()).to_numpy(zero_copy_only=False)
             acc += w * (x - mean) / sd
-        return pa.table({id_col: t[id_col], out_col: pa.array(acc, pa.float64())})
+        out = {id_col: t[id_col]}
+        for kc in keep_cols or []:
+            out[kc] = t[kc]
+        out[out_col] = pa.array(acc, pa.float64())
+        return pa.table(out)
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
