@@ -1493,6 +1493,54 @@ def q_curate3(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bpe_train(sf_dir: str) -> pa.Table:
+    """BPE merge learning at corpus scale: ONE distributed word-count
+    pass (digest-only shuffle, top-V cap), then the Sennrich merge
+    loop on the driver digest. Deterministic tie-breaks; rows-only
+    (iterative, no SQL twin)."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.bpe import bpe_train
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    m = bpe_train(ds, "text", num_merges=64)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(m["merges"])), pa.int64()),
+            "left": pa.array([a for a, _ in m["merges"]], pa.string()),
+            "right": pa.array([b for _, b in m["merges"]], pa.string()),
+        }
+    )
+
+
+def q_bpe_token_counts(sf_dir: str) -> pa.Table:
+    """Exact per-doc token counts under the learned BPE merges: an
+    actor-pool streaming pass (ranks + Zipf word cache built once per
+    actor). Rows-only."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.bpe import bpe_token_counts, bpe_train
+
+    ds = __rps(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        cache=True,
+    )
+    m = bpe_train(ds, "text", num_merges=64)
+    df = (
+        bpe_token_counts(ds, m, "text", "doc_id", concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"], type=pa.int64()),
+            "n_tokens": pa.array(df["n_tokens"], type=pa.int64()),
+        }
+    )
+
+
 def q_grouped_row_number(sf_dir: str) -> pa.Table:
     """Within-group row_number (PARTITION BY o_custkey ORDER BY
     o_totalprice, o_orderkey): one coarse group-bucket shuffle +
@@ -3083,6 +3131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metrics_last_values": q_metrics_last_values,
         "logistic_probe_embeddings": q_logistic_probe,
         "pca_embeddings": q_pca_embeddings,
+        "bpe_train_docs": q_bpe_train,
+        "bpe_token_counts_docs": q_bpe_token_counts,
     }
 
 

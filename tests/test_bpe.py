@@ -1,0 +1,106 @@
+"""Distributed BPE (pipelines/bpe.py): merge-loop parity against a
+naive local trainer, tokenize-count parity, determinism across block
+layouts, degenerate corpora."""
+
+from collections import Counter
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from weiser_ai_ray.pipelines.bpe import _EOW, bpe_token_counts, bpe_train
+
+TEXTS = ["the cat sat on the mat", "the cats sat", "a mat on the mat", "cats on cats"] * 3
+
+
+def _local_train(texts, num_merges):
+    wc = Counter(w for s in texts for w in s.split())
+    words = {tuple(w) + (_EOW,): c for w, c in wc.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        bc = max(pairs.values())
+        if bc < 2:
+            break
+        pair = min(p for p, c in pairs.items() if c == bc)
+        merges.append([pair[0], pair[1]])
+
+        def mw(s):
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == pair:
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            return tuple(out)
+
+        words = {mw(s): c for s, c in words.items()}
+    return merges
+
+
+def _local_counts(texts, merges):
+    ranks = {tuple(x): i for i, x in enumerate(merges)}
+
+    def enc(w):
+        syms = list(w) + [_EOW]
+        while len(syms) > 1:
+            br, bi = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (br is None or r < br):
+                    br, bi = r, i
+            if br is None:
+                break
+            syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
+        return len(syms)
+
+    return [sum(enc(w) for w in s.split()) for s in texts]
+
+
+def _ds(texts, parts=3):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(parts)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBpe:
+    def test_train_matches_local_and_layout_independent(self):
+        m = bpe_train(_ds(TEXTS, 3), "text", num_merges=10)
+        assert m["merges"] == _local_train(TEXTS, 10)
+        m2 = bpe_train(_ds(TEXTS, 7), "text", num_merges=10)
+        assert m2["merges"] == m["merges"]
+
+    def test_token_counts_match_local_apply(self):
+        ds = _ds(TEXTS)
+        m = bpe_train(ds, "text", num_merges=10)
+        got = (
+            bpe_token_counts(ds, m, "text", "doc_id", concurrency=2)
+            .to_pandas()
+            .sort_values("doc_id")["n_tokens"]
+            .tolist()
+        )
+        assert got == _local_counts(TEXTS, m["merges"])
+
+    def test_degenerate_corpora(self):
+        # empty corpus and all-unique single chars: no merges learned
+        assert bpe_train(_ds([], 1), "text", 5) == {"merges": [], "n_words": 0}
+        m = bpe_train(_ds(["a b c d"], 1), "text", 5)
+        assert m["merges"] == []  # every pair count is 1
+        got = (
+            bpe_token_counts(_ds(["a b c d"], 1), m, "text", "doc_id", concurrency=2)
+            .to_pandas()["n_tokens"]
+            .tolist()
+        )
+        assert got == [8]  # 4 words x (char + EOW)

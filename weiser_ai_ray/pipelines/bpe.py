@@ -1,0 +1,188 @@
+"""Distributed BPE tokenizer training + actor-pool tokenization.
+
+How real BPE trainers scale (and the reference's north star names a
+"BPE-ish" token counter): the merge loop never touches the corpus —
+it runs on the WORD-FREQUENCY table, which is tiny next to the corpus
+(Heaps' law: ~1e5-1e7 distinct words for web-scale text). So the plan
+is
+
+  1. ONE distributed pass builds word counts: per-batch whitespace
+     pre-tokenize + np.unique partials -> digest-only groupby(word)
+     sum -> top-``max_words`` cap via the partial-top-k merge (driver
+     holds O(max_words) rows, never the corpus).
+  2. The classic merge loop (Sennrich et al., 2016) runs driver-side
+     over that digest: count symbol pairs weighted by word frequency,
+     merge the most frequent pair (count DESC, pair ASC tie-break =>
+     deterministic), ``num_merges`` times.
+  3. ``bpe_token_counts`` applies the learned merges corpus-wide in an
+     ACTOR-POOL map_batches stage: the merge ranks dict is built once
+     per actor in ``__init__`` and a word->tokens cache amortizes
+     repeated words (Zipf makes the hit rate ~99%), emitting exact
+     per-doc token counts in one streaming pass.
+
+Truncation contract: words outside the top-``max_words`` digest never
+influence MERGE LEARNING (standard practice — they are singletons that
+cannot win a merge anyway) but ARE tokenized at apply time via the
+same merge rules, so counts stay exact corpus-wide.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+_EOW = "▁"  # end-of-word sentinel (SentencePiece-style block)
+
+
+def _word_counts_digest(
+    ds: "ray.data.Dataset", text_col: str, max_words: int
+) -> "list[tuple[str, int]]":
+    from ray.data.aggregate import Sum
+
+    from .sampling import global_topk
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[text_col].drop_null()
+        if len(col) == 0:
+            return pa.table(
+                {"w": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+            )
+        toks = pc.list_flatten(pc.split_pattern_regex(col, r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        words, counts = np.unique(toks.to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {
+                "w": pa.array(words.astype(object), pa.string()),
+                "c": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    digest = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="cnt"))
+    )
+    schema = digest.schema(fetch_if_missing=True)
+    if schema is None or "w" not in schema.names:
+        return []  # empty corpus: the aggregate emits a schemaless block
+    top = global_topk(digest, ["cnt", "w"], max_words, ascending=[False, True])
+    return list(zip(top["w"].to_pylist(), (int(v) for v in top["cnt"].to_pylist())))
+
+
+def _merge_word(symbols: tuple, pair: tuple) -> tuple:
+    out = []
+    i = 0
+    while i < len(symbols):
+        if i + 1 < len(symbols) and (symbols[i], symbols[i + 1]) == pair:
+            out.append(symbols[i] + symbols[i + 1])
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_train(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    num_merges: int = 200,
+    max_words: int = 65536,
+) -> dict:
+    """Learn ``num_merges`` BPE merges from the corpus (see module
+    docstring for the scale shape). Returns {"merges": [[a, b], ...]
+    in application order, "n_words": digest size}. Deterministic:
+    ties on pair count break lexicographically."""
+    vocab = _word_counts_digest(ds, text_col, max_words)
+    if not vocab:
+        return {"merges": [], "n_words": 0}
+    words = {tuple(w) + (_EOW,): c for w, c in vocab if w}
+    merges: list = []
+    for _ in range(int(num_merges)):
+        pairs: dict = {}
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        # deterministic: max count, then lexicographically SMALLEST pair
+        best_cnt = max(pairs.values())
+        if best_cnt < 2:
+            break  # nothing left that repeats
+        pair = min(p for p, c in pairs.items() if c == best_cnt)
+        merges.append(pair)
+        words = {_merge_word(s, pair): c for s, c in words.items()}
+    return {"merges": [[a, b] for a, b in merges], "n_words": len(vocab)}
+
+
+def _encode_word(word: str, ranks: dict) -> int:
+    """Token count of one word under the learned merges."""
+    syms = list(word) + [_EOW]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return len(syms)
+
+
+class _BpeCounter:
+    """Actor-pool stage: merge ranks built once per actor, word->count
+    cache amortizes Zipf-repeated words."""
+
+    def __init__(self, model: dict, text_col: str, id_col: str, out_col: str):
+        self._ranks = {tuple(m): i for i, m in enumerate(model["merges"])}
+        self._cache: dict = {}
+        self._text, self._id, self._out = text_col, id_col, out_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[self._text]))
+        texts = t[self._text].to_pylist()
+        counts = np.zeros(len(texts), dtype=np.int64)
+        cache, ranks = self._cache, self._ranks
+        for j, txt in enumerate(texts):
+            n = 0
+            for w in txt.split():
+                c = cache.get(w)
+                if c is None:
+                    c = _encode_word(w, ranks)
+                    if len(cache) < 1_000_000:  # bounded per-actor memory
+                        cache[w] = c
+                n += c
+            counts[j] = n
+        return pa.table(
+            {self._id: t[self._id], self._out: pa.array(counts, pa.int64())}
+        )
+
+
+def bpe_token_counts(
+    ds: "ray.data.Dataset",
+    model: dict,
+    text_col: str,
+    id_col: str,
+    out_col: str = "n_tokens",
+    concurrency: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Exact per-doc token counts under a ``bpe_train`` model, as one
+    actor-pool streaming pass (ranks + cache once per actor)."""
+    if concurrency is None:
+        try:
+            import ray
+
+            concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+        except Exception:
+            concurrency = 2
+    return ds.map_batches(
+        _BpeCounter,
+        fn_constructor_args=(model, text_col, id_col, out_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
