@@ -1541,6 +1541,43 @@ def q_bpe_token_counts(sf_dir: str) -> pa.Table:
     )
 
 
+def q_curate4(sf_dir: str) -> pa.Table:
+    """Fourth flagship chain — LEARNED-tokenizer token budgets: train
+    BPE on the corpus (one word-count pass + driver merge loop),
+    count each doc's tokens in the actor-pool stage (n_chars carried
+    through), then keep the best docs by length score until 30% of
+    the corpus TOKENS are spent. Rows-only (BPE is iterative), with a
+    local-reference parity test instead of SQL."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.bpe import bpe_token_counts, bpe_train
+    from weiser_ai_ray.pipelines.selection import select_by_budget
+
+    ds = __rps(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"],
+        cache=True,
+    )
+    m = bpe_train(ds, "text", num_merges=64)
+    scored = bpe_token_counts(
+        ds, m, "text", "doc_id", concurrency=2, keep_cols=["n_chars"]
+    ).materialize()
+    budget = int(float(scored.sum("n_tokens")) * 0.3)
+    df = (
+        select_by_budget(scored, "n_chars", "doc_id", "n_tokens", budget)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"], type=pa.int64()),
+            "n_chars": pa.array(df["n_chars"], type=pa.int64()),
+            "n_tokens": pa.array(df["n_tokens"], type=pa.int64()),
+        }
+    )
+
+
 def q_grouped_row_number(sf_dir: str) -> pa.Table:
     """Within-group row_number (PARTITION BY o_custkey ORDER BY
     o_totalprice, o_orderkey): one coarse group-bucket shuffle +
@@ -3133,6 +3170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_embeddings": q_pca_embeddings,
         "bpe_train_docs": q_bpe_train,
         "bpe_token_counts_docs": q_bpe_token_counts,
+        "curate4_token_budget": q_curate4,
     }
 
 

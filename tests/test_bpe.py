@@ -104,3 +104,33 @@ class TestBpe:
             .tolist()
         )
         assert got == [8]  # 4 words x (char + EOW)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCurate4TokenBudget:
+    def test_matches_local_reference_selection(self):
+        import pandas as pd
+
+        import __ray_entry__ as e
+        from tests.conftest import SF_DIR
+
+        got = e.queries()["curate4_token_budget"](SF_DIR).to_pandas()
+        # local reference: same merges (already parity-tested), same
+        # counts, same running-weight prefix rule
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[
+            ["doc_id", "text", "n_chars"]
+        ]
+        merges = _local_train(list(docs["text"]), 64)
+        docs["n_tokens"] = _local_counts(list(docs["text"]), merges)
+        budget = int(float(docs["n_tokens"].sum()) * 0.3)
+        ordered = docs.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        cw = ordered["n_tokens"].cumsum()
+        want = (
+            ordered[cw <= budget][["doc_id", "n_chars", "n_tokens"]]
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert 0 < len(got) < len(docs)

@@ -6,8 +6,8 @@ it runs on the WORD-FREQUENCY table, which is tiny next to the corpus
 (Heaps' law: ~1e5-1e7 distinct words for web-scale text). So the plan
 is
 
-  1. ONE distributed pass builds word counts: per-batch whitespace
-     pre-tokenize + np.unique partials -> digest-only groupby(word)
+  1. ONE distributed pass builds word counts: per-batch C++ whitespace
+     split + hash value_counts partials -> digest-only groupby(word)
      sum -> top-``max_words`` cap via the partial-top-k merge (driver
      holds O(max_words) rows, never the corpus).
   2. The classic merge loop (Sennrich et al., 2016) runs driver-side
@@ -175,10 +175,13 @@ class _BpeCounter:
     """Actor-pool stage: merge ranks built once per actor, word->count
     cache amortizes Zipf-repeated words."""
 
-    def __init__(self, model: dict, text_col: str, id_col: str, out_col: str):
+    def __init__(
+        self, model: dict, text_col: str, id_col: str, out_col: str, keep_cols=None
+    ):
         self._ranks = {tuple(m): i for i, m in enumerate(model["merges"])}
         self._cache: dict = {}
         self._text, self._id, self._out = text_col, id_col, out_col
+        self._keep = list(keep_cols or [])
 
     def __call__(self, t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t[self._text]))
@@ -195,9 +198,11 @@ class _BpeCounter:
                         cache[w] = c
                 n += c
             counts[j] = n
-        return pa.table(
-            {self._id: t[self._id], self._out: pa.array(counts, pa.int64())}
-        )
+        out = {self._id: t[self._id]}
+        for kc in self._keep:
+            out[kc] = t[kc]
+        out[self._out] = pa.array(counts, pa.int64())
+        return pa.table(out)
 
 
 def bpe_token_counts(
@@ -207,6 +212,7 @@ def bpe_token_counts(
     id_col: str,
     out_col: str = "n_tokens",
     concurrency: Optional[int] = None,
+    keep_cols=None,
 ) -> "ray.data.Dataset":
     """Exact per-doc token counts under a ``bpe_train`` model, as one
     actor-pool streaming pass (ranks + cache once per actor)."""
@@ -219,7 +225,7 @@ def bpe_token_counts(
             concurrency = 2
     return ds.map_batches(
         _BpeCounter,
-        fn_constructor_args=(model, text_col, id_col, out_col),
+        fn_constructor_args=(model, text_col, id_col, out_col, keep_cols),
         batch_format="pyarrow",
         concurrency=concurrency,
     )
