@@ -1578,6 +1578,33 @@ def q_curate4(sf_dir: str) -> pa.Table:
     )
 
 
+def q_blend_robust(sf_dir: str) -> pa.Table:
+    """Robust (median/MAD) z-score blend: centers and scales from
+    deterministic md5-line samples (two tiny passes, SQL-exact), one
+    streaming map. Outliers cannot drag a signal's scale."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.selection import blend_robust_zscores
+
+    ds = __rps(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice", "o_custkey"],
+        cache=True,
+    )
+    df = (
+        blend_robust_zscores(ds, ["o_totalprice", "o_custkey"], [0.7, 0.3], "o_orderkey")
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "o_orderkey": pa.array(df["o_orderkey"], type=pa.int64()),
+            "blend": pa.array(df["blend"].round(6), type=pa.float64()),
+        }
+    )
+
+
 def q_grouped_row_number(sf_dir: str) -> pa.Table:
     """Within-group row_number (PARTITION BY o_custkey ORDER BY
     o_totalprice, o_orderkey): one coarse group-bucket shuffle +
@@ -3091,6 +3118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_per_group_docs": q_budget_per_group,
         "rolling_minmax_events": q_rolling_minmax,
         "winsorize_orders": q_winsorize,
+        "blend_robust_orders": q_blend_robust,
         "curate3_documents": q_curate3,
         "curate2_documents": q_curate2,
         "grouped_row_number_orders": q_grouped_row_number,
@@ -3663,6 +3691,30 @@ def oracle_sql() -> dict[str, str]:
             "  SUM(n_chars) OVER (ORDER BY score DESC, doc_id) AS cw FROM sc)"
             " SELECT r.doc_id, r.n_chars, r.score FROM r, b"
             " WHERE r.cw <= b.budget ORDER BY r.doc_id"
+        ),
+        # robust blend: median + MAD from the deterministic md5-line
+        # samples (the MAD sample re-ranks by the same md5 ordering)
+        "blend_robust_orders": (
+            "WITH m1 AS (SELECT quantile_cont(o_totalprice, 0.5) AS v FROM"
+            "  (SELECT o_totalprice FROM orders WHERE o_totalprice IS NOT NULL"
+            "   ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 2048)),"
+            " a1 AS (SELECT quantile_cont(ad, 0.5) AS v FROM"
+            "  (SELECT abs(CAST(o.o_totalprice AS DOUBLE) - m1.v) AS ad,"
+            "   o.o_orderkey FROM orders o, m1 WHERE o.o_totalprice IS NOT NULL"
+            "   ORDER BY md5(CAST(o.o_orderkey AS VARCHAR)) LIMIT 2048)),"
+            " m2 AS (SELECT quantile_cont(o_custkey, 0.5) AS v FROM"
+            "  (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL"
+            "   ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 2048)),"
+            " a2 AS (SELECT quantile_cont(ad, 0.5) AS v FROM"
+            "  (SELECT abs(CAST(o.o_custkey AS DOUBLE) - m2.v) AS ad,"
+            "   o.o_orderkey FROM orders o, m2 WHERE o.o_custkey IS NOT NULL"
+            "   ORDER BY md5(CAST(o.o_orderkey AS VARCHAR)) LIMIT 2048))"
+            " SELECT o.o_orderkey,"
+            "  round(0.7*((o.o_totalprice - m1.v)/(1.4826*a1.v))"
+            "   + 0.3*((o.o_custkey - m2.v)/(1.4826*a2.v)), 6) AS blend"
+            " FROM orders o, m1, a1, m2, a2"
+            " WHERE o.o_totalprice IS NOT NULL AND o.o_custkey IS NOT NULL"
+            " ORDER BY o.o_orderkey"
         ),
         # winsorize: thresholds from the same md5-line deterministic
         # sample as filter_by_quantile, then least/greatest clip

@@ -189,3 +189,50 @@ class TestCurate3Composition:
         assert 0 < len(got) < n_docs
         total = con.execute("SELECT SUM(n_chars) FROM documents").fetchone()[0]
         assert got["n_chars"].sum() <= int(float(total) * 0.3)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBlendRobustZscores:
+    def test_matches_mad_oracle(self):
+        import __ray_entry__ as e
+
+        got = e.queries()["blend_robust_orders"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+        want = con.execute(e.oracle_sql()["blend_robust_orders"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_outlier_resistance_vs_mean_blend(self):
+        import numpy as np
+
+        from weiser_ai_ray.pipelines.selection import (
+            blend_robust_zscores,
+            blend_zscores,
+        )
+
+        # one huge outlier: robust scale barely moves, stddev explodes
+        vals = [10.0] * 49 + [1e9]
+        t = pa.table(
+            {
+                "id": pa.array(range(50), pa.int64()),
+                "a": pa.array(vals, pa.float64()),
+                "b": pa.array([float(i) for i in range(50)], pa.float64()),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        rb = (
+            blend_robust_zscores(ds, ["b"], [1.0], "id")
+            .to_pandas()
+            .set_index("id")["blend"]
+        )
+        # median of b = 24.5, MAD = 12.5 -> normal row z stays O(1)
+        assert abs(rb.loc[0]) < 3
+        # zero-MAD column contributes 0 (majority-constant a)
+        rb2 = (
+            blend_robust_zscores(ds, ["a", "b"], [5.0, 1.0], "id")
+            .to_pandas()
+            .set_index("id")["blend"]
+        )
+        assert np.allclose(rb2.to_numpy(), rb.to_numpy())
+        with pytest.raises(ValueError, match="weights"):
+            blend_robust_zscores(ds, ["a"], [1.0, 2.0], "id")

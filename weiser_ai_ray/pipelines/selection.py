@@ -383,3 +383,65 @@ def winsorize(
         return t
 
     return ds.map_batches(clip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def blend_robust_zscores(
+    ds: "ray.data.Dataset",
+    cols: Sequence[str],
+    weights: Sequence[float],
+    id_col: str,
+    out_col: str = "blend",
+    sample_size: int = 2048,
+    keep_cols: Optional[Sequence[str]] = None,
+) -> "ray.data.Dataset":
+    """Robust twin of ``blend_zscores``: each signal standardized as
+    ``(x - median) / (1.4826 * MAD)`` (the normal-consistent median
+    absolute deviation), so a heavy-tailed signal's outliers cannot
+    drag its scale the way they drag mean/stddev. Centers and scales
+    come from the deterministic md5-line sample — TWO tiny sample
+    passes (median, then MAD of |x - median|), each bit-reproducible
+    in SQL — then one streaming map. Rows with any null signal drop;
+    a zero-MAD (majority-constant) signal contributes 0."""
+    from .sketches import approx_quantiles
+
+    cs = list(cols)
+    ws = [float(w) for w in weights]
+    if len(cs) != len(ws) or not cs:
+        raise ValueError("cols and weights must be equal-length and non-empty")
+
+    stats = {}
+    for c in cs:
+        med = approx_quantiles(ds, c, id_col, [0.5], sample_size)[0][0].as_py()
+        if med is None:
+            stats[c] = (0.0, 0.0)
+            continue
+
+        def absdev(t: pa.Table, _c=c, _m=float(med)) -> pa.Table:
+            v = pc.cast(t[_c], pa.float64())
+            return pa.table(
+                {id_col: t[id_col], "__ad": pc.abs(pc.subtract(v, _m))}
+            )
+
+        ads = ds.map_batches(absdev, batch_format="pyarrow", zero_copy_batch=True)
+        mad = approx_quantiles(ads, "__ad", id_col, [0.5], sample_size)[0][0].as_py()
+        stats[c] = (float(med), 1.4826 * float(mad or 0.0))
+
+    def score(t: pa.Table) -> pa.Table:
+        mask = pc.is_valid(t[cs[0]])
+        for c in cs[1:]:
+            mask = pc.and_(mask, pc.is_valid(t[c]))
+        t = t.filter(mask)
+        acc = np.zeros(t.num_rows, dtype=np.float64)
+        for c, w in zip(cs, ws):
+            med, scale = stats[c]
+            if scale == 0.0:
+                continue
+            x = pc.cast(t[c], pa.float64()).to_numpy(zero_copy_only=False)
+            acc += w * (x - med) / scale
+        out = {id_col: t[id_col]}
+        for kc in keep_cols or []:
+            out[kc] = t[kc]
+        out[out_col] = pa.array(acc, pa.float64())
+        return pa.table(out)
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
