@@ -1605,6 +1605,35 @@ def q_blend_robust(sf_dir: str) -> pa.Table:
     )
 
 
+def q_winsorize_by_group(sf_dir: str) -> pa.Table:
+    """Per-source winsorization: each domain clips to ITS OWN [p10,
+    p90] band from the deterministic per-group sample; thresholds
+    broadcast as one O(groups) dict, streaming clamp."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.sketches import winsorize_by_group
+
+    ds = __rps(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+        cache=True,
+    )
+    df = (
+        winsorize_by_group(ds, "source", "n_chars", "doc_id", 0.1, 0.9, out_col="clipped")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"], type=pa.int64()),
+            "source": pa.array(df["source"], type=pa.string()),
+            "n_chars": pa.array(df["n_chars"], type=pa.int64()),
+            "clipped": pa.array(df["clipped"].round(6), type=pa.float64()),
+        }
+    )
+
+
 def q_grouped_row_number(sf_dir: str) -> pa.Table:
     """Within-group row_number (PARTITION BY o_custkey ORDER BY
     o_totalprice, o_orderkey): one coarse group-bucket shuffle +
@@ -3119,6 +3148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_minmax_events": q_rolling_minmax,
         "winsorize_orders": q_winsorize,
         "blend_robust_orders": q_blend_robust,
+        "winsorize_by_group_docs": q_winsorize_by_group,
         "curate3_documents": q_curate3,
         "curate2_documents": q_curate2,
         "grouped_row_number_orders": q_grouped_row_number,
@@ -3691,6 +3721,23 @@ def oracle_sql() -> dict[str, str]:
             "  SUM(n_chars) OVER (ORDER BY score DESC, doc_id) AS cw FROM sc)"
             " SELECT r.doc_id, r.n_chars, r.score FROM r, b"
             " WHERE r.cw <= b.budget ORDER BY r.doc_id"
+        ),
+        # per-group winsorize: per-source [p10, p90] bands from the
+        # deterministic per-group sample (same construction as
+        # filter_by_group_quantile); unseen/null groups pass through
+        "winsorize_by_group_docs": (
+            "WITH s AS (SELECT source, quantile_cont(n_chars, 0.1) AS lo,"
+            "   quantile_cont(n_chars, 0.9) AS hi FROM"
+            "  (SELECT source, n_chars, ROW_NUMBER() OVER (PARTITION BY source"
+            "    ORDER BY md5(CAST(doc_id AS VARCHAR))) rn"
+            "   FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL)"
+            "  WHERE rn <= 512 GROUP BY source)"
+            " SELECT d.doc_id, d.source, d.n_chars,"
+            "  round(CASE WHEN s.source IS NULL THEN CAST(d.n_chars AS DOUBLE)"
+            "   ELSE least(greatest(CAST(d.n_chars AS DOUBLE), s.lo), s.hi)"
+            "   END, 6) AS clipped"
+            " FROM documents d LEFT JOIN s ON d.source = s.source"
+            " ORDER BY d.doc_id"
         ),
         # robust blend: median + MAD from the deterministic md5-line
         # samples (the MAD sample re-ranks by the same md5 ordering)

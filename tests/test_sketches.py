@@ -534,3 +534,47 @@ class TestGlobalRankMetrics:
         assert round(df.loc[1, "percent_rank"], 9) == round(2 / 5, 9)
         assert round(df.loc[2, "cume_dist"], 9) == round(2 / 6, 9)
         assert df.loc[4, "cume_dist"] == 1.0 and df.loc[6, "cume_dist"] == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWinsorizeByGroup:
+    def test_matches_grouped_quantile_oracle(self):
+        import pandas as pd
+
+        import __ray_entry__ as e
+
+        got = e.queries()["winsorize_by_group_docs"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        )
+        want = con.execute(e.oracle_sql()["winsorize_by_group_docs"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_null_value_and_unseen_group_pass_through(self):
+        import pandas as pd
+        import ray.data
+
+        from weiser_ai_ray.pipelines.sketches import winsorize_by_group
+
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "g": pa.array(["a", "a", "a", None, "a"], pa.string()),
+                "v": pa.array([1.0, 2.0, 100.0, 50.0, None], pa.float64()),
+            }
+        )
+        df = (
+            winsorize_by_group(
+                ray.data.from_arrow(t), "g", "v", "id", 0.0, 0.5, out_col="c"
+            )
+            .to_pandas()
+            .set_index("id")
+        )
+        assert df.loc[3, "c"] < 100.0  # group-a outlier clipped to band
+        assert df.loc[4, "c"] == 50.0  # null group: untouched
+        assert pd.isna(df.loc[5, "c"])  # null value stays null
+
+
+        with pytest.raises(ValueError, match="lo_q"):
+            winsorize_by_group(ray.data.from_arrow(t), "g", "v", "id", 0.9, 0.1)

@@ -868,3 +868,66 @@ def _ranked_bucket_plan(
         offsets[r["__bucket"]] = run
         run += int(r["n"])
     return tagged, offsets, run, null_bucket
+
+
+def winsorize_by_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    per_group_sample: int = 512,
+    out_col: "str | None" = None,
+) -> "ray.data.Dataset":
+    """Per-GROUP winsorization: each domain's values clip to that
+    domain's own [lo_q, hi_q] quantile band (a global band would
+    flatten low-resource groups against the dominant one's scale).
+    Same shape as filter_by_group_quantile: one deterministic
+    per-group-sample quantile pass, thresholds broadcast as ONE
+    O(groups) dict, then a streaming clamp. Null values and
+    null/unseen groups pass through unclipped (SQL least/greatest of
+    NULL is NULL on the oracle side)."""
+    import pyarrow.compute as pc
+
+    if not 0.0 <= lo_q <= hi_q <= 1.0:
+        raise ValueError("need 0 <= lo_q <= hi_q <= 1")
+    thr_tbl = approx_quantiles_by(
+        ds, group_col, value_col, id_col, [lo_q, hi_q], per_group_sample
+    )
+    lname = f"q_{str(lo_q).replace('.', '_')}"
+    hname = f"q_{str(hi_q).replace('.', '_')}"
+    thr = {
+        r[group_col]: (r[lname], r[hname])
+        for b in thr_tbl.iter_batches(batch_size=None, batch_format="pyarrow")
+        for r in b.to_pylist()
+        if r[group_col] is not None
+    }
+    thr_ref = ray.put(thr)
+    oc = out_col or value_col
+
+    def clip(b: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        gs = b[group_col].to_pylist()
+        lo = pa.array(
+            [t.get(g, (None, None))[0] if g is not None else None for g in gs],
+            type=pa.float64(),
+        )
+        hi = pa.array(
+            [t.get(g, (None, None))[1] if g is not None else None for g in gs],
+            type=pa.float64(),
+        )
+        v = pc.cast(b[value_col], pa.float64())
+        clipped = pc.min_element_wise(
+            pc.max_element_wise(v, lo, skip_nulls=True),
+            hi,
+            skip_nulls=True,
+        )
+        # skip_nulls=True treats a NULL bound as "no bound" (value wins)
+        # but would also replace a NULL VALUE with the bound — restore
+        clipped = pc.if_else(pc.is_valid(v), clipped, v)
+        if oc in b.column_names:
+            return b.set_column(b.schema.get_field_index(oc), oc, clipped)
+        return b.append_column(oc, clipped)
+
+    return ds.map_batches(clip, batch_format="pyarrow", zero_copy_batch=True)
