@@ -324,3 +324,42 @@ class TestWriteParquetResumable:
         )
         with pytest.raises(ValueError, match="null partition"):
             write_parquet_resumable(bad, str(tmp_path / "x"), "bucket")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExportCurriculum:
+    def test_global_order_and_resume(self, tmp_path):
+        import glob
+
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from weiser_ai_ray.loader.export import export_curriculum
+
+        rng = np.random.RandomState(11)
+        n = 5000
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "score": pa.array(rng.normal(0, 10, n), pa.float64()),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(6)
+        out = str(tmp_path / "curr")
+        res = export_curriculum(ds, out, "score", "doc_id", shards=4)
+        assert res["rows"] == n and res["written"] == 4 and res["skipped"] == 0
+        # reading part=0..3 in order replays ascending score globally
+        seen = []
+        for part in sorted(
+            glob.glob(f"{out}/part=*"), key=lambda p: int(p.split("=")[1])
+        ):
+            tbl = pq.read_table(part + "/data.parquet")
+            s = tbl["score"].to_numpy()
+            assert (np.diff(s) >= 0).all()  # sorted inside the shard
+            seen.append(s)
+        flat = np.concatenate(seen)
+        assert len(flat) == n and (np.diff(flat) >= 0).all()  # global order
+        # resume: a second run skips every finished shard
+        res2 = export_curriculum(ds, out, "score", "doc_id", shards=4)
+        assert res2 == {"written": 0, "skipped": 4, "rows": 0}

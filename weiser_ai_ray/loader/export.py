@@ -174,7 +174,9 @@ def export_jsonl(
     return n
 
 
-def write_parquet_resumable(ds, out_dir: str, partition_col: str, run_id: str = "") -> dict:
+def write_parquet_resumable(
+    ds, out_dir: str, partition_col: str, run_id: str = "", sort_cols=None
+) -> dict:
     """Generic exactly-once-per-partition Parquet sink — the quality
     pipeline's manifest-resume contract (state.manifest) exposed for
     ANY Dataset: rows land in ``out_dir/part=<pid>/data.parquet``, each
@@ -184,6 +186,10 @@ def write_parquet_resumable(ds, out_dir: str, partition_col: str, run_id: str = 
     rewriting it. Pair with sketches.range_partition_ids or a hash
     bucket for the partition column; null partition ids raise (a row
     that belongs to no recovery unit cannot be made exactly-once).
+
+    ``sort_cols`` orders rows INSIDE each partition file (a range
+    partition column + sort_cols = globally ordered output without a
+    global sort).
 
     Scale shape: one digest pass for the distinct pid set, a broadcast
     pending-set filter, then groupby(pid).map_groups writers — each
@@ -232,6 +238,10 @@ def write_parquet_resumable(ds, out_dir: str, partition_col: str, run_id: str = 
         pid = group[partition_col][0].as_py()
         d = os.path.join(out_dir, f"part={pid}")
         os.makedirs(d, exist_ok=True)
+        if sort_cols:
+            # local per-partition order (e.g. curriculum rank inside a
+            # range bucket) — vectorized, never a global sort
+            group = group.sort_by([(c, "ascending") for c in sort_cols])
         pq.write_table(group, os.path.join(d, "data.parquet"))
         return pa.table(
             {
@@ -265,3 +275,30 @@ def write_parquet_resumable(ds, out_dir: str, partition_col: str, run_id: str = 
         "skipped": len(pids) - len(pending),
         "rows": int(sum(r["n_rows"] for r in recs)),
     }
+
+
+def export_curriculum(
+    ds,
+    out_dir: str,
+    score_col: str,
+    id_col: str,
+    shards: int,
+    run_id: str = "",
+) -> dict:
+    """Materialize a corpus in CURRICULUM ORDER (ascending score, e.g.
+    easy -> hard) as ``shards`` resumable Parquet partitions: shard i
+    holds the i-th score range (equi-depth sampled cuts — no global
+    sort), rows inside each shard sorted by (score, id). Reading
+    ``part=0..N`` in order replays the exact curriculum; a crashed
+    export resumes from the manifest, skipping finished shards.
+    Returns the sink's {written, skipped, rows}."""
+    from ..pipelines.sketches import range_partition_ids
+
+    bucketed = range_partition_ids(ds, score_col, id_col, shards)
+    return write_parquet_resumable(
+        bucketed,
+        out_dir,
+        "bucket",
+        run_id=run_id,
+        sort_cols=[score_col, id_col],
+    )
