@@ -1634,6 +1634,22 @@ def q_winsorize_by_group(sf_dir: str) -> pa.Table:
     )
 
 
+def q_describe(sf_dir: str) -> pa.Table:
+    """df.describe() for the engine: count/mean/std/exact-min/exact-max
+    from one digest pass + deterministic-sample quartiles, per
+    column with SQL aggregate null semantics."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.regress import describe_columns
+
+    ds = __rps(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice", "o_custkey"],
+        cache=True,
+    )
+    return describe_columns(ds, ["o_totalprice", "o_custkey"], "o_orderkey", round_to=6)
+
+
 def q_grouped_row_number(sf_dir: str) -> pa.Table:
     """Within-group row_number (PARTITION BY o_custkey ORDER BY
     o_totalprice, o_orderkey): one coarse group-bucket shuffle +
@@ -3149,6 +3165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_orders": q_winsorize,
         "blend_robust_orders": q_blend_robust,
         "winsorize_by_group_docs": q_winsorize_by_group,
+        "describe_orders": q_describe,
         "curate3_documents": q_curate3,
         "curate2_documents": q_curate2,
         "grouped_row_number_orders": q_grouped_row_number,
@@ -3721,6 +3738,40 @@ def oracle_sql() -> dict[str, str]:
             "  SUM(n_chars) OVER (ORDER BY score DESC, doc_id) AS cw FROM sc)"
             " SELECT r.doc_id, r.n_chars, r.score FROM r, b"
             " WHERE r.cw <= b.budget ORDER BY r.doc_id"
+        ),
+        # describe: one UNION ALL branch per column; quartiles reuse the
+        # md5-line deterministic-sample construction
+        "describe_orders": (
+            "SELECT 'o_totalprice' AS column,"
+            "  CAST(COUNT(o_totalprice) AS BIGINT) AS count,"
+            "  round(AVG(o_totalprice),6) AS mean,"
+            "  round(STDDEV(o_totalprice),6) AS std,"
+            "  round(MIN(o_totalprice),6) AS min,"
+            "  round(MAX(o_totalprice),6) AS max,"
+            "  (SELECT round(quantile_cont(o_totalprice,0.25),6) FROM"
+            "   (SELECT o_totalprice FROM orders WHERE o_totalprice IS NOT NULL"
+            "    ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 2048)) AS p25,"
+            "  (SELECT round(quantile_cont(o_totalprice,0.5),6) FROM"
+            "   (SELECT o_totalprice FROM orders WHERE o_totalprice IS NOT NULL"
+            "    ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 2048)) AS p50,"
+            "  (SELECT round(quantile_cont(o_totalprice,0.75),6) FROM"
+            "   (SELECT o_totalprice FROM orders WHERE o_totalprice IS NOT NULL"
+            "    ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 2048)) AS p75"
+            " FROM orders"
+            " UNION ALL"
+            " SELECT 'o_custkey', CAST(COUNT(o_custkey) AS BIGINT),"
+            "  round(AVG(o_custkey),6), round(STDDEV(o_custkey),6),"
+            "  round(MIN(o_custkey),6), round(MAX(o_custkey),6),"
+            "  (SELECT round(quantile_cont(o_custkey,0.25),6) FROM"
+            "   (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL"
+            "    ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 2048)),"
+            "  (SELECT round(quantile_cont(o_custkey,0.5),6) FROM"
+            "   (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL"
+            "    ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 2048)),"
+            "  (SELECT round(quantile_cont(o_custkey,0.75),6) FROM"
+            "   (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL"
+            "    ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 2048))"
+            " FROM orders"
         ),
         # per-group winsorize: per-source [p10, p90] bands from the
         # deterministic per-group sample (same construction as

@@ -184,3 +184,37 @@ class TestPca:
         )
         with pytest.raises(ValueError, match="k must be"):
             pca_fit(ds, "embedding", 0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDescribeColumns:
+    def test_matches_sql_describe(self):
+        import __ray_entry__ as e
+
+        got = e.queries()["describe_orders"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+        want = con.execute(e.oracle_sql()["describe_orders"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_per_column_null_independence(self):
+        from weiser_ai_ray.pipelines.regress import describe_columns
+
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4], pa.int64()),
+                "a": pa.array([1.0, 2.0, 3.0, None], pa.float64()),
+                "b": pa.array([None, None, 10.0, 20.0], pa.float64()),
+            }
+        )
+        d = (
+            describe_columns(ray.data.from_arrow(t), ["a", "b"], "id")
+            .to_pandas()
+            .set_index("column")
+        )
+        # a's stats ignore a's null only; b's ignore b's
+        assert d.loc["a", "count"] == 3 and d.loc["a", "mean"] == 2.0
+        assert d.loc["b", "count"] == 2 and d.loc["b", "min"] == 10.0
+        assert d.loc["b", "max"] == 20.0
+        with pytest.raises(ValueError, match="cols"):
+            describe_columns(ray.data.from_arrow(t), [], "id")

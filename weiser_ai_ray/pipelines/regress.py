@@ -400,3 +400,98 @@ def pca_transform(
         )
 
     return ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def describe_columns(
+    ds: "ray.data.Dataset",
+    cols: Sequence[str],
+    id_col: str,
+    sample_size: int = 2048,
+    round_to: Optional[int] = None,
+) -> pa.Table:
+    """Per-column summary table (the ``df.describe()`` of the engine):
+    count / mean / sample stddev / exact min / exact max from ONE
+    corpus pass of per-batch digests (moments via the Chan merge,
+    min/max via Arrow min_max), plus p25/p50/p75 from the
+    deterministic md5-line sample (SQL-pinnable). Per-column null
+    handling (each column's stats ignore ITS OWN nulls, SQL aggregate
+    semantics — unlike corr_matrix's complete-rows contract)."""
+    from .sketches import approx_quantiles
+
+    cs = list(cols)
+    if not cs:
+        raise ValueError("cols must be non-empty")
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = {}
+        for c in cs:
+            v = pc.cast(t[c], pa.float64())
+            x = v.drop_null().to_numpy(zero_copy_only=False)
+            n = len(x)
+            mean = float(x.mean()) if n else 0.0
+            m2 = float(((x - mean) ** 2).sum()) if n else 0.0
+            out[f"__n_{c}"] = pa.array([n], pa.int64())
+            out[f"__m_{c}"] = pa.array([mean], pa.float64())
+            out[f"__m2_{c}"] = pa.array([m2], pa.float64())
+            out[f"__lo_{c}"] = pa.array(
+                [float(x.min()) if n else None], pa.float64()
+            )
+            out[f"__hi_{c}"] = pa.array(
+                [float(x.max()) if n else None], pa.float64()
+            )
+        return pa.table(out)
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # O(blocks) driver rows
+
+    rows = {k: [] for k in (
+        "column", "count", "mean", "std", "min", "max", "p25", "p50", "p75"
+    )}
+    for c in cs:
+        n, mean, m2 = 0, 0.0, 0.0
+        lo, hi = None, None
+        for p in parts:
+            nb = int(p[f"__n_{c}"])
+            if nb == 0:
+                continue
+            mb, m2b = float(p[f"__m_{c}"]), float(p[f"__m2_{c}"])
+            delta = mb - mean
+            tot = n + nb
+            m2 = m2 + m2b + delta * delta * n * nb / tot
+            mean = mean + delta * nb / tot
+            n = tot
+            blo, bhi = p[f"__lo_{c}"], p[f"__hi_{c}"]
+            lo = blo if lo is None else min(lo, blo)
+            hi = bhi if hi is None else max(hi, bhi)
+        q = approx_quantiles(ds, c, id_col, [0.25, 0.5, 0.75], sample_size)
+        qs = [q[i][0].as_py() for i in range(3)]
+        std = (m2 / (n - 1)) ** 0.5 if n > 1 else None
+
+        def r(v):
+            if v is None or round_to is None:
+                return v
+            return round(v, round_to)
+
+        rows["column"].append(c)
+        rows["count"].append(n)
+        rows["mean"].append(r(mean) if n else None)
+        rows["std"].append(r(std))
+        rows["min"].append(r(lo))
+        rows["max"].append(r(hi))
+        rows["p25"].append(r(qs[0]))
+        rows["p50"].append(r(qs[1]))
+        rows["p75"].append(r(qs[2]))
+    return pa.table(
+        {
+            "column": pa.array(rows["column"], pa.string()),
+            "count": pa.array(rows["count"], pa.int64()),
+            "mean": pa.array(rows["mean"], pa.float64()),
+            "std": pa.array(rows["std"], pa.float64()),
+            "min": pa.array(rows["min"], pa.float64()),
+            "max": pa.array(rows["max"], pa.float64()),
+            "p25": pa.array(rows["p25"], pa.float64()),
+            "p50": pa.array(rows["p50"], pa.float64()),
+            "p75": pa.array(rows["p75"], pa.float64()),
+        }
+    )
