@@ -1650,6 +1650,40 @@ def q_describe(sf_dir: str) -> pa.Table:
     return describe_columns(ds, ["o_totalprice", "o_custkey"], "o_orderkey", round_to=6)
 
 
+def q_sample_mixture(sf_dir: str) -> pa.Table:
+    """Explicit target-mixture resampling (DoReMi-style domain
+    weights 3:1:1 over three sources, budget 20% of the corpus):
+    O(groups) count digest + driver fraction table + the streaming
+    md5-line keep rule, bit-identical to SQL."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.sampling import sample_to_mixture
+
+    ds = __rps(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    df = (
+        sample_to_mixture(
+            ds,
+            "doc_id",
+            "source",
+            {"src0": 3.0, "src1": 1.0, "src2": 1.0},
+            budget_frac=0.2,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"], type=pa.int64()),
+            "source": pa.array(df["source"], type=pa.string()),
+            "n_chars": pa.array(df["n_chars"], type=pa.int64()),
+        }
+    )
+
+
 def q_grouped_row_number(sf_dir: str) -> pa.Table:
     """Within-group row_number (PARTITION BY o_custkey ORDER BY
     o_totalprice, o_orderkey): one coarse group-bucket shuffle +
@@ -3166,6 +3200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blend_robust_orders": q_blend_robust,
         "winsorize_by_group_docs": q_winsorize_by_group,
         "describe_orders": q_describe,
+        "sample_mixture_docs": q_sample_mixture,
         "curate3_documents": q_curate3,
         "curate2_documents": q_curate2,
         "grouped_row_number_orders": q_grouped_row_number,
@@ -3738,6 +3773,26 @@ def oracle_sql() -> dict[str, str]:
             "  SUM(n_chars) OVER (ORDER BY score DESC, doc_id) AS cw FROM sc)"
             " SELECT r.doc_id, r.n_chars, r.score FROM r, b"
             " WHERE r.cw <= b.budget ORDER BY r.doc_id"
+        ),
+        # explicit mixture: VALUES-table domain weights, same md5 keep
+        # rule as the temperature mix (floats mirrored op-for-op)
+        "sample_mixture_docs": (
+            "WITH tw(g, w) AS (VALUES ('src0', 3.0), ('src1', 1.0),"
+            "  ('src2', 1.0)),"
+            " tt AS (SELECT SUM(w ORDER BY g) AS T FROM tw),"
+            " cnt AS (SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS n"
+            "  FROM documents WHERE source IS NOT NULL AND doc_id IS NOT NULL"
+            "  GROUP BY source),"
+            " tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM cnt),"
+            " thr AS (SELECT cnt.g, CAST(floor(least(1.0,"
+            "   (0.2 * tot.total) * (tw.w / tt.T) / CAST(cnt.n AS DOUBLE))"
+            "   * 4294967296.0) AS BIGINT) AS thr"
+            "  FROM cnt JOIN tw ON cnt.g = tw.g, tot, tt)"
+            " SELECT d.doc_id, d.source, d.n_chars FROM documents d"
+            " JOIN thr ON d.source = thr.g"
+            " WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT"
+            "  < thr.thr"
+            " ORDER BY d.doc_id"
         ),
         # describe: one UNION ALL branch per column; quartiles reuse the
         # md5-line deterministic-sample construction

@@ -510,3 +510,50 @@ class TestUpsampleTemperatureMix:
             upsample_temperature_mix(ds, "id", "g", budget=1.0, budget_frac=0.5)
         with pytest.raises(ValueError):
             upsample_temperature_mix(ds, "id", "g")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSampleToMixture:
+    def test_matches_sql_mixture_oracle(self):
+        import duckdb
+        import pandas as pd
+
+        import __ray_entry__ as e
+        from tests.conftest import SF_DIR
+
+        got = e.queries()["sample_mixture_docs"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        )
+        want = con.execute(e.oracle_sql()["sample_mixture_docs"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # only the targeted sources survive
+        assert set(got["source"]) <= {"src0", "src1", "src2"}
+
+    def test_saturation_and_validation(self):
+        import pytest as _pytest
+        import ray.data
+
+        from weiser_ai_ray.pipelines.sampling import sample_to_mixture
+
+        t = pa.table(
+            {
+                "id": pa.array(range(100), pa.int64()),
+                "g": pa.array(["a"] * 5 + ["b"] * 95, pa.string()),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        # a's quota (50% of 60 = 30) exceeds its 5 rows: keeps all 5,
+        # shortfall NOT redistributed to b
+        kept = sample_to_mixture(
+            ds, "id", "g", {"a": 1.0, "b": 1.0}, budget=60
+        ).to_pandas()
+        by = kept.groupby("g").size().to_dict()
+        assert by["a"] == 5 and 20 <= by.get("b", 0) <= 40
+        with _pytest.raises(ValueError, match="targets"):
+            sample_to_mixture(ds, "id", "g", {}, budget=10)
+        with _pytest.raises(ValueError, match="must be > 0"):
+            sample_to_mixture(ds, "id", "g", {"a": 0.0}, budget=10)
+        with _pytest.raises(ValueError, match="exactly one"):
+            sample_to_mixture(ds, "id", "g", {"a": 1.0})

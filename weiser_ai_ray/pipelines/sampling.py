@@ -564,3 +564,62 @@ def upsample_temperature_mix(
         return t.take(idx).append_column(copy_col, pa.array(within, type=pa.int64()))
 
     return ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_to_mixture(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    group_col: str,
+    targets: "dict[str, float]",
+    budget: float | None = None,
+    budget_frac: float | None = None,
+) -> "ray.data.Dataset":
+    """Resample to an EXPLICIT target mixture (the DoReMi /
+    data-mixing-laws setting: domain weights come from an optimizer or
+    a spec, not a temperature formula): group g's expected share of
+    the ~``budget``-row output is ``targets[g] / sum(targets)``, via
+    per-row keep probability ``f_g = min(1, b * t_g / n_g)``. Groups
+    absent from ``targets`` are dropped (the spec IS the mix). A group
+    smaller than its quota saturates at f=1 (its shortfall is NOT
+    redistributed — document-level parity with the SQL rule matters
+    more than exact renormalization).
+
+    Same scale shape as ``sample_temperature_mix``: one O(groups)
+    digest count reduce, driver fraction table, then the streaming
+    32-bit md5(key)-line filter — bit-identical keep decisions vs the
+    SQL oracle, layout- and cluster-size-stable, no corpus shuffle."""
+    if (budget is None) == (budget_frac is None):
+        raise ValueError("sample_to_mixture: give exactly one of budget / budget_frac")
+    if not targets:
+        raise ValueError("sample_to_mixture: targets must be non-empty")
+    for g, w in targets.items():
+        if not w > 0:
+            raise ValueError(f"sample_to_mixture: target weight for {g!r} must be > 0")
+    n, _pw, _tot, b = _temperature_stats(ds, key_col, group_col, 1.0, budget, budget_frac)
+    # normalization in sorted-key order: bit-reproducible vs
+    # SQL SUM(w ORDER BY g)
+    T = np.float64(0.0)
+    for g in sorted(targets):
+        T = T + np.float64(targets[g])
+    thr = {}
+    for g, w in targets.items():
+        if g not in n:
+            continue  # group absent from the corpus
+        tg = np.float64(w) / T
+        f = np.minimum(np.float64(1.0), b * tg / np.float64(n[g]))
+        thr[g] = float(np.floor(f * np.float64(4294967296.0)))
+
+    def keep(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_pylist()
+        groups = t[group_col].to_pylist()
+        mask = pa.array(
+            [
+                k is not None
+                and g in thr
+                and int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) < thr[g]
+                for k, g in zip(keys, groups)
+            ]
+        )
+        return t.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
