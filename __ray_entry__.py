@@ -1684,6 +1684,26 @@ def q_sample_mixture(sf_dir: str) -> pa.Table:
     )
 
 
+def q_profile(sf_dir: str) -> pa.Table:
+    """Table profile (null rates, exact distincts, numeric stats) —
+    the "is this source healthy?" report: one digest pass for
+    counts/sums/min-max + per-column distinct digest shuffles
+    (distinct='exact' here so SQL pins it; the HLL 'approx' mode is
+    the 10^12-row path)."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.regress import profile_columns
+
+    ds = __rps(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice", "o_orderstatus"],
+        cache=True,
+    )
+    return profile_columns(
+        ds, ["o_totalprice", "o_orderstatus"], distinct="exact", round_to=6
+    )
+
+
 def q_grouped_row_number(sf_dir: str) -> pa.Table:
     """Within-group row_number (PARTITION BY o_custkey ORDER BY
     o_totalprice, o_orderkey): one coarse group-bucket shuffle +
@@ -3201,6 +3221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_by_group_docs": q_winsorize_by_group,
         "describe_orders": q_describe,
         "sample_mixture_docs": q_sample_mixture,
+        "profile_orders": q_profile,
         "curate3_documents": q_curate3,
         "curate2_documents": q_curate2,
         "grouped_row_number_orders": q_grouped_row_number,
@@ -3773,6 +3794,28 @@ def oracle_sql() -> dict[str, str]:
             "  SUM(n_chars) OVER (ORDER BY score DESC, doc_id) AS cw FROM sc)"
             " SELECT r.doc_id, r.n_chars, r.score FROM r, b"
             " WHERE r.cw <= b.budget ORDER BY r.doc_id"
+        ),
+        # table profile: one UNION ALL branch per column; numeric stats
+        # null for the string column
+        "profile_orders": (
+            'SELECT \'o_totalprice\' AS "column",'
+            '  CAST(COUNT(*) AS BIGINT) AS "rows",'
+            "  CAST(COUNT(o_totalprice) AS BIGINT) AS non_null,"
+            "  round(1.0 - CAST(COUNT(o_totalprice) AS DOUBLE)"
+            "   / COUNT(*), 6) AS null_frac,"
+            '  CAST(COUNT(DISTINCT o_totalprice) AS DOUBLE) AS "distinct",'
+            "  round(SUM(CAST(o_totalprice AS DOUBLE))"
+            "   / COUNT(o_totalprice), 6) AS mean,"
+            '  round(MIN(o_totalprice), 6) AS "min",'
+            '  round(MAX(o_totalprice), 6) AS "max"'
+            " FROM orders"
+            " UNION ALL"
+            " SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),"
+            "  CAST(COUNT(o_orderstatus) AS BIGINT),"
+            "  round(1.0 - CAST(COUNT(o_orderstatus) AS DOUBLE)"
+            "   / COUNT(*), 6),"
+            "  CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE),"
+            "  NULL, NULL, NULL FROM orders"
         ),
         # explicit mixture: VALUES-table domain weights, same md5 keep
         # rule as the temperature mix (floats mirrored op-for-op)

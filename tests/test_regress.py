@@ -218,3 +218,43 @@ class TestDescribeColumns:
         assert d.loc["b", "max"] == 20.0
         with pytest.raises(ValueError, match="cols"):
             describe_columns(ray.data.from_arrow(t), [], "id")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestProfileColumns:
+    def test_matches_sql_profile(self):
+        import __ray_entry__ as e
+
+        got = e.queries()["profile_orders"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+        want = con.execute(e.oracle_sql()["profile_orders"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_nulls_mixed_types_and_hll_mode(self):
+        from weiser_ai_ray.pipelines.regress import profile_columns
+
+        t = pa.table(
+            {
+                "x": pa.array([1.0, 2.0, None, 2.0], pa.float64()),
+                "s": pa.array(["a", None, None, "b"], pa.string()),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        d = (
+            profile_columns(ds, ["x", "s"], distinct="exact", round_to=6)
+            .to_pandas()
+            .set_index("column")
+        )
+        assert d.loc["x", "non_null"] == 3 and d.loc["x", "distinct"] == 2.0
+        assert d.loc["x", "null_frac"] == 0.25 and d.loc["x", "mean"] == round(5 / 3, 6)
+        assert d.loc["s", "distinct"] == 2.0 and pd.isna(d.loc["s", "mean"])
+        # HLL mode agrees at tiny cardinalities
+        d2 = (
+            profile_columns(ds, ["x", "s"], distinct="approx")
+            .to_pandas()
+            .set_index("column")
+        )
+        assert d2.loc["x", "distinct"] == 2.0 and d2.loc["s", "distinct"] == 2.0
+        with pytest.raises(ValueError, match="approx"):
+            profile_columns(ds, ["x"], distinct="bogus")

@@ -495,3 +495,117 @@ def describe_columns(
             "p75": pa.array(rows["p75"], pa.float64()),
         }
     )
+
+
+def profile_columns(
+    ds: "ray.data.Dataset",
+    cols: Sequence[str],
+    distinct: str = "approx",
+    round_to: Optional[int] = None,
+) -> pa.Table:
+    """Table profile — the data-quality report behind "is this source
+    healthy?": per column, total rows, non-null count, null fraction,
+    distinct count, and (numeric columns) mean/min/max. ``distinct``:
+    "approx" uses the HLL sketch (O(2^p) shuffle payload per column —
+    the 10^12-row path), "exact" shuffles each column's per-batch
+    distinct digest (O(distinct) — SQL-pinnable). Non-numeric columns
+    report null numeric stats rather than erroring, so one call
+    profiles a mixed-schema table."""
+    from ray.data.aggregate import Sum
+
+    from .sketches import approx_count_distinct
+
+    cs = list(cols)
+    if not cs:
+        raise ValueError("cols must be non-empty")
+    if distinct not in ("approx", "exact"):
+        raise ValueError("distinct must be 'approx' or 'exact'")
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = {"__rows": pa.array([t.num_rows], pa.int64())}
+        for c in cs:
+            col = t[c]
+            nn = len(col) - col.null_count
+            out[f"__nn_{c}"] = pa.array([nn], pa.int64())
+            if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+                x = pc.cast(col, pa.float64()).drop_null().to_numpy(
+                    zero_copy_only=False
+                )
+                out[f"__s_{c}"] = pa.array(
+                    [float(x.sum()) if len(x) else 0.0], pa.float64()
+                )
+                out[f"__lo_{c}"] = pa.array(
+                    [float(x.min()) if len(x) else None], pa.float64()
+                )
+                out[f"__hi_{c}"] = pa.array(
+                    [float(x.max()) if len(x) else None], pa.float64()
+                )
+            else:
+                out[f"__s_{c}"] = pa.array([None], pa.float64())
+                out[f"__lo_{c}"] = pa.array([None], pa.float64())
+                out[f"__hi_{c}"] = pa.array([None], pa.float64())
+        return pa.table(out)
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # O(blocks) driver rows
+    numeric = {c: any(p[f"__s_{c}"] is not None for p in parts) for c in cs}
+
+    def exact_distinct(c: str) -> int:
+        def uniq(t: pa.Table) -> pa.Table:
+            return pa.table({"v": pc.unique(t[c].combine_chunks().drop_null())})
+
+        dg = ds.select_columns([c]).map_batches(
+            uniq, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return dg.groupby("v").count().count()
+
+    rows = {
+        k: []
+        for k in (
+            "column", "rows", "non_null", "null_frac", "distinct",
+            "mean", "min", "max",
+        )
+    }
+    total = sum(int(p["__rows"]) for p in parts)
+    for c in cs:
+        nn = sum(int(p[f"__nn_{c}"]) for p in parts)
+        if distinct == "exact":
+            d = float(exact_distinct(c))
+        else:
+            d = float(round(approx_count_distinct(ds.select_columns([c]), c)))
+        if numeric[c] and nn:
+            s = sum(float(p[f"__s_{c}"]) for p in parts if p[f"__s_{c}"] is not None)
+            lo = min(p[f"__lo_{c}"] for p in parts if p[f"__lo_{c}"] is not None)
+            hi = max(p[f"__hi_{c}"] for p in parts if p[f"__hi_{c}"] is not None)
+            mean = s / nn
+        else:
+            mean = lo = hi = None
+
+        def r(v):
+            if v is None or round_to is None:
+                return v
+            return round(v, round_to)
+
+        rows["column"].append(c)
+        rows["rows"].append(total)
+        rows["non_null"].append(nn)
+        rows["null_frac"].append(
+            r(1.0 - nn / total) if total else None
+        )
+        rows["distinct"].append(d)
+        rows["mean"].append(r(mean))
+        rows["min"].append(r(lo))
+        rows["max"].append(r(hi))
+    return pa.table(
+        {
+            "column": pa.array(rows["column"], pa.string()),
+            "rows": pa.array(rows["rows"], pa.int64()),
+            "non_null": pa.array(rows["non_null"], pa.int64()),
+            "null_frac": pa.array(rows["null_frac"], pa.float64()),
+            "distinct": pa.array(rows["distinct"], pa.float64()),
+            "mean": pa.array(rows["mean"], pa.float64()),
+            "min": pa.array(rows["min"], pa.float64()),
+            "max": pa.array(rows["max"], pa.float64()),
+        }
+    )
