@@ -1704,6 +1704,72 @@ def q_profile(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bow_classifier(sf_dir: str) -> pa.Table:
+    """fastText-lite end to end: hashed-BoW featurize (one vectorized
+    streaming pass, no vocabulary) -> IRLS logistic probe on a
+    deterministic 80% split -> score the 20% holdout. Rows-only
+    (iterative); the test asserts holdout accuracy on the
+    content-property label."""
+    import hashlib as _h
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+
+    from weiser_ai_ray.pipelines.regress import logistic_fit, logistic_score
+    from weiser_ai_ray.pipelines.textfeat import hashed_bow_features
+
+    ds = __rps(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def lab(t: pa.Table) -> pa.Table:
+        has = pc.match_substring(pc.fill_null(t["text"], ""), "spark")
+        return t.append_column("y", pc.cast(has, pa.int8()))
+
+    f = hashed_bow_features(
+        ds.map_batches(lab, batch_format="pyarrow", zero_copy_batch=True),
+        "text",
+        "doc_id",
+        dim=512,
+        keep_cols=["y"],
+    ).materialize()
+
+    def split(t: pa.Table, train: bool) -> pa.Table:
+        hs = np.array(
+            [
+                int(_h.md5(str(k).encode()).hexdigest()[:8], 16)
+                for k in t["doc_id"].to_pylist()
+            ]
+        )
+        m = (hs % 5 != 0) if train else (hs % 5 == 0)
+        return t.filter(pa.array(m))
+
+    tr = f.map_batches(
+        lambda t: split(t, True), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # every Newton step re-consumes the train split
+    te = f.map_batches(
+        lambda t: split(t, False), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    m = logistic_fit(tr, "y", vec_col="features", iters=8, ridge=1e-3)
+    sc = (
+        logistic_score(te, m, "doc_id", vec_col="features")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    y = te.select_columns(["doc_id", "y"]).to_pandas().set_index("doc_id")
+    return pa.table(
+        {
+            "doc_id": pa.array(sc["doc_id"], type=pa.int64()),
+            "p": pa.array(sc["p"].round(9), type=pa.float64()),
+            "y": pa.array(
+                y.loc[sc["doc_id"], "y"].to_numpy().astype("int64"), type=pa.int64()
+            ),
+        }
+    )
+
+
 def q_grouped_row_number(sf_dir: str) -> pa.Table:
     """Within-group row_number (PARTITION BY o_custkey ORDER BY
     o_totalprice, o_orderkey): one coarse group-bucket shuffle +
@@ -3302,6 +3368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train_docs": q_bpe_train,
         "bpe_token_counts_docs": q_bpe_token_counts,
         "curate4_token_budget": q_curate4,
+        "bow_classifier_docs": q_bow_classifier,
     }
 
 

@@ -1,0 +1,83 @@
+"""Hashed bag-of-words featurizer (pipelines/textfeat.py): count
+correctness vs a local hash loop, normalization, null/empty text,
+layout independence, and the fastText-lite classifier integration."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from weiser_ai_ray.pipelines.sketches import hash64_column
+from weiser_ai_ray.pipelines.textfeat import hashed_bow_features
+
+
+def _local_bow(texts, dim, lowercase=True, seed=0):
+    out = np.zeros((len(texts), dim))
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        for w in (t.lower() if lowercase else t).split():
+            h = hash64_column(pa.array([w]), seed=seed)[0]
+            out[i, int(h % np.uint64(dim))] += 1
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHashedBow:
+    def test_counts_match_local_hash(self):
+        texts = ["a b a", "  c\t a ", None, "", "B b"]
+        t = pa.table(
+            {
+                "id": pa.array(range(5), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        got = (
+            hashed_bow_features(ds, "text", "id", dim=16, norm=None)
+            .to_pandas()
+            .sort_values("id")
+        )
+        mat = np.vstack(got["features"].to_numpy())
+        want = _local_bow(texts, 16)
+        assert np.array_equal(mat, want)
+        # null + empty texts -> zero vectors
+        assert mat[2].sum() == 0 and mat[3].sum() == 0
+        # lowercase folds B into b
+        assert mat[4].max() == 2
+
+    def test_l2_norm_and_layout_independence(self):
+        texts = [f"w{i} w{i} common" for i in range(50)]
+        t = pa.table(
+            {
+                "id": pa.array(range(50), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        one = (
+            hashed_bow_features(ray.data.from_arrow(t), "text", "id", dim=32)
+            .to_pandas()
+            .sort_values("id")
+        )
+        many = (
+            hashed_bow_features(
+                ray.data.from_arrow(t).repartition(7), "text", "id", dim=32
+            )
+            .to_pandas()
+            .sort_values("id")
+        )
+        a = np.vstack(one["features"].to_numpy())
+        b = np.vstack(many["features"].to_numpy())
+        assert np.array_equal(a, b)
+        assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+        with pytest.raises(ValueError, match="dim"):
+            hashed_bow_features(ray.data.from_arrow(t), "text", "id", dim=1)
+
+    def test_classifier_integration_high_accuracy(self):
+        import __ray_entry__ as e
+        from tests.conftest import SF_DIR
+
+        out = e.queries()["bow_classifier_docs"](SF_DIR).to_pandas()
+        acc = ((out["p"] > 0.5).astype(int) == out["y"]).mean()
+        assert acc > 0.95  # the feature literally exists in the bag
+        assert 0 < out["y"].mean() < 1  # both classes present

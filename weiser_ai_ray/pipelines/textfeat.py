@@ -1,0 +1,84 @@
+"""Hashed bag-of-words featurization: text -> fixed-dim float vector
+in one streaming pass — the feature bridge between raw documents and
+the vector operators (logistic_fit quality probes, k-means, ANN,
+PCA). The hashing trick (Weinberger et al., 2009) needs no vocabulary
+pass and no driver state: ``bucket = hash64(token) % dim``, so the
+featurizer is embarrassingly parallel and layout-independent.
+
+Fully vectorized per batch: one C++ whitespace split, ONE hash64 call
+over the flattened token array (polars xxhash for strings), row ids
+from the list offsets, and a single ``np.add.at`` scatter into the
+(rows x dim) count plane. No per-row Python.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .sketches import hash64_column
+
+
+def hashed_bow_features(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    dim: int = 1024,
+    lowercase: bool = True,
+    norm: Optional[str] = "l2",
+    seed: int = 0,
+    keep_cols: Optional[Sequence[str]] = None,
+    out_col: str = "features",
+) -> "ray.data.Dataset":
+    """Per-doc hashed token-count vector (``list<double>`` of length
+    ``dim``): token counts scattered into ``hash64(token) % dim``
+    buckets, optionally L2-normalized ("l2") or left raw (None).
+    Null/empty texts yield the zero vector (L2 leaves zeros). Rows
+    with a null id drop."""
+    if dim < 2:
+        raise ValueError("dim must be >= 2")
+    if norm not in (None, "l2"):
+        raise ValueError("norm must be None or 'l2'")
+    keeps = list(keep_cols or [])
+
+    def feats(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[id_col]))
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    **{k: t[k] for k in keeps},
+                    out_col: pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        txt = pc.fill_null(t[text_col], "")
+        if lowercase:
+            txt = pc.utf8_lower(txt)
+        toks = pc.utf8_split_whitespace(txt).combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        row_of = np.repeat(
+            np.arange(n, dtype=np.int64), np.diff(offs).astype(np.int64)
+        )[mask]
+        kept = flat.filter(pa.array(mask))
+        plane = np.zeros((n, dim), dtype=np.float64)
+        if len(kept):
+            h = hash64_column(kept, seed=seed)
+            np.add.at(plane, (row_of, (h % np.uint64(dim)).astype(np.int64)), 1.0)
+        if norm == "l2":
+            plane /= np.maximum(np.linalg.norm(plane, axis=1, keepdims=True), 1e-12)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                **{k: t[k] for k in keeps},
+                out_col: pa.array(list(plane), pa.list_(pa.float64())),
+            }
+        )
+
+    return ds.map_batches(feats, batch_format="pyarrow", zero_copy_batch=True)
