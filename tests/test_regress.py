@@ -258,3 +258,86 @@ class TestProfileColumns:
         assert d2.loc["x", "distinct"] == 2.0 and d2.loc["s", "distinct"] == 2.0
         with pytest.raises(ValueError, match="approx"):
             profile_columns(ds, ["x"], distinct="bogus")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReviewRegressions:
+    def test_logistic_survives_all_null_blocks_and_late_first_row(self):
+        # block 0 entirely incomplete; complete rows appear later
+        n = 60
+        y = [None] * 20 + [0, 1] * 20
+        t = pa.table(
+            {
+                "id": pa.array(range(n), pa.int64()),
+                "y": pa.array(y, pa.int8()),
+                "embedding": pa.array(
+                    [[float(i % 3), 1.0] for i in range(n)],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(3)
+        m = logistic_fit(ds, "y", vec_col="embedding", iters=4)
+        assert m["n"] == 40 and len(m["coef"]) == 2
+
+    def test_winsorize_degenerate_band(self):
+        from weiser_ai_ray.pipelines.selection import winsorize
+
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "v": pa.array([1.0, 5.0, 9.0], pa.float64()),
+            }
+        )
+        df = (
+            winsorize(ray.data.from_arrow(t), "v", "id", 0.5, 0.5)
+            .to_pandas()
+        )
+        assert df["v"].nunique() == 1  # everything clamps to the median
+
+    def test_rolling_minmax_drops_null_keys_and_emits_real_nulls(self):
+        from weiser_ai_ray.pipelines.windows import rolling_minmax_per_key
+
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "k": pa.array([7, None, 7], pa.int64()),
+                "ts": pa.array([1, 2, 3], pa.timestamp("us")),
+                "v": pa.array([None, 4.0, None], pa.float64()),
+            }
+        )
+        out = rolling_minmax_per_key(
+            ray.data.from_arrow(t), "k", "ts", "id", "v", 2
+        )
+        tbl = pa.concat_tables(
+            out.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        assert tbl.num_rows == 2  # null-key row dropped, no forged key
+        # all-null windows are ARROW nulls, not valid NaN floats
+        assert tbl["rolling_min"].null_count == 2
+
+    def test_unpivot_name_collision_rejected(self):
+        from weiser_ai_ray.pipelines.pivot import unpivot
+
+        t = pa.table(
+            {"name": pa.array([1], pa.int64()), "a": pa.array([1.0])}
+        )
+        with pytest.raises(ValueError, match="collide"):
+            unpivot(ray.data.from_arrow(t), ["name"], ["a"])
+
+    def test_export_curriculum_drops_null_scores(self, tmp_path):
+        from weiser_ai_ray.loader.export import export_curriculum
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(10), pa.int64()),
+                "score": pa.array(
+                    [float(i) if i % 2 else None for i in range(10)],
+                    pa.float64(),
+                ),
+            }
+        )
+        res = export_curriculum(
+            ray.data.from_arrow(t), str(tmp_path / "c"), "score", "doc_id", 2
+        )
+        assert res["rows"] == 5  # null-score rows dropped, not fatal

@@ -291,9 +291,18 @@ def export_curriculum(
     sort), rows inside each shard sorted by (score, id). Reading
     ``part=0..N`` in order replays the exact curriculum; a crashed
     export resumes from the manifest, skipping finished shards.
+    Rows with a null score DROP (they have no place on the
+    curriculum line; the same contract as the score-driven filters).
     Returns the sink's {written, skipped, rows}."""
+    import pyarrow.compute as pc
+
     from ..pipelines.sketches import range_partition_ids
 
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t[score_col])),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     bucketed = range_partition_ids(ds, score_col, id_col, shards)
     return write_parquet_resumable(
         bucketed,

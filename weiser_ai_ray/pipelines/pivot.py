@@ -109,6 +109,10 @@ def unpivot(
         raise ValueError("value_cols must be non-empty")
     if len(set(value_cols)) != len(list(value_cols)):
         raise ValueError("value_cols must be distinct")
+    if name_col in id_cols or value_col in id_cols or name_col == value_col:
+        raise ValueError(
+            "name_col/value_col must not collide with id_cols or each other"
+        )
     ids = list(id_cols)
     vcs = list(value_cols)
     needed = ids + vcs
@@ -201,7 +205,14 @@ def rollup_sum(
         cols[count_col] = pc.cast(n, pa.int64())
         levels.append(pa.table(cols))
     if not levels:
-        cols = {c: pa.nulls(0, type=pa.string()) for c in gcs}
+        # empty input: preserve the INPUT group-column types so the
+        # result concatenates cleanly with non-empty runs
+        try:
+            schema = ds.schema(fetch_if_missing=True)
+            types = {c: schema.base_schema.field(c).type for c in gcs}
+        except Exception:
+            types = {c: pa.string() for c in gcs}
+        cols = {c: pa.nulls(0, type=types.get(c, pa.string())) for c in gcs}
         cols[sc] = pa.nulls(0, type=pa.float64())
         cols[count_col] = pa.nulls(0, type=pa.int64())
         return pa.table(cols)

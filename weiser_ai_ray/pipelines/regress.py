@@ -210,13 +210,28 @@ def logistic_fit(
     xs = list(x_cols) if x_cols is not None else None
     need = (xs or [vec_col]) + [y_col]
 
-    # probe the feature dimension from one batch
+    # probe the feature dimension from the first COMPLETE row anywhere
+    # in the dataset (the first block may be all-null; limit() stops
+    # the scan as soon as one batch yields a dim)
     d = len(xs) if xs is not None else None
     if d is None:
-        head = _filter_complete(ds.limit(1).take_batch(1, batch_format="pyarrow"), need)
-        if head.num_rows == 0:
+
+        def probe(t: pa.Table) -> pa.Table:
+            t = _filter_complete(t, need)
+            if t.num_rows == 0:
+                return pa.table({"__d": pa.array([], pa.int64())})
+            return pa.table(
+                {"__d": pa.array([_vec_matrix(t, vec_col).shape[1]], pa.int64())}
+            )
+
+        found = (
+            ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+            .limit(1)
+            .take_all()
+        )
+        if not found:
             raise ValueError("no complete rows to infer vector dim from")
-        d = _vec_matrix(head, vec_col).shape[1]
+        d = int(found[0]["__d"])
 
     beta = np.zeros(d + 1)  # [weights..., intercept]
     n_seen = 0
@@ -227,8 +242,18 @@ def logistic_fit(
 
         def newton_partial(t: pa.Table) -> pa.Table:
             t = _filter_complete(t, need)
+            if t.num_rows == 0:  # all-null block: an empty digest
+                return pa.table(
+                    {
+                        "__n": pa.array([0], pa.int64()),
+                        "__g": pa.array([[0.0] * (d + 1)], pa.list_(pa.float64())),
+                        "__h": pa.array(
+                            [[0.0] * ((d + 1) * (d + 1))], pa.list_(pa.float64())
+                        ),
+                    }
+                )
             X = _vec_matrix(t, vec_col) if xs is None else _col_matrix(t, xs)
-            if X.shape[0] and X.shape[1] != d:
+            if X.shape[1] != d:
                 raise ValueError(f"feature dim {X.shape[1]} != {d}")
             y = (
                 pc.cast(t[y_col], pa.float64()).to_numpy(zero_copy_only=False)
@@ -413,7 +438,9 @@ def describe_columns(
     count / mean / sample stddev / exact min / exact max from ONE
     corpus pass of per-batch digests (moments via the Chan merge,
     min/max via Arrow min_max), plus p25/p50/p75 from the
-    deterministic md5-line sample (SQL-pinnable). Per-column null
+    deterministic md5-line sample (SQL-pinnable; NOTE the quartile
+    samples are one extra bounded pass PER COLUMN — the digest pass is
+    single, the sample passes are not). Per-column null
     handling (each column's stats ignore ITS OWN nulls, SQL aggregate
     semantics — unlike corr_matrix's complete-rows contract)."""
     from .sketches import approx_quantiles

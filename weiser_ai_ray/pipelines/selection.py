@@ -362,9 +362,13 @@ def winsorize(
     unchanged (SQL ``least``/``greatest`` of null is null)."""
     if not 0.0 <= lo_q <= hi_q <= 1.0:
         raise ValueError("need 0 <= lo_q <= hi_q <= 1")
-    thr = approx_quantiles(ds, value_col, id_col, [lo_q, hi_q], sample_size)
-    lo = thr[0][0].as_py()
-    hi = thr[1][0].as_py()
+    if lo_q == hi_q:  # degenerate band: clamp everything to one point
+        thr = approx_quantiles(ds, value_col, id_col, [lo_q], sample_size)
+        lo = hi = thr[0][0].as_py()
+    else:
+        thr = approx_quantiles(ds, value_col, id_col, [lo_q, hi_q], sample_size)
+        lo = thr[0][0].as_py()
+        hi = thr[1][0].as_py()
     oc = out_col or value_col
 
     def clip(t: pa.Table) -> pa.Table:

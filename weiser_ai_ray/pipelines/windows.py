@@ -616,7 +616,8 @@ def rolling_minmax_per_key(
     — ``MIN/MAX(v) OVER (PARTITION BY key ORDER BY ts, id ROWS
     window_rows-1 PRECEDING)`` — the spike/floor detector companion to
     ``rolling_avg_per_key``, whose one-coarse-bucket-shuffle layout
-    this shares. Per-partition work is a lexsort + ``window_rows - 1``
+    this shares. Rows with a null key or null order key drop (SQL
+    twin filters the same). Per-partition work is a lexsort + ``window_rows - 1``
     vectorized shifted-min/max folds (O(rows x window) — the window is
     a small constant by contract; min/max admit no prefix-sum trick
     without a deque). Null values propagate per SQL (MIN ignores
@@ -631,6 +632,11 @@ def rolling_minmax_per_key(
     k = int(window_rows)
 
     def add_part(batch: pa.Table) -> pa.Table:
+        # null key/ts rows drop (sibling grouped ops' contract; a NaN
+        # int64 cast would otherwise forge a garbage sentinel key)
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch[key_col]), pc.is_valid(batch[ts_col]))
+        )
         kv = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         h = (kv * np.int64(-7046029254386353131)) & np.int64(0x7FFFFFFFFFFFFFFF)
         return pa.table(
@@ -673,14 +679,13 @@ def rolling_minmax_per_key(
             cand_hi[j:] = hi[:-j]
             mn = np.minimum(mn, np.where(same, cand_lo, np.inf))
             mx = np.maximum(mx, np.where(same, cand_hi, -np.inf))
-        mn_out = np.where(np.isinf(mn), np.nan, mn)
-        mx_out = np.where(np.isinf(mx), np.nan, mx)
+        # all-null window: a real Arrow NULL, not a valid NaN float
         return pa.table(
             {
                 id_col: pa.array(rid),
                 key_col: pa.array(key),
-                "rolling_min": pa.array(mn_out),
-                "rolling_max": pa.array(mx_out),
+                "rolling_min": pa.array(mn, mask=np.isinf(mn)),
+                "rolling_max": pa.array(mx, mask=np.isinf(mx)),
             }
         )
 
