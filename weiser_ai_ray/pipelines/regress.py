@@ -438,12 +438,15 @@ def describe_columns(
     count / mean / sample stddev / exact min / exact max from ONE
     corpus pass of per-batch digests (moments via the Chan merge,
     min/max via Arrow min_max), plus p25/p50/p75 from the
-    deterministic md5-line sample (SQL-pinnable; NOTE the quartile
-    samples are one extra bounded pass PER COLUMN — the digest pass is
-    single, the sample passes are not). Per-column null
+    deterministic md5-line sample — ALL columns' samples are gathered
+    in one extra shared pass (per-batch bottom-k partials on the md5
+    line per column, merged on the driver), so the whole profile is
+    two corpus passes regardless of column count. Per-column null
     handling (each column's stats ignore ITS OWN nulls, SQL aggregate
     semantics — unlike corr_matrix's complete-rows contract)."""
-    from .sketches import approx_quantiles
+    import hashlib as _h
+
+    from ..checks.base import _weighted_quantile
 
     cs = list(cols)
     if not cs:
@@ -472,6 +475,54 @@ def describe_columns(
         partial, batch_format="pyarrow", zero_copy_batch=True
     ).take_all()  # O(blocks) driver rows
 
+    # ONE shared sample pass: per batch, each column's bottom-k rows on
+    # the md5(id) hex line (identical to approx_quantiles' sample
+    # definition, so the SQL oracle construction is unchanged)
+    def sample_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        md5s = np.array(
+            [
+                "" if v is None else _h.md5(str(v).encode()).hexdigest()
+                for v in ids
+            ],
+            dtype=object,
+        )
+        cols_out = {"__col": [], "__md5": [], "__val": []}
+        for c in cs:
+            v = pc.cast(t[c], pa.float64()).to_numpy(zero_copy_only=False)
+            ok = ~np.isnan(v) & (md5s != "")
+            if not ok.any():
+                continue
+            m = md5s[ok]
+            x = v[ok]
+            order = np.argsort(m, kind="stable")[:sample_size]
+            cols_out["__col"].extend([c] * len(order))
+            cols_out["__md5"].extend(m[order].tolist())
+            cols_out["__val"].extend(x[order].tolist())
+        return pa.table(
+            {
+                "__col": pa.array(cols_out["__col"], pa.string()),
+                "__md5": pa.array(cols_out["__md5"], pa.string()),
+                "__val": pa.array(cols_out["__val"], pa.float64()),
+            }
+        )
+
+    samp = pa.concat_tables(
+        ds.map_batches(sample_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )  # <= blocks x cols x k driver rows
+    sdf = {}
+    if samp.num_rows:
+        col_arr = np.array(samp["__col"].to_pylist(), dtype=object)
+        md5_arr = np.array(samp["__md5"].to_pylist(), dtype=object)
+        val_arr = samp["__val"].to_numpy(zero_copy_only=False)
+        for c in cs:
+            m = col_arr == c
+            if not m.any():
+                continue
+            order = np.argsort(md5_arr[m], kind="stable")[:sample_size]
+            sdf[c] = np.sort(val_arr[m][order])
+
     rows = {k: [] for k in (
         "column", "count", "mean", "std", "min", "max", "p25", "p50", "p75"
     )}
@@ -491,8 +542,15 @@ def describe_columns(
             blo, bhi = p[f"__lo_{c}"], p[f"__hi_{c}"]
             lo = blo if lo is None else min(lo, blo)
             hi = bhi if hi is None else max(hi, bhi)
-        q = approx_quantiles(ds, c, id_col, [0.25, 0.5, 0.75], sample_size)
-        qs = [q[i][0].as_py() for i in range(3)]
+        sv = sdf.get(c)
+        if sv is None or not len(sv):
+            qs = [None, None, None]
+        else:
+            ones = np.ones(len(sv))
+            qs = [
+                _weighted_quantile(sv, ones, q, True)
+                for q in (0.25, 0.5, 0.75)
+            ]
         std = (m2 / (n - 1)) ** 0.5 if n > 1 else None
 
         def r(v):
