@@ -1770,6 +1770,20 @@ def q_bow_classifier(sf_dir: str) -> pa.Table:
     )
 
 
+def q_profile_by_group(sf_dir: str) -> pa.Table:
+    """Per-domain health profile of events.value: one pass of grouped
+    digests (count/sum/min/max) + one digest-only exact-distinct pair
+    shuffle. The 'which source degraded?' report."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.regress import profile_by_group
+
+    ds = __rps(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    return profile_by_group(ds, "event_type", "value", round_to=6)
+
+
 def q_grouped_row_number(sf_dir: str) -> pa.Table:
     """Within-group row_number (PARTITION BY o_custkey ORDER BY
     o_totalprice, o_orderkey): one coarse group-bucket shuffle +
@@ -3288,6 +3302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "describe_orders": q_describe,
         "sample_mixture_docs": q_sample_mixture,
         "profile_orders": q_profile,
+        "profile_by_group_events": q_profile_by_group,
         "curate3_documents": q_curate3,
         "curate2_documents": q_curate2,
         "grouped_row_number_orders": q_grouped_row_number,
@@ -3861,6 +3876,17 @@ def oracle_sql() -> dict[str, str]:
             "  SUM(n_chars) OVER (ORDER BY score DESC, doc_id) AS cw FROM sc)"
             " SELECT r.doc_id, r.n_chars, r.score FROM r, b"
             " WHERE r.cw <= b.budget ORDER BY r.doc_id"
+        ),
+        "profile_by_group_events": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS rows,"
+            "  CAST(COUNT(value) AS BIGINT) AS non_null,"
+            "  round(1.0 - CAST(COUNT(value) AS DOUBLE)/COUNT(*), 6)"
+            "   AS null_frac,"
+            "  round(SUM(CAST(value AS DOUBLE))/COUNT(value), 6) AS mean,"
+            "  round(MIN(value), 6) AS min, round(MAX(value), 6) AS max,"
+            '  CAST(COUNT(DISTINCT value) AS BIGINT) AS "distinct"'
+            " FROM events WHERE event_type IS NOT NULL"
+            " GROUP BY event_type ORDER BY CAST(event_type AS VARCHAR)"
         ),
         # table profile: one UNION ALL branch per column; numeric stats
         # null for the string column

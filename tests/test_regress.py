@@ -341,3 +341,34 @@ class TestReviewRegressions:
             ray.data.from_arrow(t), str(tmp_path / "c"), "score", "doc_id", 2
         )
         assert res["rows"] == 5  # null-score rows dropped, not fatal
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestProfileByGroup:
+    def test_matches_sql_grouped_profile(self):
+        import __ray_entry__ as e
+
+        got = e.queries()["profile_by_group_events"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+        want = con.execute(e.oracle_sql()["profile_by_group_events"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_null_groups_drop_and_null_values_counted(self):
+        from weiser_ai_ray.pipelines.regress import profile_by_group
+
+        t = pa.table(
+            {
+                "g": pa.array(["a", "a", None, "b"], pa.string()),
+                "v": pa.array([1.0, None, 9.0, 2.0], pa.float64()),
+            }
+        )
+        d = (
+            profile_by_group(ray.data.from_arrow(t), "g", "v")
+            .to_pandas()
+            .set_index("g")
+        )
+        assert list(d.index) == ["a", "b"]  # null group dropped
+        assert d.loc["a", "rows"] == 2 and d.loc["a", "non_null"] == 1
+        assert d.loc["a", "null_frac"] == 0.5 and d.loc["a", "distinct"] == 1
+        assert d.loc["b", "mean"] == 2.0

@@ -694,3 +694,124 @@ def profile_columns(
             "max": pa.array(rows["max"], pa.float64()),
         }
     )
+
+
+def profile_by_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    round_to: Optional[int] = None,
+) -> pa.Table:
+    """Per-DOMAIN health profile of one measure: rows, non-null count,
+    null fraction, mean, exact min/max, and EXACT distinct values per
+    group — the "which source degraded?" report. Null group keys drop
+    (SQL GROUP BY would keep them; here they cannot shuffle — the
+    documented engine-wide contract).
+
+    Scale shape: one pass of per-batch Arrow group_by digests
+    (count/sum/min/max per group) merged through a groupby shuffle of
+    O(blocks x groups) tiny rows, plus one digest-only distinct pass:
+    per-batch UNIQUE (group, value) pairs shuffle (O(distinct pairs),
+    the exact-distinct contract shared with checks/base) and each
+    group counts its values locally. Output is O(groups)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[group_col]))
+        v = pc.cast(t[value_col], pa.float64())
+        keyed = pa.table(
+            {
+                group_col: t[group_col],
+                "__v": v,
+                "__nn": pc.cast(pc.is_valid(v), pa.int64()),
+            }
+        )
+        g = keyed.group_by([group_col]).aggregate(
+            [
+                ("__v", "sum"),
+                ("__v", "min"),
+                ("__v", "max"),
+                ("__nn", "sum"),
+                ([], "count_all"),
+            ]
+        )
+        return pa.table(
+            {
+                group_col: g[group_col],
+                "__s": pc.cast(g["__v_sum"], pa.float64()),
+                "__lo": pc.cast(g["__v_min"], pa.float64()),
+                "__hi": pc.cast(g["__v_max"], pa.float64()),
+                "__nn": pc.cast(g["__nn_sum"], pa.int64()),
+                "__rows": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(stat_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .aggregate(
+            Sum("__s", alias_name="s"),
+            Min("__lo", alias_name="lo"),
+            Max("__hi", alias_name="hi"),
+            Sum("__nn", alias_name="nn"),
+            Sum("__rows", alias_name="rows"),
+        )
+        .take_all()
+    )  # O(groups) driver rows
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t[group_col]), pc.is_valid(t[value_col]))
+        )
+        keyed = pa.table(
+            {group_col: t[group_col], "__v": pc.cast(t[value_col], pa.float64())}
+        )
+        g = keyed.group_by([group_col, "__v"]).aggregate([([], "count_all")])
+        return g.select([group_col, "__v"])
+
+    def count_distinct(g: pa.Table) -> pa.Table:
+        vals = g["__v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                group_col: g[group_col].slice(0, 1),
+                "distinct": pa.array([len(np.unique(vals))], pa.int64()),
+            }
+        )
+
+    dparts = (
+        ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .map_groups(count_distinct, batch_format="pyarrow")
+        .take_all()
+    )
+    dmap = {r[group_col]: int(r["distinct"]) for r in dparts}
+
+    def r(v):
+        if v is None or round_to is None:
+            return v
+        return round(v, round_to)
+
+    merged.sort(key=lambda x: str(x[group_col]))
+    return pa.table(
+        {
+            group_col: pa.array([m[group_col] for m in merged]),
+            "rows": pa.array([int(m["rows"]) for m in merged], pa.int64()),
+            "non_null": pa.array([int(m["nn"]) for m in merged], pa.int64()),
+            "null_frac": pa.array(
+                [r(1.0 - int(m["nn"]) / int(m["rows"])) for m in merged],
+                pa.float64(),
+            ),
+            "mean": pa.array(
+                [
+                    r(float(m["s"]) / int(m["nn"])) if int(m["nn"]) else None
+                    for m in merged
+                ],
+                pa.float64(),
+            ),
+            "min": pa.array([r(m["lo"]) for m in merged], pa.float64()),
+            "max": pa.array([r(m["hi"]) for m in merged], pa.float64()),
+            "distinct": pa.array(
+                [dmap.get(m[group_col], 0) for m in merged], pa.int64()
+            ),
+        }
+    )
