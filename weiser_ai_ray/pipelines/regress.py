@@ -275,17 +275,26 @@ def logistic_fit(
                 }
             )
 
-        parts = ds.map_batches(
-            newton_partial, batch_format="pyarrow", zero_copy_batch=True
-        ).take_all()
-        n_seen = sum(int(p["__n"]) for p in parts)
-        if n_seen == 0:
-            raise ValueError("no complete rows")
+        # fold digests as Arrow->numpy, never Python lists: a 513x513
+        # Hessian via take_all() materializes ~263k Python floats per
+        # block (measured 2.2 s/iteration at d=512; ~0.1 s this way)
+        n_seen = 0
         grad = np.zeros(d + 1)
         hess = np.zeros((d + 1, d + 1))
-        for p in parts:
-            grad += np.asarray(p["__g"], dtype=np.float64)
-            hess += np.asarray(p["__h"], dtype=np.float64).reshape(d + 1, d + 1)
+        for batch in ds.map_batches(
+            newton_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_size=None, batch_format="pyarrow"):
+            n_seen += int(pc.sum(batch["__n"]).as_py() or 0)
+            g = batch["__g"].combine_chunks()
+            gm = g.flatten().to_numpy(zero_copy_only=False).reshape(-1, d + 1)
+            grad += gm.sum(axis=0)
+            h = batch["__h"].combine_chunks()
+            hm = h.flatten().to_numpy(zero_copy_only=False).reshape(
+                -1, (d + 1) * (d + 1)
+            )
+            hess += hm.sum(axis=0).reshape(d + 1, d + 1)
+        if n_seen == 0:
+            raise ValueError("no complete rows")
         step = np.linalg.solve(hess + float(ridge) * np.eye(d + 1), grad)
         beta = beta + step
         if np.abs(step).max() < tol:
