@@ -3244,7 +3244,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomaly_mad_by_dataset": q_anomaly_mad_by_dataset,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "sample_stratified_docs": q_sample_stratified_docs,
-        # -- oracle-backed, new in round 3 --
+        # -- oracle-backed, new in round 3: ONE representative per
+        #    operator family fills the rest of the 50-slot window
+        #    (flagship chains first); near-duplicate variants of
+        #    already-windowed families follow below --
+        "curate2_documents": q_curate2,
+        "curate3_documents": q_curate3,
+        "select_by_budget_docs": q_select_by_budget,
+        "budget_per_group_docs": q_budget_per_group,
+        "sample_mixture_docs": q_sample_mixture,
+        "blend_zscores_orders": q_blend_zscores,
+        "blend_robust_orders": q_blend_robust,
+        "winsorize_orders": q_winsorize,
+        "winsorize_by_group_docs": q_winsorize_by_group,
+        "rank_metrics_orders": q_rank_metrics,
+        "global_ntile_orders": q_global_ntile,
+        "grouped_ntile_orders": q_grouped_ntile,
+        "grouped_shift_events": q_grouped_shift,
+        "rolling_minmax_events": q_rolling_minmax,
+        "unpivot_lineitem": q_unpivot_lineitem,
+        "rollup_orders": q_rollup_orders,
+        "corr_matrix_lineitem": q_corr_matrix,
+        "linreg_price_qty": q_linreg,
+        "describe_orders": q_describe,
+        "profile_orders": q_profile,
+        "profile_by_group_events": q_profile_by_group,
+        "grouped_row_number_orders": q_grouped_row_number,
+        "grouped_running_sum_events": q_grouped_running_sum,
+        "global_row_number_orders": q_global_row_number,
+        "event_gaps_lag": q_event_gaps,
+        "bm25_scores_docs": q_bm25_scores,
         "scrub_documents": q_scrub_documents,
         "winnow_clone_pairs": q_winnow_clone_pairs,
         "connected_components": q_connected_components,
@@ -3253,25 +3282,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_video_frames": q_multimodal_video_frames,
         "split_token_chunks": q_split_token_chunks,
         "pivot_lang_by_source": q_pivot_lang_by_source,
+        "count_distinct_two_dims": q_count_distinct_two_dims,
+        "filter_by_quantile_docs": q_filter_by_quantile,
+        "lm_quality_filter_docs": q_lm_quality_filter,
+        "dedup_substrings_documents": q_dedup_substrings,
+        "group_concat_source": q_group_concat_source,
+        # -- oracle-backed: family variants past the 50-slot window
+        #    (still verified by the local sf0.01/sf0.1 sweeps) --
         "approx_quantiles_by_status": q_approx_quantiles_by,
         "assign_splits_docs": q_assign_splits,
         "corpus_diff_snapshots": q_corpus_diff,
         "vocab_oov_counts": q_vocab_oov_counts,
         "heavy_keys_lineitem": q_heavy_keys,
-        "count_distinct_two_dims": q_count_distinct_two_dims,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_audio_frames": q_multimodal_audio_frames,
-        "group_concat_source": q_group_concat_source,
-        "filter_by_quantile_docs": q_filter_by_quantile,
         "dedup_exact_bloom_incremental": q_dedup_exact_bloom,
         "filter_groups_by_stat_docs": q_filter_groups_by_stat,
         "sample_cap_per_group_docs": q_sample_cap_per_group,
-        "lm_quality_filter_docs": q_lm_quality_filter,
         "dedup_lines_within_doc": q_dedup_lines_within_doc,
         "normalize_text_docs": q_normalize_text,
         "filter_by_group_quantile_docs": q_filter_by_group_quantile,
         "heavy_keys_sketch_lineitem": q_heavy_keys_sketch,
-        "dedup_substrings_documents": q_dedup_substrings,
         "range_partition_ids_orders": q_range_partition_ids,
         "extract_urls_docs": q_extract_urls,
         "group_mean_embedding": q_group_mean_embedding,
@@ -3281,32 +3312,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_temperature_mix_docs": q_sample_temperature_mix,
         "upsample_temperature_mix_docs": q_upsample_temperature_mix,
         "dedup_keep_best_docs": q_dedup_keep_best,
-        "bm25_scores_docs": q_bm25_scores,
-        "event_gaps_lag": q_event_gaps,
-        "global_row_number_orders": q_global_row_number,
-        "global_ntile_orders": q_global_ntile,
-        "unpivot_lineitem": q_unpivot_lineitem,
-        "rollup_orders": q_rollup_orders,
-        "select_by_budget_docs": q_select_by_budget,
-        "blend_zscores_orders": q_blend_zscores,
-        "rank_metrics_orders": q_rank_metrics,
-        "grouped_shift_events": q_grouped_shift,
-        "corr_matrix_lineitem": q_corr_matrix,
-        "linreg_price_qty": q_linreg,
-        "grouped_ntile_orders": q_grouped_ntile,
-        "budget_per_group_docs": q_budget_per_group,
-        "rolling_minmax_events": q_rolling_minmax,
-        "winsorize_orders": q_winsorize,
-        "blend_robust_orders": q_blend_robust,
-        "winsorize_by_group_docs": q_winsorize_by_group,
-        "describe_orders": q_describe,
-        "sample_mixture_docs": q_sample_mixture,
-        "profile_orders": q_profile,
-        "profile_by_group_events": q_profile_by_group,
-        "curate3_documents": q_curate3,
-        "curate2_documents": q_curate2,
-        "grouped_row_number_orders": q_grouped_row_number,
-        "grouped_running_sum_events": q_grouped_running_sum,
         # -- oracle-backed, green in previous rounds --
         "numeric_revenue": q_numeric_revenue,
         "avg_order_total": q_avg_order_total,
