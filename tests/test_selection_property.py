@@ -1,0 +1,140 @@
+"""Randomized parity trials for the session-6 selection/rank family:
+each trial draws a small random table (ties, nulls, skew) and compares
+the distributed operator against a brute-force pandas/numpy reference
+implementing the SQL rule directly. Seeds are fixed — failures are
+reproducible."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from weiser_ai_ray.pipelines.selection import select_by_budget, select_by_budget_per_group
+from weiser_ai_ray.pipelines.sketches import global_ntile, global_rank_metrics
+
+
+def _table(rng, n):
+    vals = rng.choice([1.0, 2.0, 2.0, 5.0, 9.0, np.nan], size=n)
+    w = rng.randint(0, 20, size=n).astype(np.int64)
+    g = rng.choice(["a", "b", "c"], size=n)
+    return pd.DataFrame(
+        {"id": np.arange(n, dtype=np.int64), "s": vals, "w": w, "g": g}
+    )
+
+
+def _ds(df, parts):
+    t = pa.table(
+        {
+            "id": pa.array(df["id"], pa.int64()),
+            "s": pa.array([None if np.isnan(v) else v for v in df["s"]], pa.float64()),
+            "w": pa.array(df["w"], pa.int64()),
+            "g": pa.array(df["g"], pa.string()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(parts)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSelectionProperties:
+    def test_select_by_budget_random_trials(self):
+        for seed in range(8):
+            rng = np.random.RandomState(seed)
+            n = int(rng.randint(5, 120))
+            df = _table(rng, n)
+            budget = int(rng.randint(0, max(1, df["w"].sum() + 10)))
+            got = (
+                select_by_budget(
+                    _ds(df, int(rng.randint(1, 6))), "s", "id", "w", budget,
+                    num_buckets=int(rng.randint(1, 5)),
+                )
+                .to_pandas()["id"]
+                .tolist()
+            )
+            # brute force: (s DESC NULLS LAST, id) prefix while cum w <= budget
+            ref = df.copy()
+            ref["k"] = list(zip(-np.nan_to_num(ref["s"], nan=-np.inf), ref["id"]))
+            ref = ref.sort_values("k").reset_index(drop=True)
+            cw = ref["w"].cumsum()
+            want = ref[cw <= budget]["id"].tolist()
+            assert sorted(got) == sorted(want), (seed, budget)
+
+    def test_select_by_budget_per_group_random_trials(self):
+        for seed in range(8):
+            rng = np.random.RandomState(100 + seed)
+            n = int(rng.randint(5, 120))
+            df = _table(rng, n)
+            frac = float(rng.uniform(0, 1))
+            gdf = select_by_budget_per_group(
+                _ds(df, int(rng.randint(1, 6))), "g", "s", "id", "w", frac
+            ).to_pandas()
+            # an all-dropped result arrives as a column-less frame
+            got = gdf["id"].tolist() if "id" in gdf.columns else []
+            want = []
+            for g, part in df.groupby("g"):
+                p = part.copy()
+                p["k"] = list(zip(-np.nan_to_num(p["s"], nan=-np.inf), p["id"]))
+                p = p.sort_values("k")
+                cw = p["w"].cumsum()
+                b = int(np.floor(p["w"].sum() * frac))
+                want += p[cw <= b]["id"].tolist()
+            assert sorted(got) == sorted(want), (seed, frac)
+
+    def test_rank_metrics_random_trials(self):
+        for seed in range(6):
+            rng = np.random.RandomState(200 + seed)
+            n = int(rng.randint(3, 150))
+            df = _table(rng, n)
+            got = (
+                global_rank_metrics(
+                    _ds(df, int(rng.randint(1, 6))), "s", "id",
+                    num_buckets=int(rng.randint(1, 5)),
+                )
+                .to_pandas()
+                .sort_values("id")
+                .reset_index(drop=True)
+            )
+            s = pd.Series(df["s"])
+            # pandas references for the SQL window family (nulls last)
+            key = s.fillna(np.inf)
+            rn_order = np.lexsort((df["id"], key))
+            rn = np.empty(n, dtype=np.int64)
+            rn[rn_order] = np.arange(1, n + 1)
+            rank = key.rank(method="min").astype(np.int64)
+            cume = key.rank(method="max") / n
+            assert got["rn"].tolist() == rn.tolist(), seed
+            assert got["rank"].tolist() == rank.tolist(), seed
+            assert np.allclose(got["cume_dist"], cume), seed
+            denom = n - 1 if n > 1 else 1
+            assert np.allclose(got["percent_rank"], (rank - 1) / denom), seed
+
+    def test_global_ntile_random_trials(self):
+        for seed in range(6):
+            rng = np.random.RandomState(300 + seed)
+            n = int(rng.randint(2, 150))
+            k = int(rng.randint(1, 12))
+            df = _table(rng, n)
+            got = (
+                global_ntile(
+                    _ds(df, int(rng.randint(1, 6))), "s", "id", k,
+                    num_buckets=int(rng.randint(1, 5)),
+                )
+                .to_pandas()
+                .sort_values("id")
+                .reset_index(drop=True)
+            )
+            key = pd.Series(df["s"]).fillna(np.inf)
+            order = np.lexsort((df["id"], key))
+            pos = np.empty(n, dtype=np.int64)
+            pos[order] = np.arange(n)
+            small, big = n // k, n % k
+            if small == 0:
+                tile = pos + 1
+            else:
+                boundary = big * (small + 1)
+                tile = np.where(
+                    pos < boundary,
+                    pos // (small + 1) + 1,
+                    big + (pos - boundary) // small + 1,
+                )
+            assert got["tile"].tolist() == tile.tolist(), (seed, k)
