@@ -1784,6 +1784,30 @@ def q_profile_by_group(sf_dir: str) -> pa.Table:
     return profile_by_group(ds, "event_type", "value", round_to=6)
 
 
+def q_dense_rank(sf_dir: str) -> pa.Table:
+    """Exact dense_rank() OVER (ORDER BY o_totalprice): the rank plan
+    plus one extra digest-only distinct-per-bucket prefix reduce."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.sketches import global_dense_rank
+
+    ds = __rps(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
+    )
+    df = (
+        global_dense_rank(ds, "o_totalprice", "o_orderkey")
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "o_orderkey": pa.array(df["o_orderkey"], type=pa.int64()),
+            "dense_rank": pa.array(df["dense_rank"], type=pa.int64()),
+        }
+    )
+
+
 def q_grouped_row_number(sf_dir: str) -> pa.Table:
     """Within-group row_number (PARTITION BY o_custkey ORDER BY
     o_totalprice, o_orderkey): one coarse group-bucket shuffle +
@@ -3258,6 +3282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_orders": q_winsorize,
         "winsorize_by_group_docs": q_winsorize_by_group,
         "rank_metrics_orders": q_rank_metrics,
+        "dense_rank_orders": q_dense_rank,
         "global_ntile_orders": q_global_ntile,
         "grouped_ntile_orders": q_grouped_ntile,
         "grouped_shift_events": q_grouped_shift,
@@ -3759,6 +3784,11 @@ def oracle_sql() -> dict[str, str]:
         "global_row_number_orders": (
             "SELECT o_orderkey, row_number() OVER"
             "  (ORDER BY o_totalprice, o_orderkey) AS rank"
+            " FROM orders ORDER BY o_orderkey"
+        ),
+        "dense_rank_orders": (
+            "SELECT o_orderkey, CAST(dense_rank() OVER"
+            "  (ORDER BY o_totalprice) AS BIGINT) AS dense_rank"
             " FROM orders ORDER BY o_orderkey"
         ),
         "global_ntile_orders": (

@@ -578,3 +578,64 @@ class TestWinsorizeByGroup:
 
         with pytest.raises(ValueError, match="lo_q"):
             winsorize_by_group(ray.data.from_arrow(t), "g", "v", "id", 0.9, 0.1)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGlobalDenseRank:
+    def test_matches_sql_dense_rank(self):
+        import pandas as pd
+
+        import __ray_entry__ as e
+
+        got = e.queries()["dense_rank_orders"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+        want = con.execute(e.oracle_sql()["dense_rank_orders"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_gap_free_ties_nulls_and_random_trials(self):
+        import pandas as pd
+        import ray.data
+
+        from weiser_ai_ray.pipelines.sketches import global_dense_rank
+
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "v": pa.array([2.0, 1.0, 2.0, None, 1.0, None], pa.float64()),
+            }
+        )
+        df = (
+            global_dense_rank(ray.data.from_arrow(t), "v", "id", num_buckets=3)
+            .to_pandas()
+            .set_index("id")["dense_rank"]
+        )
+        # values 1.0 -> 1, 2.0 -> 2, nulls (one peer group, last) -> 3
+        assert df.to_dict() == {2: 1, 5: 1, 1: 2, 3: 2, 4: 3, 6: 3}
+        rng = np.random.RandomState(9)
+        for _ in range(4):
+            n = int(rng.randint(2, 120))
+            vals = rng.choice([1.0, 3.0, 3.0, 7.0, np.nan], size=n)
+            tt = pa.table(
+                {
+                    "id": pa.array(np.arange(n), pa.int64()),
+                    "v": pa.array(
+                        [None if np.isnan(x) else x for x in vals], pa.float64()
+                    ),
+                }
+            )
+            got = (
+                global_dense_rank(
+                    ray.data.from_arrow(tt).repartition(int(rng.randint(1, 5))),
+                    "v",
+                    "id",
+                    num_buckets=int(rng.randint(1, 5)),
+                )
+                .to_pandas()
+                .sort_values("id")["dense_rank"]
+                .to_numpy()
+            )
+            want = (
+                pd.Series(vals).fillna(np.inf).rank(method="dense").astype(int).to_numpy()
+            )
+            assert (got == want).all()

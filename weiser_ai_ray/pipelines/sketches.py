@@ -778,6 +778,87 @@ def global_rank_metrics(
     return tagged.groupby("__bucket").map_groups(local, batch_format="pyarrow")
 
 
+def global_dense_rank(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    id_col: str,
+    num_buckets: int | None = None,
+    sample_size: int = 8192,
+    out_col: str = "dense_rank",
+) -> "ray.data.Dataset":
+    """Exact ``dense_rank() OVER (ORDER BY value)`` (gap-free tie-aware
+    rank; nulls one trailing peer group) — completes the rank family
+    (row_number / rank / percent_rank / cume_dist / ntile share the
+    same plan). Needs one EXTRA digest-only reduce over row_number's
+    plan: the per-bucket DISTINCT-value counts (side='right' keeps all
+    copies of a value in one bucket, so distincts are additive across
+    buckets) prefix-sum into each bucket's dense offset; the local
+    lexsort then assigns offset + tie-segment index."""
+    import pyarrow.compute as pc
+
+    tagged, _, _, null_bucket = _ranked_bucket_plan(
+        ds, value_col, id_col, num_buckets, sample_size
+    )
+    # three consumers (plan's count reduce already ran; distinct reduce
+    # + final ranks below): pin the digest once instead of re-running
+    # its lineage per consumer
+    tagged = tagged.materialize()
+
+    def distinct_partial(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"__bucket": pa.array([], pa.int64()), "__d": pa.array([], pa.int64())}
+            )
+        bucket = int(g["__bucket"][0].as_py())
+        if bucket == null_bucket:
+            nd = 1  # all nulls are one peer group
+        else:
+            vals = g[value_col].to_numpy(zero_copy_only=False)
+            nd = int(len(np.unique(vals)))
+        return pa.table(
+            {
+                "__bucket": pa.array([bucket], pa.int64()),
+                "__d": pa.array([nd], pa.int64()),
+            }
+        )
+
+    drows = (
+        tagged.groupby("__bucket")
+        .map_groups(distinct_partial, batch_format="pyarrow")
+        .take_all()
+    )  # O(buckets) driver rows
+    drows.sort(key=lambda r: r["__bucket"])
+    doffs = {}
+    run = 0
+    for r in drows:
+        doffs[r["__bucket"]] = run
+        run += int(r["__d"])
+
+    def local(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), out_col: pa.array([], pa.int64())}
+            )
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        bucket = int(g["__bucket"][0].as_py())
+        base = doffs.get(bucket, 0)
+        m = len(ids)
+        if bucket == null_bucket:
+            dr = np.full(m, base + 1, dtype=np.int64)
+            return pa.table({id_col: g[id_col], out_col: pa.array(dr, pa.int64())})
+        vals = g[value_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, vals))
+        sv = vals[order]
+        new = np.ones(m, dtype=bool)
+        new[1:] = sv[1:] != sv[:-1]
+        seg = np.cumsum(new)  # 1-based distinct index within bucket
+        dr = np.empty(m, dtype=np.int64)
+        dr[order] = base + seg
+        return pa.table({id_col: g[id_col], out_col: pa.array(dr, pa.int64())})
+
+    return tagged.groupby("__bucket").map_groups(local, batch_format="pyarrow")
+
+
 def _bucket_ranks(
     g: pa.Table,
     id_col: str,
