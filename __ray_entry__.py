@@ -1808,6 +1808,34 @@ def q_dense_rank(sf_dir: str) -> pa.Table:
     )
 
 
+def q_first_last(sf_dir: str) -> pa.Table:
+    """Per-row first_value/last_value over the full user partition
+    (ts, id order): one coarse bucket shuffle + segment-boundary
+    Arrow take."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.windows import grouped_first_last
+
+    ds = __rps(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    df = (
+        grouped_first_last(ds, "user_id", "ts", "value", "event_id")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "event_id": pa.array(df["event_id"], type=pa.int64()),
+            "user_id": pa.array(df["user_id"], type=pa.int64()),
+            "first_value": pa.array(df["first_value"].round(6), type=pa.float64()),
+            "last_value": pa.array(df["last_value"].round(6), type=pa.float64()),
+        }
+    )
+
+
 def q_grouped_row_number(sf_dir: str) -> pa.Table:
     """Within-group row_number (PARTITION BY o_custkey ORDER BY
     o_totalprice, o_orderkey): one coarse group-bucket shuffle +
@@ -3286,6 +3314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_ntile_orders": q_global_ntile,
         "grouped_ntile_orders": q_grouped_ntile,
         "grouped_shift_events": q_grouped_shift,
+        "first_last_events": q_first_last,
         "rolling_minmax_events": q_rolling_minmax,
         "unpivot_lineitem": q_unpivot_lineitem,
         "rollup_orders": q_rollup_orders,
@@ -4061,6 +4090,17 @@ def oracle_sql() -> dict[str, str]:
             "  AND n_chars IS NOT NULL)"
             " SELECT doc_id, source, n_chars FROM r"
             " WHERE cw <= floor(0.4 * tot) ORDER BY doc_id"
+        ),
+        "first_last_events": (
+            "SELECT event_id, user_id,"
+            "  round(first_value(value) OVER (PARTITION BY user_id"
+            "   ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING"
+            "   AND UNBOUNDED FOLLOWING), 6) AS first_value,"
+            "  round(last_value(value) OVER (PARTITION BY user_id"
+            "   ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING"
+            "   AND UNBOUNDED FOLLOWING), 6) AS last_value"
+            " FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL"
+            " ORDER BY event_id"
         ),
         "rolling_minmax_events": (
             "SELECT event_id, user_id,"

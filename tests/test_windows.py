@@ -375,3 +375,42 @@ class TestRollingMinMax:
         assert df.loc[3, "rolling_max"] == 1.0
         with _pytest.raises(ValueError, match="window_rows"):
             rolling_minmax_per_key(ray.data.from_arrow(t), "k", "ts", "id", "v", 0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedFirstLast:
+    def test_matches_sql_window(self):
+        import duckdb
+        import pandas as pd
+
+        import __ray_entry__ as e
+        from tests.conftest import SF_DIR
+
+        got = e.queries()["first_last_events"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+        want = con.execute(e.oracle_sql()["first_last_events"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_string_values_and_null_boundaries(self):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.windows import grouped_first_last
+
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4], pa.int64()),
+                "g": pa.array([1, 1, 1, 2], pa.int64()),
+                "o": pa.array([1.0, 2.0, 3.0, 1.0], pa.float64()),
+                "s": pa.array([None, "mid", "zzz", "only"], pa.string()),
+            }
+        )
+        df = (
+            grouped_first_last(ray.data.from_arrow(t), "g", "o", "s", "id")
+            .to_pandas()
+            .set_index("id")
+        )
+        # boundary value null stays null (SQL, no IGNORE NULLS)
+        assert pd.isna(df.loc[1, "first_value"]) and df.loc[1, "last_value"] == "zzz"
+        assert pd.isna(df.loc[3, "first_value"]) and df.loc[2, "last_value"] == "zzz"
+        assert df.loc[4, "first_value"] == "only" and df.loc[4, "last_value"] == "only"

@@ -694,3 +694,82 @@ def rolling_minmax_per_key(
         .groupby("__part")
         .map_groups(roll, batch_format="pyarrow")
     )
+
+
+def grouped_first_last(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    order_col: str,
+    val_col: str,
+    id_col: str,
+    nparts: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-row ``first_value(val)`` / ``last_value(val)`` over the FULL
+    partition (SQL frame ROWS BETWEEN UNBOUNDED PRECEDING AND
+    UNBOUNDED FOLLOWING, ordered by (order, id)) — "what did this user
+    start/end with" features. Null group/order rows drop (engine-wide
+    contract); the first/last VALUES may be null if the boundary row's
+    value is null (SQL semantics, no IGNORE NULLS).
+
+    Same one-coarse-bucket-shuffle layout as grouped_shift: lexsort
+    per partition, segment boundary gather, Arrow take (any value
+    type)."""
+    if nparts is None:
+        try:
+            nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            nparts = 8
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        batch = batch.select([group_col, order_col, val_col, id_col]).filter(
+            pc.and_(pc.is_valid(batch[group_col]), pc.is_valid(batch[order_col]))
+        )
+        kv = batch[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (kv * np.int64(-7046029254386353131)) & np.int64(0x7FFFFFFFFFFFFFFF)
+        return batch.append_column("__part", pa.array((h % nparts).astype(np.int32)))
+
+    def fl(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            vt = (
+                group.schema.field(val_col).type
+                if val_col in group.schema.names
+                else pa.float64()
+            )
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    group_col: pa.array([], pa.int64()),
+                    "first_value": pa.nulls(0, type=vt),
+                    "last_value": pa.nulls(0, type=vt),
+                }
+            )
+        g = group[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        ov = group[order_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((ids, ov, g))
+        gs = g[order]
+        m = len(gs)
+        new = np.ones(m, dtype=bool)
+        new[1:] = gs[1:] != gs[:-1]
+        starts = np.nonzero(new)[0]
+        lens = np.diff(np.concatenate([starts, [m]]))
+        first_sorted = np.repeat(order[starts], lens)  # original row idx
+        last_sorted = np.repeat(order[starts + lens - 1], lens)
+        first_idx = np.empty(m, dtype=np.int64)
+        first_idx[order] = first_sorted
+        last_idx = np.empty(m, dtype=np.int64)
+        last_idx[order] = last_sorted
+        return pa.table(
+            {
+                id_col: group[id_col],
+                group_col: group[group_col],
+                "first_value": pc.take(group[val_col], pa.array(first_idx)),
+                "last_value": pc.take(group[val_col], pa.array(last_idx)),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(fl, batch_format="pyarrow")
+    )
