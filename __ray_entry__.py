@@ -1836,6 +1836,31 @@ def q_first_last(sf_dir: str) -> pa.Table:
     )
 
 
+def q_funnel(sf_dir: str) -> pa.Table:
+    """Conversion funnel signup -> view -> purchase per user: one
+    coarse user-bucket shuffle, then a vectorized per-partition
+    frontier scan (step k counts only strictly after step k-1's
+    completion; (ts, id) composite tie-break)."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.repetition import funnel_steps
+
+    ds = __rps(os.path.join(sf_dir, "events.parquet"))
+    df = (
+        funnel_steps(ds, ["signup", "view", "purchase"])
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "user_id": pa.array(df["user_id"], type=pa.int64()),
+            "steps_completed": pa.array(df["steps_completed"], type=pa.int64()),
+            "completed_ts_us": pa.array(df["completed_ts_us"], type=pa.int64()),
+        }
+    )
+
+
 def q_grouped_row_number(sf_dir: str) -> pa.Table:
     """Within-group row_number (PARTITION BY o_custkey ORDER BY
     o_totalprice, o_orderkey): one coarse group-bucket shuffle +
@@ -3315,6 +3340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_ntile_orders": q_grouped_ntile,
         "grouped_shift_events": q_grouped_shift,
         "first_last_events": q_first_last,
+        "funnel_events": q_funnel,
         "rolling_minmax_events": q_rolling_minmax,
         "unpivot_lineitem": q_unpivot_lineitem,
         "rollup_orders": q_rollup_orders,
@@ -4090,6 +4116,46 @@ def oracle_sql() -> dict[str, str]:
             "  AND n_chars IS NOT NULL)"
             " SELECT doc_id, source, n_chars FROM r"
             " WHERE cw <= floor(0.4 * tot) ORDER BY doc_id"
+        ),
+        # funnel: per-step arg-min CTEs chained on the strict
+        # (ts, id)-after rule; furthest completed step per user
+        "funnel_events": (
+            "WITH e AS (SELECT user_id, ts, event_id, event_type FROM events"
+            "  WHERE user_id IS NOT NULL AND ts IS NOT NULL"
+            "  AND event_type IN ('signup','view','purchase')),"
+            " s1 AS (SELECT user_id, ts AS t1, event_id AS i1 FROM ("
+            "  SELECT user_id, ts, event_id,"
+            "   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+            "    rn FROM e WHERE event_type='signup') WHERE rn=1),"
+            " s2 AS (SELECT user_id, t2, i2 FROM ("
+            "  SELECT e.user_id, e.ts AS t2, e.event_id AS i2,"
+            "   row_number() OVER (PARTITION BY e.user_id"
+            "    ORDER BY e.ts, e.event_id) rn"
+            "  FROM e JOIN s1 USING (user_id)"
+            "  WHERE e.event_type='view'"
+            "   AND (e.ts > s1.t1 OR (e.ts = s1.t1 AND e.event_id > s1.i1)))"
+            "  WHERE rn=1),"
+            " s3 AS (SELECT user_id, t3 FROM ("
+            "  SELECT e.user_id, e.ts AS t3,"
+            "   row_number() OVER (PARTITION BY e.user_id"
+            "    ORDER BY e.ts, e.event_id) rn"
+            "  FROM e JOIN s2 USING (user_id)"
+            "  WHERE e.event_type='purchase'"
+            "   AND (e.ts > s2.t2 OR (e.ts = s2.t2 AND e.event_id > s2.i2)))"
+            "  WHERE rn=1)"
+            " SELECT u.user_id,"
+            "  CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3"
+            "   WHEN s2.user_id IS NOT NULL THEN 2"
+            "   WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)"
+            "   AS steps_completed,"
+            "  CAST(CASE WHEN s3.user_id IS NOT NULL THEN epoch_us(s3.t3)"
+            "   WHEN s2.user_id IS NOT NULL THEN epoch_us(s2.t2)"
+            "   WHEN s1.user_id IS NOT NULL THEN epoch_us(s1.t1) END AS BIGINT)"
+            "   AS completed_ts_us"
+            " FROM (SELECT DISTINCT user_id FROM e) u"
+            " LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)"
+            " LEFT JOIN s3 USING (user_id)"
+            " ORDER BY u.user_id"
         ),
         "first_last_events": (
             "SELECT event_id, user_id,"

@@ -221,3 +221,60 @@ class TestEventGaps:
         assert by[3] == 0  # same-ts successor
         assert by[2] == 10_000_000
         assert np.isnan(by[4])  # first of user 8
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFunnelSteps:
+    def test_matches_sql_funnel(self):
+        import duckdb
+        import pandas as pd
+
+        import __ray_entry__ as e
+        from tests.conftest import SF_DIR
+
+        got = e.queries()["funnel_events"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+        want = con.execute(e.oracle_sql()["funnel_events"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_ordering_rule_and_depths(self):
+        import pandas as pd
+        import ray.data
+
+        from weiser_ai_ray.pipelines.repetition import funnel_steps
+
+        us = pa.timestamp("us")
+        t = pa.table(
+            {
+                "event_id": pa.array(list(range(1, 11)), pa.int64()),
+                "user_id": pa.array([1, 1, 1, 2, 2, 3, 3, 3, 4, 5], pa.int64()),
+                "ts": pa.array([1, 2, 3, 3, 4, 7, 7, 7, 9, 10], us),
+                "event_type": pa.array(
+                    [
+                        "A", "B", "C",      # user 1: full funnel in order
+                        "B", "A",           # user 2: B BEFORE A -> depth 1
+                        "A", "B", "C",      # user 3: same ts, id order -> 3
+                        "C",                # user 4: only C -> depth 0
+                        "X",                # user 5: no funnel events at all
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        df = (
+            funnel_steps(ray.data.from_arrow(t).repartition(3), ["A", "B", "C"])
+            .to_pandas()
+            .set_index("user_id")
+        )
+        assert df.loc[1, "steps_completed"] == 3 and df.loc[1, "completed_ts_us"] == 3
+        assert df.loc[2, "steps_completed"] == 1  # out-of-order B ignored
+        # user 3: equal ts, ids ascending satisfy the strict (ts,id) rule
+        assert df.loc[3, "steps_completed"] == 3
+        assert df.loc[4, "steps_completed"] == 0
+        assert pd.isna(df.loc[4, "completed_ts_us"])
+        assert 5 not in df.index  # user with no funnel-typed events absent
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="steps"):
+            funnel_steps(ray.data.from_arrow(t), [])

@@ -631,3 +631,117 @@ def token_entropy(
     return ds.select_columns([id_col, text_col]).map_batches(
         per_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def funnel_steps(
+    events: "ray.data.Dataset",
+    steps: "list[str]",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    nparts: int | None = None,
+) -> "ray.data.Dataset":
+    """Funnel analysis: for each user, how far through the ORDERED
+    ``steps`` sequence they progressed — step k counts only if it
+    happens strictly AFTER the completion of step k-1 (the standard
+    conversion-funnel rule; ties on ts break by event id, so the
+    result is deterministic). Output: one row per user with
+    ``steps_completed`` (0..len(steps)) and ``completed_ts`` (the
+    microsecond timestamp completing the furthest step; null at 0).
+    Rows with null user/ts drop (engine-wide contract).
+
+    Same scale shape as sessionize: ONE coarse user-hash bucket
+    shuffle co-locates each user's events, then a vectorized
+    per-partition pass — for each step, a per-user searchsorted over
+    that step's event times against the previous step's completion
+    frontier. O(events log events) per partition, zero driver state."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if nparts is None:
+        try:
+            nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            nparts = 8
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.select([user_col, ts_col, type_col, id_col]).filter(
+            pc.and_(pc.is_valid(batch[user_col]), pc.is_valid(batch[ts_col]))
+        )
+        batch = batch.filter(pc.is_in(batch[type_col], value_set=pa.array(steps)))
+        uid = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (uid * np.int64(-7046029254386353131)) & np.int64(0x7FFFFFFFFFFFFFFF)
+        return batch.append_column("__part", pa.array((h % nparts).astype(np.int32)))
+
+    def funnel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], pa.int64()),
+                    "steps_completed": pa.array([], pa.int64()),
+                    "completed_ts_us": pa.array([], pa.int64()),
+                }
+            )
+        uid = group[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            group[ts_col]
+            .combine_chunks()
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        typ = np.array(group[type_col].to_pylist(), dtype=object)
+        # (ts, id) composite key so tie-breaks are exact: key = ts*2^20+idrank?
+        # safer: lexsort per step; frontier comparisons use (ts, id) tuples
+        # encoded as a single int128-ish float-free comparison via two arrays.
+        users, uinv = np.unique(uid, return_inverse=True)
+        nu = len(users)
+        # frontier per user: (ts, id) of the previous step's completion
+        f_ts = np.full(nu, -(2**62), dtype=np.int64)
+        f_id = np.full(nu, -(2**62), dtype=np.int64)
+        done = np.zeros(nu, dtype=np.int64)
+        out_ts = np.zeros(nu, dtype=np.int64)
+        alive = np.ones(nu, dtype=bool)
+        for k, s in enumerate(steps):
+            m = typ == s
+            su, sts, sid = uinv[m], ts[m], ids[m]
+            # the earliest (ts, id) event of this step STRICTLY after the
+            # user's frontier: sort events by (user, ts, id) and scan
+            order = np.lexsort((sid, sts, su))
+            su, sts, sid = su[order], sts[order], sid[order]
+            best_ts = np.full(nu, -(2**62), dtype=np.int64)
+            best_id = np.zeros(nu, dtype=np.int64)
+            hit = np.zeros(nu, dtype=bool)
+            after = (sts > f_ts[su]) | ((sts == f_ts[su]) & (sid > f_id[su]))
+            cand = after & alive[su]
+            if cand.any():
+                cu = su[cand]
+                first = np.ones(len(cu), dtype=bool)
+                first[1:] = cu[1:] != cu[:-1]
+                sel = np.nonzero(cand)[0][first]
+                best_ts[su[sel]] = sts[sel]
+                best_id[su[sel]] = sid[sel]
+                hit[su[sel]] = True
+            adv = alive & hit
+            done[adv] = k + 1
+            out_ts[adv] = best_ts[adv]
+            f_ts[adv] = best_ts[adv]
+            f_id[adv] = best_id[adv]
+            alive = adv  # only advancing users can reach the next step
+        return pa.table(
+            {
+                user_col: pa.array(users, pa.int64()),
+                "steps_completed": pa.array(done, pa.int64()),
+                "completed_ts_us": pa.array(out_ts, mask=(done == 0)),
+            }
+        )
+
+    return (
+        events.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(funnel, batch_format="pyarrow")
+    )
