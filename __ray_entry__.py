@@ -1861,6 +1861,30 @@ def q_funnel(sf_dir: str) -> pa.Table:
     )
 
 
+def q_cohort(sf_dir: str) -> pa.Table:
+    """Cohort-retention triangle (7-day periods): one user-bucket
+    shuffle, vectorized per-partition first-period + distinct-period
+    pass, O(cohorts x periods) pre-aggregated output shuffle."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.repetition import cohort_retention
+
+    ds = __rps(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+    df = (
+        cohort_retention(ds, period_days=7)
+        .to_pandas()
+        .sort_values(["cohort_period", "periods_since"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "cohort_period": pa.array(df["cohort_period"], type=pa.int64()),
+            "periods_since": pa.array(df["periods_since"], type=pa.int64()),
+            "n_users": pa.array(df["n_users"], type=pa.int64()),
+        }
+    )
+
+
 def q_grouped_row_number(sf_dir: str) -> pa.Table:
     """Within-group row_number (PARTITION BY o_custkey ORDER BY
     o_totalprice, o_orderkey): one coarse group-bucket shuffle +
@@ -3341,6 +3365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_shift_events": q_grouped_shift,
         "first_last_events": q_first_last,
         "funnel_events": q_funnel,
+        "cohort_retention_events": q_cohort,
         "rolling_minmax_events": q_rolling_minmax,
         "unpivot_lineitem": q_unpivot_lineitem,
         "rollup_orders": q_rollup_orders,
@@ -4116,6 +4141,19 @@ def oracle_sql() -> dict[str, str]:
             "  AND n_chars IS NOT NULL)"
             " SELECT doc_id, source, n_chars FROM r"
             " WHERE cw <= floor(0.4 * tot) ORDER BY doc_id"
+        ),
+        "cohort_retention_events": (
+            "WITH e AS (SELECT user_id,"
+            "  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) // 7 AS period"
+            " FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),"
+            " p AS (SELECT DISTINCT user_id, period FROM e),"
+            " f AS (SELECT user_id, MIN(period) AS cohort FROM p"
+            "  GROUP BY user_id)"
+            " SELECT f.cohort AS cohort_period,"
+            "  p.period - f.cohort AS periods_since,"
+            "  CAST(COUNT(*) AS BIGINT) AS n_users"
+            " FROM p JOIN f USING (user_id)"
+            " GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         # funnel: per-step arg-min CTEs chained on the strict
         # (ts, id)-after rule; furthest completed step per user

@@ -278,3 +278,61 @@ class TestFunnelSteps:
 
         with _pytest.raises(ValueError, match="steps"):
             funnel_steps(ray.data.from_arrow(t), [])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCohortRetention:
+    def test_matches_sql_triangle(self):
+        import pandas as pd
+
+        import __ray_entry__ as e
+
+        got = e.queries()["cohort_retention_events"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+        want = con.execute(e.oracle_sql()["cohort_retention_events"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # retention never exceeds the cohort's period-0 size
+        base = got[got["periods_since"] == 0].set_index("cohort_period")["n_users"]
+        for _, r in got.iterrows():
+            assert r["n_users"] <= base[r["cohort_period"]]
+
+    def test_hand_built_triangle(self):
+        import datetime
+
+        import pytest as _pytest
+
+        from weiser_ai_ray.pipelines.repetition import cohort_retention
+
+        d0 = datetime.datetime(2025, 1, 2)
+        wk = datetime.timedelta(days=7)
+        # u1 active weeks 0,1,3; u2 weeks 0,1; u3 week 1 only (later cohort)
+        rows = [
+            (1, d0), (1, d0 + wk), (1, d0 + 3 * wk), (1, d0),  # dup week 0
+            (2, d0), (2, d0 + wk),
+            (3, d0 + wk),
+        ]
+        t = pa.table(
+            {
+                "user_id": pa.array([u for u, _ in rows], pa.int64()),
+                "ts": pa.array([s for _, s in rows], pa.timestamp("us")),
+            }
+        )
+        df = (
+            cohort_retention(ray.data.from_arrow(t).repartition(3), period_days=7)
+            .to_pandas()
+            .sort_values(["cohort_period", "periods_since"])
+            .reset_index(drop=True)
+        )
+        tri = {
+            (int(r["cohort_period"]), int(r["periods_since"])): int(r["n_users"])
+            for _, r in df.iterrows()
+        }
+        c0 = min(k[0] for k in tri)
+        assert tri[(c0, 0)] == 2  # u1, u2
+        assert tri[(c0, 1)] == 2
+        assert tri[(c0, 3)] == 1  # only u1
+        assert tri[(c0 + 1, 0)] == 1  # u3's own cohort
+        assert (c0, 2) not in tri
+        with _pytest.raises(ValueError, match="period_days"):
+            cohort_retention(ray.data.from_arrow(t), period_days=0)

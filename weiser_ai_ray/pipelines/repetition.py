@@ -745,3 +745,90 @@ def funnel_steps(
         .groupby("__part")
         .map_groups(funnel, batch_format="pyarrow")
     )
+
+
+def cohort_retention(
+    events: "ray.data.Dataset",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+    nparts: int | None = None,
+) -> "ray.data.Dataset":
+    """Cohort retention: users grouped by their FIRST-seen period (the
+    cohort), counted as retained in every later period they were
+    active — the (cohort, periods_since, n_users) triangle behind
+    retention curves. Periods are fixed ``period_days`` windows on the
+    epoch-day line (day // period_days — timezone-free, exactly what
+    the SQL oracle computes). Null user/ts rows drop.
+
+    Scale shape: ONE coarse user-hash bucket shuffle co-locates each
+    user's events; per partition a vectorized pass computes the user's
+    first period and its DISTINCT active periods (np.unique on the
+    (user, period) pairs); the output shuffle carries only
+    O(cohorts x periods) pre-aggregated partial counts."""
+    from ray.data.aggregate import Sum
+
+    if period_days < 1:
+        raise ValueError("period_days must be >= 1")
+    if nparts is None:
+        try:
+            nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            nparts = 8
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.select([user_col, ts_col]).filter(
+            pc.and_(pc.is_valid(batch[user_col]), pc.is_valid(batch[ts_col]))
+        )
+        uid = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (uid * np.int64(-7046029254386353131)) & np.int64(0x7FFFFFFFFFFFFFFF)
+        return batch.append_column("__part", pa.array((h % nparts).astype(np.int32)))
+
+    us_per_day = np.int64(86_400_000_000)
+
+    def triangle(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "cohort_period": pa.array([], pa.int64()),
+                    "periods_since": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        uid = group[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            group[ts_col]
+            .combine_chunks()
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        period = ts // us_per_day // np.int64(period_days)
+        pairs = np.unique(np.stack([uid, period], axis=1), axis=0)
+        pu, pp = pairs[:, 0], pairs[:, 1]
+        first = np.ones(len(pu), dtype=bool)
+        first[1:] = pu[1:] != pu[:-1]
+        starts = np.nonzero(first)[0]
+        lens = np.diff(np.concatenate([starts, [len(pu)]]))
+        cohort = np.repeat(pp[starts], lens)  # user's first period
+        delta = pp - cohort
+        key = np.stack([cohort, delta], axis=1)
+        uk, counts = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "cohort_period": pa.array(uk[:, 0], pa.int64()),
+                "periods_since": pa.array(uk[:, 1], pa.int64()),
+                "n_users": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    return (
+        events.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(triangle, batch_format="pyarrow")
+        .groupby(["cohort_period", "periods_since"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
