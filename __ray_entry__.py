@@ -1885,6 +1885,29 @@ def q_cohort(sf_dir: str) -> pa.Table:
     )
 
 
+def q_rolling_active(sf_dir: str) -> pa.Table:
+    """Rolling 7-day active users: exact sliding-window distinct via
+    per-user coverage intervals -> +-1 diff array -> running sum.
+    No per-day distinct scan anywhere."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.repetition import rolling_active_users
+
+    ds = __rps(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+    df = (
+        rolling_active_users(ds, window_days=7)
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "day": pa.array(df["day"], type=pa.int64()),
+            "active_users": pa.array(df["active_users"], type=pa.int64()),
+        }
+    )
+
+
 def q_grouped_row_number(sf_dir: str) -> pa.Table:
     """Within-group row_number (PARTITION BY o_custkey ORDER BY
     o_totalprice, o_orderkey): one coarse group-bucket shuffle +
@@ -3366,6 +3389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_last_events": q_first_last,
         "funnel_events": q_funnel,
         "cohort_retention_events": q_cohort,
+        "rolling_active_users_events": q_rolling_active,
         "rolling_minmax_events": q_rolling_minmax,
         "unpivot_lineitem": q_unpivot_lineitem,
         "rollup_orders": q_rollup_orders,
@@ -4141,6 +4165,17 @@ def oracle_sql() -> dict[str, str]:
             "  AND n_chars IS NOT NULL)"
             " SELECT doc_id, source, n_chars FROM r"
             " WHERE cw <= floor(0.4 * tot) ORDER BY doc_id"
+        ),
+        "rolling_active_users_events": (
+            "WITH e AS (SELECT DISTINCT user_id,"
+            "  CAST(floor(epoch_us(ts)/86400000000) AS BIGINT) AS day"
+            " FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),"
+            " b AS (SELECT MIN(day) AS lo, MAX(day) + 6 AS hi FROM e),"
+            " d AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day FROM b)"
+            " SELECT d.day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT)"
+            "  AS active_users"
+            " FROM d LEFT JOIN e ON e.day BETWEEN d.day - 6 AND d.day"
+            " GROUP BY d.day ORDER BY d.day"
         ),
         "cohort_retention_events": (
             "WITH e AS (SELECT user_id,"

@@ -336,3 +336,48 @@ class TestCohortRetention:
         assert (c0, 2) not in tri
         with _pytest.raises(ValueError, match="period_days"):
             cohort_retention(ray.data.from_arrow(t), period_days=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRollingActiveUsers:
+    def test_matches_sql_sliding_distinct(self):
+        import pandas as pd
+
+        import __ray_entry__ as e
+
+        got = e.queries()["rolling_active_users_events"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+        want = con.execute(e.oracle_sql()["rolling_active_users_events"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_interval_merge_and_gaps(self):
+        import datetime
+
+        import pytest as _pytest
+
+        from weiser_ai_ray.pipelines.repetition import rolling_active_users
+
+        d = lambda k: datetime.datetime(2025, 1, 1) + datetime.timedelta(days=k)
+        # u1 active days 0 and 2 (overlapping 3-day windows merge);
+        # u2 active day 10 only (a zero-count gap sits between them)
+        t = pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "ts": pa.array([d(0), d(2), d(0), d(10)], pa.timestamp("us")),
+            }
+        )
+        df = (
+            rolling_active_users(
+                ray.data.from_arrow(t).repartition(2), window_days=3
+            )
+            .to_pandas()
+            .set_index("day")["active_users"]
+        )
+        base = df.index.min()
+        # u1 covers days 0..4 (merged [0,2]+[2,4]); u2 covers 10..12
+        assert df.loc[base : base + 4].tolist() == [1, 1, 1, 1, 1]
+        assert df.loc[base + 5 : base + 9].tolist() == [0, 0, 0, 0, 0]
+        assert df.loc[base + 10 :].tolist() == [1, 1, 1]
+        with _pytest.raises(ValueError, match="window_days"):
+            rolling_active_users(ray.data.from_arrow(t), window_days=0)

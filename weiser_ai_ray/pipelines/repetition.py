@@ -832,3 +832,122 @@ def cohort_retention(
         .groupby(["cohort_period", "periods_since"])
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
+
+
+def rolling_active_users(
+    events: "ray.data.Dataset",
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    nparts: int | None = None,
+) -> "ray.data.Dataset":
+    """Rolling active users (DAU/WAU/MAU family): for every epoch day
+    with any activity window ending there, the EXACT count of distinct
+    users active in the trailing ``window_days`` days — the engagement
+    health series. Null user/ts rows drop.
+
+    Exact distinct over a sliding window without any per-day distinct
+    scan: each user's active-day set becomes coverage intervals
+    [day, day + window - 1] (merged where they overlap), every
+    interval adds +1/-1 to a difference array, and the running sum
+    over the day line IS the rolling distinct count — each user
+    counted once per covered day by construction. One user-bucket
+    shuffle; per-partition vectorized unique + interval merge; the
+    output shuffle carries O(days) partial diff rows. Days outside
+    [min_day, max_day + window - 1] of the corpus are omitted; days
+    with count 0 inside the span are emitted (a gap IS signal)."""
+    from ray.data.aggregate import Sum
+
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    if nparts is None:
+        try:
+            nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            nparts = 8
+    w = int(window_days)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.select([user_col, ts_col]).filter(
+            pc.and_(pc.is_valid(batch[user_col]), pc.is_valid(batch[ts_col]))
+        )
+        uid = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (uid * np.int64(-7046029254386353131)) & np.int64(0x7FFFFFFFFFFFFFFF)
+        return batch.append_column("__part", pa.array((h % nparts).astype(np.int32)))
+
+    us_per_day = np.int64(86_400_000_000)
+
+    def diffs(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {"day": pa.array([], pa.int64()), "__d": pa.array([], pa.int64())}
+            )
+        uid = group[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            group[ts_col]
+            .combine_chunks()
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        day = ts // us_per_day
+        pairs = np.unique(np.stack([uid, day], axis=1), axis=0)
+        pu, pd_ = pairs[:, 0], pairs[:, 1]
+        # merge each user's per-day intervals [d, d+w-1]: a new interval
+        # starts where the previous active day is > w-1 behind
+        new_user = np.ones(len(pu), dtype=bool)
+        new_user[1:] = pu[1:] != pu[:-1]
+        gap = np.ones(len(pu), dtype=bool)
+        gap[1:] = pd_[1:] - pd_[:-1] > w - 1
+        start = new_user | gap
+        starts = np.nonzero(start)[0]
+        seg_len = np.diff(np.concatenate([starts, [len(pu)]]))
+        ends = starts + seg_len - 1
+        lo = pd_[starts]  # interval start day
+        hi = pd_[ends] + w  # one past the interval's last covered day
+        days = np.concatenate([lo, hi])
+        delta = np.concatenate(
+            [np.ones(len(lo), dtype=np.int64), -np.ones(len(hi), dtype=np.int64)]
+        )
+        uk, inv = np.unique(days, return_inverse=True)
+        agg = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(agg, inv, delta)
+        return pa.table({"day": pa.array(uk), "__d": pa.array(agg)})
+
+    merged = (
+        events.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(diffs, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("__d", alias_name="d"))
+        .take_all()
+    )  # O(distinct days) driver rows — the series IS the output
+    merged.sort(key=lambda r: r["day"])
+    if not merged:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "day": pa.array([], pa.int64()),
+                    "active_users": pa.array([], pa.int64()),
+                }
+            )
+        )
+    days = np.array([r["day"] for r in merged], dtype=np.int64)
+    deltas = np.array([int(r["d"]) for r in merged], dtype=np.int64)
+    # expand to the contiguous day line and running-sum the diffs
+    lo, hi = int(days[0]), int(days[-1])
+    line = np.zeros(hi - lo + 1, dtype=np.int64)
+    line[days - lo] = deltas
+    counts = np.cumsum(line)[:-1]  # last diff day is one past coverage
+    out_days = np.arange(lo, hi, dtype=np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(out_days),
+                "active_users": pa.array(counts),
+            }
+        )
+    )
