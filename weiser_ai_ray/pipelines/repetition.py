@@ -951,3 +951,86 @@ def rolling_active_users(
             }
         )
     )
+
+
+def event_transitions(
+    events: "ray.data.Dataset",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    nparts: int | None = None,
+) -> "ray.data.Dataset":
+    """First-order transition counts between consecutive event types
+    within each user's (ts, id)-ordered stream — the empirical Markov
+    matrix behind next-action models and bot-pattern detection.
+    Output: (from_type, to_type, n) for every observed pair. Null
+    user/ts rows drop.
+
+    One coarse user-bucket shuffle; per partition a lexsort + shifted
+    segment compare builds adjacent pairs, and a vectorized unique
+    pre-aggregates them — the output shuffle carries only
+    O(types^2 x partitions) digest rows."""
+    from ray.data.aggregate import Sum
+
+    if nparts is None:
+        try:
+            nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            nparts = 8
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.select([user_col, ts_col, type_col, id_col]).filter(
+            pc.and_(pc.is_valid(batch[user_col]), pc.is_valid(batch[ts_col]))
+        )
+        uid = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (uid * np.int64(-7046029254386353131)) & np.int64(0x7FFFFFFFFFFFFFFF)
+        return batch.append_column("__part", pa.array((h % nparts).astype(np.int32)))
+
+    def pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "from_type": pa.array([], pa.string()),
+                "to_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows < 2:
+            return empty
+        uid = group[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            group[ts_col]
+            .combine_chunks()
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        typ = np.array(group[type_col].to_pylist(), dtype=object)
+        order = np.lexsort((ids, ts, uid))
+        su, st = uid[order], typ[order]
+        same = su[1:] == su[:-1]
+        frm, to = st[:-1][same], st[1:][same]
+        if not len(frm):
+            return empty
+        key = np.char.add(np.char.add(frm.astype(str), "\x1f"), to.astype(str))
+        uk, counts = np.unique(key, return_counts=True)
+        split = np.char.partition(uk, "\x1f")
+        return pa.table(
+            {
+                "from_type": pa.array(split[:, 0].tolist(), pa.string()),
+                "to_type": pa.array(split[:, 2].tolist(), pa.string()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    return (
+        events.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
