@@ -1959,6 +1959,53 @@ def q_dedup_rate(sf_dir: str) -> pa.Table:
     )
 
 
+def q_full_outer(sf_dir: str) -> pa.Table:
+    """FULL OUTER join of two digests (high-balance customers vs
+    big-order counts): Ray's native hash-shuffle full_outer with the
+    key coalesced by same-name join columns; both null sides appear."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    left = __rps(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_acctbal"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["c_acctbal"], 5000.0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["o_totalprice"], 150000.0))
+        g = t.group_by(["o_custkey"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "c_custkey": g["o_custkey"],
+                "__n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    right = (
+        __rps(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_totalprice"],
+        )
+        .map_batches(order_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_custkey")
+        .aggregate(Sum("__n", alias_name="n"))
+    )
+    joined = left.join(right, join_type="full_outer", num_partitions=8, on=("c_custkey",))
+    df = joined.to_pandas().sort_values("c_custkey").reset_index(drop=True)
+    return pa.table(
+        {
+            "custkey": pa.array(df["c_custkey"], type=pa.int64()),
+            "c_acctbal": pa.array(df["c_acctbal"].round(4), type=pa.float64()),
+            "n": pa.array(df["n"], type=pa.int64()),
+        }
+    )
+
+
 def q_grouped_row_number(sf_dir: str) -> pa.Table:
     """Within-group row_number (PARTITION BY o_custkey ORDER BY
     o_totalprice, o_orderkey): one coarse group-bucket shuffle +
@@ -3443,6 +3490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active_users_events": q_rolling_active,
         "event_transitions_events": q_transitions,
         "dedup_rate_by_source": q_dedup_rate,
+        "full_outer_customers_orders": q_full_outer,
         "rolling_minmax_events": q_rolling_minmax,
         "unpivot_lineitem": q_unpivot_lineitem,
         "rollup_orders": q_rollup_orders,
@@ -4218,6 +4266,16 @@ def oracle_sql() -> dict[str, str]:
             "  AND n_chars IS NOT NULL)"
             " SELECT doc_id, source, n_chars FROM r"
             " WHERE cw <= floor(0.4 * tot) ORDER BY doc_id"
+        ),
+        "full_outer_customers_orders": (
+            "WITH l AS (SELECT c_custkey, c_acctbal FROM customer"
+            "  WHERE c_acctbal > 5000),"
+            " r AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n"
+            "  FROM orders WHERE o_totalprice > 150000 GROUP BY o_custkey)"
+            " SELECT COALESCE(l.c_custkey, r.o_custkey) AS custkey,"
+            "  round(l.c_acctbal, 4) AS c_acctbal, r.n"
+            " FROM l FULL OUTER JOIN r ON l.c_custkey = r.o_custkey"
+            " ORDER BY custkey"
         ),
         "event_transitions_events": (
             "WITH s AS (SELECT user_id, event_type,"

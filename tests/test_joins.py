@@ -284,3 +284,49 @@ def test_check_over_join_view_matches_duckdb(tmp_store):
     )
     assert [r[0] for r in rows] == exp["nation"].tolist()
     assert np.allclose([float(r[1]) for r in rows], exp["s"].values)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFullOuterJoin:
+    def test_matches_sql_full_outer(self):
+        import duckdb
+        import pandas as pd
+
+        import __ray_entry__ as e
+        from tests.conftest import SF_DIR
+
+        got = e.queries()["full_outer_customers_orders"](SF_DIR).to_pandas()
+        con = duckdb.connect()
+        for t in ("customer", "orders"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        want = con.execute(e.oracle_sql()["full_outer_customers_orders"]).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_both_null_sides_present(self):
+        import ray.data
+
+        a = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([1, 2], pa.int64()),
+                    "x": pa.array([10, 20], pa.int64()),
+                }
+            )
+        )
+        b = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([2, 3], pa.int64()),
+                    "y": pa.array([200, 300], pa.int64()),
+                }
+            )
+        )
+        out = (
+            a.join(b, join_type="full_outer", num_partitions=2, on=("k",))
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert out["k"].tolist() == [1, 2, 3]  # key coalesced across sides
+        assert out["x"].isna().tolist() == [False, False, True]
+        assert out["y"].isna().tolist() == [True, False, False]
