@@ -417,3 +417,67 @@ class TestEventTransitions:
             .set_index(["from_type", "to_type"])["n"]
         )
         assert df.to_dict() == {("a", "b"): 1, ("c", "a"): 1}  # no b->c bridge
+
+
+def test_gram_keys_overflow_recompress():
+    """n=3 fold with ncodes**3 >= 2^63 must dense-recode instead of
+    wrapping int64 (silent gram collisions in top_ngrams /
+    dup_3gram_frac)."""
+    import numpy as np
+
+    from weiser_ai_ray.pipelines.repetition import _gram_keys
+
+    ncodes = 2**22  # ncodes**3 = 2^66 — the naive fold wraps
+    codes = np.array([5, 7, 5, 7, 5, 7], dtype=np.int64)
+    row_ids = np.zeros(6, dtype=np.int64)
+    grow, gkey, gpos = _gram_keys(row_ids, codes, ncodes, 3)
+    assert len(gkey) == 4
+    # equal grams -> equal keys, distinct grams -> distinct keys
+    assert gkey[0] == gkey[2] and gkey[1] == gkey[3] and gkey[0] != gkey[1]
+    # parity with the small-vocab (no-recompress) path on the same grams
+    _, small, _ = _gram_keys(row_ids, codes, 8, 3)
+    assert (np.unique(gkey, return_inverse=True)[1]
+            == np.unique(small, return_inverse=True)[1]).all()
+
+
+def test_event_transitions_null_types_match_sql(ray_session):
+    """Null TO side drops (oracle's lead IS NOT NULL); null FROM side
+    groups as NULL, not the string 'None'."""
+    import datetime
+
+    import duckdb
+    import ray.data
+
+    from weiser_ai_ray.pipelines.repetition import event_transitions
+
+    t0 = datetime.datetime(2024, 1, 1)
+    s = datetime.timedelta(seconds=1)
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(1, 6)), pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 1], pa.int64()),
+            "ts": pa.array([t0 + i * s for i in range(5)], pa.timestamp("us")),
+            "event_type": pa.array(["a", None, "b", "a", None], pa.string()),
+        }
+    )
+    got = (
+        event_transitions(ray.data.from_arrow(t).repartition(2))
+        .to_pandas()
+        .sort_values(["from_type", "to_type"], na_position="first")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", t.to_pandas())
+    want = con.execute(
+        "WITH s AS (SELECT user_id, event_type,"
+        " lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) nxt"
+        " FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)"
+        " SELECT event_type AS from_type, nxt AS to_type,"
+        " CAST(COUNT(*) AS BIGINT) n FROM s WHERE nxt IS NOT NULL"
+        " GROUP BY 1,2 ORDER BY 1 NULLS FIRST, 2"
+    ).fetchdf()
+    assert got["from_type"].tolist() == want["from_type"].where(
+        want["from_type"].notna(), None
+    ).tolist()
+    assert got["to_type"].tolist() == want["to_type"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()

@@ -414,3 +414,73 @@ class TestGroupedFirstLast:
         assert pd.isna(df.loc[1, "first_value"]) and df.loc[1, "last_value"] == "zzz"
         assert pd.isna(df.loc[3, "first_value"]) and df.loc[2, "last_value"] == "zzz"
         assert df.loc[4, "first_value"] == "only" and df.loc[4, "last_value"] == "only"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIntOrderKeyPrecision:
+    """Int64 order/value keys beyond 2^53 must sort exactly (a float64
+    cast collapses 2^60 and 2^60+1 into a tie, letting the id
+    tie-breaker reorder rows vs the SQL window ordering)."""
+
+    def test_grouped_shift_big_int_order(self):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.windows import grouped_shift
+
+        big = 2**60
+        t = pa.table(
+            {
+                "id": pa.array([1, 2], pa.int64()),
+                "g": pa.array([1, 1], pa.int64()),
+                # id=2 sorts FIRST: its order key is smaller by exactly 1
+                "o": pa.array([big + 1, big], pa.int64()),
+                "s": pa.array(["late", "early"], pa.string()),
+            }
+        )
+        lag = (
+            grouped_shift(ray.data.from_arrow(t), "g", "o", "s", "id", offset=1)
+            .to_pandas()
+            .set_index("id")["shifted"]
+        )
+        assert pd.isna(lag.loc[2]) and lag.loc[1] == "early"
+
+    def test_grouped_row_number_big_int_value(self):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.windows import grouped_row_number
+
+        big = 2**61
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "g": pa.array([7, 7, 7], pa.int64()),
+                "v": pa.array([big + 2, big + 1, big], pa.int64()),
+            }
+        )
+        rn = (
+            grouped_row_number(ray.data.from_arrow(t), "g", "v", "id")
+            .to_pandas()
+            .set_index("id")["rn"]
+        )
+        assert rn.to_dict() == {1: 3, 2: 2, 3: 1}
+
+    def test_grouped_ntile_int_with_nulls_ranks_exactly(self):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.windows import grouped_ntile
+
+        big = 2**60
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4], pa.int64()),
+                "g": pa.array([1, 1, 1, 1], pa.int64()),
+                # null sorts LAST; big ints stay distinguishable
+                "v": pa.array([None, big, big + 1, big + 2], pa.int64()),
+            }
+        )
+        tiles = (
+            grouped_ntile(ray.data.from_arrow(t), "g", "v", "id", tiles=4)
+            .to_pandas()
+            .set_index("id")["tile"]
+        )
+        assert tiles.to_dict() == {2: 1, 3: 2, 4: 3, 1: 4}

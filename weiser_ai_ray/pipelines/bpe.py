@@ -215,7 +215,13 @@ def bpe_token_counts(
     keep_cols=None,
 ) -> "ray.data.Dataset":
     """Exact per-doc token counts under a ``bpe_train`` model, as one
-    actor-pool streaming pass (ranks + cache once per actor)."""
+    actor-pool streaming pass (ranks + cache once per actor).
+
+    Contract: rows with NULL ``text_col`` are DROPPED — they emit no
+    output row (and downstream budget selection, e.g. curate4, never
+    sees them). This mirrors the training pass, which can't learn from
+    null text; callers that need null docs represented should coalesce
+    to '' upstream, which yields n_tokens=0."""
     if concurrency is None:
         try:
             import ray

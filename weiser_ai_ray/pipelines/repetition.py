@@ -63,9 +63,12 @@ def _gram_keys(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(gram_row_ids, gram_keys, gram_start_pos) for word n-grams within
     each row: adjacent code windows folded into one int64 key
-    (collision-free — codes < ncodes and the fold stays under 2^63 for
-    realistic batch vocabularies); start positions index the flat word
-    array."""
+    (collision-free: whenever the next ``key * ncodes + code`` fold
+    would reach 2^63, the partial keys are dense-recoded through
+    np.unique first — order- and equality-preserving, and batch-local
+    equality is the only contract callers rely on: every shuffle
+    rebuilds gram STRINGS from the flat word array); start positions
+    index the flat word array."""
     empty = np.empty(0, dtype=np.int64)
     if n < 1 or len(codes) < n:
         return empty, empty, empty
@@ -73,10 +76,16 @@ def _gram_keys(
         return row_ids, codes.astype(np.int64, copy=True), np.arange(
             len(codes), dtype=np.int64
         )
-    key = codes[: len(codes) - n + 1].copy()
+    key = codes[: len(codes) - n + 1].astype(np.int64, copy=True)
+    kmax = max(int(ncodes), 1)  # exclusive upper bound on current keys
     same = row_ids[: len(codes) - n + 1] == row_ids[n - 1 :]
     for j in range(1, n):
+        if kmax > (2**63 - 1) // max(int(ncodes), 1):
+            uniq, key = np.unique(key, return_inverse=True)
+            key = key.astype(np.int64)
+            kmax = len(uniq)
         key = key * ncodes + codes[j : len(codes) - n + 1 + j]
+        kmax = kmax * max(int(ncodes), 1)
     pos = np.nonzero(same)[0]
     return row_ids[pos], key[same], pos
 
@@ -953,6 +962,11 @@ def rolling_active_users(
     )
 
 
+# shuffle-safe stand-in for a NULL from_type group (groupby keys must be
+# non-null); decoded back to a real NULL after the aggregate
+_NULL_TYPE = "\x00__null_type__"
+
+
 def event_transitions(
     events: "ray.data.Dataset",
     user_col: str = "user_id",
@@ -965,7 +979,10 @@ def event_transitions(
     within each user's (ts, id)-ordered stream — the empirical Markov
     matrix behind next-action models and bot-pattern detection.
     Output: (from_type, to_type, n) for every observed pair. Null
-    user/ts rows drop.
+    user/ts rows drop. Null event types follow the SQL-window twin
+    exactly: a pair whose TO side is null drops (the oracle's
+    ``lead(type) IS NOT NULL`` filter) while a null FROM side is kept
+    as the NULL group (SQL GROUP BY semantics), not the string 'None'.
 
     One coarse user-bucket shuffle; per partition a lexsort + shifted
     segment compare builds adjacent pairs, and a vectorized unique
@@ -1009,23 +1026,40 @@ def event_transitions(
             .astype(np.int64)
         )
         ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        typ = np.array(group[type_col].to_pylist(), dtype=object)
+        de = pc.dictionary_encode(
+            group[type_col].combine_chunks().cast(pa.string())
+        )
+        codes = (
+            pc.fill_null(de.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        vocab = de.dictionary.to_pylist()
         order = np.lexsort((ids, ts, uid))
-        su, st = uid[order], typ[order]
+        su, scodes = uid[order], codes[order]
         same = su[1:] == su[:-1]
-        frm, to = st[:-1][same], st[1:][same]
+        frm, to = scodes[:-1][same], scodes[1:][same]
+        keep = to >= 0  # SQL twin: WHERE lead(type) IS NOT NULL
+        frm, to = frm[keep], to[keep]
         if not len(frm):
             return empty
-        key = np.char.add(np.char.add(frm.astype(str), "\x1f"), to.astype(str))
-        uk, counts = np.unique(key, return_counts=True)
-        split = np.char.partition(uk, "\x1f")
+        nv = np.int64(len(vocab) + 1)
+        uk, counts = np.unique((frm + 1) * nv + to, return_counts=True)
+        fi, ti = uk // nv - 1, uk % nv
         return pa.table(
             {
-                "from_type": pa.array(split[:, 0].tolist(), pa.string()),
-                "to_type": pa.array(split[:, 2].tolist(), pa.string()),
+                # a null from_type is a real group in the SQL GROUP BY;
+                # it rides the shuffle as a sentinel, decoded post-agg
+                "from_type": pa.array(
+                    [_NULL_TYPE if i < 0 else vocab[i] for i in fi], pa.string()
+                ),
+                "to_type": pa.array([vocab[i] for i in ti], pa.string()),
                 "n": pa.array(counts.astype(np.int64)),
             }
         )
+
+    def decode_null(t: pa.Table) -> pa.Table:
+        f = t["from_type"]
+        f = pc.if_else(pc.equal(f, _NULL_TYPE), pa.nulls(t.num_rows, pa.string()), f)
+        return t.set_column(t.schema.get_field_index("from_type"), "from_type", f)
 
     return (
         events.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
@@ -1033,4 +1067,5 @@ def event_transitions(
         .map_groups(pairs, batch_format="pyarrow")
         .groupby(["from_type", "to_type"])
         .aggregate(Sum("n", alias_name="n"))
+        .map_batches(decode_null, batch_format="pyarrow", zero_copy_batch=True)
     )

@@ -39,6 +39,29 @@ from ray.data.aggregate import Sum
 _US_PER_MIN = 60 * 1_000_000
 
 
+def _order_key(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """np.lexsort key for an ORDER BY column, exact for 64-bit ints.
+
+    Integer columns sort as int64 (a float64 cast would lose precision
+    above 2^53 — 64-bit hash ids, epoch-ns timestamps — silently
+    collapsing ties and reordering rows vs the SQL window ordering);
+    integers WITH nulls go through a dense Arrow rank so nulls land
+    last without a sentinel colliding with a real value. Everything
+    else keeps the float64 path with NaN (SQL NULL) mapped to +inf
+    (NULLS LAST). Ties map to EQUAL keys in every path, so the
+    caller's id tie-breaker stays in charge."""
+    t = col.type
+    if pa.types.is_integer(t):
+        if col.null_count == 0:
+            return col.to_numpy(zero_copy_only=False).astype(np.int64)
+        r = pc.rank(
+            col, sort_keys="ascending", null_placement="at_end", tiebreaker="dense"
+        )
+        return r.to_numpy(zero_copy_only=False).astype(np.int64)
+    v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+    return np.where(np.isnan(v), np.inf, v)
+
+
 def _ts_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return (
         col.cast(pa.timestamp("us"))
@@ -323,8 +346,7 @@ def grouped_row_number(
             return empty
         g = group[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
         ids = group[id_col].to_numpy(zero_copy_only=False)
-        vals = group[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        vals = np.where(np.isnan(vals), np.inf, vals)  # NULLS LAST
+        vals = _order_key(group[value_col])
         order = np.lexsort((ids, vals, g))
         gs = g[order]
         first = np.ones(len(gs), dtype=bool)
@@ -488,7 +510,7 @@ def grouped_shift(
             )
         g = group[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
         ids = group[id_col].to_numpy(zero_copy_only=False)
-        ov = group[order_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ov = _order_key(group[order_col])
         order = np.lexsort((ids, ov, g))
         m = len(order)
         pos = np.arange(m, dtype=np.int64)
@@ -563,8 +585,7 @@ def grouped_ntile(
             )
         g = group[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
         ids = group[id_col].to_numpy(zero_copy_only=False)
-        vals = group[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        vals = np.where(np.isnan(vals), np.inf, vals)  # NULLS LAST
+        vals = _order_key(group[value_col])
         order = np.lexsort((ids, vals, g))
         gs = g[order]
         first = np.ones(len(gs), dtype=bool)
@@ -745,7 +766,7 @@ def grouped_first_last(
             )
         g = group[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
         ids = group[id_col].to_numpy(zero_copy_only=False)
-        ov = group[order_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ov = _order_key(group[order_col])
         order = np.lexsort((ids, ov, g))
         gs = g[order]
         m = len(gs)
