@@ -2293,20 +2293,11 @@ def q_langid_documents(sf_dir: str) -> pa.Table:
 
 
 def q_minhash_dedup_documents(sf_dir: str) -> pa.Table:
-    import ray.data
-
-    from weiser_ai_ray.pipelines.dedup import minhash_lsh_dedup_ids
-
-    ds = __rps(os.path.join(sf_dir, "documents.parquet"), cache=True)
-    survivors, _pairs = minhash_lsh_dedup_ids(ds, "text", "doc_id")
-    return pa.table({"doc_id": pa.array(survivors, type=pa.int64())})
-
-
-def q_minhash_dedup_distributed(sf_dir: str) -> pa.Table:
-    """Zero-driver-state variant: edges stay a Dataset, survivors come
-    from distributed connected components + anti-join. Must equal
-    minhash_dedup_documents row for row (batch-equivalent semantics;
-    asserted in TestMinhashDedupDistributed)."""
+    """HEADLINE (benched): the zero-driver-state distributed path —
+    edges stay a Dataset, survivors via distributed connected
+    components + anti-join; only the RESULT id column is collected
+    (gate-scale output, not pipeline state). Row-identical to the
+    union-find path (asserted in TestMinhashDedupDistributed)."""
     import ray.data
 
     from weiser_ai_ray.pipelines.dedup import minhash_lsh_dedup_distributed
@@ -2317,14 +2308,33 @@ def q_minhash_dedup_distributed(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
-def q_simhash_dedup_documents(sf_dir: str) -> pa.Table:
+def q_minhash_dedup_unionfind(sf_dir: str) -> pa.Table:
+    """Driver-union-find variant (O(true duplicates) edge list held on
+    the driver) — kept registered as the cross-check twin of the
+    distributed headline: must equal minhash_dedup_documents row for
+    row (asserted in TestMinhashDedupDistributed)."""
     import ray.data
 
-    from weiser_ai_ray.pipelines.dedup import simhash_dedup_ids
+    from weiser_ai_ray.pipelines.dedup import minhash_lsh_dedup_ids
 
     ds = __rps(os.path.join(sf_dir, "documents.parquet"), cache=True)
-    survivors, _pairs = simhash_dedup_ids(ds, "text", "doc_id")
+    survivors, _pairs = minhash_lsh_dedup_ids(ds, "text", "doc_id")
     return pa.table({"doc_id": pa.array(survivors, type=pa.int64())})
+
+
+def q_simhash_dedup_documents(sf_dir: str) -> pa.Table:
+    """HEADLINE (benched): zero-driver-state simhash — distributed
+    connected components over the hamming-edge Dataset + anti-join
+    (simhash_dedup_distributed); row-identical to the union-find path
+    (asserted in TestSimhashDedupDistributed)."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.dedup import simhash_dedup_distributed
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), cache=True)
+    kept = simhash_dedup_distributed(ds, "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.select_columns(["doc_id"]).take_all())
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
 def q_minhash_dedup_full_rows(sf_dir: str) -> pa.Table:
@@ -3601,7 +3611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": q_langid_documents,
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "minhash_dedup_full_rows": q_minhash_dedup_full_rows,
-        "minhash_dedup_distributed": q_minhash_dedup_distributed,
+        "minhash_dedup_unionfind": q_minhash_dedup_unionfind,
         "minhash_dedup_incremental": q_minhash_dedup_incremental,
         "kll_quantiles_price": q_kll_quantiles_price,
         "simhash_dedup_documents": q_simhash_dedup_documents,

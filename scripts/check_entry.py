@@ -45,6 +45,10 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = e.queries()
+    # optional substring filters: check_entry.py SF_DIR pat1 pat2 ...
+    pats = sys.argv[2:]
+    if pats:
+        qs = {k: v for k, v in qs.items() if any(p in k for p in pats)}
     oracles = e.oracle_sql()
     failed = []
     for name, fn in qs.items():

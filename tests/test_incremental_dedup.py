@@ -241,3 +241,34 @@ class TestExactDedupBloomAgainst:
                 new, old, "text", "doc_id", 100, nbits=1 << 13,
                 prebuilt_bloom=np.zeros(4, np.uint64),
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSimhashDedupDistributed:
+    def test_equivalent_to_batch(self):
+        from weiser_ai_ray.pipelines.dedup import (
+            simhash_dedup,
+            simhash_dedup_distributed,
+        )
+
+        # exact triples: hamming 0 within a group, far across groups
+        docs = [(i, _rand_para(i % 5)) for i in range(15)]
+        ds = _ds(docs)
+        batch_kept = sorted(
+            r["doc_id"] for r in simhash_dedup(ds, "text", "doc_id").take_all()
+        )
+        dist_kept = sorted(
+            r["doc_id"]
+            for r in simhash_dedup_distributed(ds, "text", "doc_id").take_all()
+        )
+        assert dist_kept == batch_kept == list(range(5))
+
+    def test_no_dups_passthrough(self):
+        from weiser_ai_ray.pipelines.dedup import simhash_dedup_distributed
+
+        ds = _ds([(i, _rand_para(200 + i)) for i in range(4)])
+        kept = sorted(
+            r["doc_id"]
+            for r in simhash_dedup_distributed(ds, "text", "doc_id").take_all()
+        )
+        assert kept == [0, 1, 2, 3]

@@ -1299,6 +1299,21 @@ def simhash_dedup(
 def _simhash_verified_edges(
     ds: "ray.data.Dataset", text_col: str, id_col: str, max_hamming: int
 ) -> list[tuple]:
+    """Sorted verified hamming-edge pairs as a DRIVER list — O(true
+    duplicates) by contract; ``simhash_dedup_distributed`` keeps even
+    the edges a Dataset."""
+    edges_ds = _simhash_edges_dataset(ds, text_col, id_col, max_hamming)
+    if edges_ds is None:
+        return []
+    edge_rows = edges_ds.take_all()
+    return sorted({(int(r["id_a"]), int(r["id_b"])) for r in edge_rows})
+
+
+def _simhash_edges_dataset(
+    ds: "ray.data.Dataset", text_col: str, id_col: str, max_hamming: int
+) -> "Optional[ray.data.Dataset]":
+    """Verified hamming<=max_hamming edge rows (id_a, id_b) as a
+    Dataset; None when no duplicate bucket exists."""
     sims = ds.map_batches(
         SimHashStage(text_col, id_col),
         batch_format="pyarrow",
@@ -1339,7 +1354,7 @@ def _simhash_verified_edges(
     banded = sims.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
     dup_keys = _dup_bucket_keys(banded.select_columns(["bucket", id_col]))
     if dup_keys is None:
-        return []
+        return None
     keys_ref = ray.put(dup_keys)
 
     class _PickDup:
@@ -1362,9 +1377,40 @@ def _simhash_verified_edges(
     def verify_hamming_group(group: pa.Table) -> pa.Table:
         return verifier(group)
 
-    edges_ds = dup_rows.groupby("part").map_groups(verify_hamming_group, batch_format="pyarrow")
-    edge_rows = edges_ds.take_all()
-    return sorted({(int(r["id_a"]), int(r["id_b"])) for r in edge_rows})
+    return dup_rows.groupby("part").map_groups(
+        verify_hamming_group, batch_format="pyarrow"
+    )
+
+
+def simhash_dedup_distributed(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> "ray.data.Dataset":
+    """SimHash near-dup with ZERO corpus-scale driver state — the
+    simhash twin of ``minhash_lsh_dedup_distributed``: verified
+    hamming edges stay a Dataset, survivors come from distributed
+    connected components (min id per component survives — exactly the
+    union-find semantics), and the corpus is reduced with the
+    distributed anti-join (broadcast while the loser set is small,
+    hash-shuffle beyond). Batch-equivalent to ``simhash_dedup`` by
+    construction; cross-partition duplicate edges are fine — connected
+    components is idempotent under repeated edges."""
+    edges_ds = _simhash_edges_dataset(ds, text_col, id_col, max_hamming)
+    if edges_ds is None:
+        return ds
+    from ..joins import semi_anti_join
+    from .graph import connected_components
+
+    cc = connected_components(edges_ds, "id_a", "id_b")
+
+    def losers_only(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b["id"], b["component"])
+        return pa.table({"__loser": b.filter(keep)["id"]})
+
+    losers = cc.map_batches(losers_only, batch_format="pyarrow", zero_copy_batch=True)
+    return semi_anti_join(ds, losers, id_col, "__loser", anti=True)
 
 
 # ----------------------------------------------------------------------

@@ -146,6 +146,17 @@ def connected_components(
             {src_col: "a", dst_col: "b"}
         )
     cur = _canonical(edges).materialize()
+    # Right-size the round block count to the EDGE set: it inherits the
+    # producer's partitioning (e.g. a corpus-wide verify stage's 64
+    # buckets for a few hundred edges), and every star round below pays
+    # one shuffle per block — so a tiny edge set would pay big-corpus
+    # shuffle overhead O(rounds x blocks). ~1M edges per block keeps
+    # rounds near-single-block at gate scale and grows linearly with
+    # the edge set at crawl scale. Driver state: two scalars.
+    n_edges = cur.count()
+    target_blocks = max(1, -(-n_edges // 1_000_000))
+    if target_blocks < cur.num_blocks():
+        cur = cur.repartition(target_blocks).materialize()
     prev_sig = _checksum(cur)
     converged = False
     for _ in range(max_rounds):
