@@ -1,0 +1,157 @@
+"""Parity tests for the lane-parallel numpy MD5 (pipelines/md5np.py).
+
+The whole deterministic-sampling family keys on md5 hex lines that the
+DuckDB oracle replays bit-for-bit, so the vectorized hasher must be
+digest-identical to ``hashlib.md5`` — not just "uniform enough". These
+tests pin that equivalence over every interesting length regime (block
+boundaries at 55/56/63/64/119/120 bytes), prefixes, int/string Arrow
+columns, nulls, and the hex/u32/u60 derived encodings the samplers
+compare against.
+"""
+
+import hashlib
+import random
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from weiser_ai_ray.pipelines.md5np import (
+    digest_hex,
+    digest_u32,
+    digest_u60,
+    hex_string_array,
+    md5_digest_packed,
+    md5_u60_msgs,
+    pack_msgs,
+    str_key_digests,
+)
+
+
+def _ref_digests(msgs):
+    return np.array([list(hashlib.md5(m).digest()) for m in msgs], dtype=np.uint8)
+
+
+class TestDigestParity:
+    def test_block_boundary_lengths(self):
+        # every length through two full blocks, incl. the padding
+        # cliffs at 55->56 and 119->120 bytes
+        msgs = [bytes(range(256))[:n] for n in range(0, 130)]
+        got = md5_digest_packed(*pack_msgs(msgs))
+        assert np.array_equal(got, _ref_digests(msgs))
+
+    def test_random_lengths_mixed_batch(self):
+        rng = random.Random(7)
+        msgs = [
+            bytes(rng.getrandbits(8) for _ in range(rng.randint(0, 400)))
+            for _ in range(500)
+        ]
+        got = md5_digest_packed(*pack_msgs(msgs))
+        assert np.array_equal(got, _ref_digests(msgs))
+
+    def test_prefix(self):
+        msgs = [b"123", b"", b"x" * 100]
+        prefix = b"42-"
+        got = md5_digest_packed(*pack_msgs(msgs), prefix=prefix)
+        assert np.array_equal(got, _ref_digests([prefix + m for m in msgs]))
+
+    def test_empty_batch(self):
+        got = md5_digest_packed(*pack_msgs([]))
+        assert got.shape == (0, 16)
+
+    def test_large_lane_count_crosses_chunks(self):
+        # > _LANE_CHUNK lanes forces the chunked path
+        msgs = [str(i).encode() for i in range(20000)]
+        got = md5_digest_packed(*pack_msgs(msgs))
+        assert np.array_equal(got, _ref_digests(msgs))
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.binary(min_size=0, max_size=300), min_size=1, max_size=40))
+    def test_hypothesis_parity(self, msgs):
+        got = md5_digest_packed(*pack_msgs(msgs))
+        assert np.array_equal(got, _ref_digests(msgs))
+
+
+class TestDerivedEncodings:
+    MSGS = [b"", b"abc", b"hello world", b"12345678901234567890"]
+
+    def test_hex(self):
+        hx = digest_hex(md5_digest_packed(*pack_msgs(self.MSGS)))
+        want = [hashlib.md5(m).hexdigest().encode() for m in self.MSGS]
+        assert list(hx) == want
+
+    def test_u32(self):
+        u = digest_u32(md5_digest_packed(*pack_msgs(self.MSGS)))
+        want = [int(hashlib.md5(m).hexdigest()[:8], 16) for m in self.MSGS]
+        assert list(u) == want
+
+    def test_u60(self):
+        u = digest_u60(md5_digest_packed(*pack_msgs(self.MSGS)))
+        want = [int(hashlib.md5(m).hexdigest()[:15], 16) for m in self.MSGS]
+        assert list(u) == want
+        assert (u >= 0).all()  # 60-bit value always positive in int64
+
+    def test_u60_msgs_helper(self):
+        got = md5_u60_msgs(self.MSGS)
+        want = [int(hashlib.md5(m).hexdigest()[:15], 16) for m in self.MSGS]
+        assert list(got) == want
+
+
+class TestStrKeyDigests:
+    def test_string_column(self):
+        col = pa.array(["a", "bb", None, "", "ccc"])
+        dig, valid = str_key_digests(col)
+        assert valid.tolist() == [True, True, False, True, True]
+        for i, v in enumerate(["a", "bb", None, "", "ccc"]):
+            if v is not None:
+                assert bytes(dig[i]) == hashlib.md5(v.encode()).digest()
+
+    def test_int_column_matches_str_cast(self):
+        vals = [0, -5, 123456789012345, None, 7]
+        col = pa.array(vals, type=pa.int64())
+        dig, valid = str_key_digests(col)
+        for i, v in enumerate(vals):
+            if v is not None:
+                assert bytes(dig[i]) == hashlib.md5(str(v).encode()).digest()
+            else:
+                assert not valid[i]
+
+    def test_prefix_seed_line(self):
+        vals = [1, 2, 3]
+        col = pa.array(vals, type=pa.int64())
+        dig, _ = str_key_digests(col, prefix=b"9-")
+        for i, v in enumerate(vals):
+            assert bytes(dig[i]) == hashlib.md5(f"9-{v}".encode()).digest()
+
+    def test_float_fallback_matches_str(self):
+        vals = [1.5, None, -2.25]
+        col = pa.array(vals, type=pa.float64())
+        dig, valid = str_key_digests(col)
+        assert valid.tolist() == [True, False, True]
+        for i, v in enumerate(vals):
+            if v is not None:
+                assert bytes(dig[i]) == hashlib.md5(str(v).encode()).digest()
+
+    def test_chunked_column(self):
+        col = pa.chunked_array([pa.array(["x", "y"]), pa.array(["z"])])
+        dig, valid = str_key_digests(col)
+        assert bytes(dig[2]) == hashlib.md5(b"z").digest()
+
+    def test_sliced_column_offsets(self):
+        # a sliced Arrow array has a non-zero offset into its buffers;
+        # the buffer-reading fast path must honor it
+        base = pa.array(["aa", "bb", "cc", "dd", "ee"])
+        col = base.slice(1, 3)
+        dig, valid = str_key_digests(col)
+        for i, v in enumerate(["bb", "cc", "dd"]):
+            assert bytes(dig[i]) == hashlib.md5(v.encode()).digest()
+
+    def test_hex_string_array_nulls(self):
+        col = pa.array(["a", None, "b"])
+        dig, valid = str_key_digests(col)
+        arr = hex_string_array(digest_hex(dig), valid)
+        assert arr[0].as_py() == hashlib.md5(b"a").hexdigest()
+        assert arr[1].as_py() is None
+        assert arr[2].as_py() == hashlib.md5(b"b").hexdigest()

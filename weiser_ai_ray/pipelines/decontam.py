@@ -364,15 +364,12 @@ def dedup_substrings(
             return np.empty(0, dtype=np.int64)
         if hasher == "poly":
             return (seg_grams(toks, m) >> np.uint64(1)).astype(np.int64)
-        md5 = hashlib.md5
-        return np.fromiter(
-            (
-                int(md5(" ".join(toks[i : i + w]).encode()).hexdigest()[:15], 16)
-                for i in range(m)
-            ),
-            dtype=np.int64,
-            count=m,
-        )
+        # lane-parallel md5 over (start, len) window views of the
+        # space-joined doc — digest-identical to the per-window
+        # hashlib loop (see md5np.window_u60_hashes)
+        from weiser_ai_ray.pipelines.md5np import window_u60_hashes
+
+        return window_u60_hashes(toks, w)
 
     def seg_grams(toks: list, m: int) -> np.ndarray:
         ws = np.array([seg._word_hash(t) for t in toks], dtype=np.uint64)

@@ -1,0 +1,306 @@
+"""Lane-parallel MD5 over numpy — bit-identical to ``hashlib.md5``.
+
+Every deterministic sampling / mixing / splitting operator in this
+engine keys on the "md5 hex line" (md5(CAST(key AS VARCHAR)) compared
+as a uniform point on [0, 16^32)) because that construction is exactly
+SQL-expressible, so the DuckDB oracle can replay keep decisions
+bit-for-bit. Round-3 verdict flagged the per-row ``hashlib.md5`` Python
+loop as the dominant cost of the whole mixing family (~137k rows/s
+where neighboring vectorized passes run 500k+/s). This module keeps
+the md5 semantics — it IS md5, digest-identical, verified against
+hashlib by property tests — but computes all rows of a batch at once:
+the 64-round compression runs as ~8 uint32 numpy ops per round across
+N message lanes, and message packing reads Arrow string buffers
+directly (no per-row str/encode in the common int64/string-key case).
+
+Layout notes (why this is fast):
+
+- Messages are padded into an (N, nblocks*64) uint8 matrix per
+  distinct block count (ids and n-gram windows are almost always one
+  64-byte block), viewed as little-endian uint32 words — MD5's native
+  word order, so no per-word swizzling.
+- numpy unsigned arithmetic wraps mod 2^32 silently, which is exactly
+  MD5's arithmetic; rotation is two shifts and an OR.
+- Hex / u32 / 60-bit outputs are derived from the 16-byte digest with
+  LUT gathers, never Python string formatting.
+
+The module assumes a little-endian host (x86/ARM); asserted at import
+so a port to an exotic platform fails loudly rather than subtly.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from typing import Iterable, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+assert sys.byteorder == "little", "md5np requires a little-endian host"
+
+# sine-derived round constants and per-round shifts (RFC 1321)
+_K = np.array(
+    [int(abs(math.sin(i + 1)) * (1 << 32)) & 0xFFFFFFFF for i in range(64)],
+    dtype=np.uint32,
+)
+_S = (
+    [7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4 + [4, 11, 16, 23] * 4 + [6, 10, 15, 21] * 4
+)
+_G = (
+    list(range(16))
+    + [(5 * i + 1) % 16 for i in range(16, 32)]
+    + [(3 * i + 5) % 16 for i in range(32, 48)]
+    + [(7 * i) % 16 for i in range(48, 64)]
+)
+_HEX_LUT = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+# lanes per compression chunk: 16k lanes x 4 B x ~6 working arrays +
+# the (16k, 16) uint32 message matrix ~= 1.4 MB — L2-resident
+_LANE_CHUNK = 16384
+
+
+_SU = [np.uint32(s) for s in _S]
+_SR = [np.uint32(32 - s) for s in _S]
+
+
+def _compress(state: list, M: np.ndarray) -> None:
+    """One MD5 block round over N lanes. ``state`` is [A,B,C,D] uint32
+    arrays mutated in place; ``M`` is the (N, 16) uint32 message view.
+
+    Allocation-free inner loop: each round writes through two scratch
+    lanes and recycles the consumed A buffer as the new B, so the whole
+    64-round schedule touches exactly 6 cache-resident arrays — callers
+    chunk lanes (see _LANE_CHUNK) so those arrays stay in L2 and the
+    pass runs compute-bound, not memory-bound."""
+    A = state[0].copy()
+    B = state[1].copy()
+    C = state[2].copy()
+    D = state[3].copy()
+    t0 = np.empty_like(A)
+    t1 = np.empty_like(A)
+    for i in range(64):
+        if i < 16:
+            # F = (B & C) | (~B & D)  ==  D ^ (B & (C ^ D))
+            np.bitwise_xor(C, D, out=t0)
+            np.bitwise_and(t0, B, out=t0)
+            np.bitwise_xor(t0, D, out=t0)
+        elif i < 32:
+            # F = (D & B) | (~D & C)  ==  C ^ (D & (B ^ C))
+            np.bitwise_xor(B, C, out=t0)
+            np.bitwise_and(t0, D, out=t0)
+            np.bitwise_xor(t0, C, out=t0)
+        elif i < 48:
+            np.bitwise_xor(B, C, out=t0)
+            np.bitwise_xor(t0, D, out=t0)
+        else:
+            np.bitwise_not(D, out=t0)
+            np.bitwise_or(t0, B, out=t0)
+            np.bitwise_xor(t0, C, out=t0)
+        np.add(t0, A, out=t0)
+        np.add(t0, _K[i], out=t0)
+        np.add(t0, M[:, _G[i]], out=t0)
+        np.left_shift(t0, _SU[i], out=t1)
+        np.right_shift(t0, _SR[i], out=t0)
+        np.bitwise_or(t0, t1, out=t0)
+        np.add(t0, B, out=A)  # old A is consumed; its buffer holds new B
+        A, B, C, D = D, A, B, C
+    state[0] += A
+    state[1] += B
+    state[2] += C
+    state[3] += D
+
+
+def md5_digest_packed(
+    data: np.ndarray,
+    starts: np.ndarray,
+    lens: np.ndarray,
+    prefix: bytes = b"",
+) -> np.ndarray:
+    """(N, 16) uint8 md5 digests of ``prefix + data[starts[i] :
+    starts[i]+lens[i]]`` for each row i — the packed form lets callers
+    hash Arrow string buffers (or n-gram windows of one joined text)
+    with zero per-row Python objects."""
+    n = len(starts)
+    out = np.empty((n, 16), dtype=np.uint8)
+    if n == 0:
+        return out
+    starts = np.asarray(starts, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
+    plen = len(prefix)
+    total = lens + plen
+    nblocks = (total + 8) // 64 + 1
+    nb_lo, nb_hi = int(nblocks.min()), int(nblocks.max())
+    if nb_lo == nb_hi:  # uniform block count (short keys): skip unique
+        for lo in range(0, n, _LANE_CHUNK):
+            sl = slice(lo, lo + _LANE_CHUNK)
+            out[sl] = _md5_fixed_blocks(data, starts[sl], lens[sl], prefix, nb_lo)
+        return out
+    for nb in np.unique(nblocks):
+        sel = np.flatnonzero(nblocks == nb)
+        # chunk lanes so the compression's 6 working arrays + the
+        # message matrix stay L2-resident (see _compress)
+        for lo in range(0, len(sel), _LANE_CHUNK):
+            ch = sel[lo : lo + _LANE_CHUNK]
+            out[ch] = _md5_fixed_blocks(data, starts[ch], lens[ch], prefix, int(nb))
+    return out
+
+
+def _md5_fixed_blocks(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray, prefix: bytes, nb: int
+) -> np.ndarray:
+    g = len(starts)
+    plen = len(prefix)
+    total = lens + plen
+    buf = np.zeros((g, nb * 64), dtype=np.uint8)
+    if plen:
+        buf[:, :plen] = np.frombuffer(prefix, dtype=np.uint8)
+    L = int(lens.max()) if g else 0
+    if L:
+        # one (g, L) clamped gather + a tail mask beats a repeat-based
+        # ragged scatter ~3x (the packing, not the compression, was
+        # the hot spot of the window-hash path)
+        idx = starts[:, None] + np.arange(L, dtype=np.int64)
+        np.minimum(idx, len(data) - 1, out=idx)
+        span = buf[:, plen : plen + L]
+        np.take(data, idx, out=span)
+        span[np.arange(L, dtype=np.int64)[None, :] >= lens[:, None]] = 0
+    buf[np.arange(g), total] = 0x80
+    M = buf.view(np.uint32)
+    bits = (total.astype(np.uint64)) * np.uint64(8)
+    M[:, -2] = (bits & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    M[:, -1] = (bits >> np.uint64(32)).astype(np.uint32)
+    state = [
+        np.full(g, 0x67452301, dtype=np.uint32),
+        np.full(g, 0xEFCDAB89, dtype=np.uint32),
+        np.full(g, 0x98BADCFE, dtype=np.uint32),
+        np.full(g, 0x10325476, dtype=np.uint32),
+    ]
+    for blk in range(nb):
+        _compress(state, M[:, blk * 16 : (blk + 1) * 16])
+    dig = np.empty((g, 4), dtype=np.uint32)
+    for j in range(4):
+        dig[:, j] = state[j]
+    return dig.view(np.uint8)
+
+
+def digest_hex(dig: np.ndarray) -> np.ndarray:
+    """(N, 16) uint8 digests -> 'S32' lowercase-hex byte strings
+    (fixed-width ASCII hex compares lexicographically == numerically,
+    so thresholds stay plain byte-string comparisons)."""
+    n = len(dig)
+    hx = np.empty((n, 32), dtype=np.uint8)
+    hx[:, 0::2] = _HEX_LUT[dig >> 4]
+    hx[:, 1::2] = _HEX_LUT[dig & 0x0F]
+    return np.ascontiguousarray(hx).view("S32").reshape(n)
+
+
+def digest_u32(dig: np.ndarray) -> np.ndarray:
+    """First 8 hex digits of each digest as uint32 — the "u32(md5(k))"
+    line every weighted/temperature sampler compares against; equals
+    int(hexdigest[:8], 16)."""
+    return np.ascontiguousarray(dig[:, :4]).view(">u4").reshape(len(dig)).astype(np.uint64)
+
+
+def digest_u64(dig: np.ndarray) -> np.ndarray:
+    """First 8 digest bytes as uint64 (big-endian) — equals
+    int(hexdigest[:16], 16); the widest single-word gram identity."""
+    return np.ascontiguousarray(dig[:, :8]).view(">u8").reshape(len(dig)).astype(np.uint64)
+
+
+def digest_u60(dig: np.ndarray) -> np.ndarray:
+    """First 15 hex digits as int64 (the decontam/winnow window-hash
+    key, ('0x' || substr(md5(s),1,15))::BIGINT in SQL) — a 60-bit
+    value, always positive in int64."""
+    u64 = np.ascontiguousarray(dig[:, :8]).view(">u8").reshape(len(dig))
+    return (u64 >> np.uint64(4)).astype(np.int64)
+
+
+def pack_msgs(msgs: Sequence[bytes]) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pack a list of byte strings into (data, starts, lens) for
+    md5_digest_packed."""
+    n = len(msgs)
+    lens = np.fromiter((len(m) for m in msgs), dtype=np.int64, count=n)
+    data = np.frombuffer(b"".join(msgs), dtype=np.uint8)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) if n else np.empty(0, np.int64)
+    return data, starts, lens.astype(np.int64)
+
+
+def md5_u60_msgs(msgs: Sequence[bytes]) -> np.ndarray:
+    """int64 60-bit window hashes for a list of byte strings."""
+    return digest_u60(md5_digest_packed(*pack_msgs(msgs)))
+
+
+def window_u60_hashes(toks: Sequence[str], w: int) -> np.ndarray:
+    """int64 60-bit md5 hashes of every ``w``-token sliding window,
+    hashing ``" ".join(toks[i:i+w])`` — bit-identical to the per-window
+    ``int(md5(...).hexdigest()[:15], 16)`` loop of the substring-dedup /
+    winnowing operators, but one packed lane-parallel pass.
+
+    Requires tokens that contain no space byte (true for ``split(" ")``
+    output and ``[A-Za-z0-9_]+`` regex tokens): then every window is a
+    SUBSTRING of the space-joined text, so the whole doc encodes once
+    and windows are (start, len) views — zero per-window Python. The
+    0x20 scan is UTF-8-safe (continuation bytes are >= 0x80)."""
+    m = len(toks) - w + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.int64)
+    data = np.frombuffer(" ".join(toks).encode(), dtype=np.uint8)
+    sp = np.flatnonzero(data == 32)
+    starts = np.empty(len(toks), dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = sp + 1
+    ends = np.empty(len(toks), dtype=np.int64)
+    ends[:-1] = sp
+    ends[-1] = len(data)
+    wstarts = starts[:m]
+    return digest_u60(md5_digest_packed(data, wstarts, ends[w - 1 :] - wstarts))
+
+
+def _as_string_array(col) -> Optional[pa.Array]:
+    """CAST(col AS VARCHAR) parity with Python ``str(v)`` for the key
+    types the samplers see: strings pass through, integers cast
+    (Arrow's int->string == str(int)). Other types return None and the
+    caller falls back to the per-row str() loop (parity over speed)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return col
+    if pa.types.is_integer(t):
+        return pc.cast(col, pa.string())
+    return None
+
+
+def str_key_digests(col, prefix: bytes = b"") -> Tuple[np.ndarray, np.ndarray]:
+    """md5 digests of ``prefix + str(value)`` per row of an Arrow
+    column, plus the validity mask. Null rows get an arbitrary digest
+    (empty message) — callers must apply the mask. The string/int fast
+    path reads the Arrow offsets+data buffers directly; anything else
+    falls back to per-row str(v) packing (same digests, slower)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    valid = np.asarray(pc.is_valid(col).to_numpy(zero_copy_only=False), dtype=bool)
+    sarr = _as_string_array(col)
+    if sarr is not None:
+        sarr = pc.cast(sarr, pa.large_string()).fill_null("")
+        if isinstance(sarr, pa.ChunkedArray):
+            sarr = sarr.combine_chunks()
+        bufs = sarr.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int64, count=len(sarr) + 1 + sarr.offset)
+        offs = offs[sarr.offset : sarr.offset + len(sarr) + 1]
+        data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+        starts = offs[:-1].astype(np.int64)
+        lens = np.diff(offs).astype(np.int64)
+        return md5_digest_packed(data, starts, lens, prefix), valid
+    msgs = [b"" if v is None else str(v).encode() for v in col.to_pylist()]
+    data, starts, lens = pack_msgs(msgs)
+    return md5_digest_packed(data, starts, lens, prefix), valid
+
+
+def hex_string_array(hx: np.ndarray, valid: Optional[np.ndarray] = None) -> pa.Array:
+    """'S32' hex lanes -> Arrow string array, nulling invalid rows."""
+    arr = pa.array(hx.astype("U32"), type=pa.string())
+    if valid is not None and not valid.all():
+        arr = pc.if_else(pa.array(valid), arr, pa.scalar(None, type=pa.string()))
+    return arr

@@ -74,20 +74,21 @@ def concat_chunk_pack(
     nr = min(int(num_ranges), 256)
 
     def narrow(batch: pa.Table) -> pa.Table:
-        import hashlib
+        from weiser_ai_ray.pipelines.md5np import digest_hex, hex_string_array, str_key_digests
 
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         ntok = token_fn(batch[text_col].to_pylist())
         cols = {id_col: pa.array(ids), "n_tok": pa.array(ntok)}
         if shuffle_seed is not None:
-            keys = [hashlib.md5(f"{shuffle_seed}-{v}".encode()).hexdigest() for v in ids]
+            dig, _ = str_key_digests(pa.array(ids), prefix=f"{shuffle_seed}-".encode())
             # MONOTONE byte->range scaling (not a modulo, which would
             # interleave key prefixes across ranges and corrupt the
-            # global prefix sum)
+            # global prefix sum); the digest's first byte IS the first
+            # two hex chars
             cols["__range"] = pa.array(
-                np.array([(int(k[:2], 16) * nr) >> 8 for k in keys], dtype=np.int64)
+                ((dig[:, 0].astype(np.int64) * nr) >> 8).astype(np.int64)
             )
-            cols["__key"] = pa.array(keys, type=pa.string())
+            cols["__key"] = hex_string_array(digest_hex(dig))
         return pa.table(cols)
 
     # ~16 B/row fixed width — the expensive upstream pipeline is

@@ -24,24 +24,44 @@ uniform "random but stable" sample (a SQL-expressible oracle:
 
 from __future__ import annotations
 
-import hashlib
 from typing import Sequence
 
 import numpy as np
 import pyarrow as pa
 import ray
 
+from weiser_ai_ray.pipelines.md5np import (
+    digest_hex,
+    digest_u32,
+    hex_string_array,
+    str_key_digests,
+)
+
+
+def _seeded_digests(col, seed) -> np.ndarray:
+    """(N, 16) md5 digests of ``f"{seed}-{v}"`` per row — the seeded
+    sampling key line. Null rows hash the literal string 'None'
+    (f-string semantics, matching the original per-row kernels)."""
+    dig, valid = str_key_digests(col, prefix=f"{seed}-".encode())
+    if not valid.all():
+        import hashlib
+
+        vals = col.to_pylist() if not isinstance(col, list) else col
+        for i in np.flatnonzero(~valid):
+            dig[i] = np.frombuffer(
+                hashlib.md5(f"{seed}-{vals[i]}".encode()).digest(), dtype=np.uint8
+            )
+    return dig
+
 
 def add_md5_of(ds: "ray.data.Dataset", col: str, out_col: str) -> "ray.data.Dataset":
     """Append md5(CAST(col AS VARCHAR)) as a hex-string column —
-    byte-identical to DuckDB's md5() over the same varchar."""
+    byte-identical to DuckDB's md5() over the same varchar
+    (lane-parallel numpy md5; see pipelines/md5np.py)."""
 
     def fn(b: pa.Table) -> pa.Table:
-        vals = b[col].to_pylist()
-        digests = [
-            None if v is None else hashlib.md5(str(v).encode()).hexdigest() for v in vals
-        ]
-        return b.append_column(out_col, pa.array(digests, type=pa.string()))
+        dig, valid = str_key_digests(b[col])
+        return b.append_column(out_col, hex_string_array(digest_hex(dig), valid))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -57,15 +77,11 @@ def sample_fraction(ds: "ray.data.Dataset", col: str, fraction: float) -> "ray.d
     frac = min(max(float(fraction), 0.0), 1.0)
     threshold = format(int(frac * (1 << 128)), "032x")[:32] if frac < 1.0 else "g" * 32
 
+    thr_b = np.bytes_(threshold.encode())
+
     def keep(b: pa.Table) -> pa.Table:
-        vals = b[col].to_pylist()
-        mask = pa.array(
-            [
-                v is not None and hashlib.md5(str(v).encode()).hexdigest() < threshold
-                for v in vals
-            ]
-        )
-        return b.filter(mask)
+        dig, valid = str_key_digests(b[col])
+        return b.filter(pa.array(valid & (digest_hex(dig) < thr_b)))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -95,17 +111,13 @@ def sample_fraction_stratified(
     default_thr = _thr(default)
 
     def keep(b: pa.Table) -> pa.Table:
-        keys = b[key_col].to_pylist()
+        dig, valid = str_key_digests(b[key_col])
         groups = b[group_col].to_pylist()
-        mask = pa.array(
-            [
-                k is not None
-                and hashlib.md5(str(k).encode()).hexdigest()
-                < thresholds.get(g, default_thr)
-                for k, g in zip(keys, groups)
-            ]
+        n = len(groups)
+        thr_arr = np.fromiter(
+            (thresholds.get(g, default_thr) for g in groups), dtype="S32", count=n
         )
-        return b.filter(mask)
+        return b.filter(pa.array(valid & (digest_hex(dig) < thr_arr)))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -187,12 +199,8 @@ def sample_cap_per_group(
         # null group keys drop (Ray's sort-based groupby cannot key on
         # null; mirror with WHERE g IS NOT NULL)
         b = b.filter(pc.is_valid(b[group_col]))
-        ids = b[id_col].to_pylist()
-        keys = [
-            None if v is None else hashlib.md5(f"{seed}-{v}".encode()).hexdigest()
-            for v in ids
-        ]
-        return b.append_column("__h", pa.array(keys, type=pa.string()))
+        dig, valid = str_key_digests(b[id_col], prefix=f"{seed}-".encode())
+        return b.append_column("__h", hex_string_array(digest_hex(dig), valid))
 
     keyed = ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
     capped = topk_per_group(keyed, group_col, ["__h", id_col], cap, ascending=True)
@@ -264,16 +272,16 @@ def deterministic_shuffle_rank(
         raise ValueError("num_ranges must be in [1, 256]")
 
     def keyed(b: pa.Table) -> pa.Table:
-        ids = b[id_col].to_pylist()
-        keys = [hashlib.md5(f"{seed}-{v}".encode()).hexdigest() for v in ids]
+        dig = _seeded_digests(b[id_col], seed)
         # MONOTONE byte->range scaling: ranges must partition the KEY
         # ORDER (a modulo would interleave prefixes across ranges and
-        # corrupt the global rank)
-        rng = np.array([(int(k[:2], 16) * nr) >> 8 for k in keys], dtype=np.int32)
+        # corrupt the global rank). The digest's first byte IS the
+        # first two hex chars, so scale it directly.
+        rng = (dig[:, 0].astype(np.int32) * nr) >> 8
         return pa.table(
             {
-                "__range": pa.array(rng),
-                "__key": pa.array(keys, type=pa.string()),
+                "__range": pa.array(rng.astype(np.int32)),
+                "__key": hex_string_array(digest_hex(dig)),
                 id_col: b[id_col],
             }
         )
@@ -339,18 +347,13 @@ def sample_weighted(
     s = float(scale)
 
     def keep(b: pa.Table) -> pa.Table:
-        keys = b[key_col].to_pylist()
+        dig, valid = str_key_digests(b[key_col])
+        u = digest_u32(dig).astype(np.float64)  # < 2^32: exact in f64
         w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
         thr = np.floor(np.minimum(1.0, w * s) * 4294967296.0)
-        mask = pa.array(
-            [
-                k is not None
-                and not np.isnan(t)
-                and int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) < t
-                for k, t in zip(keys, thr)
-            ]
-        )
-        return b.filter(mask)
+        with np.errstate(invalid="ignore"):
+            mask = valid & ~np.isnan(thr) & (u < thr)
+        return b.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -378,21 +381,22 @@ def assign_splits(
         cum += float(fractions[name])
         edges.append(format(min(max(int(cum * (1 << 128)), 0), (1 << 128) - 1), "032x"))
 
+    # fractions are non-negative in every sane call, so the cumulative
+    # edges are sorted and band membership is one searchsorted; 'right'
+    # side == the loop's strict ``h < edge`` first-match
+    edges_arr = np.array(edges, dtype="S32")
+    assert (edges_arr[:-1] <= edges_arr[1:]).all(), "assign_splits: fractions must be >= 0"
+    names_arr = np.array(names)  # index len(edges) == the last split
+
     def tag(b: pa.Table) -> pa.Table:
-        vals = b[key_col].to_pylist()
-        out = []
-        for v in vals:
-            if v is None:
-                out.append(None)
-                continue
-            h = hashlib.md5(str(v).encode()).hexdigest()
-            for name, edge in zip(names, edges):
-                if h < edge:
-                    out.append(name)
-                    break
-            else:
-                out.append(names[-1])
-        return b.append_column(out_col, pa.array(out, type=pa.string()))
+        dig, valid = str_key_digests(b[key_col])
+        idx = np.searchsorted(edges_arr, digest_hex(dig), side="right")
+        out = pa.array(names_arr[idx], type=pa.string())
+        if not valid.all():
+            import pyarrow.compute as pc
+
+            out = pc.if_else(pa.array(valid), out, pa.scalar(None, type=pa.string()))
+        return b.append_column(out_col, out)
 
     return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -487,20 +491,30 @@ def sample_temperature_mix(
         for g in n
     }
 
-    def keep(t: pa.Table) -> pa.Table:
-        keys = t[key_col].to_pylist()
-        groups = t[group_col].to_pylist()
-        mask = pa.array(
-            [
-                k is not None
-                and g in thr
-                and int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) < thr[g]
-                for k, g in zip(keys, groups)
-            ]
-        )
-        return t.filter(mask)
+    return ds.map_batches(
+        _GroupThresholdKeep(key_col, group_col, thr),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
-    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+class _GroupThresholdKeep:
+    """Streaming keep-iff ``u32(md5(key)) < thr[group]`` filter shared
+    by the temperature/mixture samplers (groups absent from ``thr``
+    drop, as do null keys/groups — SQL join semantics)."""
+
+    def __init__(self, key_col: str, group_col: str, thr: dict):
+        self.key_col, self.group_col, self.thr = key_col, group_col, thr
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        dig, valid = str_key_digests(t[self.key_col])
+        u = digest_u32(dig).astype(np.float64)  # < 2^32: exact in f64
+        groups = t[self.group_col].to_pylist()
+        thr = self.thr
+        thr_arr = np.fromiter(
+            (thr.get(g, -1.0) for g in groups), dtype=np.float64, count=len(groups)
+        )
+        return t.filter(pa.array(valid & (u < thr_arr)))
 
 
 def upsample_temperature_mix(
@@ -545,14 +559,15 @@ def upsample_temperature_mix(
         fthr[g] = float(np.floor((r - np.floor(r)) * np.float64(4294967296.0)))
 
     def expand(t: pa.Table) -> pa.Table:
-        keys = t[key_col].to_pylist()
+        dig, valid = str_key_digests(t[key_col])
+        u = digest_u32(dig).astype(np.float64)  # < 2^32: exact in f64
         groups = t[group_col].to_pylist()
-        copies = np.zeros(t.num_rows, dtype=np.int64)
-        for i, (k, g) in enumerate(zip(keys, groups)):
-            if k is None or g not in base:
-                continue
-            extra = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) < fthr[g]
-            copies[i] = base[g] + extra
+        n = t.num_rows
+        base_arr = np.fromiter((base.get(g, -1) for g in groups), dtype=np.int64, count=n)
+        fthr_arr = np.fromiter((fthr.get(g, 0.0) for g in groups), dtype=np.float64, count=n)
+        copies = np.where(
+            valid & (base_arr >= 0), base_arr + (u < fthr_arr), 0
+        ).astype(np.int64)
         total = int(copies.sum())
         if total == 0:
             out = t.slice(0, 0)
@@ -609,17 +624,8 @@ def sample_to_mixture(
         f = np.minimum(np.float64(1.0), b * tg / np.float64(n[g]))
         thr[g] = float(np.floor(f * np.float64(4294967296.0)))
 
-    def keep(t: pa.Table) -> pa.Table:
-        keys = t[key_col].to_pylist()
-        groups = t[group_col].to_pylist()
-        mask = pa.array(
-            [
-                k is not None
-                and g in thr
-                and int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) < thr[g]
-                for k, g in zip(keys, groups)
-            ]
-        )
-        return t.filter(mask)
-
-    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        _GroupThresholdKeep(key_col, group_col, thr),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

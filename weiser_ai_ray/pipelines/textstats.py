@@ -168,22 +168,22 @@ def fingerprints(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     hash over 8-char windows) for near-identity bucketing."""
 
     def per_batch(batch: pa.Table) -> pa.Table:
+        from weiser_ai_ray.pipelines.md5np import digest_hex, hex_string_array, str_key_digests
+
         texts = batch["text"].to_pylist()
-        md5s, rolls = [], []
+        dig, valid = str_key_digests(batch["text"])
+        rolls = []
         for t in texts:
             if t is None:
-                md5s.append(None)
                 rolls.append(None)
-                continue
-            md5s.append(hashlib.md5(t.encode("utf-8")).hexdigest())
-            if len(t) < 8:
+            elif len(t) < 8:
                 rolls.append(hashlib.sha256(t.encode("utf-8")).hexdigest()[:16])
             else:
                 rolls.append(_rolling_min_hash(t))
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "md5": pa.array(md5s, type=pa.string()),
+                "md5": hex_string_array(digest_hex(dig), valid),
                 "rolling_fp": pa.array(rolls, type=pa.string()),
             }
         )

@@ -78,15 +78,12 @@ class _WinnowStage:
 
     def _gram_hashes(self, toks: list, m: int) -> np.ndarray:
         if self.hasher == "md5":
-            md5 = hashlib.md5
-            return np.fromiter(
-                (
-                    int(md5(" ".join(toks[i : i + self.k]).encode()).hexdigest()[:15], 16)
-                    for i in range(m)
-                ),
-                dtype=np.int64,
-                count=m,
-            )
+            # lane-parallel md5 over window views of the joined doc
+            # (regex tokens carry no space byte, the helper's one
+            # requirement) — digest-identical to the hashlib loop
+            from weiser_ai_ray.pipelines.md5np import window_u60_hashes
+
+            return window_u60_hashes(toks, self.k)
         ws = np.fromiter(
             (self._word_hash(t) for t in toks), dtype=np.uint64, count=len(toks)
         )
