@@ -36,19 +36,6 @@ def pivot_counts(
     explicitly to pin column order / include empty categories."""
     needed = [row_key, col_key] + ([measure] if measure else [])
     ds = ds.select_columns(needed)
-    if categories is None:
-        # discovery executes the input — materialize the pruned
-        # projection so the partial pass reuses blocks instead of
-        # re-running the whole upstream lineage
-        ds = ds.materialize()
-        cats = sorted(
-            r[col_key]
-            for r in ds.groupby(col_key).count().take_all()
-            if r[col_key] is not None
-        )
-    else:
-        cats = list(categories)
-    cats_ref = ray.put({c: i for i, c in enumerate(cats)})
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.select(needed)
@@ -69,6 +56,20 @@ def pivot_counts(
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    if categories is None:
+        # single corpus pass (round-3 verdict task 6): the corpus is
+        # read once into the O(blocks x groups) (row, col, n) DIGEST;
+        # category discovery and the widen both run over that digest,
+        # never re-reading or materializing the corpus projection
+        parts = parts.materialize()
+        cats = sorted(
+            r[col_key]
+            for r in parts.groupby(col_key).count().take_all()
+            if r[col_key] is not None
+        )
+    else:
+        cats = list(categories)
+    cats_ref = ray.put({c: i for i, c in enumerate(cats)})
 
     def widen(group: pa.Table) -> pa.Table:
         cat_idx = ray.get(cats_ref)
