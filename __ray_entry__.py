@@ -3463,8 +3463,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # first); family variants and previously-green scalar checks absorb
     # the overflow at the tail of the oracle block.
     return {
-        # -- oracle-backed, never yet graded by the driver window / were
-        #    misflagged by oracle-side type artifacts (round-2 verdict) --
+        # Registry order matters: the driver's gate grades a 50-slot
+        # prefix window of this dict. Round-4 rotation: the 50 queries
+        # never yet graded by any driver artifact (r01-r03) fill the
+        # window — 36 oracle-backed first, then the 14 rows-only —
+        # so the cumulative driver-graded set reaches all 155.
+        # -- never driver-graded, oracle-backed (36) --
+        "multimodal_video_frames": q_multimodal_video_frames,
+        "split_token_chunks": q_split_token_chunks,
+        "pivot_lang_by_source": q_pivot_lang_by_source,
+        "count_distinct_two_dims": q_count_distinct_two_dims,
+        "filter_by_quantile_docs": q_filter_by_quantile,
+        "lm_quality_filter_docs": q_lm_quality_filter,
+        "dedup_substrings_documents": q_dedup_substrings,
+        "group_concat_source": q_group_concat_source,
+        "approx_quantiles_by_status": q_approx_quantiles_by,
+        "assign_splits_docs": q_assign_splits,
+        "corpus_diff_snapshots": q_corpus_diff,
+        "vocab_oov_counts": q_vocab_oov_counts,
+        "heavy_keys_lineitem": q_heavy_keys,
+        "dedup_exact_bloom_incremental": q_dedup_exact_bloom,
+        "filter_groups_by_stat_docs": q_filter_groups_by_stat,
+        "sample_cap_per_group_docs": q_sample_cap_per_group,
+        "dedup_lines_within_doc": q_dedup_lines_within_doc,
+        "normalize_text_docs": q_normalize_text,
+        "filter_by_group_quantile_docs": q_filter_by_group_quantile,
+        "heavy_keys_sketch_lineitem": q_heavy_keys_sketch,
+        "range_partition_ids_orders": q_range_partition_ids,
+        "extract_urls_docs": q_extract_urls,
+        "group_mean_embedding": q_group_mean_embedding,
+        "centroid_distances_embeddings": q_centroid_distances,
+        "token_entropy_docs": q_token_entropy,
+        "prune_by_centroid_embeddings": q_prune_by_centroid,
+        "sample_temperature_mix_docs": q_sample_temperature_mix,
+        "upsample_temperature_mix_docs": q_upsample_temperature_mix,
+        "dedup_keep_best_docs": q_dedup_keep_best,
+        "ivf_topk_queryset": q_ivf_topk_queryset,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "range_join_price_bands": q_range_join_price_bands,
+        "value_histogram_events": q_value_histogram,
+        "train_bigram_lm": q_train_bigram_lm,
+        "score_bigram_lm_docs": q_score_bigram_lm,
+        "sample_weighted_docs": q_sample_weighted,
+        # -- never driver-graded, rows-only by documented design (14) --
+        "minhash_dedup_unionfind": q_minhash_dedup_unionfind,
+        "minhash_dedup_incremental": q_minhash_dedup_incremental,
+        "kll_quantiles_price": q_kll_quantiles_price,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "embedding_kmeans": q_embedding_kmeans,
+        "semdedup_pairs_embeddings": q_semdedup_pairs,
+        "compression_ratio_docs": q_compression_ratio,
+        "pii_spans_docs": q_pii_spans,
+        "logistic_probe_embeddings": q_logistic_probe,
+        "pca_embeddings": q_pca_embeddings,
+        "bpe_train_docs": q_bpe_train,
+        "bpe_token_counts_docs": q_bpe_token_counts,
+        "curate4_token_budget": q_curate4,
+        "bow_classifier_docs": q_bow_classifier,
+        # -- already driver-green in r01-r03 artifacts (105) --
         "props_k_stats_by_type": q_props_k_stats_by_type,
         "sessionize_events": q_sessionize_events,
         "decontaminate_documents": q_decontaminate_documents,
@@ -3476,10 +3532,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomaly_mad_by_dataset": q_anomaly_mad_by_dataset,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "sample_stratified_docs": q_sample_stratified_docs,
-        # -- oracle-backed, new in round 3: ONE representative per
-        #    operator family fills the rest of the 50-slot window
-        #    (flagship chains first); near-duplicate variants of
-        #    already-windowed families follow below --
         "curate2_documents": q_curate2,
         "curate3_documents": q_curate3,
         "select_by_budget_docs": q_select_by_budget,
@@ -3519,40 +3571,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": q_connected_components,
         "approx_quantiles_sample": q_approx_quantiles,
         "dedup_exact_incremental": q_dedup_exact_incremental,
-        "multimodal_video_frames": q_multimodal_video_frames,
-        "split_token_chunks": q_split_token_chunks,
-        "pivot_lang_by_source": q_pivot_lang_by_source,
-        "count_distinct_two_dims": q_count_distinct_two_dims,
-        "filter_by_quantile_docs": q_filter_by_quantile,
-        "lm_quality_filter_docs": q_lm_quality_filter,
-        "dedup_substrings_documents": q_dedup_substrings,
-        "group_concat_source": q_group_concat_source,
-        # -- oracle-backed: family variants past the 50-slot window
-        #    (still verified by the local sf0.01/sf0.1 sweeps) --
-        "approx_quantiles_by_status": q_approx_quantiles_by,
-        "assign_splits_docs": q_assign_splits,
-        "corpus_diff_snapshots": q_corpus_diff,
-        "vocab_oov_counts": q_vocab_oov_counts,
-        "heavy_keys_lineitem": q_heavy_keys,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_audio_frames": q_multimodal_audio_frames,
-        "dedup_exact_bloom_incremental": q_dedup_exact_bloom,
-        "filter_groups_by_stat_docs": q_filter_groups_by_stat,
-        "sample_cap_per_group_docs": q_sample_cap_per_group,
-        "dedup_lines_within_doc": q_dedup_lines_within_doc,
-        "normalize_text_docs": q_normalize_text,
-        "filter_by_group_quantile_docs": q_filter_by_group_quantile,
-        "heavy_keys_sketch_lineitem": q_heavy_keys_sketch,
-        "range_partition_ids_orders": q_range_partition_ids,
-        "extract_urls_docs": q_extract_urls,
-        "group_mean_embedding": q_group_mean_embedding,
-        "centroid_distances_embeddings": q_centroid_distances,
-        "token_entropy_docs": q_token_entropy,
-        "prune_by_centroid_embeddings": q_prune_by_centroid,
-        "sample_temperature_mix_docs": q_sample_temperature_mix,
-        "upsample_temperature_mix_docs": q_upsample_temperature_mix,
-        "dedup_keep_best_docs": q_dedup_keep_best,
-        # -- oracle-backed, green in previous rounds --
         "numeric_revenue": q_numeric_revenue,
         "avg_order_total": q_avg_order_total,
         "stddev_price": q_stddev_price,
@@ -3587,23 +3607,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5": q_fingerprint_md5,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
-        "ivf_topk_queryset": q_ivf_topk_queryset,
         "repetition_scores_documents": q_repetition_scores,
         "top_2grams_documents": q_top_2grams,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "range_join_price_bands": q_range_join_price_bands,
-        "value_histogram_events": q_value_histogram,
-        "train_bigram_lm": q_train_bigram_lm,
-        "score_bigram_lm_docs": q_score_bigram_lm,
-        "sample_weighted_docs": q_sample_weighted,
-        # -- oracle-backed, trivially green twice: window-overflow ballast --
         "row_count_orders": q_row_count_orders,
         "sum_lineitem_qty": q_sum_lineitem_qty,
         "min_extendedprice": q_min_extendedprice,
         "max_extendedprice": q_max_extendedprice,
         "filtered_count": q_filtered_count,
         "case_measure": q_case_measure,
-        # -- rows-only by design (approximate / model / store-backed) --
         "quality_pipeline_kept": q_quality_pipeline_kept,
         "quality_pipeline_metrics": q_quality_pipeline_metrics,
         "corpus_stats_by_lang": q_corpus_stats_by_lang,
@@ -3611,24 +3622,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": q_langid_documents,
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "minhash_dedup_full_rows": q_minhash_dedup_full_rows,
-        "minhash_dedup_unionfind": q_minhash_dedup_unionfind,
-        "minhash_dedup_incremental": q_minhash_dedup_incremental,
-        "kll_quantiles_price": q_kll_quantiles_price,
         "simhash_dedup_documents": q_simhash_dedup_documents,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "approx_distinct_orderkey": q_approx_distinct_orderkey,
         "lsh_topk": q_lsh_topk,
-        "embedding_kmeans": q_embedding_kmeans,
-        "semdedup_pairs_embeddings": q_semdedup_pairs,
-        "compression_ratio_docs": q_compression_ratio,
-        "pii_spans_docs": q_pii_spans,
         "metrics_last_values": q_metrics_last_values,
-        "logistic_probe_embeddings": q_logistic_probe,
-        "pca_embeddings": q_pca_embeddings,
-        "bpe_train_docs": q_bpe_train,
-        "bpe_token_counts_docs": q_bpe_token_counts,
-        "curate4_token_budget": q_curate4,
-        "bow_classifier_docs": q_bow_classifier,
     }
 
 
