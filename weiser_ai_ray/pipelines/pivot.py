@@ -55,37 +55,76 @@ def pivot_counts(
             }
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # whole-block batches: the partial is a pure pre-aggregation, so
+    # bigger batches mean a smaller digest (the default 1024-row batch
+    # would emit ~rows/1024 x groups digest rows — measured 2x wall)
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
     if categories is None:
         # single corpus pass (round-3 verdict task 6): the corpus is
         # read once into the O(blocks x groups) (row, col, n) DIGEST;
         # category discovery and the widen both run over that digest,
-        # never re-reading or materializing the corpus projection
+        # never re-reading or materializing the corpus projection.
+        # Discovery is shuffle-free: per-block distinct cats (tiny)
+        # collected on the driver — O(categories) driver state, the
+        # operator's inherent bound.
         parts = parts.materialize()
-        cats = sorted(
-            r[col_key]
-            for r in parts.groupby(col_key).count().take_all()
-            if r[col_key] is not None
-        )
+        blocks = parts.map_batches(
+            lambda b: pa.table(
+                {col_key: pc.drop_null(pc.unique(b[col_key]))}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).take_all()
+        cats = sorted({r[col_key] for r in blocks})
     else:
         cats = list(categories)
     cats_ref = ray.put({c: i for i, c in enumerate(cats)})
 
-    def widen(group: pa.Table) -> pa.Table:
+    # ONE digest shuffle into coarse hash partitions of row_key (not
+    # one Ray group per row key — map_groups' per-group Python call is
+    # the slow path), then a vectorized scatter-add widen per partition.
+    def add_part(b: pa.Table) -> pa.Table:
+        # consistent-across-blocks bucket: first md5 byte of str(key)
+        # (same digest line every kernel here uses); null keys are one
+        # group in SQL GROUP BY — pin them to bucket 0
+        from weiser_ai_ray.pipelines.md5np import str_key_digests
+
+        dig, valid = str_key_digests(b[row_key])
+        part = np.where(valid, dig[:, 0], 0).astype(np.int32)
+        return b.append_column("__part", pa.array(part))
+
+    def widen_part(group: pa.Table) -> pa.Table:
         cat_idx = ray.get(cats_ref)
-        vals = np.zeros(len(cat_idx), dtype=np.int64)
+        import pandas as pd
+
+        rk = group[row_key]
+        r_codes, r_uniq = pd.factorize(rk.to_pandas(), use_na_sentinel=False)
         cks = group[col_key].to_pylist()
+        c_codes = np.fromiter(
+            (cat_idx.get(c, -1) for c in cks), dtype=np.int64, count=len(cks)
+        )
         vs = group["__v"].to_numpy(zero_copy_only=False)
-        for c, v in zip(cks, vs):
-            i = cat_idx.get(c)
-            if i is not None:
-                vals[i] += int(v)
-        cols = {row_key: group[row_key].slice(0, 1)}
+        ok = c_codes >= 0
+        mat = np.zeros((len(r_uniq), max(len(cat_idx), 1)), dtype=np.int64)
+        if ok.any():
+            np.add.at(mat, (r_codes[ok], c_codes[ok]), vs[ok])
+        cols = {row_key: pa.Array.from_pandas(pd.Series(r_uniq), type=rk.type)}
         for c, i in cat_idx.items():
-            cols[f"{prefix}{c}"] = pa.array([int(vals[i])], type=pa.int64())
+            cols[f"{prefix}{c}"] = pa.array(mat[:, i])
         return pa.table(cols)
 
-    return parts.groupby(row_key).map_groups(widen, batch_format="pyarrow")
+    return (
+        parts.map_batches(
+            add_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        .groupby("__part")
+        .map_groups(
+            lambda g: widen_part(g.drop_columns(["__part"])),
+            batch_format="pyarrow",
+        )
+    )
 
 
 def unpivot(

@@ -76,49 +76,52 @@ def _joined_tokens(
     if pa.types.is_null(batch_text.type):  # all-None block (from_items)
         batch_text = batch_text.cast(pa.string())
     text = pc.coalesce(batch_text, pa.scalar("", type=pa.string()))
-    words = pc.split_pattern_regex(text, _WS)
+    # canonical joined form built by Arrow C++ (collapse whitespace
+    # runs to one space, trim ends) — the result's own data buffer IS
+    # the joined-token buffer, so token offsets are pure cumsum math
+    # with no per-byte scatter copy (the old numpy join was the
+    # dominant cost of this kernel). Same re2 \s+ vocabulary as
+    # split_pattern_regex(_WS), so token identities are unchanged.
+    joined = pc.utf8_trim_whitespace(pc.replace_substring_regex(text, _WS, " "))
+    joined = pc.cast(joined, pa.large_string())
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    jbufs = joined.buffers()
+    joffs = np.frombuffer(
+        jbufs[1], dtype=np.int64, count=len(joined) + 1 + joined.offset
+    )[joined.offset : joined.offset + len(joined) + 1]
+    data = (
+        np.frombuffer(jbufs[2], dtype=np.uint8)
+        if jbufs[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    words = pc.split_pattern(joined, " ")
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
     ndocs = len(words)
     counts = np.asarray(
         pc.list_value_length(words).to_numpy(zero_copy_only=False), dtype=np.int64
     )
-    flat = pc.cast(words.flatten(), pa.large_string())
-    if isinstance(flat, pa.ChunkedArray):
-        flat = flat.combine_chunks()
-    bufs = flat.buffers()
-    offs = np.frombuffer(bufs[1], dtype=np.int64, count=len(flat) + 1 + flat.offset)
-    offs = offs[flat.offset : flat.offset + len(flat) + 1]
-    src = (
-        np.frombuffer(bufs[2], dtype=np.uint8)
-        if bufs[2] is not None
-        else np.empty(0, dtype=np.uint8)
-    )
-    tok_len = np.diff(offs)
+    flat = words.values
+    fbufs = flat.buffers()
+    foffs = np.frombuffer(
+        fbufs[1], dtype=np.int64, count=len(flat) + 1 + flat.offset
+    )[flat.offset : flat.offset + len(flat) + 1]
+    tok_len = np.diff(foffs)
     row_ids = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
-    keep = tok_len > 0  # split("") and whitespace runs emit "" tokens
-    k_row = row_ids[keep]
-    k_src = offs[:-1][keep]
-    k_len = tok_len[keep].astype(np.int64)
-    K = len(k_row)
-    if K == 0:
-        return k_row, np.empty(0, np.int64), k_len, np.empty(0, np.uint8)
-    ntok_d = np.bincount(k_row, minlength=ndocs)
-    len_d = np.bincount(k_row, weights=k_len).astype(np.int64)
-    doc_base = np.concatenate([[0], np.cumsum(len_d + np.maximum(ntok_d - 1, 0))[:-1]])
-    cum = np.cumsum(k_len)
-    tok_cum = cum - k_len  # byte offset among kept-token bytes
-    start_tok = np.minimum(np.cumsum(ntok_d) - ntok_d, K - 1)
-    tok_idx_within = np.arange(K, dtype=np.int64) - np.repeat(start_tok, ntok_d)
-    within_off = tok_cum - np.repeat(tok_cum[start_tok], ntok_d)
-    # + tok_idx_within: one joining space per preceding token
-    dst_start = doc_base[k_row] + within_off + tok_idx_within
-    total = int((len_d + np.maximum(ntok_d - 1, 0)).sum())
-    out = np.full(total, 0x20, dtype=np.uint8)  # gaps stay single spaces
-    nbytes = int(k_len.sum())
-    byte_idx = np.arange(nbytes, dtype=np.int64) - np.repeat(tok_cum, k_len)
-    out[np.repeat(dst_start, k_len) + byte_idx] = src[np.repeat(k_src, k_len) + byte_idx]
-    return k_row, dst_start, k_len, out
+    # within-doc start: exclusive cumsum of (len+1) reset per doc
+    step = tok_len + 1
+    cum = np.cumsum(step)
+    excl = cum - step
+    start_tok = np.cumsum(counts) - counts  # first token index per doc
+    if len(row_ids):
+        doc_excl = excl[np.minimum(start_tok, len(excl) - 1)]
+        within = excl - np.repeat(doc_excl, counts)
+        dst_start = joffs[:-1][row_ids] + within
+    else:
+        dst_start = np.empty(0, np.int64)
+    keep = tok_len > 0  # empty doc -> one "" token
+    return row_ids[keep], dst_start[keep], tok_len[keep].astype(np.int64), data
 
 
 def _gather_string_array(
@@ -294,7 +297,12 @@ def top_ngrams(
         t = g.drop_columns(["__part"]).group_by("gram").aggregate([("cnt", "sum")])
         df = t.select(["gram", "cnt_sum"]).rename_columns(["gram", "cnt"]).to_pandas()
         df = df.sort_values(["cnt", "gram"], ascending=[False, True], kind="mergesort")
-        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+        # strip the pandas schema metadata: its dict value makes the
+        # block schema unhashable for Ray's schema-dedup ("Failed to
+        # hash the schemas" warning on the downstream groupby)
+        return pa.Table.from_pandas(
+            df.head(k), preserve_index=False
+        ).replace_schema_metadata(None)
 
     parts = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -459,11 +467,150 @@ def event_gaps(
     )
 
 
+def _collect_token_vocab(ds, text_col: str, limit: int):
+    """Distinct-token vocabulary for the coded bigram path: per-block
+    distinct (md5-u64, token) pairs stream to the driver, which unions
+    them into a hash-sorted (u64 line, strings) pair. Returns None when
+    the vocabulary exceeds ``limit`` (caller falls back to the string
+    shuffle) or is empty. Driver state O(vocab) by design — the same
+    bound the BPE trainer's word digest carries. Two distinct tokens
+    sharing a 64-bit md5 would merge under one string: P ~ V^2/2^65,
+    negligible and documented rather than paid for with a string sort."""
+    from weiser_ai_ray.pipelines.md5np import digest_u64, md5_digest_packed
+
+    def block_vocab(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"h": pa.array([], pa.uint64()), "tok": pa.array([], pa.string())}
+        )
+        k_row, dst, ln, data = _joined_tokens(batch[text_col])
+        if not len(k_row):
+            return empty
+        th = digest_u64(md5_digest_packed(data, dst, ln))
+        uniq, idx = np.unique(th, return_index=True)
+        return pa.table(
+            {
+                "h": pa.array(uniq, type=pa.uint64()),
+                "tok": _gather_string_array(data, dst[idx], ln[idx]),
+            }
+        )
+
+    seen: dict = {}
+    mapped = ds.select_columns([text_col]).map_batches(
+        block_vocab, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    for b in mapped.iter_batches(batch_format="pyarrow", batch_size=None):
+        hs = b["h"].to_numpy(zero_copy_only=False)
+        toks = b["tok"].to_pylist()
+        for h, t in zip(hs, toks):
+            if h not in seen:
+                seen[h] = t
+        if len(seen) > limit:
+            return None
+    if not seen:
+        return None
+    h_sorted = np.sort(np.fromiter(seen.keys(), dtype=np.uint64, count=len(seen)))
+    strings = pa.array([seen[h] for h in h_sorted], type=pa.string())
+    return h_sorted, strings
+
+
+def _train_bigram_lm_coded(ds, text_col, min_count, nparts, vocab):
+    """Vocab-coded bigram count: the shuffle carries (int64 pair code,
+    cnt) only; strings decode from the broadcast vocab after pruning.
+    See train_bigram_lm's docstring for the full contract."""
+    import ray as _ray
+
+    from weiser_ai_ray.pipelines.md5np import digest_u64, md5_digest_packed
+
+    h_sorted, strings = vocab
+    V = len(h_sorted)
+    line_ref = _ray.put(h_sorted)
+    strings_ref = _ray.put(strings)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "__part": pa.array([], pa.int32()),
+                "key": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        k_row, dst, ln, data = _joined_tokens(batch[text_col])
+        if len(k_row) < 2:
+            return empty
+        hs = _ray.get(line_ref)
+        th = digest_u64(md5_digest_packed(data, dst, ln))
+        codes = np.minimum(np.searchsorted(hs, th), V - 1).astype(np.int64)
+        same = k_row[:-1] == k_row[1:]
+        if not same.any():
+            return empty
+        key = codes[:-1][same] * np.int64(V) + codes[1:][same]
+        uniq, cnts = np.unique(key, return_counts=True)
+        part = (((uniq // V) * np.int64(2654435761)) % nparts).astype(np.int32)
+        return pa.table(
+            {
+                "__part": pa.array(part),
+                "key": pa.array(uniq, type=pa.int64()),
+                "cnt": pa.array(cnts.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def estimate(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "logp": pa.array([], pa.float64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        t = (
+            g.drop_columns(["__part"])
+            .group_by("key")
+            .aggregate([("cnt", "sum")])
+        )
+        keys = np.asarray(t["key"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        cnt = np.asarray(t["cnt_sum"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.argsort(keys, kind="stable")
+        keys, cnt = keys[order], cnt[order]
+        c1 = keys // V
+        # context totals: integer segment sums over the c1-sorted run
+        # (exact — no float accumulation order to worry about)
+        starts = np.concatenate([[0], np.flatnonzero(c1[1:] != c1[:-1]) + 1])
+        sums = np.add.reduceat(cnt, starts)
+        seg_len = np.diff(np.concatenate([starts, [len(c1)]]))
+        tot = np.repeat(sums, seg_len).astype(np.float64)
+        logp = np.round(np.log(cnt.astype(np.float64) / tot), 6)
+        keep = cnt >= min_count
+        if not keep.any():
+            return empty
+        toks = _ray.get(strings_ref)
+        return pa.table(
+            {
+                "w1": toks.take(pa.array(c1[keep])),
+                "w2": toks.take(pa.array(keys[keep] % V)),
+                "cnt": pa.array(cnt[keep], type=pa.int64()),
+                "logp": pa.array(logp[keep], type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.select_columns([text_col])
+        .map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        .groupby("__part")
+        .map_groups(estimate, batch_format="pyarrow")
+    )
+
+
 def train_bigram_lm(
     ds: "ray.data.Dataset",
     text_col: str = "text",
     min_count: int = 2,
     nparts: int | None = None,
+    vocab_limit: int = 30_000_000,
 ) -> "ray.data.Dataset":
     """Train an MLE bigram language model over the corpus:
     (w1, w2, cnt, logp) with ``logp = ln(cnt / Σ_w2 cnt(w1, w2))`` —
@@ -471,16 +618,25 @@ def train_bigram_lm(
     scorer the quality pipeline runs (SURVEY §0 north star; this
     closes the loop: the same engine both trains and applies the LM).
 
-    Plan: per-batch distinct-bigram counts (one np.unique pass, the
-    ``top_ngrams`` kernel) partitioned by a stable hash of w1 ONLY —
-    every bigram sharing a context word co-locates, so each partition
-    computes its context totals and conditional probabilities locally;
-    no second shuffle or join. The shuffle carries (w1, w2, cnt)
-    digests, never text. ``min_count`` prunes the emitted rows AFTER
-    denominators are summed over all bigrams (standard MLE: rare pairs
-    are dropped from the table but still mass in the context total).
-    Tokenizer: whitespace split, empties dropped (ANSI
-    regexp_split_to_array parity, same as ``top_ngrams``)."""
+    Plan (vocab-coded fast path): one lightweight discovery pass
+    collects the distinct-token vocabulary (per-block distinct via the
+    64-bit md5 line, union on the driver — O(vocab) driver/broadcast
+    state, the same small-side contract as the BPE trainer's word
+    digest). When the vocab fits ``vocab_limit``, every bigram is the
+    int64 code ``c1 * V + c2`` and the count shuffle carries ONLY
+    (code, cnt) fixed-width rows — measured 4x the wall of shuffling
+    (w1, w2) strings at 3M docs — with strings decoded from the
+    broadcast vocab after pruning. A corpus whose token vocabulary
+    exceeds the limit (web-scale tails) falls back to the string-digest
+    shuffle, which bounds nothing on the driver. Partitioning is by a
+    hash of c1 ONLY: every bigram sharing a context word co-locates,
+    so each partition computes its context totals and conditional
+    probabilities locally; no second shuffle or join. ``min_count``
+    prunes emitted rows AFTER denominators are summed over all bigrams
+    (standard MLE: rare pairs are dropped from the table but still
+    mass in the context total). Tokenizer: whitespace split, empties
+    dropped (ANSI regexp_split_to_array parity, same as
+    ``top_ngrams``)."""
     if nparts is None:
         try:
             import ray
@@ -488,6 +644,10 @@ def train_bigram_lm(
             nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
         except Exception:
             nparts = 8
+
+    vocab = _collect_token_vocab(ds, text_col, vocab_limit)
+    if vocab is not None:
+        return _train_bigram_lm_coded(ds, text_col, min_count, nparts, vocab)
 
     def partial(batch: pa.Table) -> pa.Table:
         # zero-object-string kernel (round-3 verdict task 3): joined
@@ -538,34 +698,49 @@ def train_bigram_lm(
 
     def estimate(g: pa.Table) -> pa.Table:
         # Arrow C++ hash group_by (coarse partitions sidestep Ray's
-        # one-group-per-row reduce pathology, cf. top_ngrams)
+        # one-group-per-row reduce pathology, cf. top_ngrams). Context
+        # denominators need NO sort: dictionary-encode w1 to int codes
+        # and bincount the integer counts — exact in float64 (integer
+        # weights far below 2^53), so logp is order-independent.
         t = (
             g.drop_columns(["__part"])
             .group_by(["w1", "w2"])
             .aggregate([("cnt", "sum")])
         )
-        w1 = np.asarray(t["w1"].to_pylist(), dtype=object)
-        w2 = np.asarray(t["w2"].to_pylist(), dtype=object)
-        cnt = np.asarray(t["cnt_sum"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        order = np.argsort(w1, kind="stable")
-        w1s, w2s, cs = w1[order], w2[order], cnt[order]
-        new_ctx = np.ones(len(w1s), dtype=bool)
-        new_ctx[1:] = w1s[1:] != w1s[:-1]
-        seg = np.cumsum(new_ctx) - 1
-        tot = np.bincount(seg, weights=cs.astype(np.float64))[seg]
-        logp = np.log(cs.astype(np.float64) / tot)
-        keep = cs >= min_count
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                    "logp": pa.array([], pa.float64()),
+                }
+            )
+        cnt = np.asarray(
+            t["cnt_sum"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        enc = pc.dictionary_encode(t["w1"].combine_chunks())
+        c1 = np.asarray(enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+        tot = np.bincount(c1, weights=cnt)[c1]
+        logp = np.round(np.log(cnt.astype(np.float64) / tot), 6)
+        keep = cnt >= min_count
+        mask = pa.array(keep)
         return pa.table(
             {
-                "w1": pa.array(list(w1s[keep]), type=pa.string()),
-                "w2": pa.array(list(w2s[keep]), type=pa.string()),
-                "cnt": pa.array(cs[keep], type=pa.int64()),
-                "logp": pa.array(np.round(logp[keep], 6), type=pa.float64()),
+                "w1": t["w1"].filter(mask),
+                "w2": t["w2"].filter(mask),
+                "cnt": pa.array(cnt[keep], type=pa.int64()),
+                "logp": pa.array(logp[keep], type=pa.float64()),
             }
         )
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        # whole-block batches: the partial pre-aggregates distinct
+        # grams, so bigger batches shrink both the CPU overhead and
+        # the digest the shuffle carries
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
         .groupby("__part")
         .map_groups(estimate, batch_format="pyarrow")
     )
@@ -667,7 +842,7 @@ def score_bigram_lm(
         )
 
     return ds.select_columns([id_col, text_col]).map_batches(
-        score, batch_format="pyarrow", zero_copy_batch=True
+        score, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 
