@@ -1,0 +1,148 @@
+"""Parity + contract tests for the manual hash exchange
+(pipelines/exchange.py): the raw-Ray-task digest shuffle must return
+byte-identical results to the ``groupby("__part").map_groups`` idiom it
+replaces.
+
+Helper callables are built in-function (not module level) so cloudpickle
+ships them by value — Ray workers cannot import the tests package."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+import ray.data
+
+from weiser_ai_ray.pipelines.exchange import (
+    exchange_map_groups,
+    map_reduce_dataset,
+    map_reduce_refs,
+)
+
+NPARTS = 7
+
+
+def _make_fns(nparts=NPARTS):
+    def add_part(batch: pa.Table) -> pa.Table:
+        kv = batch["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (kv * np.int64(-7046029254386353131)) & np.int64(0x7FFFFFFFFFFFFFFF)
+        return batch.append_column("__part", pa.array((h % nparts).astype(np.int32)))
+
+    def combine(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "cnt_sum": pa.array([], pa.int64())}
+            )
+        return g.drop_columns(["__part"]).group_by("key").aggregate([("cnt", "sum")])
+
+    return add_part, combine
+
+
+def _digest_ds(n=20_000, nkeys=300, nblocks=9):
+    rng = np.random.default_rng(11)
+    t = pa.table(
+        {
+            "key": pa.array(rng.integers(0, nkeys, n, dtype=np.int64)),
+            "cnt": pa.array(rng.integers(1, 50, n, dtype=np.int64)),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(nblocks)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExchangeParity:
+    def test_matches_groupby_map_groups(self):
+        add_part, combine = _make_fns()
+        ds = _digest_ds().materialize()
+        want = (
+            ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(combine, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("key")
+            .reset_index(drop=True)
+        )
+        got = (
+            exchange_map_groups(ds, add_part, combine, NPARTS)
+            .to_pandas()
+            .sort_values("key")
+            .reset_index(drop=True)
+        )
+        assert got.equals(want)
+
+    def test_empty_partitions_get_typed_empty(self):
+        # 1 distinct key -> NPARTS-1 partitions are empty; the combiner's
+        # empty guard must define their schema, and the concat must hold.
+        add_part, combine = _make_fns()
+        t = pa.table(
+            {"key": pa.array([5, 5, 5], pa.int64()), "cnt": pa.array([1, 2, 3], pa.int64())}
+        )
+        ds = ray.data.from_arrow(t)
+        out = exchange_map_groups(ds, add_part, combine, NPARTS).to_pandas()
+        assert out["key"].tolist() == [5] and out["cnt_sum"].tolist() == [6]
+
+    def test_every_row_routed_once(self):
+        add_part, combine = _make_fns()
+        ds = _digest_ds(n=5_000, nkeys=50_000)  # mostly unique keys
+        out = exchange_map_groups(ds, add_part, combine, NPARTS)
+        assert out.to_pandas()["cnt_sum"].sum() == ds.to_pandas()["cnt"].sum()
+
+    def test_nparts_one(self):
+        add_part, combine = _make_fns(nparts=1)
+        ds = _digest_ds(n=1_000, nblocks=3)
+        got = (
+            exchange_map_groups(ds, add_part, combine, 1)
+            .to_pandas()
+            .sort_values("key")
+            .reset_index(drop=True)
+        )
+        want = (
+            ds.to_pandas()
+            .groupby("key", as_index=False)["cnt"]
+            .sum()
+            .rename(columns={"cnt": "cnt_sum"})
+            .sort_values("key")
+            .reset_index(drop=True)
+        )
+        assert got.equals(want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMapReduceRefs:
+    def test_mapper_slice_count_enforced(self):
+        t = pa.table({"key": pa.array([1], pa.int64())})
+        refs = ray.data.from_arrow(t).materialize().to_arrow_refs()
+        bad = map_reduce_refs(refs, lambda b: [b], lambda p, s: s[0], 2)
+        with pytest.raises(Exception):
+            ray.get(bad)
+
+    def test_reducer_sees_only_its_partition(self):
+        add_part, _ = _make_fns()
+        t = pa.table({"key": pa.array(np.arange(100, dtype=np.int64))})
+        ds = ray.data.from_arrow(t).repartition(4)
+
+        def fn(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return pa.table(
+                    {"part": pa.array([], pa.int32()), "n": pa.array([], pa.int64())}
+                )
+            parts = np.unique(g["__part"].to_numpy(zero_copy_only=False))
+            assert len(parts) == 1
+            return pa.table(
+                {
+                    "part": pa.array(parts.astype(np.int32)),
+                    "n": pa.array([g.num_rows], pa.int64()),
+                }
+            )
+
+        out = exchange_map_groups(ds, add_part, fn, NPARTS).to_pandas()
+        assert out["n"].sum() == 100
+
+    def test_nparts_validation(self):
+        with pytest.raises(ValueError):
+            map_reduce_refs([], lambda b: [b], lambda p, s: s[0], 0)
+
+    def test_empty_dataset_passthrough(self):
+        t = pa.table({"key": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})
+        ds = ray.data.from_arrow(t)
+        out = map_reduce_dataset(ds, lambda b: [b] * NPARTS, lambda p, s: s[0], NPARTS)
+        assert out.count() == 0

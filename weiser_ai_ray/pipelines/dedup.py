@@ -225,12 +225,13 @@ def _winners_by_hash(
             }
         )
 
+    # hash exchange over the narrow (h1, h2, id[, score]) digest —
+    # routing only, no range-partition sort (exchange.py)
+    from weiser_ai_ray.pipelines.exchange import exchange_map_groups
+
     cols = ["__h1", "__h2", id_col] + ([score_col] if score_col else [])
-    return (
-        hashed.select_columns(cols)
-        .map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__part")
-        .map_groups(reduce_group, batch_format="pyarrow")
+    return exchange_map_groups(
+        hashed.select_columns(cols), part, reduce_group, nparts
     )
 
 
@@ -554,11 +555,11 @@ def overcount_keys_ds(
         uniq, cnt = np.unique(h, return_counts=True)
         return pa.table({key_col: pa.array(uniq[cnt > more_than], type=pa.int64())})
 
-    return (
-        rows.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__part")
-        .map_groups(over_in_part, batch_format="pyarrow")
-    )
+    # int64-key digest: route by hash via the manual exchange, skip the
+    # range-partition sort (exchange.py); over_in_part is typed-empty-safe
+    from weiser_ai_ray.pipelines.exchange import exchange_map_groups
+
+    return exchange_map_groups(rows, part, over_in_part, np_)
 
 
 def _dup_bucket_keys(band_rows: "ray.data.Dataset") -> Optional[pa.Array]:

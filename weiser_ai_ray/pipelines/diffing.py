@@ -92,4 +92,7 @@ def corpus_diff(
             }
         )
 
-    return rows.groupby("__part").map_groups(classify, batch_format="pyarrow")
+    # (id, h1, h2, side) digest exchange: hash routing, no sort
+    from weiser_ai_ray.pipelines.exchange import exchange_map_groups
+
+    return exchange_map_groups(rows, lambda b: b, classify, nparts)

@@ -1,0 +1,171 @@
+"""Manual hash exchange: map -> sliced ``num_returns`` -> per-partition
+reduce, on raw Ray tasks.
+
+Why this exists (the documented "(c) raw Ray tasks as a last resort"
+case): ``Dataset.groupby(part).map_groups(fn)`` lowers to a full
+range-partition SORT of every digest row. For the coarse-partition
+digest shuffles this engine uses (tens of partitions, hundreds of
+millions of fixed-width rows), the sort is pure overhead — rows only
+need to reach the partition their key hashes to, in any order. The
+bigram-LM count exchange measured 35 s through ``groupby(__part)``
+versus ~10 s through this utility at 214M rows / 32 CPUs, because the
+sort's sample + range-split + merge passes are replaced by one
+zero-copy slice per (map block, partition).
+
+Mechanics: each map task takes one input block and returns ``nparts``
+Arrow tables (Ray object-store objects, one per partition — sliced
+``num_returns``); each reduce task pulls ONLY its partition's slices
+(never another partition's bytes) and runs the combiner. On a
+multi-node cluster this is the classic shuffle data path: map outputs
+stay on their producing node until the owning reducer pulls them.
+
+Contracts / limits:
+- The driver holds O(nblocks x nparts) ObjectRefs (metadata only; at
+  1024 blocks x 256 parts that is ~260k refs — fine) and the reduce
+  fan-in is nblocks refs per task.
+- ``mapper`` must return EXACTLY ``nparts`` tables, empty tables
+  included, with a consistent schema (reducers may concat them).
+- Intermediate slices live in the object store and spill under
+  pressure, like any shuffle.
+- This bypasses Dataset lineage: inputs come from a MATERIALIZED
+  dataset's block refs, and the result is re-wrapped with
+  ``ray.data.from_arrow_refs``. Use it only for internal digest
+  exchanges whose inputs are already materialized.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def map_reduce_refs(
+    block_refs: "List[ray.ObjectRef]",
+    mapper: Callable[[pa.Table], "List[pa.Table]"],
+    reducer: Callable[[int, "List[pa.Table]"], pa.Table],
+    nparts: int,
+    *,
+    map_cpus: float = 1,
+    reduce_cpus: float = 1,
+) -> "List[ray.ObjectRef]":
+    """Run ``mapper`` over each input block, routing its ``nparts``
+    output slices to ``reducer(part_idx, slices)`` tasks. Returns one
+    ObjectRef[pa.Table] per partition. Broadcast state (e.g. a vocab
+    line) is captured in the mapper/reducer closures as ``ray.put``
+    refs and ``ray.get``-resolved inside, per this repo's convention."""
+    if nparts < 1:
+        raise ValueError("nparts must be >= 1")
+
+    @ray.remote(num_cpus=map_cpus)
+    def _map(block: pa.Table):
+        out = mapper(block)
+        if len(out) != nparts:
+            raise ValueError(
+                f"mapper returned {len(out)} slices, expected {nparts}"
+            )
+        return out[0] if nparts == 1 else tuple(out)
+
+    @ray.remote(num_cpus=reduce_cpus)
+    def _reduce(p: int, *slices: pa.Table) -> pa.Table:
+        return reducer(p, list(slices))
+
+    maps = [_map.options(num_returns=nparts).remote(r) for r in block_refs]
+    if nparts == 1:
+        maps = [[m] for m in maps]
+    return [
+        _reduce.remote(p, *[m[p] for m in maps]) for p in range(nparts)
+    ]
+
+
+def map_reduce_dataset(
+    ds: "ray.data.Dataset",
+    mapper: Callable[[pa.Table], "List[pa.Table]"],
+    reducer: Callable[[int, "List[pa.Table]"], pa.Table],
+    nparts: int,
+    **kwargs,
+) -> "ray.data.Dataset":
+    """Dataset-in / Dataset-out wrapper over ``map_reduce_refs``.
+    ``ds`` is materialized first (its block refs are the map inputs)."""
+    import ray.data
+
+    mat = ds.materialize()
+    # drop zero-row blocks by METADATA (no fetch): Ray pipelines emit
+    # empty blocks with a zero-COLUMN schema (filter/union/map_groups
+    # quirk) that the mapper's add_part would KeyError on — groupby
+    # skips them implicitly, the exchange must too
+    try:
+        refs = [
+            block_ref
+            for bundle in mat.iter_internal_ref_bundles()
+            for block_ref, meta in bundle.blocks
+            if meta.num_rows is None or meta.num_rows > 0
+        ]
+    except AttributeError:  # older Ray: fall back to fetching schemas
+        refs = [r for r in mat.to_arrow_refs() if ray.get(r).num_rows > 0]
+    if not refs:
+        return ds
+    return ray.data.from_arrow_refs(
+        map_reduce_refs(refs, mapper, reducer, nparts, **kwargs)
+    )
+
+
+def exchange_map_groups(
+    ds: "ray.data.Dataset",
+    add_part: Callable[[pa.Table], pa.Table],
+    fn: Callable[[pa.Table], pa.Table],
+    nparts: int,
+    *,
+    part_col: str = "__part",
+    **kwargs,
+) -> "ray.data.Dataset":
+    """Drop-in replacement for the engine's coarse-partition idiom
+
+        ds.map_batches(add_part, batch_format="pyarrow")
+          .groupby("__part").map_groups(fn, batch_format="pyarrow")
+
+    that routes by hash instead of sorting. Semantics preserved:
+    ``fn`` still receives one whole partition per call WITH the
+    ``__part`` column attached (sites drop it themselves); row order
+    within the partition is arbitrary, exactly as map_groups already
+    promises. Two deltas, both part of the contract:
+
+    - ``fn`` IS called on empty partitions (groupby skips empty
+      groups). Every site's combiner already starts with an
+      ``if group.num_rows == 0`` guard returning a typed empty table,
+      which this relies on — the guard defines the output schema.
+    - ``ds`` is materialized first (digest inputs only: use this for
+      fixed-width count/digest exchanges, never for full-row corpus
+      shuffles, where the Dataset sort path keeps streaming +
+      lineage).
+
+    Map side: one argsort of the int32 partition ids per block, then
+    ``nparts`` zero-copy slices shipped via ``num_returns`` — no
+    sample/range-split/merge passes. Measured 2.8x over
+    groupby(__part) at 50M digest rows / 32 CPUs (see module
+    docstring for the 214M-row bigram figure)."""
+
+    def mapper(block) -> "List[pa.Table]":
+        if not isinstance(block, pa.Table):  # pandas-format block
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        b = add_part(block)
+        parts = b[part_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(parts, kind="stable")
+        s = b.take(pa.array(order))
+        bounds = np.searchsorted(parts[order], np.arange(nparts + 1))
+        return [
+            s.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(nparts)
+        ]
+
+    def reducer(_p: int, slices: "List[pa.Table]") -> pa.Table:
+        live = [s for s in slices if s.num_rows]
+        g = (
+            pa.concat_tables(live, promote_options="none").combine_chunks()
+            if live
+            else slices[0]
+        )
+        return fn(g)
+
+    return map_reduce_dataset(ds, mapper, reducer, nparts, **kwargs)

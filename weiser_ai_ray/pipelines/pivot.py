@@ -115,15 +115,13 @@ def pivot_counts(
             cols[f"{prefix}{c}"] = pa.array(mat[:, i])
         return pa.table(cols)
 
-    return (
-        parts.map_batches(
-            add_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-        )
-        .groupby("__part")
-        .map_groups(
-            lambda g: widen_part(g.drop_columns(["__part"])),
-            batch_format="pyarrow",
-        )
+    # the digest routes by hash through the manual exchange (256 md5
+    # buckets, no sort — exchange.py); widen_part is schema-stable on
+    # empty partitions (every category column comes from the broadcast)
+    from weiser_ai_ray.pipelines.exchange import exchange_map_groups
+
+    return exchange_map_groups(
+        parts, add_part, lambda g: widen_part(g.drop_columns(["__part"])), 256
     )
 
 

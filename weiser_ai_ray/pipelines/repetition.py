@@ -294,6 +294,10 @@ def top_ngrams(
         # runs as coarse partitions + Arrow's C++ hash group_by (not a
         # native Ray groupby: one-group-per-row reduce pathology), and
         # only k rows per partition survive to the driver merge
+        if g.num_rows == 0:
+            return pa.table(
+                {"gram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
         t = g.drop_columns(["__part"]).group_by("gram").aggregate([("cnt", "sum")])
         df = t.select(["gram", "cnt_sum"]).rename_columns(["gram", "cnt"]).to_pandas()
         df = df.sort_values(["cnt", "gram"], ascending=[False, True], kind="mergesort")
@@ -304,11 +308,13 @@ def top_ngrams(
             df.head(k), preserve_index=False
         ).replace_schema_metadata(None)
 
-    parts = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__part")
-        .map_groups(topk_in_part, batch_format="pyarrow")
-    )
+    # stream the corpus through the partial pass (only the per-block
+    # distinct-gram digest materializes), then route the digest rows by
+    # hash — no sort — via the manual exchange (exchange.py)
+    from weiser_ai_ray.pipelines.exchange import exchange_map_groups
+
+    digest = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = exchange_map_groups(digest, lambda b: b, topk_in_part, nparts)
     return parts.sort(["cnt", "gram"], descending=[True, False]).limit(k)
 
 
@@ -595,14 +601,14 @@ def _train_bigram_lm_coded(ds, text_col, min_count, nparts, vocab):
             }
         )
 
-    return (
-        ds.select_columns([text_col])
-        .map_batches(
-            partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-        )
-        .groupby("__part")
-        .map_groups(estimate, batch_format="pyarrow")
+    # hash exchange over the fixed-width (code, cnt) digest — the sort
+    # the groupby path paid added ~2.5x wall at 214M digest rows
+    from weiser_ai_ray.pipelines.exchange import exchange_map_groups
+
+    digest = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+    return exchange_map_groups(digest, lambda b: b, estimate, nparts)
 
 
 def train_bigram_lm(
@@ -734,16 +740,15 @@ def train_bigram_lm(
             }
         )
 
-    return (
-        # whole-block batches: the partial pre-aggregates distinct
-        # grams, so bigger batches shrink both the CPU overhead and
-        # the digest the shuffle carries
-        ds.map_batches(
-            partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-        )
-        .groupby("__part")
-        .map_groups(estimate, batch_format="pyarrow")
+    # whole-block batches: the partial pre-aggregates distinct grams,
+    # so bigger batches shrink both the CPU overhead and the digest the
+    # exchange carries; the digest routes by hash (no sort)
+    from weiser_ai_ray.pipelines.exchange import exchange_map_groups
+
+    digest = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+    return exchange_map_groups(digest, lambda b: b, estimate, nparts)
 
 
 def score_bigram_lm(

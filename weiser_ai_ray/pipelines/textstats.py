@@ -317,13 +317,18 @@ def tfidf_top_terms(
             }
         )
 
-    scored = (
-        ds.select_columns([id_col, text_col])
-        .map_batches(per_doc_terms, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__part")
-        .map_groups(score_part, batch_format="pyarrow")
+    # both digest exchanges (term-hash for DF, then doc-hash for the
+    # per-doc top-k) route by hash via exchange.py — no sort; the
+    # kernels are schema-stable on empty partitions
+    from weiser_ai_ray.pipelines.exchange import exchange_map_groups
+
+    digest = ds.select_columns([id_col, text_col]).map_batches(
+        per_doc_terms, batch_format="pyarrow", zero_copy_batch=True
     )
-    return scored.groupby("__dpart").map_groups(topk_doc, batch_format="pyarrow")
+    scored = exchange_map_groups(digest, lambda b: b, score_part, nparts)
+    return exchange_map_groups(
+        scored, lambda b: b, topk_doc, nparts, part_col="__dpart"
+    )
 
 
 def split_token_chunks(
