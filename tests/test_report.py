@@ -1,0 +1,156 @@
+"""Run-history report (loader/report.py) — panel parity with the
+reference Streamlit dashboard (weiser-ui/app.py:29-260): last-run
+summary, per-day status counts, failed-checks table with zero-filled
+fail_history, plus the HTML/text/CLI surfaces."""
+
+import datetime
+import os
+import subprocess
+import sys
+
+import pytest
+
+from weiser_ai_ray.loader.report import (
+    render_html,
+    render_text,
+    report_data,
+    write_report,
+)
+from weiser_ai_ray.state import ParquetMetricStore
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _rec(run_id, name, success, value, ts, typ="row_count"):
+    return {
+        "name": name,
+        "type": typ,
+        "condition": "gt",
+        "threshold": 10,
+        "actual_value": value,
+        "check_id": f"chk_{name}",
+        "dataset": "orders",
+        "datasource": "default",
+        "success": success,
+        "fail": not success,
+        "run_id": run_id,
+        "run_time": ts,
+    }
+
+
+@pytest.fixture()
+def store(tmp_path):
+    s = ParquetMetricStore(str(tmp_path / "metrics"))
+    d0 = datetime.datetime(2026, 3, 1, 8, 0, 0)
+    # day 0: both pass; day 1: c2 fails; day 2: c2 fails twice (2 runs), c1 passes
+    recs = [
+        _rec("r1", "c1", True, 100, d0),
+        _rec("r1", "c2", True, 50, d0),
+        _rec("r2", "c1", True, 110, d0 + datetime.timedelta(days=1)),
+        _rec("r2", "c2", False, 5, d0 + datetime.timedelta(days=1)),
+        _rec("r3", "c1", True, 120, d0 + datetime.timedelta(days=2)),
+        _rec("r3", "c2", False, 4, d0 + datetime.timedelta(days=2)),
+        _rec("r4", "c2", False, 3, d0 + datetime.timedelta(days=2, hours=4)),
+    ]
+    for r in recs:
+        s.insert_results(r)
+    s.flush("r_all")
+    return s
+
+
+class TestReportData:
+    def test_last_run_summary(self, store):
+        d = report_data(store)
+        assert d["last_run"]["date"] == datetime.date(2026, 3, 3)
+        assert d["last_run"]["success"] == 1 and d["last_run"]["fail"] == 2
+
+    def test_daily_counts(self, store):
+        d = report_data(store)
+        piv = d["daily"].pivot_table(
+            index="day", columns="status", values="count", fill_value=0
+        )
+        assert piv["success"].tolist() == [2, 1, 1]
+        assert piv["fail"].tolist() == [0, 1, 2]
+
+    def test_failed_panel_zero_filled_history(self, store):
+        d = report_data(store)
+        failed = d["failed"]
+        assert failed["check_id"].tolist() == ["chk_c2"]
+        row = failed.iloc[0]
+        assert row["count_fail"] == 3
+        # 3-day range, day 0 has no fails -> leading zero preserved
+        assert row["fail_history"] == [0, 1, 2]
+        assert row["name"] == "c2" and row["dataset"] == "orders"
+        assert row["threshold"] == 10.0
+
+    def test_date_range_filter(self, store):
+        d = report_data(
+            store, start=datetime.date(2026, 3, 1), end=datetime.date(2026, 3, 1)
+        )
+        assert d["last_run"]["fail"] == 0
+        assert d["failed"].empty
+
+    def test_empty_store(self, tmp_path):
+        s = ParquetMetricStore(str(tmp_path / "m2"))
+        d = report_data(s)
+        assert d["empty"]
+        assert "No metric records" in render_html(d)
+        assert "no metric records" in render_text(d)
+
+    def test_checks_panel_is_last_values(self, store):
+        d = report_data(store)
+        byid = d["checks"].set_index("check_id")
+        assert byid.loc["chk_c2", "count_fail"] == 3
+        assert byid.loc["chk_c2", "last_value"] == 3.0
+        assert byid.loc["chk_c1", "count_fail"] == 0
+
+
+class TestRenderers:
+    def test_html_self_contained(self, store):
+        h = render_html(report_data(store))
+        assert h.startswith("<!doctype html>")
+        # no scripts, no external fetches (the svg xmlns URI is inert)
+        assert "<script" not in h and "<link" not in h and "src=" not in h
+        assert "https://" not in h
+        assert "chk_c2" in h and "<svg" in h
+        assert 'class="num bad">3<' in h  # c2's fail count
+
+    def test_html_escapes(self, store):
+        d = report_data(store)
+        d["failed"].loc[0, "name"] = "<img src=x>"
+        h = render_html(d)
+        assert "<img src=x>" not in h and "&lt;img src=x&gt;" in h
+
+    def test_text_contains_sparkline(self, store):
+        t = render_text(report_data(store))
+        assert "last run 2026-03-03: 1 success, 2 fail" in t
+        assert "c2 [row_count] orders@default fails=3" in t
+
+    def test_write_report_html(self, store, tmp_path):
+        out = str(tmp_path / "report.html")
+        assert write_report(store.path, out) == out
+        with open(out) as f:
+            assert "Failing Checks" in f.read()
+
+
+class TestCli:
+    def test_report_subcommand_text(self, store):
+        r = subprocess.run(
+            [sys.executable, "-m", "weiser_ai_ray", "report", store.path],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        assert r.returncode == 0, r.stderr
+        assert "last run 2026-03-03" in r.stdout
+
+    def test_report_subcommand_html(self, store, tmp_path):
+        out = str(tmp_path / "r.html")
+        r = subprocess.run(
+            [sys.executable, "-m", "weiser_ai_ray", "report", store.path,
+             "-o", out, "--start", "2026-03-02", "--end", "2026-03-03"],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        assert r.returncode == 0, r.stderr
+        with open(out) as f:
+            html = f.read()
+        # range excludes day 0: c2's history is [1, 2]
+        assert "Failing Checks" in html and "chk_c2" in html

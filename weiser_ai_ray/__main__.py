@@ -109,7 +109,31 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--decontam-n", type=int, default=3)
     cp.add_argument("--chunk-tokens", type=int, default=2048)
     cp.add_argument("--seed", type=int, default=17, help="shuffle seed; negative disables shuffling")
+    rp = sub.add_parser(
+        "report",
+        help="render the run-history dashboard (reference weiser-ui parity)"
+        " from a metric store directory: HTML with -o, console text otherwise",
+    )
+    rp.add_argument("store_path", help="metric store directory (the run's metricstore output)")
+    rp.add_argument("--output", "-o", help="write self-contained HTML here instead of console text")
+    rp.add_argument("--start", help="range start YYYY-MM-DD (default: first record)")
+    rp.add_argument("--end", help="range end YYYY-MM-DD (default: last record)")
     args = ap.parse_args(argv)
+
+    if args.command == "report":
+        import datetime as _dt
+
+        from .loader.report import write_report
+
+        parse = lambda s: _dt.date.fromisoformat(s) if s else None  # noqa: E731
+        out = write_report(
+            args.store_path, args.output, start=parse(args.start), end=parse(args.end)
+        )
+        if args.output:
+            print(f"report written to {out}")
+        else:
+            print(out, end="")
+        return 0
 
     if args.command == "curate":
         return _cmd_curate(args)

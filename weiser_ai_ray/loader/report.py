@@ -1,0 +1,366 @@
+"""Offline run-history report over the Parquet metric store.
+
+The reference ships a Streamlit dashboard fed by a Cube semantic layer
+(/root/reference/weiser-ui/app.py:29-260,
+/root/reference/metricstore/model/Metrics.yaml:4-31) with three panels:
+a last-run summary (date / success count / fail count), a per-day
+checks-by-status chart, and a failed-checks table whose ``fail_history``
+column is the zero-filled per-day fail count over the selected range.
+This module renders the SAME panels from the engine's own metric store
+— but as a dependency-free static artifact (one self-contained HTML
+file with inline SVG charts, or a plain-text console report), because a
+long-running server is the wrong surface for a batch pipeline: the
+report is written next to the run output and travels with it.
+
+Everything reads through ``ParquetMetricStore._scan`` (parquet column
+pruning + predicate pushdown); the metrics table is O(checks x runs),
+small by contract, so the aggregation runs driver-side in pandas like
+the reference UI does."""
+
+from __future__ import annotations
+
+import datetime
+import html as _html
+from typing import Any, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _day(ts_col: "pa.ChunkedArray") -> "pa.ChunkedArray":
+    return pc.floor_temporal(ts_col, unit="day")
+
+
+def report_data(
+    store: Any,
+    start: Optional[datetime.date] = None,
+    end: Optional[datetime.date] = None,
+    fail_limit: int = 50,
+) -> dict:
+    """Aggregate the metric store into the dashboard's three panels.
+
+    Returns a plain dict (panel name -> pandas DataFrame / scalars) so
+    both renderers and tests consume one structure:
+      - ``last_run``: date + success/fail counts of the latest run day
+      - ``daily``: (day, status, count) long table over [start, end]
+      - ``by_check_daily``: same but also keyed by check name
+      - ``failed``: one row per failing check_id with its metadata,
+        max last_value, total count_fail and the ZERO-FILLED per-day
+        ``fail_history`` list over the range (app.py:137-171 parity)
+      - ``checks``: the last_values() per-check rollup
+    """
+    import pandas as pd
+
+    cols = [
+        "check_id", "name", "type", "dataset", "datasource", "condition",
+        "threshold", "threshold_list", "run_time", "success", "actual_value",
+    ]
+    tbl = store._scan(columns=cols)
+    data: dict = {"empty": tbl.num_rows == 0, "start": start, "end": end}
+    if tbl.num_rows == 0:
+        return data
+
+    df = tbl.to_pandas()
+    df["day"] = df["run_time"].dt.floor("D")
+    if start is None:
+        start = df["day"].min().date()
+    if end is None:
+        end = df["day"].max().date()
+    data["start"], data["end"] = start, end
+    lo, hi = pd.Timestamp(start), pd.Timestamp(end) + pd.Timedelta(days=1)
+    df = df[(df["run_time"] >= lo) & (df["run_time"] < hi)]
+    data["empty"] = df.empty
+    if df.empty:
+        return data
+    df["status"] = np.where(df["success"], "success", "fail")
+
+    last_day = df["day"].max()
+    last = df[df["day"] == last_day]
+    data["last_run"] = {
+        "date": last_day.date(),
+        "success": int((last["status"] == "success").sum()),
+        "fail": int((last["status"] == "fail").sum()),
+    }
+
+    data["daily"] = (
+        df.groupby(["day", "status"], as_index=False)
+        .size()
+        .rename(columns={"size": "count"})
+        .sort_values(["day", "status"])
+        .reset_index(drop=True)
+    )
+    data["by_check_daily"] = (
+        df.groupby(["name", "day", "status"], as_index=False)
+        .size()
+        .rename(columns={"size": "count"})
+        .sort_values(["name", "day", "status"])
+        .reset_index(drop=True)
+    )
+
+    # failed-checks panel: metadata + zero-filled per-day fail history
+    fails = df[df["status"] == "fail"]
+    if fails.empty:
+        data["failed"] = pd.DataFrame(
+            columns=["check_id", "name", "type", "dataset", "datasource",
+                     "condition", "threshold", "last_run_time", "last_value",
+                     "count_fail", "fail_history"]
+        )
+    else:
+        # threshold display: scalar or the between-list JSON (the UI's
+        # combine_first of threshold / threshold_list, app.py:92-96)
+        meta = (
+            df.sort_values("run_time")
+            .groupby("check_id")
+            .agg(
+                name=("name", "last"),
+                type=("type", "last"),
+                dataset=("dataset", "last"),
+                datasource=("datasource", "last"),
+                condition=("condition", "last"),
+                threshold=("threshold", "last"),
+                threshold_list=("threshold_list", "last"),
+                last_run_time=("run_time", "max"),
+                last_value=("actual_value", "last"),
+            )
+        )
+        meta["threshold"] = meta["threshold"].astype(object).where(
+            meta["threshold"].notna(), meta["threshold_list"]
+        )
+        meta = meta.drop(columns=["threshold_list"])
+        per_day = (
+            fails.groupby(["check_id", "day"], as_index=False)
+            .size()
+            .rename(columns={"size": "count_fail"})
+        )
+        days = pd.date_range(start=start, end=end, freq="D")
+        hist = {
+            cid: np.zeros(len(days), dtype=np.int64)
+            for cid in per_day["check_id"].unique()
+        }
+        day_idx = {d: i for i, d in enumerate(days)}
+        for cid, d, n in per_day.itertuples(index=False):
+            hist[cid][day_idx[d]] = n
+        failed = meta.loc[list(hist.keys())].reset_index()
+        failed["count_fail"] = [int(h.sum()) for h in hist.values()]
+        failed["fail_history"] = [h.tolist() for h in hist.values()]
+        data["failed"] = (
+            failed.sort_values(["count_fail", "check_id"], ascending=[False, True])
+            .head(fail_limit)
+            .reset_index(drop=True)
+        )
+
+    data["checks"] = store.last_values().to_pandas()
+    return data
+
+
+# -- SVG helpers (no plotting deps in the container) ----------------------
+
+_OK, _BAD, _INK, _MUTE = "#2e7d32", "#c62828", "#1a1a2e", "#9aa0a6"
+
+
+def _svg_stacked_days(daily, width=720, height=180) -> str:
+    """Per-day success/fail stacked bars (the UI's checks-by-status
+    Altair chart)."""
+    import pandas as pd
+
+    piv = daily.pivot_table(
+        index="day", columns="status", values="count", fill_value=0, aggfunc="sum"
+    )
+    for c in ("success", "fail"):
+        if c not in piv.columns:
+            piv[c] = 0
+    days = piv.index.tolist()
+    tot = (piv["success"] + piv["fail"]).to_numpy()
+    peak = max(int(tot.max()), 1)
+    n = len(days)
+    bw = max(min((width - 60) / max(n, 1) - 2, 40), 2)
+    parts = [
+        f'<svg viewBox="0 0 {width} {height + 30}" width="{width}" '
+        f'xmlns="http://www.w3.org/2000/svg" role="img">'
+    ]
+    for i, d in enumerate(days):
+        x = 50 + i * ((width - 60) / max(n, 1))
+        s, f = int(piv["success"].iloc[i]), int(piv["fail"].iloc[i])
+        hs = s / peak * (height - 20)
+        hf = f / peak * (height - 20)
+        y0 = height - hf
+        if f:
+            parts.append(
+                f'<rect x="{x:.1f}" y="{y0:.1f}" width="{bw:.1f}" height="{hf:.1f}"'
+                f' fill="{_BAD}"><title>{d.date()} fail: {f}</title></rect>'
+            )
+        if s:
+            parts.append(
+                f'<rect x="{x:.1f}" y="{y0 - hs:.1f}" width="{bw:.1f}" height="{hs:.1f}"'
+                f' fill="{_OK}"><title>{d.date()} success: {s}</title></rect>'
+            )
+        if n <= 31 or i % max(n // 16, 1) == 0:
+            parts.append(
+                f'<text x="{x + bw / 2:.1f}" y="{height + 14}" font-size="9"'
+                f' text-anchor="middle" fill="{_MUTE}">'
+                f"{pd.Timestamp(d).strftime('%m-%d')}</text>"
+            )
+    parts.append(
+        f'<text x="8" y="14" font-size="10" fill="{_MUTE}">peak {peak}</text></svg>'
+    )
+    return "".join(parts)
+
+
+def _svg_sparkline(values, width=120, height=24) -> str:
+    """fail_history sparkline: one bar per day in range."""
+    vals = np.asarray(values, dtype=np.float64)
+    peak = max(float(vals.max()), 1.0)
+    n = len(vals)
+    bw = width / max(n, 1)
+    parts = [
+        f'<svg viewBox="0 0 {width} {height}" width="{width}" height="{height}"'
+        f' xmlns="http://www.w3.org/2000/svg">'
+    ]
+    for i, v in enumerate(vals):
+        if v <= 0:
+            continue
+        h = v / peak * (height - 2)
+        parts.append(
+            f'<rect x="{i * bw:.1f}" y="{height - h:.1f}" width="{max(bw - 1, 1):.1f}"'
+            f' height="{h:.1f}" fill="{_BAD}"><title>day {i}: {int(v)}</title></rect>'
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def render_html(data: dict, title: str = "Data Quality Report") -> str:
+    """One self-contained HTML document (inline CSS + SVG, no scripts,
+    no network) with the dashboard's three panels."""
+    e = _html.escape
+    head = f"""<!doctype html><html><head><meta charset="utf-8">
+<title>{e(title)}</title><style>
+body{{font-family:system-ui,sans-serif;margin:2rem auto;max-width:980px;color:{_INK}}}
+h1{{font-size:1.4rem}} h2{{font-size:1.1rem;margin-top:2rem}}
+table{{border-collapse:collapse;width:100%;font-size:.85rem}}
+th,td{{border-bottom:1px solid #e0e0e0;padding:.35rem .5rem;text-align:left}}
+th{{background:#f5f5f7}} .ok{{color:{_OK};font-weight:600}} .bad{{color:{_BAD};font-weight:600}}
+.muted{{color:{_MUTE}}} .num{{text-align:right;font-variant-numeric:tabular-nums}}
+</style></head><body>"""
+    parts = [head, f"<h1>{e(title)}</h1>"]
+    if data.get("empty"):
+        parts.append('<p class="muted">No metric records in the selected range.</p>')
+        parts.append("</body></html>")
+        return "".join(parts)
+
+    lr = data["last_run"]
+    parts.append(
+        f'<p class="muted">Range {e(str(data["start"]))} → {e(str(data["end"]))}</p>'
+        f"<h2>Last Run Summary</h2><p>Date: <b>{e(str(lr['date']))}</b> · "
+        f'Success: <span class="ok">{lr["success"]}</span> · '
+        f'Fail: <span class="bad">{lr["fail"]}</span></p>'
+    )
+    parts.append("<h2>Checks by Status per Day</h2>")
+    parts.append(_svg_stacked_days(data["daily"]))
+
+    parts.append("<h2>Failing Checks</h2>")
+    failed = data["failed"]
+    if failed.empty:
+        parts.append('<p class="ok">No failing checks in range.</p>')
+    else:
+        parts.append(
+            "<table><tr><th>name</th><th>type</th><th>dataset</th>"
+            "<th>datasource</th><th>condition</th><th>threshold</th>"
+            "<th>last run</th><th class=num>last value</th>"
+            "<th class=num>fails</th><th>fail history</th></tr>"
+        )
+        for r in failed.itertuples(index=False):
+            thr = "" if r.threshold is None else str(r.threshold)
+            lv = "" if r.last_value is None or (
+                isinstance(r.last_value, float) and np.isnan(r.last_value)
+            ) else f"{r.last_value:g}"
+            parts.append(
+                f"<tr><td>{e(str(r.name))}</td><td>{e(str(r.type))}</td>"
+                f"<td>{e(str(r.dataset))}</td><td>{e(str(r.datasource))}</td>"
+                f"<td>{e(str(r.condition))}</td><td>{e(thr)}</td>"
+                f"<td>{e(str(getattr(r, 'last_run_time', ''))[:19])}</td>"
+                f'<td class=num>{e(lv)}</td><td class="num bad">{r.count_fail}</td>'
+                f"<td>{_svg_sparkline(r.fail_history)}</td></tr>"
+            )
+        parts.append("</table>")
+
+    parts.append("<h2>All Checks (latest values)</h2>")
+    checks = data["checks"]
+    parts.append(
+        "<table><tr><th>check_id</th><th class=num>runs</th>"
+        "<th class=num>success</th><th class=num>fail</th>"
+        "<th class=num>last value</th><th>last run</th></tr>"
+    )
+    for r in checks.itertuples(index=False):
+        cls = "ok" if r.count_fail == 0 else "bad"
+        lv = "" if r.last_value is None or (
+            isinstance(r.last_value, float) and np.isnan(r.last_value)
+        ) else f"{r.last_value:g}"
+        parts.append(
+            f"<tr><td>{e(str(r.check_id))}</td><td class=num>{r.count}</td>"
+            f'<td class="num ok">{r.count_success}</td>'
+            f'<td class="num {cls}">{r.count_fail}</td>'
+            f"<td class=num>{e(lv)}</td>"
+            f"<td>{e(str(r.last_run_time)[:19])}</td></tr>"
+        )
+    parts.append("</table></body></html>")
+    return "".join(parts)
+
+
+def render_text(data: dict) -> str:
+    """Console rendering of the same panels (the no-browser path)."""
+    if data.get("empty"):
+        return "no metric records in the selected range\n"
+    out = []
+    lr = data["last_run"]
+    out.append(f"range {data['start']} -> {data['end']}")
+    out.append(
+        f"last run {lr['date']}: {lr['success']} success, {lr['fail']} fail"
+    )
+    out.append("")
+    out.append("day          success  fail")
+    piv = data["daily"].pivot_table(
+        index="day", columns="status", values="count", fill_value=0, aggfunc="sum"
+    )
+    for c in ("success", "fail"):
+        if c not in piv.columns:
+            piv[c] = 0
+    for day, row in piv.iterrows():
+        out.append(f"{day.date()}   {int(row['success']):7d} {int(row['fail']):5d}")
+    failed = data["failed"]
+    out.append("")
+    if failed.empty:
+        out.append("no failing checks in range")
+    else:
+        out.append(f"failing checks ({len(failed)}):")
+        for r in failed.itertuples(index=False):
+            spark = "".join(
+                " ▁▂▃▄▅▆▇█"[min(int(v * 8 / max(max(r.fail_history), 1)), 8)]
+                for v in r.fail_history
+            )
+            out.append(
+                f"  {r.name} [{r.type}] {r.dataset}@{r.datasource}"
+                f" fails={r.count_fail} |{spark}|"
+            )
+    return "\n".join(out) + "\n"
+
+
+def write_report(
+    store_path: str,
+    out_path: Optional[str] = None,
+    start: Optional[datetime.date] = None,
+    end: Optional[datetime.date] = None,
+    tenant_id: int = 1,
+) -> str:
+    """Build the report for a metric store directory. Writes HTML when
+    ``out_path`` is given (returning the path), else returns the text
+    rendering."""
+    from ..state.metric_store import ParquetMetricStore
+
+    store = ParquetMetricStore(store_path, tenant_id)
+    data = report_data(store, start=start, end=end)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(render_html(data))
+        return out_path
+    return render_text(data)
