@@ -868,6 +868,34 @@ def q_semdedup_pairs(sf_dir: str) -> pa.Table:
     )
 
 
+def q_text_semdedup_pairs(sf_dir: str) -> pa.Table:
+    """End-to-end text SemDeDup (rows-only by design: cluster-bucketed
+    approximate — recall vs the exact all-pairs operator on the same
+    hashed-BoW features is gated in tests). The chain is
+    hashed_bow_features -> kmeans -> per-cluster cosine pairs, so no
+    embedding fixture column is needed: raw document text in, near-dup
+    id pairs out."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.clustering import text_semdedup_pairs
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    df = (
+        text_semdedup_pairs(
+            ds, "text", "doc_id", dim=256, threshold=0.9, k=8, iters=4, seed=7
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "id_a": pa.array(df["id_a"], type=pa.int64()),
+            "id_b": pa.array(df["id_b"], type=pa.int64()),
+        }
+    )
+
+
 def q_train_bigram_lm(sf_dir: str) -> pa.Table:
     """Corpus-wide MLE bigram LM training (the count step behind the
     KenLM-style scorer): (w1, w2, cnt, logp) for pairs seen ≥2 times.
@@ -3512,6 +3540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "embedding_kmeans": q_embedding_kmeans,
         "semdedup_pairs_embeddings": q_semdedup_pairs,
+        "text_semdedup_pairs_docs": q_text_semdedup_pairs,
         "compression_ratio_docs": q_compression_ratio,
         "pii_spans_docs": q_pii_spans,
         "logistic_probe_embeddings": q_logistic_probe,

@@ -112,3 +112,66 @@ class TestSemDedupPairs:
         planted = {(2 * i, 2 * i + 1) for i in range(50)}
         # twins are essentially colinear -> same cluster, all recovered
         assert planted <= got
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTextSemdedup:
+    """text -> hashed-BoW -> k-means buckets -> cosine pairs, end to end
+    (no fixture embedding column)."""
+
+    def _corpus(self):
+        rng = np.random.default_rng(11)
+        vocab = [f"tok{i}" for i in range(400)]
+        rows = []
+        for i in range(60):
+            words = list(rng.choice(vocab, size=40))
+            rows.append({"doc_id": 2 * i, "text": " ".join(words)})
+            twin = list(words)
+            twin[int(rng.integers(40))] = str(rng.choice(vocab))  # 1-word edit
+            rows.append({"doc_id": 2 * i + 1, "text": " ".join(twin)})
+        return ray.data.from_items(rows).repartition(4)
+
+    def test_recall_vs_exact_operator(self):
+        from weiser_ai_ray.pipelines.clustering import text_semdedup_pairs
+        from weiser_ai_ray.pipelines.textfeat import hashed_bow_features
+
+        ds = self._corpus()
+        feats = hashed_bow_features(
+            ds, "text", "doc_id", dim=256, norm="l2", seed=7,
+            out_col="__bow", dtype="float32",
+        )
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_neardup_pairs(
+                feats, "__bow", "doc_id", threshold=0.9
+            ).take_all()
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in text_semdedup_pairs(
+                ds, "text", "doc_id", dim=256, threshold=0.9, k=6, iters=5, seed=7
+            ).take_all()
+        }
+        assert got <= exact                      # no false positives vs exact
+        assert len(exact) >= 50                  # twins really are near-dups
+        assert len(got) / len(exact) >= 0.9      # SemDeDup recall gate
+
+    def test_twins_found_distinct_texts_not(self):
+        from weiser_ai_ray.pipelines.clustering import text_semdedup_pairs
+
+        rows = [
+            {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog"},
+            {"doc_id": 1, "text": "the quick brown fox jumps over the lazy cat"},
+            {"doc_id": 2, "text": "entirely unrelated legal boilerplate paragraph"},
+            {"doc_id": 3, "text": ""},
+            {"doc_id": 4, "text": None},
+        ]
+        ds = ray.data.from_items(rows).repartition(2)
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in text_semdedup_pairs(
+                ds, "text", "doc_id", dim=128, threshold=0.8, k=2, iters=4, seed=3
+            ).take_all()
+        }
+        assert (0, 1) in got
+        assert all(2 not in p for p in got)

@@ -269,3 +269,42 @@ def semdedup_pairs(
         bucket, batch_format="pyarrow", zero_copy_batch=True
     )
     return keyed.groupby("cluster").map_groups(prune, batch_format="pyarrow")
+
+
+def text_semdedup_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+    threshold: float = 0.9,
+    k: int = 16,
+    iters: int = 5,
+    seed: int = 7,
+    sample_n: int = 4096,
+    tile: int = 4096,
+) -> "ray.data.Dataset":
+    """End-to-end SemDeDup over RAW TEXT: hashed bag-of-words
+    featurization (``textfeat.hashed_bow_features``, L2-normalized
+    ``dim``-bucket token counts — no vocabulary pass, no fixture
+    embedding column) piped straight into the cluster-bucketed
+    ``semdedup_pairs``. Emits (id_a < id_b) pairs whose hashed-BoW
+    cosine >= ``threshold``.
+
+    The whole chain is one streaming lineage: featurize is stateless
+    ``map_batches`` (the dense plane exists only inside each batch),
+    k-means holds O(k x dim) driver state, and the final bucket+prune
+    pass shuffles (cluster, id, vec) rows once. Recall vs the exact
+    all-pairs operator on the same features is gated in tests
+    (approximate by design: a pair is found only if both docs land in
+    the same cluster). ``dim`` trades hash-collision noise against the
+    shuffled vector width — 256 float32 lanes ~ 1 KB/doc on the wire."""
+    from .textfeat import hashed_bow_features
+
+    feats = hashed_bow_features(
+        ds, text_col, id_col, dim=dim, lowercase=True, norm="l2",
+        seed=seed, out_col="__bow", dtype="float32",
+    )
+    return semdedup_pairs(
+        feats, vec_col="__bow", id_col=id_col, threshold=threshold,
+        k=k, iters=iters, seed=seed, sample_n=sample_n, tile=tile,
+    )
