@@ -1,0 +1,97 @@
+"""docs/CONFIG.md is executable documentation: every fenced ``yaml``
+block on the page runs here — check configs through the full
+pre_run_config -> run_checks -> metric-store lifecycle, the
+QualityConfig block through the quality pipeline on a tiny corpus."""
+
+import os
+import re
+
+import pytest
+import yaml
+
+from tests.conftest import SF_DIR
+
+DOCS = os.path.join(os.path.dirname(__file__), "..", "docs", "CONFIG.md")
+
+_YAML_BLOCK = re.compile(r"```yaml\n(.*?)```", re.DOTALL)
+
+
+def _blocks():
+    with open(DOCS) as f:
+        return _YAML_BLOCK.findall(f.read())
+
+
+def _render(text: str, **ctx) -> str:
+    for k, v in ctx.items():
+        text = text.replace("{{ " + k + " }}", str(v))
+    return text
+
+
+def test_docs_page_has_all_snippets():
+    blocks = _blocks()
+    # 1 structure + 9 check-type/modifier/grammar configs + 1 quality
+    assert len(blocks) >= 11
+    check_blocks = [b for b in blocks if "checks:" in b]
+    assert len(check_blocks) >= 10
+    # every declarative check type is demonstrated at least once
+    text = "".join(check_blocks)
+    for t in ("row_count", "numeric", "measure", "sum", "min", "max",
+              "not_empty", "not_empty_pct", "anomaly"):
+        assert re.search(rf"type:\s*{t}\b", text), t
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_every_check_snippet_runs_green(tmp_path):
+    from weiser_ai_ray.runner import generate_sample_data, pre_run_config, run_checks
+
+    store = tmp_path / "ms"
+    check_id = None
+    n_run = 0
+    for i, raw in enumerate(b for b in _blocks() if "checks:" in b):
+        if "{{ CHECK_ID }}" in raw:
+            # anomaly: seed 30 days of history for a plain row_count
+            # check first, then point the snippet at its check_id
+            seed_cfg = {
+                "checks": [{"name": "cnt", "type": "row_count",
+                            "dataset": "orders", "condition": "gt",
+                            "threshold": 0}],
+                "datasources": [{"name": "default", "type": "parquet",
+                                 "root": SF_DIR}],
+                "connections": [{"type": "metricstore", "path": str(store)}],
+            }
+            ctx = pre_run_config(seed_cfg)
+            recs = generate_sample_data("cnt", ctx, days=30, seed=7)
+            check_id = recs[0]["check_id"]
+            raw = _render(raw, CHECK_ID=check_id)
+        cfg = yaml.safe_load(_render(raw, ROOT=SF_DIR, STORE=store))
+        ctx = pre_run_config(cfg)
+        results = run_checks(ctx)
+        assert results, f"snippet {i} produced no results"
+        summary = ctx["metric_store"].summary(ctx["run_id"])
+        assert summary["count"] > 0, f"snippet {i} wrote no metrics"
+        assert summary["fail"] == 0, (
+            f"snippet {i} has failing checks: "
+            f"{ctx['metric_store'].failures(ctx['run_id']).to_pylist()}"
+        )
+        n_run += 1
+    assert n_run >= 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quality_config_snippet_runs(tmp_path):
+    from weiser_ai_ray.fixtures.corpus import write_corpus
+    from weiser_ai_ray.models import QualityConfig
+    from weiser_ai_ray.pipelines.quality import QualityPipeline
+
+    block = next(b for b in _blocks() if "rules:" in b and "checks:" not in b)
+    cfg = QualityConfig(**yaml.safe_load(block))
+    kinds = {r.kind for r in cfg.rules}
+    assert {"max_line_length", "langid", "perplexity"} <= kinds
+    assert [s.name for s in cfg.scrub] == ["emails", "ipv4"]
+
+    corpus = tmp_path / "corpus"
+    write_corpus(str(corpus), 400, seed=3, n_files=2)
+    pipe = QualityPipeline(str(tmp_path / "out"), config=cfg)
+    res = pipe.run(str(corpus))
+    assert res["rows_kept"] > 0
+    assert res["rows_kept"] < res["rows_in"]
