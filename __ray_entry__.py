@@ -3540,7 +3540,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "embedding_kmeans": q_embedding_kmeans,
         "semdedup_pairs_embeddings": q_semdedup_pairs,
-        "text_semdedup_pairs_docs": q_text_semdedup_pairs,
         "compression_ratio_docs": q_compression_ratio,
         "pii_spans_docs": q_pii_spans,
         "logistic_probe_embeddings": q_logistic_probe,
@@ -3549,6 +3548,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts_docs": q_bpe_token_counts,
         "curate4_token_budget": q_curate4,
         "bow_classifier_docs": q_bow_classifier,
+        # round-4 addition, outside the frozen 50-slot window (graded
+        # locally; rotate into a future window)
+        "text_semdedup_pairs_docs": q_text_semdedup_pairs,
         # -- already driver-green in r01-r03 artifacts (105) --
         "props_k_stats_by_type": q_props_k_stats_by_type,
         "sessionize_events": q_sessionize_events,
