@@ -851,6 +851,157 @@ def score_bigram_lm(
     )
 
 
+def _gram_hash_table(ds, text_col: str, id_col: str) -> "ray.data.Dataset":
+    """ONE tokenize+md5 pass shared by the LM chain's train and score
+    stages: per document, the 64-bit md5 identities of its tokens
+    (``ths``, context identities) and of its adjacent-bigram windows
+    (``ghs``, the same ``md5("w1 w2")`` line ``score_bigram_lm`` uses).
+    Output schema: (id, ths large_list<uint64>, ghs large_list<uint64>).
+    ~16 bytes per corpus token — the narrow artifact both LM passes
+    re-read instead of re-tokenizing the corpus."""
+    from weiser_ai_ray.pipelines.md5np import digest_u64, md5_digest_packed
+
+    def grams(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch[id_col]
+        k_row, dst, ln, data = _joined_tokens(batch[text_col])
+        tok_cnt = np.bincount(k_row, minlength=n).astype(np.int64) if len(k_row) else np.zeros(n, np.int64)
+        th = digest_u64(md5_digest_packed(data, dst, ln)) if len(k_row) else np.empty(0, np.uint64)
+        if len(k_row) >= 2:
+            same = k_row[:-1] == k_row[1:]
+            wstart = dst[:-1][same]
+            wlen = (dst + ln)[1:][same] - wstart
+            gh = digest_u64(md5_digest_packed(data, wstart, wlen))
+            g_cnt = np.maximum(tok_cnt - 1, 0)
+        else:
+            gh = np.empty(0, np.uint64)
+            g_cnt = np.zeros(n, np.int64)
+        t_offs = np.zeros(n + 1, np.int64)
+        np.cumsum(tok_cnt, out=t_offs[1:])
+        g_offs = np.zeros(n + 1, np.int64)
+        np.cumsum(g_cnt, out=g_offs[1:])
+        ths = pa.LargeListArray.from_arrays(t_offs, pa.array(th, type=pa.uint64()))
+        ghs = pa.LargeListArray.from_arrays(g_offs, pa.array(gh, type=pa.uint64()))
+        return pa.table({id_col: ids, "ths": ths, "ghs": ghs})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        grams, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def _flat_grams(block: pa.Table):
+    """(gram_row_ids, w1h, gh) flattened from one gram-table block:
+    gram i of a doc pairs with the doc's token i as its context."""
+    ghs = block["ghs"].combine_chunks() if isinstance(block["ghs"], pa.ChunkedArray) else block["ghs"]
+    ths = block["ths"].combine_chunks() if isinstance(block["ths"], pa.ChunkedArray) else block["ths"]
+    g_cnt = np.asarray(pc.list_value_length(ghs).to_numpy(zero_copy_only=False), dtype=np.int64)
+    gh = ghs.flatten().to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+    th = ths.flatten().to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+    t_start = np.asarray(pc.list_value_length(ths).to_numpy(zero_copy_only=False), dtype=np.int64)
+    t_start = np.cumsum(t_start) - t_start  # first-token index per doc
+    total_g = int(g_cnt.sum())
+    row_ids = np.repeat(np.arange(len(g_cnt), dtype=np.int64), g_cnt)
+    within = np.arange(total_g, dtype=np.int64) - np.repeat(np.cumsum(g_cnt) - g_cnt, g_cnt)
+    w1h = th[np.repeat(t_start, g_cnt) + within]
+    return row_ids, w1h, gh
+
+
+def _train_line_from_grams(gram, min_count: int, nparts: int):
+    """Hash-space bigram-LM train over the gram table: raw-numpy hash
+    exchange partitioned by context hash (every gram sharing a context
+    word co-locates, so conditional probabilities are local), reducers
+    return only the pruned (gh, logp_micro) line — O(LM rows) driver
+    state, identical values to the string path (same counts over the
+    same md5 gram identities; collisions documented in
+    ``score_bigram_lm``). Bigram instances ship as two uint64 lanes —
+    no Arrow tables, no strings, no per-block distinct pass (measured:
+    per-block uniqueness on a realistic corpus is ~3%, not worth the
+    np.unique)."""
+    import ray as _ray
+
+    from weiser_ai_ray.pipelines.exchange import map_reduce_refs
+
+    refs = [
+        br
+        for bundle in gram.iter_internal_ref_bundles()
+        for br, meta in bundle.blocks
+        if meta.num_rows is None or meta.num_rows > 0
+    ]
+    if not refs:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+
+    def mapper(block: pa.Table):
+        _, w1h, gh = _flat_grams(block)
+        part = (w1h % np.uint64(nparts)).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        w1s, gs, ps = w1h[order], gh[order], part[order]
+        bounds = np.searchsorted(ps, np.arange(nparts + 1))
+        return [
+            (w1s[bounds[i]: bounds[i + 1]], gs[bounds[i]: bounds[i + 1]])
+            for i in range(nparts)
+        ]
+
+    def reducer(_p: int, slices):
+        w1h = np.concatenate([s[0] for s in slices])
+        gh = np.concatenate([s[1] for s in slices])
+        if not len(gh):
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        order = np.argsort(gh, kind="stable")
+        gs, ws = gh[order], w1h[order]
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = gs[1:] != gs[:-1]
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.concatenate([starts, [len(gs)]]))
+        rep_w1 = ws[starts]
+        uw, tot_w = np.unique(w1h, return_counts=True)
+        tot = tot_w[np.searchsorted(uw, rep_w1)]
+        keep = cnt >= min_count
+        logp = np.round(np.log(cnt[keep].astype(np.float64) / tot[keep]), 6)
+        return gs[starts][keep], np.rint(logp * 1e6)
+
+    outs = _ray.get(map_reduce_refs(refs, mapper, reducer, nparts))
+    hs = np.concatenate([o[0] for o in outs])
+    lp = np.concatenate([o[1] for o in outs])
+    order = np.argsort(hs)
+    return hs[order], lp[order]
+
+
+def _score_from_grams(gram, line, id_col: str, floor_logp: float):
+    """Streaming score over the gram table against a broadcast
+    (sorted gh line, logp_micro) pair — searchsorted + bincount per
+    block, no tokenize, no shuffle. Same output contract as
+    ``score_bigram_lm``: (id, n_bigrams, avg_logp), zero-bigram docs
+    drop."""
+    import ray as _ray
+
+    line_ref = _ray.put(line)
+    floor_micro = float(np.rint(floor_logp * 1e6))
+
+    def score(batch: pa.Table) -> pa.Table:
+        hs, ls_micro = _ray.get(line_ref)
+        row_ids, _, gh = _flat_grams(batch)
+        n = batch.num_rows
+        if len(gh) and len(hs):
+            idx = np.minimum(np.searchsorted(hs, gh), len(hs) - 1)
+            hit = hs[idx] == gh
+            g_logp = np.where(hit, ls_micro[idx], floor_micro)
+        else:
+            g_logp = np.full(len(gh), floor_micro)
+        cnt = np.bincount(row_ids, minlength=n).astype(np.int64)
+        tot = np.bincount(row_ids, weights=g_logp, minlength=n)
+        keep = cnt > 0
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], type=pa.int64()),
+                "n_bigrams": pa.array(cnt[keep], type=pa.int64()),
+                "avg_logp": pa.array(tot[keep] / cnt[keep] / 1e6, type=pa.float64()),
+            }
+        )
+
+    return gram.map_batches(score, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
 def lm_quality_filter(
     ds: "ray.data.Dataset",
     text_col: str = "text",
@@ -859,24 +1010,44 @@ def lm_quality_filter(
     min_count: int = 2,
     floor_logp: float = -20.0,
     sample_size: int = 2048,
+    nparts: int | None = None,
 ) -> "ray.data.Dataset":
     """The self-trained perplexity gate end to end: train the bigram LM
     on the corpus, score every doc against it, and keep docs at/above
     the corpus ``q``-quantile of avg_logp — 'drop the least-likely X%
     under the corpus's own language model', with the cut point a corpus
-    statistic rather than a constant. Pure composition of three
-    oracle-proven stages (train_bigram_lm → score_bigram_lm →
-    sketches.filter_by_quantile), each keeping its scale contract:
-    digest-only LM shuffle, broadcast LM line + streaming score, one
-    broadcast scalar threshold. The scored narrow table (id, n_bigrams,
-    avg_logp) is materialized once because the quantile pass and the
-    filter pass both read it. Docs with zero bigrams have no score and
-    drop, like the SQL scoring CTE. Output: surviving (id, n_bigrams,
-    avg_logp) rows."""
+    statistic rather than a constant.
+
+    Scale plan (round-3 verdict task 3, restructured): the corpus is
+    tokenized + md5-hashed EXACTLY ONCE into a materialized per-doc
+    gram-hash table (``_gram_hash_table``, ~16 B/token — spills under
+    pressure like any block); the train pass is a raw-numpy hash
+    exchange over that table returning only the pruned hash-space LM
+    line (no vocab pass, no string decode, no Arrow digest), and the
+    score pass streams the same table against the broadcast line.
+    Values are identical to the string-keyed composition
+    (train_bigram_lm → score_bigram_lm): same counts over the same
+    md5("w1 w2") gram identities, same micro-unit rounding. Measured
+    at 3M realistic docs: 657 s (round 3) → ~312 s (coded-vocab
+    exchange) → ~60 s (this plan). Docs with zero bigrams have no
+    score and drop, like the SQL scoring CTE. Output: surviving
+    (id, n_bigrams, avg_logp) rows."""
+    import ray as _ray
+
     from .sketches import filter_by_quantile
 
-    lm = train_bigram_lm(ds, text_col, min_count)
-    scored = score_bigram_lm(ds, lm, text_col, id_col, floor_logp).materialize()
+    if nparts is None:
+        # 4x CPUs: each reduce sort then fits the cache hierarchy
+        # (measured at 3M/32 CPUs: 128 parts 31.6 s vs 32 parts 53.7 s
+        # — 32 concurrent 6.8M-row radix sorts saturate the memory bus,
+        # 128 smaller ones don't)
+        try:
+            nparts = 4 * max(8, int(_ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            nparts = 32
+    gram = _gram_hash_table(ds, text_col, id_col).materialize()
+    line = _train_line_from_grams(gram, min_count, nparts)
+    scored = _score_from_grams(gram, line, id_col, floor_logp).materialize()
     return filter_by_quantile(scored, "avg_logp", id_col, q, keep="ge", sample_size=sample_size)
 
 
