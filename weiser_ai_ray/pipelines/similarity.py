@@ -27,6 +27,9 @@ import ray
 import ray.data
 
 
+from .clustering import _list_matrix
+
+
 def _normalize(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
@@ -35,7 +38,7 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 def _batch_scores(batch: pa.Table, vec_col: str, id_col: str, q_ids, q_mat, k: int) -> pa.Table:
     b_ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
-    b_mat = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+    b_mat = _normalize(_list_matrix(batch[vec_col]))
     sims = q_mat @ b_mat.T  # (n_query, n_batch)
     kk = min(k, sims.shape[1])
     # partial top-k per query within this batch
@@ -153,7 +156,7 @@ class LshIndexStage:
         return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = _normalize(np.array(batch[self.vec_col].to_pylist(), dtype=np.float64))
+        mat = _normalize(_list_matrix(batch[self.vec_col]))
         sig = self.signature(mat)
         return pa.table(
             {
@@ -213,7 +216,7 @@ def lsh_topk(
         ids, qm, wanted = ray.get(ref)
         b_ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
         b_buckets = np.asarray(batch["bucket"].to_numpy(zero_copy_only=False))
-        b_mat = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        b_mat = _normalize(_list_matrix(batch[vec_col]))
         rows_q, rows_n, rows_s = [], [], []
         for qi in range(len(ids)):
             mask = np.isin(b_buckets, wanted[qi]) & (b_ids != ids[qi])
@@ -308,7 +311,7 @@ def ivf_topk(
 
     def assign_stage(batch: pa.Table) -> pa.Table:
         cents = ray.get(cents_ref)
-        mat = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        mat = _normalize(_list_matrix(batch[vec_col]))
         cell = np.argmax(mat @ cents.T, axis=1).astype(np.int64) if mat.size else np.empty(0, np.int64)
         return pa.table(
             {
@@ -345,7 +348,7 @@ def ivf_topk(
         ids, qm, probes = ray.get(ref)
         b_ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
         b_cells = np.asarray(batch["cell"].to_numpy(zero_copy_only=False))
-        b_mat = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        b_mat = _normalize(_list_matrix(batch[vec_col]))
         rows_q, rows_n, rows_s = [], [], []
         for qi in range(len(ids)):
             mask = np.isin(b_cells, probes[qi]) & (b_ids != ids[qi])
@@ -449,7 +452,7 @@ def ivf_topk_queryset(
 
     def assign_corpus(batch: pa.Table) -> pa.Table:
         cents = ray.get(cents_ref)
-        mat = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        mat = _normalize(_list_matrix(batch[vec_col]))
         cell = np.argmax(mat @ cents.T, axis=1).astype(np.int64) if mat.size else np.empty(0, np.int64)
         return pa.table(
             {
@@ -484,7 +487,7 @@ def ivf_topk_queryset(
     def explode_queries(batch: pa.Table) -> pa.Table:
         cents = ray.get(cents_ref)
         splits = ray.get(splits_ref)
-        mat = _normalize(np.array(batch[qv].to_pylist(), dtype=np.float64))
+        mat = _normalize(_list_matrix(batch[qv]))
         ids = np.asarray(batch[qi].to_numpy(zero_copy_only=False), dtype=np.int64)
         if not mat.size:
             return pa.table(
@@ -521,7 +524,7 @@ def ivf_topk_queryset(
     def score_cell(group: pa.Table) -> pa.Table:
         isq = np.asarray(group["is_query"].to_numpy(zero_copy_only=False), dtype=bool)
         ids = np.asarray(group["row_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        mat = np.array(group["vec"].to_pylist(), dtype=np.float64)
+        mat = _list_matrix(group["vec"])
         empty = pa.table(
             {
                 "query_id": pa.array([], pa.int64()),
