@@ -3472,6 +3472,38 @@ def q_heavy_keys(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
 
+def q_drift_psi_value(sf_dir: str) -> pa.Table:
+    """Population Stability Index of the events value distribution per
+    event_type vs the 'click' baseline: 10 fixed-width bins on [0,330)
+    (w=33.0 exact in float64), additive 0.5 smoothing over the full
+    grid, per-bin terms rounded to 6dp and summed as scaled int64 on
+    both sides (order-independent)."""
+    from weiser_ai_ray.pipelines.drift import psi_numeric
+
+    ds = __rps(os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"])
+    return psi_numeric(
+        ds, "value", "event_type", base_group="click", lo=0.0, hi=330.0, bins=10
+    )
+
+
+def q_drift_psi_event_mix(sf_dir: str) -> pa.Table:
+    """Categorical PSI: event-type mix of the odd-user cohort vs the
+    even-user cohort (user_id % 2) — the composition-drift check. The
+    smoothing grid is the union of categories over all cohorts."""
+    from weiser_ai_ray.pipelines.drift import psi_categorical
+
+    ds = __rps(os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"])
+
+    def add_cohort(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        coh = pc.cast(pc.bit_wise_and(batch["user_id"], 1), pa.string())
+        return batch.append_column("cohort", coh)
+
+    ds = ds.map_batches(add_cohort, batch_format="pyarrow", zero_copy_batch=True)
+    return psi_categorical(ds, "event_type", "cohort", base_cohort="0")
+
+
 # ----------------------------------------------------------------------
 # driver entry points
 
@@ -3551,6 +3583,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 addition, outside the frozen 50-slot window (graded
         # locally; rotate into a future window)
         "text_semdedup_pairs_docs": q_text_semdedup_pairs,
+        "drift_psi_value_events": q_drift_psi_value,
+        "drift_psi_event_mix": q_drift_psi_event_mix,
         # -- already driver-green in r01-r03 artifacts (105) --
         "props_k_stats_by_type": q_props_k_stats_by_type,
         "sessionize_events": q_sessionize_events,
@@ -5125,6 +5159,49 @@ def oracle_sql() -> dict[str, str]:
             "  regexp_replace(s, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[REDACTED_IP]', 'g') AS s FROM c4)"
             " SELECT doc_id, s AS scrubbed, n_pem_private_key, n_aws_access_key,"
             "  n_secret_assignment, n_email, n_ipv4 FROM c5"
+        ),
+        # PSI drift of value distribution per event_type vs 'click':
+        # fixed 10-bin grid on [0,330) (w=33.0), +0.5 smoothing over the
+        # full grid, terms ROUND(...,6)-scaled to int64 before the sum
+        "drift_psi_value_events": (
+            "WITH b AS (SELECT event_type AS grp,"
+            "  LEAST(GREATEST(CAST(FLOOR(value / 33.0) AS BIGINT), 0), 9) AS bin"
+            "  FROM events WHERE value IS NOT NULL),"
+            " grid AS (SELECT g.grp, s.bin FROM (SELECT DISTINCT grp FROM b) g"
+            "  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) s),"
+            " c AS (SELECT grid.grp, grid.bin, coalesce(t.cnt, 0) AS cnt FROM grid"
+            "  LEFT JOIN (SELECT grp, bin, count(*)::BIGINT cnt FROM b GROUP BY 1, 2) t"
+            "  USING (grp, bin)),"
+            " tot AS (SELECT grp, sum(cnt) AS tot FROM c GROUP BY 1),"
+            " p AS (SELECT c.grp, c.bin, (c.cnt + 0.5) / (tot.tot + 5.0) AS pr"
+            "  FROM c JOIN tot USING (grp)),"
+            " base AS (SELECT bin, pr AS q FROM p WHERE grp = 'click'),"
+            " terms AS (SELECT p.grp,"
+            "  CAST(ROUND((p.pr - base.q) * ln(p.pr / base.q) * 1000000.0) AS BIGINT) AS t"
+            "  FROM p JOIN base USING (bin) WHERE p.grp <> 'click')"
+            " SELECT grp, CAST(SUM(t) AS DOUBLE) / 1000000.0 AS psi"
+            " FROM terms GROUP BY grp ORDER BY grp"
+        ),
+        # categorical PSI: event-type mix, odd-user cohort vs even-user
+        # cohort; grid = union of categories over all cohorts
+        "drift_psi_event_mix": (
+            "WITH b AS (SELECT CAST(user_id % 2 AS VARCHAR) AS cohort, event_type AS cat"
+            "  FROM events WHERE event_type IS NOT NULL),"
+            " k AS (SELECT count(DISTINCT cat) AS k FROM b),"
+            " grid AS (SELECT c.cohort, s.cat FROM (SELECT DISTINCT cohort FROM b) c"
+            "  CROSS JOIN (SELECT DISTINCT cat FROM b) s),"
+            " c AS (SELECT grid.cohort, grid.cat, coalesce(t.cnt, 0) AS cnt FROM grid"
+            "  LEFT JOIN (SELECT cohort, cat, count(*)::BIGINT cnt FROM b GROUP BY 1, 2) t"
+            "  USING (cohort, cat)),"
+            " tot AS (SELECT cohort, sum(cnt) AS tot FROM c GROUP BY 1),"
+            " p AS (SELECT c.cohort, c.cat, (c.cnt + 0.5) / (tot.tot + 0.5 * k.k) AS pr"
+            "  FROM c JOIN tot USING (cohort) CROSS JOIN k),"
+            " base AS (SELECT cat, pr AS q FROM p WHERE cohort = '0'),"
+            " terms AS (SELECT p.cohort,"
+            "  CAST(ROUND((p.pr - base.q) * ln(p.pr / base.q) * 1000000.0) AS BIGINT) AS t"
+            "  FROM p JOIN base USING (cat) WHERE p.cohort <> '0')"
+            " SELECT cohort, CAST(SUM(t) AS DOUBLE) / 1000000.0 AS psi"
+            " FROM terms GROUP BY cohort ORDER BY cohort"
         ),
         # lsh_topk, langid_documents, minhash/simhash dedup and the
         # corpus quality pipeline are intentionally omitted:

@@ -1,0 +1,205 @@
+"""PSI distribution-drift checks (pipelines/drift.py): closed-form
+parity with a plain-numpy reference, invariance properties (PSI = 0 for
+identical distributions, symmetry-ish growth with shift), block-layout
+independence, and null handling."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from weiser_ai_ray.pipelines.drift import psi_categorical, psi_numeric
+
+
+def ref_psi(p_cnt: np.ndarray, q_cnt: np.ndarray, alpha: float = 0.5) -> float:
+    b = len(p_cnt)
+    p = (p_cnt + alpha) / (p_cnt.sum() + alpha * b)
+    q = (q_cnt + alpha) / (q_cnt.sum() + alpha * b)
+    terms = np.round((p - q) * np.log(p / q) * 1e6).astype(np.int64)
+    return float(terms.sum()) / 1e6
+
+
+def make_numeric_ds(vals_by_grp: dict, blocks: int = 3) -> "ray.data.Dataset":
+    grp, val = [], []
+    for g, vs in vals_by_grp.items():
+        grp += [g] * len(vs)
+        val += list(vs)
+    t = pa.table({"grp_in": pa.array(grp), "value": pa.array(val, type=pa.float64())})
+    return ray.data.from_arrow(t).repartition(blocks).map_batches(
+        lambda b: b.rename_columns(["event_type", "value"]),
+        batch_format="pyarrow",
+    )
+
+
+class TestPsiNumeric:
+    def test_matches_reference_counts(self, ray_session):
+        rng = np.random.RandomState(7)
+        base = rng.uniform(0, 100, 500)
+        moved = np.clip(rng.uniform(0, 100, 400) + 25, 0, 99.999)
+        ds = make_numeric_ds({"base": base, "moved": moved})
+        out = psi_numeric(ds, "value", "event_type", "base", lo=0.0, hi=100.0, bins=10)
+        assert out.column_names == ["grp", "psi"]
+        assert out.num_rows == 1
+
+        def cnts(v):
+            b = np.clip(np.floor(v / 10.0), 0, 9).astype(int)
+            return np.bincount(b, minlength=10)
+
+        expect = ref_psi(cnts(moved), cnts(base))
+        got = out["psi"][0].as_py()
+        assert got == pytest.approx(expect, abs=1e-9)
+        assert got > 0.1  # a 25-point shift is real drift
+
+    def test_identical_distribution_is_zero(self, ray_session):
+        v = np.arange(200, dtype=np.float64) % 100
+        ds = make_numeric_ds({"a": v, "b": v.copy()})
+        out = psi_numeric(ds, "value", "event_type", "a", lo=0.0, hi=100.0, bins=10)
+        assert out["psi"][0].as_py() == 0.0
+
+    def test_block_layout_independent(self, ray_session):
+        rng = np.random.RandomState(3)
+        data = {"x": rng.uniform(0, 50, 301), "y": rng.uniform(10, 60, 257)}
+        outs = []
+        for blocks in (1, 7):
+            ds = make_numeric_ds(data, blocks=blocks)
+            outs.append(
+                psi_numeric(ds, "value", "event_type", "x", lo=0.0, hi=60.0, bins=12)
+            )
+        assert outs[0].equals(outs[1])
+
+    def test_out_of_range_clipped_and_nulls_dropped(self, ray_session):
+        t = pa.table(
+            {
+                "event_type": pa.array(["a"] * 4 + ["b"] * 4),
+                "value": pa.array([-5.0, 500.0, 1.0, None, 2.0, 2.0, None, 99.0]),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        out = psi_numeric(ds, "value", "event_type", "a", lo=0.0, hi=100.0, bins=10)
+        # a: bins {0: 2 (clip -5 -> 0, 1.0), 9: 1 (clip 500)}; b: {0: 2, 9: 1}
+        assert out["psi"][0].as_py() == 0.0
+
+    def test_missing_base_raises(self, ray_session):
+        ds = make_numeric_ds({"a": np.ones(5)})
+        with pytest.raises(ValueError, match="base group"):
+            psi_numeric(ds, "value", "event_type", "nope", lo=0.0, hi=10.0, bins=5)
+
+
+class TestPsiCategorical:
+    def test_matches_reference(self, ray_session):
+        cats = ["x"] * 50 + ["y"] * 30 + ["z"] * 20 + ["x"] * 20 + ["y"] * 60 + ["w"] * 5
+        coh = ["0"] * 100 + ["1"] * 85
+        ds = ray.data.from_arrow(
+            pa.table({"cat": pa.array(cats), "cohort": pa.array(coh)})
+        ).repartition(4)
+        out = psi_categorical(ds, "cat", "cohort", base_cohort="0")
+        # grid = union {w,x,y,z}; cohort 0 counts in that order
+        expect = ref_psi(
+            np.array([5, 20, 60, 0]), np.array([0, 50, 30, 20])
+        )
+        assert out.num_rows == 1
+        assert out["cohort"][0].as_py() == "1"
+        assert out["psi"][0].as_py() == pytest.approx(expect, abs=1e-9)
+
+    def test_multiple_cohorts_sorted(self, ray_session):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "cat": pa.array(["a", "b"] * 30),
+                    "cohort": pa.array((["0"] * 2 + ["1"] * 2 + ["2"] * 2) * 10),
+                }
+            )
+        )
+        out = psi_categorical(ds, "cat", "cohort", base_cohort="0")
+        assert out["cohort"].to_pylist() == ["1", "2"]
+        assert out["psi"].to_pylist() == [0.0, 0.0]
+
+
+class TestDriftCheckType:
+    """type: drift wired through CheckFactory -> metric records."""
+
+    @pytest.fixture()
+    def catalog(self):
+        from weiser_ai_ray.sources import ParquetCatalog
+        from tests.conftest import SF_DIR
+
+        return ParquetCatalog(root=SF_DIR)
+
+    def run_check(self, catalog, store, **kw):
+        from weiser_ai_ray.checks import CheckFactory
+        from weiser_ai_ray.models import Check
+
+        chk = CheckFactory.create_check("run-d", Check(**kw), catalog, "default", store)
+        return chk.run(False)
+
+    def test_numeric_drift_records_per_group(self, ray_session, catalog, tmp_store):
+        r = self.run_check(
+            catalog, tmp_store,
+            name="value_drift", type="drift", dataset="events",
+            measure="value", dimensions=["event_type"],
+            drift={"base": "click", "lo": 0.0, "hi": 330.0, "bins": 10},
+            condition="le", threshold=0.25,
+        )
+        # one record per non-base event_type, weiser grouped naming
+        assert len(r) == 4
+        names = {rec["name"] for rec in r}
+        assert "value_drift_event_type_error" in names
+        assert "value_drift_event_type_click" not in names
+        for rec in r:
+            assert rec["type"] == "drift"
+            assert isinstance(rec["actual_value"], float)
+            assert rec["success"] == (rec["actual_value"] <= 0.25)
+            assert "PSI(value)" in rec["sql"]
+
+    def test_categorical_drift_with_filter(self, ray_session, catalog, tmp_store):
+        r = self.run_check(
+            catalog, tmp_store,
+            name="mix_drift", type="drift", dataset="events",
+            measure="event_type", dimensions=["event_type"],
+            filter="value > 50",
+            drift={"base": "click", "kind": "categorical"},
+            condition="lt", threshold=10.0,
+        )
+        # grouping col == category col: every non-base group is a
+        # one-category cohort, PSI well-defined via smoothing
+        assert len(r) == 4 and all(rec["success"] for rec in r)
+
+    def test_matches_pipeline_psi(self, ray_session, catalog, tmp_store):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.drift import psi_numeric
+        from tests.conftest import SF_DIR
+
+        ds = ray.data.read_parquet(f"{SF_DIR}/events.parquet")
+        want = psi_numeric(ds, "value", "event_type", "click", lo=0.0, hi=330.0, bins=10)
+        r = self.run_check(
+            catalog, tmp_store,
+            name="d", type="drift", dataset="events",
+            measure="value", dimensions=["event_type"],
+            drift={"base": "click", "lo": 0.0, "hi": 330.0, "bins": 10},
+            condition="le", threshold=0.25,
+        )
+        got = {rec["name"].removeprefix("d_event_type_"): rec["actual_value"] for rec in r}
+        for g, p in zip(want["grp"].to_pylist(), want["psi"].to_pylist()):
+            assert got[g] == pytest.approx(p, abs=0)
+
+    def test_config_validation(self, ray_session, catalog, tmp_store):
+        with pytest.raises(ValueError, match="drift"):
+            self.run_check(
+                catalog, tmp_store, name="d", type="drift", dataset="events",
+                measure="value", dimensions=["event_type"],
+                condition="le", threshold=1,
+            )
+        with pytest.raises(ValueError, match="lo/hi"):
+            self.run_check(
+                catalog, tmp_store, name="d", type="drift", dataset="events",
+                measure="value", dimensions=["event_type"],
+                drift={"base": "click"}, condition="le", threshold=1,
+            )
+        with pytest.raises(ValueError, match="dimension"):
+            self.run_check(
+                catalog, tmp_store, name="d", type="drift", dataset="events",
+                measure="value",
+                drift={"base": "click", "lo": 0.0, "hi": 1.0},
+                condition="le", threshold=1,
+            )

@@ -6,6 +6,7 @@ from ..models import Check, CheckType
 from ..sources import ParquetCatalog
 from .anomaly import CheckAnomaly
 from .base import BaseCheck
+from .drift import CheckDrift
 from .numeric import (
     CheckMax,
     CheckMeasure,
@@ -27,6 +28,7 @@ CHECK_TYPE_MAP = {
     CheckType.min: CheckMin,
     CheckType.not_empty: CheckNotEmpty,
     CheckType.not_empty_pct: CheckNotEmptyPct,
+    CheckType.drift: CheckDrift,
 }
 
 

@@ -1,0 +1,88 @@
+"""Drift check: Population Stability Index per group vs a baseline
+group — an engine extension past the reference's nine check types (its
+closest relative is the MAD anomaly window,
+/root/reference/weiser/checks/anomaly.py:85-96, which watches a scalar
+metric's history; drift watches a COLUMN DISTRIBUTION's shape across
+groups in one run).
+
+Config surface (see docs/CONFIG.md):
+
+    - name: value_drift
+      type: drift
+      dataset: events
+      measure: value            # numeric column (or category column)
+      dimensions: [event_type]  # the grouping column, one PSI per group
+      drift: {base: click, lo: 0.0, hi: 330.0, bins: 10}
+      condition: le
+      threshold: 0.25           # PSI < 0.1 stable / > 0.25 major drift
+
+``compute`` returns [(group, psi)] rows, so BaseCheck's grouped path
+emits one metric record per non-base group with the usual naming /
+condition / metric-store plumbing unchanged."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..exprs import eval_scalar, parse_expr
+from .base import BaseCheck, _collect_columns
+
+
+class CheckDrift(BaseCheck):
+    def _spec(self):
+        spec = self.check.drift
+        if spec is None:
+            raise ValueError("drift check requires a `drift:` config block")
+        if not self.check.dimensions:
+            raise ValueError("drift check requires dimensions=[group_col]")
+        if len(self.check.dimensions) != 1:
+            raise ValueError("drift check takes exactly one dimension (the group column)")
+        if self.check.time_dimension:
+            raise ValueError("drift check does not support time_dimension")
+        if spec.kind == "numeric" and (spec.lo is None or spec.hi is None):
+            raise ValueError("numeric drift requires lo/hi bin range")
+        return spec
+
+    def measure_sql(self) -> str:  # audit text only (cf. anomaly's)
+        return f"PSI({self.check.measure})"
+
+    def generated_sql(self, dataset: str) -> str:
+        spec = self._spec()
+        grp = self.check.dimensions[0]
+        return (
+            f"SELECT {grp}, PSI({self.check.measure}) AS psi FROM {dataset} "
+            f"GROUP BY {grp} /* vs base {spec.base!r}, "
+            f"{spec.kind}, bins={spec.bins}, alpha={spec.alpha} */"
+        )
+
+    def compute(self, dataset: str) -> list[tuple]:
+        from ..pipelines.drift import psi_categorical, psi_numeric
+
+        spec = self._spec()
+        grp = self.check.dimensions[0]
+        col = self.check.measure
+        filter_ast = parse_expr(self.check.filter) if self.check.filter else None
+        needed = {grp, col}
+        if filter_ast is not None:
+            _collect_columns(filter_ast, needed)
+        ds = self.catalog.dataset(dataset, columns=sorted(needed))
+        if filter_ast is not None:
+
+            def apply_filter(batch: pa.Table) -> pa.Table:
+                mask = eval_scalar(filter_ast, batch)
+                return batch.filter(mask)
+
+            ds = ds.map_batches(apply_filter, batch_format="pyarrow", zero_copy_batch=True)
+        if spec.kind == "categorical":
+            t = psi_categorical(ds, col, grp, base_cohort=spec.base, alpha=spec.alpha)
+        else:
+            t = psi_numeric(
+                ds, col, grp,
+                base_group=spec.base,
+                lo=float(spec.lo), hi=float(spec.hi),
+                bins=spec.bins, alpha=spec.alpha,
+            )
+        key = t.column_names[0]
+        return [
+            (k, v) for k, v in zip(t[key].to_pylist(), t["psi"].to_pylist())
+        ]

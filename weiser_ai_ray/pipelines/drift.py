@@ -1,0 +1,174 @@
+"""Distribution-drift checks: Population Stability Index (PSI) between
+group-wise value distributions.
+
+The reference's quality vocabulary stops at scalar aggregates plus the
+MAD anomaly window (`/root/reference/weiser/checks/anomaly.py:85-96`);
+the standard next question a data-quality run asks is *"did the SHAPE of
+this column move?"* — answered industry-wide with PSI
+(sum over bins of (p-q)*ln(p/q), the score banks use for model-input
+drift; PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 major drift).
+
+Determinism / oracle contract (hash-exact vs DuckDB):
+  - numeric binning is ``LEAST(GREATEST(FLOOR((x-lo)/w), 0), bins-1)``
+    with ``w = (hi-lo)/bins`` — pick lo/hi/bins so ``w`` is exact in
+    float64 for a bit-stable edge assignment;
+  - probabilities use additive smoothing ``(cnt + alpha) / (tot +
+    alpha*B)`` over the FULL fixed grid (empty bins included), so no
+    log(0) and both sides smooth identically;
+  - per-bin terms are rounded to 6 dp and summed as scaled int64
+    (order-independent — the same trick as score_bigram_lm), so the
+    final PSI is bit-identical regardless of reduce order.
+
+Scale: one streaming ``map_batches`` digest pass emits O(groups x bins)
+count rows per block; a tiny groupby-sum reduces them and the PSI math
+runs on the O(groups x bins) driver-side digest (the accepted O(groups)
+driver-state contract used throughout this engine). Values never
+shuffle; the input is consumed once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _digest_counts(
+    ds: "ray.data.Dataset", key_cols: list[str], partial
+) -> pa.Table:
+    """map_batches partial -> groupby-sum -> driver-side tiny table."""
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_cols)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+
+
+def _psi_from_counts(
+    grps: np.ndarray,
+    bins_: np.ndarray,
+    cnts: np.ndarray,
+    base: str,
+    n_bins: int,
+    alpha: float,
+) -> tuple[list[str], list[float]]:
+    """PSI per non-base group from a (group, bin, cnt) digest; empty
+    cells of the fixed grid count 0 (the smoothing grid is B cells per
+    group regardless of observation)."""
+    names = np.unique(grps)
+    grid = {}
+    for g in names:
+        row = np.zeros(n_bins, dtype=np.int64)
+        m = grps == g
+        row[bins_[m]] = cnts[m]
+        grid[g] = row
+    if base not in grid:
+        raise ValueError(f"base group {base!r} has no rows")
+    qc = grid[base]
+    q = (qc + alpha) / (qc.sum() + alpha * n_bins)
+    out_g: list[str] = []
+    out_p: list[float] = []
+    for g in names:
+        if g == base:
+            continue
+        pc_ = grid[g]
+        p = (pc_ + alpha) / (pc_.sum() + alpha * n_bins)
+        terms = np.round((p - q) * np.log(p / q) * 1e6).astype(np.int64)
+        out_g.append(str(g))
+        out_p.append(float(terms.sum()) / 1e6)
+    return out_g, out_p
+
+
+def psi_numeric(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    group_col: str,
+    base_group: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    alpha: float = 0.5,
+) -> pa.Table:
+    """PSI of ``value_col``'s binned distribution for every group vs
+    ``base_group``: rows ``(grp, psi)`` sorted by grp. Null values are
+    dropped (SQL twin: WHERE value IS NOT NULL)."""
+    w = (hi - lo) / bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[value_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        g = np.asarray(batch[group_col].to_numpy(zero_copy_only=False))
+        ok = ~np.isnan(v)
+        v, g = v[ok], g[ok]
+        b = np.clip(np.floor((v - lo) / w), 0, bins - 1).astype(np.int64)
+        names, codes = np.unique(g, return_inverse=True)
+        key = codes * bins + b
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "grp": pa.array(names[uk // bins].astype(str)),
+                "bin": pa.array(uk % bins, type=pa.int64()),
+                "cnt": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    t = _digest_counts(ds, ["grp", "bin"], partial)
+    grps = np.asarray(t["grp"].to_numpy(zero_copy_only=False)).astype(str)
+    bins_ = np.asarray(t["bin"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    cnts = np.asarray(t["cnt"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    gs, ps = _psi_from_counts(grps, bins_, cnts, base_group, bins, alpha)
+    order = np.argsort(np.asarray(gs))
+    return pa.table(
+        {
+            "grp": pa.array([gs[i] for i in order], type=pa.string()),
+            "psi": pa.array([ps[i] for i in order], type=pa.float64()),
+        }
+    )
+
+
+def psi_categorical(
+    ds: "ray.data.Dataset",
+    cat_col: str,
+    cohort_col: str,
+    base_cohort,
+    alpha: float = 0.5,
+) -> pa.Table:
+    """PSI of ``cat_col``'s category distribution for every cohort vs
+    ``base_cohort``. The smoothing grid is the union of categories
+    observed in ANY cohort (both sides enumerate the same K), nulls in
+    ``cat_col`` dropped. Rows ``(cohort, psi)`` sorted by cohort."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch[cat_col].to_numpy(zero_copy_only=False))
+        h = np.asarray(batch[cohort_col].to_numpy(zero_copy_only=False))
+        ok = np.array([x is not None for x in c], dtype=bool)
+        c, h = c[ok], h[ok]
+        cats, ci = np.unique(c.astype(str), return_inverse=True)
+        hs, hi_ = np.unique(h.astype(str), return_inverse=True)
+        key = hi_ * len(cats) + ci
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "cohort": pa.array(hs[uk // len(cats)].astype(str)),
+                "cat": pa.array(cats[uk % len(cats)].astype(str)),
+                "cnt": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    t = _digest_counts(ds, ["cohort", "cat"], partial)
+    coh = np.asarray(t["cohort"].to_numpy(zero_copy_only=False)).astype(str)
+    cat = np.asarray(t["cat"].to_numpy(zero_copy_only=False)).astype(str)
+    cnt = np.asarray(t["cnt"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    cats = np.unique(cat)
+    cat_idx = {c: i for i, c in enumerate(cats)}
+    ci = np.array([cat_idx[c] for c in cat], dtype=np.int64)
+    gs, ps = _psi_from_counts(coh, ci, cnt, str(base_cohort), len(cats), alpha)
+    order = np.argsort(np.asarray(gs))
+    return pa.table(
+        {
+            "cohort": pa.array([gs[i] for i in order], type=pa.string()),
+            "psi": pa.array([ps[i] for i in order], type=pa.float64()),
+        }
+    )
