@@ -3504,6 +3504,26 @@ def q_drift_psi_event_mix(sf_dir: str) -> pa.Table:
     return psi_categorical(ds, "event_type", "cohort", base_cohort="0")
 
 
+def q_dsir_scores(sf_dir: str) -> pa.Table:
+    """DSIR importance scores (hashed-unigram log-likelihood ratio) of
+    every document vs the lang='en' target slice: the data-selection
+    scorer for steering a crawl toward an in-domain mix."""
+    from weiser_ai_ray.pipelines.dsir import dsir_scores
+
+    ds = __rps(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+        cache=True,
+    )
+    df = (
+        dsir_scores(ds, "text", "doc_id", "lang", "en", n_buckets=1024)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # ----------------------------------------------------------------------
 # driver entry points
 
@@ -3585,6 +3605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_semdedup_pairs_docs": q_text_semdedup_pairs,
         "drift_psi_value_events": q_drift_psi_value,
         "drift_psi_event_mix": q_drift_psi_event_mix,
+        "dsir_scores_docs": q_dsir_scores,
         # -- already driver-green in r01-r03 artifacts (105) --
         "props_k_stats_by_type": q_props_k_stats_by_type,
         "sessionize_events": q_sessionize_events,
@@ -5202,6 +5223,27 @@ def oracle_sql() -> dict[str, str]:
             "  FROM p JOIN base USING (cat) WHERE p.cohort <> '0')"
             " SELECT cohort, CAST(SUM(t) AS DOUBLE) / 1000000.0 AS psi"
             " FROM terms GROUP BY cohort ORDER BY cohort"
+        ),
+        # DSIR scores vs the lang='en' target slice: md5 word buckets
+        # (B=1024), +0.5 smoothing, per-bucket log-ratio ROUND(...,6)
+        # scaled to int64 before the per-doc mean — mirrors dsir.py
+        "dsir_scores_docs": (
+            "WITH toks AS (SELECT doc_id, lang,"
+            "  unnest(list_filter(regexp_split_to_array(coalesce(text,''),'\\s+'),"
+            "   x->x!='')) AS w FROM documents),"
+            " b AS (SELECT doc_id, lang,"
+            "  ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS bkt FROM toks),"
+            " raw AS (SELECT bkt, count(*)::BIGINT c FROM b GROUP BY 1),"
+            " tgt AS (SELECT bkt, count(*)::BIGINT c FROM b WHERE lang = 'en' GROUP BY 1),"
+            " tots AS (SELECT (SELECT sum(c) FROM raw) AS rt,"
+            "  coalesce((SELECT sum(c) FROM tgt), 0) AS tt),"
+            " lut AS (SELECT raw.bkt,"
+            "  CAST(ROUND(ln(((coalesce(tgt.c, 0) + 0.5) * (tots.rt + 512.0))"
+            "   / ((raw.c + 0.5) * (tots.tt + 512.0))) * 1000000.0) AS BIGINT) AS lr"
+            "  FROM raw LEFT JOIN tgt USING (bkt) CROSS JOIN tots)"
+            " SELECT b.doc_id, count(*)::BIGINT AS n_tokens,"
+            "  CAST(SUM(lut.lr) AS DOUBLE) / count(*) / 1000000.0 AS dsir_score"
+            " FROM b JOIN lut USING (bkt) GROUP BY b.doc_id ORDER BY b.doc_id"
         ),
         # lsh_topk, langid_documents, minhash/simhash dedup and the
         # corpus quality pipeline are intentionally omitted:

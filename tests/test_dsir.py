@@ -1,0 +1,126 @@
+"""DSIR importance scoring (pipelines/dsir.py): brute-force hashlib
+parity, target-slice semantics, empty/null text handling, and
+block-layout invariance."""
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from weiser_ai_ray.pipelines.dsir import dsir_scores
+
+B = 64
+
+
+def brute_scores(rows, target_lang, alpha=0.5, n_buckets=B):
+    def bkt(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % n_buckets
+
+    raw = np.zeros(n_buckets, dtype=np.int64)
+    tgt = np.zeros(n_buckets, dtype=np.int64)
+    toks = {}
+    for doc_id, text, lang in rows:
+        ws = (text or "").split()
+        toks[doc_id] = ws
+        for w in ws:
+            raw[bkt(w)] += 1
+            if lang == target_lang:
+                tgt[bkt(w)] += 1
+    rt, tt = raw.sum(), tgt.sum()
+    lut = {
+        b: int(
+            round(
+                math.log(
+                    ((tgt[b] + alpha) * (rt + alpha * n_buckets))
+                    / ((raw[b] + alpha) * (tt + alpha * n_buckets))
+                )
+                * 1e6
+            )
+        )
+        for b in range(n_buckets)
+    }
+    out = {}
+    for doc_id, ws in toks.items():
+        if not ws:
+            continue
+        s = sum(lut[bkt(w)] for w in ws)
+        out[doc_id] = (len(ws), s / len(ws) / 1e6)
+    return out
+
+
+ROWS = [
+    (1, "the quick brown fox", "en"),
+    (2, "le renard brun rapide", "fr"),
+    (3, "the fox the fox the", "en"),
+    (4, "renard le renard", "fr"),
+    (5, "quick brown quick renard", "de"),
+    (6, "", "en"),
+    (7, None, "fr"),
+    (8, "   ", "en"),
+]
+
+
+def make_ds(rows, blocks=3):
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows], type=pa.string()),
+            "lang": pa.array([r[2] for r in rows], type=pa.string()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+class TestDsirScores:
+    def test_brute_force_parity(self, ray_session):
+        got = (
+            dsir_scores(make_ds(ROWS), "text", "doc_id", "lang", "en", n_buckets=B)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        want = brute_scores(ROWS, "en")
+        assert sorted(got.index) == sorted(want)
+        for d, (n, s) in want.items():
+            assert got.loc[d, "n_tokens"] == n
+            assert got.loc[d, "dsir_score"] == pytest.approx(s, abs=0)
+
+    def test_target_docs_score_higher(self, ray_session):
+        got = (
+            dsir_scores(make_ds(ROWS), "text", "doc_id", "lang", "en", n_buckets=B)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        # pure-english docs beat pure-french docs under the en target
+        assert got.loc[1, "dsir_score"] > got.loc[2, "dsir_score"]
+        assert got.loc[3, "dsir_score"] > got.loc[4, "dsir_score"]
+
+    def test_empty_and_null_text_emit_no_rows(self, ray_session):
+        got = dsir_scores(
+            make_ds(ROWS), "text", "doc_id", "lang", "en", n_buckets=B
+        ).to_pandas()
+        assert not set(got["doc_id"]) & {6, 7, 8}
+
+    def test_block_layout_invariant(self, ray_session):
+        outs = []
+        for blocks in (1, 5):
+            df = (
+                dsir_scores(
+                    make_ds(ROWS, blocks), "text", "doc_id", "lang", "en", n_buckets=B
+                )
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            outs.append(df)
+        assert outs[0].equals(outs[1])
+
+    def test_no_target_rows_still_defined(self, ray_session):
+        # smoothing keeps every bucket ratio finite when tgt is empty
+        got = dsir_scores(
+            make_ds(ROWS), "text", "doc_id", "lang", "zz", n_buckets=B
+        ).to_pandas()
+        assert len(got) == 5 and np.isfinite(got["dsir_score"]).all()

@@ -1,0 +1,148 @@
+"""DSIR — Data Selection with Importance Resampling (Xie et al.,
+NeurIPS 2023): score every corpus document by how much its hashed
+word-bucket distribution looks like a TARGET slice of the corpus
+relative to the corpus overall, the standard recipe for steering a raw
+crawl toward a high-quality / in-domain mix.
+
+Feature space: words (the engine's ``\\s+`` tokenizer) hashed into
+``n_buckets`` md5 buckets — ``int(md5(word).hexdigest()[:8], 16) %
+n_buckets``, the same md5 hex line every sampler in this engine lives
+on (SQL twin: ``('0x' || substr(md5(w), 1, 8))::BIGINT % B``). The
+per-doc score is the mean over token instances of the smoothed
+log-likelihood ratio
+
+    lr[b] = ln( ((tgt[b]+a) * (raw_tot + a*B)) /
+                ((raw[b]+a) * (tgt_tot + a*B)) )
+
+rounded to 6 dp per bucket and summed as scaled int64 (the engine's
+reduce-order-independent exactness trick), so the score is bit-identical
+to the DuckDB oracle.
+
+Scale shape: pass 1 streams the corpus once and emits O(B) count-digest
+rows per block (tokens never shuffle; one tiny groupby reduces 2xB
+counters); the lr lookup table is O(B) driver state broadcast via
+ray.put; pass 2 streams the corpus again scoring each doc locally.
+Exactness of the float path: each (cnt+a)*(tot+a*B) product stays below
+2^53 for corpora up to ~10^15 token instances, so both sides compute the
+same correctly-rounded float64 before the single ln.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from .md5np import digest_u32, md5_digest_packed
+from .repetition import _joined_tokens
+
+
+def _bucket_counts(
+    batch: pa.Table, text_col: str, mask: np.ndarray, n_buckets: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(tgt_counts[B], raw_counts[B]) for one batch; ``mask`` flags the
+    target rows."""
+    row_ids, starts, lens, data = _joined_tokens(batch[text_col])
+    raw = np.zeros(n_buckets, dtype=np.int64)
+    tgt = np.zeros(n_buckets, dtype=np.int64)
+    if len(row_ids):
+        b = (digest_u32(md5_digest_packed(data, starts, lens)) % n_buckets).astype(
+            np.int64
+        )
+        raw += np.bincount(b, minlength=n_buckets)
+        tm = mask[row_ids]
+        if tm.any():
+            tgt += np.bincount(b[tm], minlength=n_buckets)
+    return tgt, raw
+
+
+def dsir_scores(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    target_col: str,
+    target_value,
+    n_buckets: int = 1024,
+    alpha: float = 0.5,
+) -> "ray.data.Dataset":
+    """Per-doc DSIR importance score vs the ``target_col ==
+    target_value`` slice: rows ``(id, n_tokens, dsir_score)`` for every
+    doc with >= 1 token (docs whose text is null/empty have no token
+    instances to average, matching the SQL GROUP BY over instances).
+
+    ``ds`` is consumed twice (pass a cached/re-readable dataset)."""
+    B = n_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = np.asarray(
+            pc.equal(batch[target_col], target_value).to_numpy(zero_copy_only=False)
+        )
+        mask = np.where(mask == None, False, mask).astype(bool)  # noqa: E711
+        tgt, raw = _bucket_counts(batch, text_col, mask, B)
+        nz = np.flatnonzero(raw)
+        return pa.table(
+            {
+                "bkt": pa.array(nz, type=pa.int64()),
+                "tgt": pa.array(tgt[nz], type=pa.int64()),
+                "raw": pa.array(raw[nz], type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    digest = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .aggregate(Sum("tgt", alias_name="tgt"), Sum("raw", alias_name="raw"))
+        .to_pandas()
+    )
+    tgt = np.zeros(B, dtype=np.int64)
+    raw = np.zeros(B, dtype=np.int64)
+    bk = digest["bkt"].to_numpy()
+    tgt[bk] = digest["tgt"].to_numpy()
+    raw[bk] = digest["raw"].to_numpy()
+    tgt_tot, raw_tot = int(tgt.sum()), int(raw.sum())
+    # 6-dp scaled-int log-ratio LUT; exact float64 products (see module
+    # docstring), one ln, one round — mirrored verbatim by the oracle
+    lr = np.round(
+        np.log(
+            ((tgt + alpha) * (raw_tot + alpha * B))
+            / ((raw + alpha) * (tgt_tot + alpha * B))
+        )
+        * 1e6
+    ).astype(np.int64)
+    lr_ref = ray.put(lr)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lr_ref)
+        row_ids, starts, lens, data = _joined_tokens(batch[text_col])
+        ids = batch[id_col]
+        if not len(row_ids):
+            return pa.table(
+                {
+                    id_col: pa.array([], type=ids.type),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "dsir_score": pa.array([], type=pa.float64()),
+                }
+            )
+        b = (digest_u32(md5_digest_packed(data, starts, lens)) % B).astype(np.int64)
+        terms = lut[b]
+        # row_ids are sorted (token order); reduceat per present doc
+        bounds = np.flatnonzero(np.diff(row_ids, prepend=-1))
+        docs = row_ids[bounds]
+        sums = np.add.reduceat(terms, bounds)
+        cnts = np.add.reduceat(np.ones_like(terms), bounds)
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(docs)),
+                "n_tokens": pa.array(cnts, type=pa.int64()),
+                "dsir_score": pa.array(
+                    sums.astype(np.float64) / cnts / 1e6, type=pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
