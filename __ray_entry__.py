@@ -3524,6 +3524,36 @@ def q_dsir_scores(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_fuzzy_pairs(sf_dir: str) -> pa.Table:
+    """Blocked fuzzy join: within-lang doc pairs whose 16-char text
+    prefixes are within edit distance 4 (the fuzzy-match operator;
+    blocking predicate identical on both sides by contract)."""
+    import pyarrow.compute as pc
+
+    from weiser_ai_ray.pipelines.fuzzy import fuzzy_pairs
+
+    ds = __rps(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+
+    def prefix(batch: pa.Table) -> pa.Table:
+        p = pc.utf8_slice_codeunits(
+            pc.coalesce(batch["text"], pa.scalar("", type=pa.string())), 0, 16
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "p": p, "lang": batch["lang"]}
+        )
+
+    ds = ds.map_batches(prefix, batch_format="pyarrow", zero_copy_batch=True)
+    df = (
+        fuzzy_pairs(ds, "doc_id", "p", "lang", max_dist=4)
+        .to_pandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # ----------------------------------------------------------------------
 # driver entry points
 
@@ -3606,6 +3636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_psi_value_events": q_drift_psi_value,
         "drift_psi_event_mix": q_drift_psi_event_mix,
         "dsir_scores_docs": q_dsir_scores,
+        "fuzzy_pairs_docs": q_fuzzy_pairs,
         # -- already driver-green in r01-r03 artifacts (105) --
         "props_k_stats_by_type": q_props_k_stats_by_type,
         "sessionize_events": q_sessionize_events,
@@ -5244,6 +5275,16 @@ def oracle_sql() -> dict[str, str]:
             " SELECT b.doc_id, count(*)::BIGINT AS n_tokens,"
             "  CAST(SUM(lut.lr) AS DOUBLE) / count(*) / 1000000.0 AS dsir_score"
             " FROM b JOIN lut USING (bkt) GROUP BY b.doc_id ORDER BY b.doc_id"
+        ),
+        # blocked fuzzy join: same blocking predicate (equal lang) on
+        # both sides; ASCII fixture so byte distance == char distance
+        "fuzzy_pairs_docs": (
+            "WITH s AS (SELECT doc_id, lang,"
+            "  substr(coalesce(text, ''), 1, 16) AS p FROM documents)"
+            " SELECT a.doc_id AS a_id, b.doc_id AS b_id,"
+            "  CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist"
+            " FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id"
+            " WHERE levenshtein(a.p, b.p) <= 4 ORDER BY a_id, b_id"
         ),
         # lsh_topk, langid_documents, minhash/simhash dedup and the
         # corpus quality pipeline are intentionally omitted:

@@ -1,0 +1,109 @@
+"""Blocked fuzzy join (pipelines/fuzzy.py): pair-vectorized Levenshtein
+DP vs a scalar reference implementation, blocking semantics, null and
+unicode handling, slab boundaries."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from weiser_ai_ray.pipelines.fuzzy import _lev_pairs, _padded_bytes, fuzzy_pairs
+
+
+def lev_ref(a: bytes, b: bytes) -> int:
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[n]
+
+
+class TestLevKernel:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_random_parity_with_scalar_dp(self, seed):
+        rng = np.random.RandomState(seed)
+        words = [
+            bytes(rng.choice(list(b"abcde"), rng.randint(0, 12)).tolist())
+            for _ in range(40)
+        ]
+        col = pa.array([w.decode() for w in words])
+        M, lens = _padded_bytes(col)
+        ii, jj = np.triu_indices(len(words), k=1)
+        got = _lev_pairs(M, lens, ii, jj)
+        for k in range(len(ii)):
+            assert got[k] == lev_ref(words[ii[k]], words[jj[k]]), (
+                words[ii[k]], words[jj[k]])
+
+    def test_classic_cases(self):
+        col = pa.array(["kitten", "sitting", "", "flaw", "lawn"])
+        M, lens = _padded_bytes(col)
+        d = _lev_pairs(M, lens, np.array([0, 0, 3]), np.array([1, 2, 4]))
+        assert list(d) == [3, 6, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFuzzyPairs:
+    def make_ds(self, rows, blocks=3):
+        t = pa.table(
+            {
+                "id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "s": pa.array([r[1] for r in rows], type=pa.string()),
+                "blk": pa.array([r[2] for r in rows], type=pa.string()),
+            }
+        )
+        return ray.data.from_arrow(t).repartition(blocks)
+
+    def test_within_block_only(self):
+        rows = [
+            (1, "hello", "a"),
+            (2, "hallo", "a"),
+            (3, "hello", "b"),  # identical to 1 but other block: no pair
+            (4, "xyzzy", "a"),
+        ]
+        got = (
+            fuzzy_pairs(self.make_ds(rows), "id", "s", "blk", max_dist=2)
+            .to_pandas()
+            .sort_values(["a_id", "b_id"])
+        )
+        assert got[["a_id", "b_id"]].values.tolist() == [[1, 2]]
+        assert got["dist"].tolist() == [1]
+
+    def test_matches_brute_force(self):
+        rng = np.random.RandomState(5)
+        vocab = ["spark", "spank", "spawn", "shark", "sharp", "quartz", "quart"]
+        rows = [
+            (i, vocab[rng.randint(len(vocab))] + ("x" * rng.randint(0, 3)), "g")
+            for i in range(60)
+        ]
+        got = (
+            fuzzy_pairs(self.make_ds(rows, blocks=4), "id", "s", "blk", max_dist=2)
+            .to_pandas()
+            .sort_values(["a_id", "b_id"])
+            .reset_index(drop=True)
+        )
+        want = []
+        for i in range(60):
+            for j in range(i + 1, 60):
+                d = lev_ref(rows[i][1].encode(), rows[j][1].encode())
+                if d <= 2:
+                    want.append((i, j, d))
+        assert list(map(tuple, got.values.tolist())) == want
+
+    def test_null_is_empty_string(self):
+        rows = [(1, None, "a"), (2, "ab", "a"), (3, None, "a")]
+        got = (
+            fuzzy_pairs(self.make_ds(rows, 1), "id", "s", "blk", max_dist=2)
+            .to_pandas()
+            .sort_values(["a_id", "b_id"])
+        )
+        # null~null dist 0; null~"ab" dist 2
+        assert got[["a_id", "b_id", "dist"]].values.tolist() == [
+            [1, 2, 2], [1, 3, 0], [2, 3, 2]]
+
+    def test_length_prune_never_drops_true_pairs(self):
+        rows = [(1, "abcdefgh", "a"), (2, "abc", "a"), (3, "abcdefg", "a")]
+        got = fuzzy_pairs(self.make_ds(rows, 1), "id", "s", "blk", max_dist=1).to_pandas()
+        assert got[["a_id", "b_id"]].values.tolist() == [[1, 3]]
