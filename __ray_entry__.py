@@ -3554,6 +3554,29 @@ def q_fuzzy_pairs(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_ccnet_buckets(sf_dir: str) -> pa.Table:
+    """CCNet-style chain: self-trained bigram LM -> per-doc score ->
+    per-LANGUAGE head/middle/tail perplexity tertiles (the quality
+    stratification CCNet uses to pick its training mix)."""
+    from weiser_ai_ray.pipelines.ccnet import ccnet_buckets
+
+    ds = __rps(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+        cache=True,
+    )
+    df = (
+        ccnet_buckets(ds, min_count=2, floor_logp=-20.0, tiles=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(
+        df[["doc_id", "lang", "n_bigrams", "avg_logp", "bucket"]],
+        preserve_index=False,
+    )
+
+
 # ----------------------------------------------------------------------
 # driver entry points
 
@@ -3637,6 +3660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_psi_event_mix": q_drift_psi_event_mix,
         "dsir_scores_docs": q_dsir_scores,
         "fuzzy_pairs_docs": q_fuzzy_pairs,
+        "ccnet_buckets_docs": q_ccnet_buckets,
         # -- already driver-green in r01-r03 artifacts (105) --
         "props_k_stats_by_type": q_props_k_stats_by_type,
         "sessionize_events": q_sessionize_events,
@@ -5275,6 +5299,34 @@ def oracle_sql() -> dict[str, str]:
             " SELECT b.doc_id, count(*)::BIGINT AS n_tokens,"
             "  CAST(SUM(lut.lr) AS DOUBLE) / count(*) / 1000000.0 AS dsir_score"
             " FROM b JOIN lut USING (bkt) GROUP BY b.doc_id ORDER BY b.doc_id"
+        ),
+        # CCNet chain: score_bigram_lm's exact SQL twin feeding a
+        # per-language ntile(3) (ORDER BY avg_logp DESC, doc_id)
+        "ccnet_buckets_docs": (
+            "WITH toks AS (SELECT doc_id,"
+            " list_filter(regexp_split_to_array(coalesce(text,''),'\\s+'), x->x!='') w"
+            " FROM documents),"
+            " g AS (SELECT doc_id,"
+            "  unnest(CASE WHEN len(w)>=2 THEN"
+            "   list_transform(generate_series(1,len(w)-1), i->w[i]) ELSE [] END) w1,"
+            "  unnest(CASE WHEN len(w)>=2 THEN"
+            "   list_transform(generate_series(1,len(w)-1), i->w[i+1]) ELSE [] END) w2"
+            "  FROM toks),"
+            " c2 AS (SELECT w1, w2, count(*)::BIGINT cnt FROM g GROUP BY 1, 2),"
+            " c1 AS (SELECT w1, sum(cnt) tot FROM c2 GROUP BY 1),"
+            " lm AS (SELECT c2.w1, c2.w2, ROUND(ln(c2.cnt / c1.tot), 6) logp"
+            "  FROM c2 JOIN c1 USING (w1) WHERE c2.cnt >= 2),"
+            " sc AS (SELECT g.doc_id, count(*)::BIGINT AS n_bigrams,"
+            "  CAST(SUM(CAST(ROUND(coalesce(lm.logp, -20.0) * 1000000.0) AS BIGINT))"
+            "   AS DOUBLE) / count(*) / 1000000.0 AS avg_logp"
+            "  FROM g LEFT JOIN lm ON g.w1 = lm.w1 AND g.w2 = lm.w2"
+            "  GROUP BY g.doc_id),"
+            " j AS (SELECT sc.doc_id, d.lang, sc.n_bigrams, sc.avg_logp"
+            "  FROM sc JOIN documents d USING (doc_id) WHERE d.lang IS NOT NULL)"
+            " SELECT doc_id, lang, n_bigrams, avg_logp,"
+            "  CASE ntile(3) OVER (PARTITION BY lang ORDER BY avg_logp DESC, doc_id)"
+            "   WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket"
+            " FROM j ORDER BY doc_id"
         ),
         # blocked fuzzy join: same blocking predicate (equal lang) on
         # both sides; ASCII fixture so byte distance == char distance

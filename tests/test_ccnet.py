@@ -1,0 +1,96 @@
+"""CCNet-style per-language perplexity tertiles (pipelines/ccnet.py):
+bucket sizing and ordering vs a pandas window reference, null-lang
+drops, and the score passthrough plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from weiser_ai_ray.pipelines.ccnet import ccnet_buckets
+
+
+def make_corpus(seed=0, n=60):
+    rng = np.random.RandomState(seed)
+    common = ["the cat sat on the mat", "a dog ate a bone on a rug"]
+    rows = []
+    for i in range(n):
+        lang = ["en", "fr", "de"][i % 3]
+        base = common[i % 2]
+        words = base.split() * (1 + i % 3)
+        rng.shuffle(words)
+        # salt some docs with rare words -> unseen bigrams -> low score
+        if i % 5 == 0:
+            words += [f"zzz{i}", f"qqq{i}"]
+        rows.append((i, " ".join(words), lang))
+    rows.append((n, "one two three", None))  # null lang
+    rows.append((n + 1, "solo", "en"))  # 1 token: no bigram, no row
+    return rows
+
+
+def pandas_buckets(df, tiles=3):
+    out = []
+    for lang, g in df.groupby("lang"):
+        g = g.sort_values(["avg_logp", "doc_id"], ascending=[False, True])
+        n = len(g)
+        small, big = n // tiles, n % tiles
+        sizes = [small + 1] * big + [small] * (tiles - big)
+        labels = []
+        for t, s in enumerate(sizes, 1):
+            labels += [t] * s
+        g = g.assign(tile=labels[:n])
+        out.append(g)
+    return pd.concat(out)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCcnetBuckets:
+    def run(self, rows, **kw):
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows], type=pa.string()),
+                "lang": pa.array([r[2] for r in rows], type=pa.string()),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(4)
+        return (
+            ccnet_buckets(ds, **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    def test_matches_pandas_window_reference(self):
+        rows = make_corpus()
+        got = self.run(rows)
+        ref = pandas_buckets(got[["doc_id", "lang", "avg_logp"]])
+        label = {1: "head", 2: "middle", 3: "tail"}
+        want = {r.doc_id: label[r.tile] for r in ref.itertuples()}
+        assert dict(zip(got["doc_id"], got["bucket"])) == want
+
+    def test_null_lang_and_no_bigram_docs_drop(self):
+        rows = make_corpus(n=30)
+        got = self.run(rows)
+        assert 30 not in set(got["doc_id"])  # null lang
+        assert 31 not in set(got["doc_id"])  # single token
+
+    def test_head_scores_dominate_tail_within_lang(self):
+        got = self.run(make_corpus(seed=2))
+        for lang, g in got.groupby("lang"):
+            heads = g[g["bucket"] == "head"]["avg_logp"]
+            tails = g[g["bucket"] == "tail"]["avg_logp"]
+            if len(heads) and len(tails):
+                assert heads.min() >= tails.max()
+
+    def test_tile_sizes_sql_rule(self):
+        got = self.run(make_corpus(seed=3))
+        for lang, g in got.groupby("lang"):
+            n = len(g)
+            sizes = g["bucket"].value_counts()
+            small, big = n // 3, n % 3
+            want = sorted(
+                [small + 1] * big + [small] * (3 - big), reverse=True
+            )
+            assert sorted(sizes.values, reverse=True) == [s for s in want if s > 0]

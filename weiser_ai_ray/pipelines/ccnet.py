@@ -1,0 +1,101 @@
+"""CCNet-style per-language perplexity bucketing (Wenzek et al., LREC
+2020): score every document with a language model, then split EACH
+language's documents into head / middle / tail perplexity tertiles —
+the standard quality-stratification step before choosing a training
+mix (CCNet keeps head+middle, tail is the low-quality third).
+
+This engine's realization chains operators it already owns:
+``train_bigram_lm`` -> ``score_bigram_lm`` (a self-trained MLE bigram
+LM standing in for CCNet's KenLM; higher avg logp == head) ->
+``grouped_ntile`` per-language tertiles. The scoring pass carries
+``lang`` through as a map-only passthrough column (zero extra shuffle);
+the chain's shuffles are grouped_ntile's coarse group-hash-bucket
+exchange of (lang_code, score, id) digest rows and one digest x digest
+hash join to reattach scores — text never moves. Distinct languages are
+collected once (O(langs) driver state, the engine's accepted small-side
+contract; a hash code would risk silently MERGING two languages' tile
+partitions on collision, which unlike a mis-scored gram is a wrong
+answer, so the exact dictionary is the right trade)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def ccnet_buckets(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    min_count: int = 2,
+    floor_logp: float = -20.0,
+    tiles: int = 3,
+) -> "ray.data.Dataset":
+    """(id, lang, n_bigrams, avg_logp, bucket) for every doc with >= 1
+    bigram: bucket = head for the top within-language score tertile
+    (ntile ORDER BY avg_logp DESC, id — SQL sizing, first n%k tiles get
+    the extra row), tail for the bottom. Null-lang docs drop (no
+    language to bucket within)."""
+    from .repetition import score_bigram_lm, train_bigram_lm
+    from .windows import grouped_ntile
+
+    lm = train_bigram_lm(ds, text_col=text_col, min_count=min_count)
+    scored = score_bigram_lm(
+        ds, lm,
+        text_col=text_col, id_col=id_col,
+        floor_logp=floor_logp,
+        passthrough_cols=[lang_col],
+    ).materialize()  # narrow digest (id, n, logp, lang); consumed 3x
+
+    langs = sorted(x for x in scored.unique(lang_col) if x is not None)
+    code = {l: i for i, l in enumerate(langs)}
+
+    def encode(batch: pa.Table) -> pa.Table:
+        lv = batch[lang_col].to_numpy(zero_copy_only=False)
+        keep = np.array([x is not None for x in lv], dtype=bool)
+        b = batch.filter(pa.array(keep))
+        codes = np.fromiter(
+            (code[x] for x in lv[keep]), dtype=np.int64, count=int(keep.sum())
+        )
+        neg = -np.asarray(b["avg_logp"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "lang_code": pa.array(codes, type=pa.int64()),
+                "neg_logp": pa.array(neg, type=pa.float64()),
+            }
+        )
+
+    enc = scored.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+    tiled = grouped_ntile(enc, "lang_code", "neg_logp", id_col, tiles, out_col="tile")
+
+    try:
+        ncpu = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:  # pragma: no cover
+        ncpu = 8
+    joined = tiled.select_columns([id_col, "tile"]).join(
+        scored,
+        join_type="inner",
+        num_partitions=ncpu,
+        on=(id_col,),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = np.asarray(batch["tile"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        bucket = np.full(len(t), "middle", dtype=object)
+        bucket[t == 1] = "head"
+        bucket[t >= tiles] = "tail"
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                lang_col: batch[lang_col],
+                "n_bigrams": batch["n_bigrams"],
+                "avg_logp": batch["avg_logp"],
+                "bucket": pa.array(bucket, type=pa.string()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -757,6 +757,7 @@ def score_bigram_lm(
     text_col: str = "text",
     id_col: str = "doc_id",
     floor_logp: float = -20.0,
+    passthrough_cols: list[str] | None = None,
 ) -> "ray.data.Dataset":
     """Score every document against a (w1, w2, logp) bigram LM —
     typically the output of ``train_bigram_lm`` on the SAME corpus,
@@ -802,6 +803,8 @@ def score_bigram_lm(
     line_ref = _ray.put((h[order], np.rint(lp[order] * 1e6)))
     floor_micro = float(np.rint(floor_logp * 1e6))
 
+    extra = list(passthrough_cols or [])
+
     def score(batch: pa.Table) -> pa.Table:
         hs, ls_micro = _ray.get(line_ref)
         empty = pa.table(
@@ -809,6 +812,7 @@ def score_bigram_lm(
                 id_col: pa.array([], pa.int64()),
                 "n_bigrams": pa.array([], pa.int64()),
                 "avg_logp": pa.array([], pa.float64()),
+                **{c: pa.array([], batch[c].type) for c in extra},
             }
         )
         # zero-object-string scoring: joined token buffer, one
@@ -836,6 +840,7 @@ def score_bigram_lm(
         tot = np.bincount(wrow, weights=g_logp, minlength=n)
         keep = cnt > 0
         ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        keep_arr = pa.array(np.flatnonzero(keep))
         return pa.table(
             {
                 id_col: pa.array(ids[keep], type=pa.int64()),
@@ -843,10 +848,13 @@ def score_bigram_lm(
                 "avg_logp": pa.array(
                     tot[keep] / cnt[keep] / 1e6, type=pa.float64()
                 ),
+                # map-only passthrough (e.g. lang for the CCNet-style
+                # per-lang bucketing chain) — costs zero shuffle
+                **{c: batch[c].take(keep_arr) for c in extra},
             }
         )
 
-    return ds.select_columns([id_col, text_col]).map_batches(
+    return ds.select_columns([id_col, text_col] + extra).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
