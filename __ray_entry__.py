@@ -3577,6 +3577,50 @@ def q_ccnet_buckets(sf_dir: str) -> pa.Table:
     )
 
 
+_LIC_HEADERS = [
+    "// Permission is hereby granted, free of charge, to any person.\n",
+    "// Licensed under the Apache License, Version 2.0 (the License).\n",
+    "// This program is free software: GNU General Public License v3.\n",
+    "// Redistribution and use in source and binary forms is permitted.\n",
+    "// This Source Code Form is subject to the Mozilla Public License.\n",
+    "",  # no license header
+]
+
+
+def _plant_license(batch: pa.Table) -> pa.Table:
+    """Prepend a doc_id-derived license header (or none) — the fixture
+    corpus has no license text, so both sides plant the same
+    deterministic boilerplate (same trick as scrub_documents' PII)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    hdr = pa.array(
+        np.asarray(_LIC_HEADERS, dtype=object)[ids % 6], type=pa.string()
+    )
+    text = pc.binary_join_element_wise(
+        hdr, pc.coalesce(batch["text"], pa.scalar("", type=pa.string())), ""
+    )
+    return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+
+def q_license_counts(sf_dir: str) -> pa.Table:
+    """License detection over planted headers: per-doc license id from
+    marker phrases in the file head, rolled up to the corpus license
+    profile (the compliance gate every code corpus starts with)."""
+    from weiser_ai_ray.stages.license import detect_licenses
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    planted = ds.map_batches(_plant_license, batch_format="pyarrow", zero_copy_batch=True)
+    df = (
+        detect_licenses(planted)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # ----------------------------------------------------------------------
 # driver entry points
 
@@ -3661,6 +3705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_scores_docs": q_dsir_scores,
         "fuzzy_pairs_docs": q_fuzzy_pairs,
         "ccnet_buckets_docs": q_ccnet_buckets,
+        "license_detect_docs": q_license_counts,
         # -- already driver-green in r01-r03 artifacts (105) --
         "props_k_stats_by_type": q_props_k_stats_by_type,
         "sessionize_events": q_sessionize_events,
@@ -5299,6 +5344,29 @@ def oracle_sql() -> dict[str, str]:
             " SELECT b.doc_id, count(*)::BIGINT AS n_tokens,"
             "  CAST(SUM(lut.lr) AS DOUBLE) / count(*) / 1000000.0 AS dsir_score"
             " FROM b JOIN lut USING (bkt) GROUP BY b.doc_id ORDER BY b.doc_id"
+        ),
+        # license detection over the SAME planted headers (doc_id % 6
+        # picks one of five license boilerplates or none); priority
+        # CASE chain == the engine's first-match marker order
+        "license_detect_docs": (
+            "WITH planted AS (SELECT doc_id,"
+            " CASE doc_id % 6"
+            "  WHEN 0 THEN '// Permission is hereby granted, free of charge, to any person.' || chr(10)"
+            "  WHEN 1 THEN '// Licensed under the Apache License, Version 2.0 (the License).' || chr(10)"
+            "  WHEN 2 THEN '// This program is free software: GNU General Public License v3.' || chr(10)"
+            "  WHEN 3 THEN '// Redistribution and use in source and binary forms is permitted.' || chr(10)"
+            "  WHEN 4 THEN '// This Source Code Form is subject to the Mozilla Public License.' || chr(10)"
+            "  ELSE '' END || coalesce(text, '') AS t FROM documents),"
+            " h AS (SELECT doc_id, substr(t, 1, 2048) AS head FROM planted)"
+            " SELECT doc_id,"
+            "  CASE"
+            "   WHEN contains(head, 'Permission is hereby granted, free of charge') THEN 'mit'"
+            "   WHEN contains(head, 'Licensed under the Apache License, Version 2.0') THEN 'apache-2.0'"
+            "   WHEN contains(head, 'GNU General Public License') THEN 'gpl-3.0'"
+            "   WHEN contains(head, 'Redistribution and use in source and binary forms') THEN 'bsd-3-clause'"
+            "   WHEN contains(head, 'Mozilla Public License') THEN 'mpl-2.0'"
+            "   ELSE 'unknown' END AS license"
+            " FROM h ORDER BY doc_id"
         ),
         # CCNet chain: score_bigram_lm's exact SQL twin feeding a
         # per-language ntile(3) (ORDER BY avg_logp DESC, doc_id)

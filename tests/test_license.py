@@ -1,0 +1,57 @@
+"""License detection (stages/license.py): marker priority, head-window
+bounding, null text, and the corpus rollup."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from weiser_ai_ray.stages.license import (
+    LICENSE_MARKERS,
+    UNKNOWN,
+    detect_licenses,
+    license_counts,
+)
+
+MIT = "Permission is hereby granted, free of charge"
+APACHE = "Licensed under the Apache License, Version 2.0"
+GPL = "GNU General Public License"
+
+
+def make_ds(texts, blocks=2):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDetectLicenses:
+    def got(self, texts, **kw):
+        df = detect_licenses(make_ds(texts), **kw).to_pandas().sort_values("doc_id")
+        return df["license"].tolist()
+
+    def test_each_marker_detected(self):
+        texts = [f"// header\n{m}\ncode();" for _, m in LICENSE_MARKERS]
+        assert self.got(texts) == [lic for lic, _ in LICENSE_MARKERS]
+
+    def test_priority_order_first_wins(self):
+        # a file containing BOTH mit and apache markers classifies mit
+        assert self.got([f"{APACHE}\n{MIT}\n"]) == ["mit"]
+
+    def test_unknown_and_null(self):
+        assert self.got(["plain code, no license", None, ""]) == [UNKNOWN] * 3
+
+    def test_marker_past_head_window_ignored(self):
+        far = ("x" * 3000) + GPL
+        near = GPL + ("x" * 3000)
+        assert self.got([far, near], head_chars=2048) == [UNKNOWN, "gpl-3.0"]
+
+    def test_counts_rollup(self):
+        texts = [MIT, MIT, GPL, "nothing", None]
+        t = license_counts(make_ds(texts)).to_pandas().set_index("license")
+        assert t.loc["mit", "cnt"] == 2
+        assert t.loc["gpl-3.0", "cnt"] == 1
+        assert t.loc[UNKNOWN, "cnt"] == 2

@@ -1,0 +1,88 @@
+"""License detection over source-file headers — the code-corpus
+compliance gate (The Stack and friends keep only permissively-licensed
+files; a quality pipeline over code repositories needs the license of
+every file as a first-class column).
+
+Detection is marker-phrase based: each SPDX-style id has one canonical
+sentence that appears verbatim in the license boilerplate, matched only
+within the first ``head_chars`` of the file (licenses live in headers;
+bounding the scan keeps the stage O(head) per file regardless of file
+size). First match in priority order wins. Pure streaming map — five
+Arrow ``match_substring`` kernel calls per batch, zero shuffle, no
+Python per row."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+# (license id, marker phrase) in priority order; phrases are the
+# canonical boilerplate sentences, chosen to be mutually exclusive
+LICENSE_MARKERS: list[tuple[str, str]] = [
+    ("mit", "Permission is hereby granted, free of charge"),
+    ("apache-2.0", "Licensed under the Apache License, Version 2.0"),
+    ("gpl-3.0", "GNU General Public License"),
+    ("bsd-3-clause", "Redistribution and use in source and binary forms"),
+    ("mpl-2.0", "Mozilla Public License"),
+]
+
+UNKNOWN = "unknown"
+
+
+def detect_licenses(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    head_chars: int = 2048,
+) -> "ray.data.Dataset":
+    """(id, license) per document: the first LICENSE_MARKERS phrase
+    found in the first ``head_chars`` characters, else 'unknown'
+    (null text included)."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        head = pc.utf8_slice_codeunits(
+            pc.coalesce(batch[text_col], pa.scalar("", type=pa.string())),
+            0,
+            head_chars,
+        )
+        n = batch.num_rows
+        out = np.full(n, UNKNOWN, dtype=object)
+        undecided = np.ones(n, dtype=bool)
+        for lic, marker in LICENSE_MARKERS:
+            hit = np.asarray(
+                pc.match_substring(head, marker).to_numpy(zero_copy_only=False)
+            ).astype(bool)
+            take = hit & undecided
+            out[take] = lic
+            undecided &= ~hit
+            if not undecided.any():
+                break
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "license": pa.array(out, type=pa.string()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def license_counts(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    head_chars: int = 2048,
+) -> "ray.data.Dataset":
+    """Corpus license profile: (license, cnt) — the keep/drop planning
+    number a license gate starts from."""
+    from ray.data.aggregate import Count
+
+    return (
+        detect_licenses(ds, text_col, id_col, head_chars)
+        .groupby("license")
+        .aggregate(Count(alias_name="cnt"))
+    )
