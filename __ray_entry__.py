@@ -223,6 +223,84 @@ def q_sum_by_month_filtered(sf_dir: str) -> pa.Table:
     )
 
 
+def q_uniqueness_dup_custkey(sf_dir: str) -> pa.Table:
+    """Integrity-family check (checks/integrity.py CheckUniqueness):
+    excess duplicate rows per status — COUNT(*) - COUNT(DISTINCT key),
+    riding the numeric check's distinct-pair partial machinery."""
+    chk = _make_check(sf_dir, name="u", type="uniqueness", dataset="orders",
+                      measure="o_custkey", dimensions=["o_orderstatus"],
+                      condition="le", threshold=0)
+    rows = sorted(chk.compute("orders"), key=lambda r: str(r[0]))
+    return pa.table(
+        {
+            "o_orderstatus": pa.array([r[0] for r in rows], type=pa.string()),
+            "dup_rows": pa.array([int(r[1]) for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def q_uniqueness_pct_custkey(sf_dir: str) -> pa.Table:
+    return _scalar_check(
+        sf_dir, "dup_frac", as_int=False, round_to=9,
+        name="up", type="uniqueness_pct", dataset="orders",
+        measure="o_custkey", condition="le", threshold=1,
+    )
+
+
+def q_accepted_values_priority(sf_dir: str) -> pa.Table:
+    """CheckAcceptedValues: rows outside the accepted set (NULLs never
+    violate — SQL three-valued NOT IN)."""
+    return _scalar_check(
+        sf_dir, "violations", as_int=True,
+        name="av", type="accepted_values", dataset="orders",
+        measure="o_orderpriority",
+        accepted_values=["1-URGENT", "2-HIGH", "3-MEDIUM"],
+        condition="eq", threshold=0,
+    )
+
+
+def q_freshness_age_by_type(sf_dir: str) -> pa.Table:
+    """CheckFreshness: age of MAX(ts) per event_type vs a fixed as_of
+    (deterministic "now"). Emitted in integer microseconds — the
+    engine's seconds value times 1e6 rounds back to the exact int64
+    the per-batch max digest produced."""
+    chk = _make_check(sf_dir, name="f", type="freshness", dataset="events",
+                      measure="ts", as_of="2026-01-01T00:00:00",
+                      dimensions=["event_type"], condition="ge", threshold=0)
+    rows = sorted(chk.compute("events"), key=lambda r: str(r[0]))
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+            "age_us": pa.array([int(round(r[1] * 1e6)) for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def q_ref_integrity_orphans(sf_dir: str) -> pa.Table:
+    """CheckReferentialIntegrity: events.user_id rows with no matching
+    customer.c_custkey (NOT EXISTS semantics; joins.semi_anti_join —
+    broadcast parent-key set while small, hash left_anti beyond)."""
+    return _scalar_check(
+        sf_dir, "orphans", as_int=True,
+        name="ri", type="referential_integrity", dataset="events",
+        measure="user_id", ref={"dataset": "customer", "column": "c_custkey"},
+        condition="eq", threshold=0,
+    )
+
+
+def q_schema_check_orders(sf_dir: str) -> pa.Table:
+    """CheckSchema (rows-only by design: parquet FOOTER metadata gate,
+    no SQL twin — DuckDB's information_schema speaks its own type
+    vocabulary, so an oracle would test name mapping, not data).
+    Expected: 1 violation (o_orderkey expected string, is int64)."""
+    chk = _make_check(sf_dir, name="s", type="schema", dataset="orders",
+                      columns={"o_orderkey": "string", "o_custkey": "int64",
+                               "o_totalprice": "double", "o_orderdate": "*"},
+                      condition="eq", threshold=0)
+    rows = chk.compute("orders")
+    return pa.table({"violations": pa.array([int(rows[0][0])], type=pa.int64())})
+
+
 def q_not_empty_events(sf_dir: str) -> pa.Table:
     chk = _make_check(sf_dir, name="ne", type="not_empty", dataset="events",
                       dimensions=["user_id", "props"], condition="le", threshold=0)
@@ -3812,6 +3890,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_orderkey": q_approx_distinct_orderkey,
         "lsh_topk": q_lsh_topk,
         "metrics_last_values": q_metrics_last_values,
+        # integrity-family check types (checks/integrity.py) — past
+        # slot 50 so the rotated round-4 gate window stays intact
+        "uniqueness_dup_custkey": q_uniqueness_dup_custkey,
+        "uniqueness_pct_custkey": q_uniqueness_pct_custkey,
+        "accepted_values_priority": q_accepted_values_priority,
+        "freshness_age_by_type": q_freshness_age_by_type,
+        "ref_integrity_orphans": q_ref_integrity_orphans,
+        "schema_check_orders": q_schema_check_orders,
     }
 
 
@@ -5406,9 +5492,35 @@ def oracle_sql() -> dict[str, str]:
             " FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id"
             " WHERE levenshtein(a.p, b.p) <= 4 ORDER BY a_id, b_id"
         ),
-        # lsh_topk, langid_documents, minhash/simhash dedup and the
-        # corpus quality pipeline are intentionally omitted:
-        # approximate / model-driven / stateful operators (driver
-        # records rows-only checks; correctness is covered by the
-        # oracle-labeler and parity tests in tests/).
+        # integrity-family check types (checks/integrity.py)
+        "uniqueness_dup_custkey": (
+            "SELECT o_orderstatus,"
+            " CAST(COUNT(*) - COUNT(DISTINCT o_custkey) AS BIGINT) AS dup_rows"
+            " FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        ),
+        "uniqueness_pct_custkey": (
+            "SELECT ROUND((COUNT(*) - COUNT(DISTINCT o_custkey)) * 1.0 / COUNT(*), 9)"
+            " AS dup_frac FROM orders"
+        ),
+        "accepted_values_priority": (
+            "SELECT CAST(SUM(CASE WHEN o_orderpriority NOT IN"
+            " ('1-URGENT', '2-HIGH', '3-MEDIUM') THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS violations FROM orders"
+        ),
+        "freshness_age_by_type": (
+            "SELECT event_type,"
+            " EPOCH_US(TIMESTAMP '2026-01-01 00:00:00') - EPOCH_US(MAX(ts)) AS age_us"
+            " FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "ref_integrity_orphans": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS orphans FROM events e"
+            " WHERE e.user_id IS NOT NULL AND NOT EXISTS"
+            " (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)"
+        ),
+        # schema_check_orders, lsh_topk, langid_documents,
+        # minhash/simhash dedup and the corpus quality pipeline are
+        # intentionally omitted: metadata-only / approximate /
+        # model-driven / stateful operators (driver records rows-only
+        # checks; correctness is covered by the oracle-labeler and
+        # parity tests in tests/).
     }

@@ -149,8 +149,10 @@ class TestChecks:
         # "Check Type ... not implemented yet", checks/__init__.py:44-47)
         with pytest.raises(Exception):
             Check(name="x", dataset="d", type="nonsense")
-        # 9 reference-parity types + the engine's drift extension
-        assert len(CHECK_TYPE_MAP) == 10
+        # 9 reference-parity types + the engine's drift extension + the
+        # 6-type integrity family (uniqueness/uniqueness_pct/
+        # accepted_values/freshness/referential_integrity/schema)
+        assert len(CHECK_TYPE_MAP) == 16
 
     def test_metric_record_fields(self, catalog, tmp_store):
         r = run_check(catalog, tmp_store, name="c", type="row_count", dataset="orders",

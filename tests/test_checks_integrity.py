@@ -1,0 +1,216 @@
+"""Integrity-family check types (uniqueness, accepted_values,
+freshness, referential_integrity, schema) vs DuckDB over the
+driver-generated sf0.001 tables — same pass/fail-pair style as
+tests/test_checks.py (modeled on the reference's
+/root/reference/tests/unit/test_checks.py)."""
+
+import duckdb
+import pytest
+
+from weiser_ai_ray.checks import CheckFactory
+from weiser_ai_ray.models import Check
+from weiser_ai_ray.sources import ParquetCatalog
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def catalog():
+    return ParquetCatalog(root=SF_DIR)
+
+
+def duck(sql):
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer", "events", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con.execute(sql).fetchall()
+
+
+def run_check(catalog, store, **kw):
+    chk = CheckFactory.create_check("run-t", Check(**kw), catalog, "default", store)
+    return chk.run(False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUniqueness:
+    def test_unique_key_passes(self, catalog, tmp_store):
+        r = run_check(catalog, tmp_store, name="u", type="uniqueness", dataset="orders",
+                      measure="o_orderkey", condition="le", threshold=0)
+        assert r[0]["actual_value"] == 0 and r[0]["success"]
+
+    def test_dup_key_counts_excess_rows(self, catalog, tmp_store):
+        want = duck("SELECT count(*) - count(DISTINCT o_custkey) FROM orders")[0][0]
+        r = run_check(catalog, tmp_store, name="u", type="uniqueness", dataset="orders",
+                      measure="o_custkey", condition="le", threshold=0)
+        assert r[0]["actual_value"] == want and not r[0]["success"]
+
+    def test_grouped_and_filtered(self, catalog, tmp_store):
+        want = dict(duck(
+            "SELECT o_orderstatus, count(*) - count(DISTINCT o_custkey) FROM orders"
+            " WHERE o_totalprice > 1000 GROUP BY 1"
+        ))
+        r = run_check(catalog, tmp_store, name="u", type="uniqueness", dataset="orders",
+                      measure="o_custkey", dimensions=["o_orderstatus"],
+                      filter="o_totalprice > 1000", condition="le", threshold=0)
+        got = {x["name"].rsplit("_", 1)[-1]: x["actual_value"] for x in r}
+        assert got == {str(k): v for k, v in want.items()}
+
+    def test_pct_fraction(self, catalog, tmp_store):
+        want = duck(
+            "SELECT (count(*) - count(DISTINCT o_custkey)) * 1.0 / count(*) FROM orders"
+        )[0][0]
+        r = run_check(catalog, tmp_store, name="u", type="uniqueness_pct", dataset="orders",
+                      measure="o_custkey", condition="le", threshold=0.99)
+        assert r[0]["actual_value"] == pytest.approx(want, rel=1e-12)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAcceptedValues:
+    def test_all_accepted_passes(self, catalog, tmp_store):
+        vals = [v for (v,) in duck("SELECT DISTINCT o_orderstatus FROM orders")]
+        r = run_check(catalog, tmp_store, name="a", type="accepted_values", dataset="orders",
+                      measure="o_orderstatus", accepted_values=vals,
+                      condition="eq", threshold=0)
+        assert r[0]["actual_value"] == 0 and r[0]["success"]
+
+    def test_violations_counted(self, catalog, tmp_store):
+        want = duck("SELECT count(*) FROM orders WHERE o_orderstatus NOT IN ('O')")[0][0]
+        r = run_check(catalog, tmp_store, name="a", type="accepted_values", dataset="orders",
+                      measure="o_orderstatus", accepted_values=["O"],
+                      condition="eq", threshold=0)
+        assert r[0]["actual_value"] == want and not r[0]["success"]
+
+    def test_numeric_set_and_nulls_pass(self, catalog, tmp_store):
+        # events.value has nulls; NULL NOT IN (...) is NULL -> no violation
+        want = duck(
+            "SELECT count(*) FROM events WHERE value IS NOT NULL"
+            " AND value NOT IN (0.0)"
+        )[0][0]
+        r = run_check(catalog, tmp_store, name="a", type="accepted_values", dataset="events",
+                      measure="value", accepted_values=[0.0],
+                      condition="le", threshold=want)
+        assert r[0]["actual_value"] == want and r[0]["success"]
+
+    def test_requires_value_list(self, catalog, tmp_store):
+        with pytest.raises(ValueError, match="accepted_values"):
+            run_check(catalog, tmp_store, name="a", type="accepted_values",
+                      dataset="orders", measure="o_orderstatus",
+                      condition="eq", threshold=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFreshness:
+    AS_OF = "2026-01-01T00:00:00"
+
+    def duck_age(self, sql_max):
+        return duck(
+            f"SELECT (EPOCH_US(TIMESTAMP '{self.AS_OF.replace('T', ' ')}') -"
+            f" EPOCH_US({sql_max})) / 1000000.0 FROM events"
+        )[0][0]
+
+    def test_scalar_age(self, catalog, tmp_store):
+        want = self.duck_age("MAX(ts)")
+        r = run_check(catalog, tmp_store, name="f", type="freshness", dataset="events",
+                      measure="ts", as_of=self.AS_OF, condition="le", threshold=want + 1)
+        assert r[0]["actual_value"] == pytest.approx(want, abs=1e-9) and r[0]["success"]
+        r = run_check(catalog, tmp_store, name="f", type="freshness", dataset="events",
+                      measure="ts", as_of=self.AS_OF, condition="le", threshold=0)
+        assert not r[0]["success"]
+
+    def test_grouped_age(self, catalog, tmp_store):
+        want = dict(duck(
+            f"SELECT event_type, (EPOCH_US(TIMESTAMP '{self.AS_OF.replace('T', ' ')}') -"
+            " EPOCH_US(MAX(ts))) / 1000000.0 FROM events GROUP BY 1"
+        ))
+        r = run_check(catalog, tmp_store, name="f", type="freshness", dataset="events",
+                      measure="ts", as_of=self.AS_OF, dimensions=["event_type"],
+                      condition="ge", threshold=0)
+        got = {x["name"].rsplit("_", 1)[-1]: x["actual_value"] for x in r}
+        assert len(got) == len(want)
+        for k, v in want.items():
+            assert got[str(k)] == pytest.approx(v, abs=1e-9)
+
+    def test_filter(self, catalog, tmp_store):
+        want = duck(
+            f"SELECT (EPOCH_US(TIMESTAMP '{self.AS_OF.replace('T', ' ')}') -"
+            " EPOCH_US(MAX(ts))) / 1000000.0 FROM events WHERE event_type = 'click'"
+        )[0][0]
+        r = run_check(catalog, tmp_store, name="f", type="freshness", dataset="events",
+                      measure="ts", as_of=self.AS_OF, filter="event_type = 'click'",
+                      condition="ge", threshold=0)
+        assert r[0]["actual_value"] == pytest.approx(want, abs=1e-9)
+
+    def test_requires_as_of(self, catalog, tmp_store):
+        with pytest.raises(ValueError, match="as_of"):
+            run_check(catalog, tmp_store, name="f", type="freshness", dataset="events",
+                      measure="ts", condition="le", threshold=1)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReferentialIntegrity:
+    def test_clean_fk_passes(self, catalog, tmp_store):
+        # TPC-H invariant: every lineitem row has an order
+        r = run_check(catalog, tmp_store, name="ri", type="referential_integrity",
+                      dataset="lineitem", measure="l_orderkey",
+                      ref={"dataset": "orders", "column": "o_orderkey"},
+                      condition="eq", threshold=0)
+        assert r[0]["actual_value"] == 0 and r[0]["success"]
+
+    def test_orphans_counted(self, catalog, tmp_store):
+        want = duck(
+            "SELECT count(*) FROM events e WHERE e.user_id IS NOT NULL AND NOT EXISTS"
+            " (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)"
+        )[0][0]
+        r = run_check(catalog, tmp_store, name="ri", type="referential_integrity",
+                      dataset="events", measure="user_id",
+                      ref={"dataset": "customer", "column": "c_custkey"},
+                      condition="eq", threshold=0)
+        assert r[0]["actual_value"] == want
+        assert r[0]["success"] == (want == 0)
+
+    def test_grouped_orphans(self, catalog, tmp_store):
+        want = dict(duck(
+            "SELECT event_type, count(*) FROM events e WHERE e.user_id IS NOT NULL"
+            " AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)"
+            " GROUP BY 1"
+        ))
+        r = run_check(catalog, tmp_store, name="ri", type="referential_integrity",
+                      dataset="events", measure="user_id",
+                      ref={"dataset": "customer", "column": "c_custkey"},
+                      dimensions=["event_type"], condition="ge", threshold=0)
+        got = {x["name"].rsplit("_", 1)[-1]: x["actual_value"] for x in r}
+        assert got == {str(k): v for k, v in want.items() if v}
+
+    def test_requires_ref(self, catalog, tmp_store):
+        with pytest.raises(ValueError, match="ref"):
+            run_check(catalog, tmp_store, name="ri", type="referential_integrity",
+                      dataset="lineitem", measure="l_orderkey",
+                      condition="eq", threshold=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSchema:
+    def test_matching_schema_passes(self, catalog, tmp_store):
+        r = run_check(catalog, tmp_store, name="s", type="schema", dataset="orders",
+                      columns={"o_orderkey": "int64", "o_totalprice": "double",
+                               "o_orderpriority": "*"},
+                      condition="eq", threshold=0)
+        assert r[0]["actual_value"] == 0 and r[0]["success"]
+
+    def test_missing_and_mismatch_counted(self, catalog, tmp_store):
+        r = run_check(catalog, tmp_store, name="s", type="schema", dataset="orders",
+                      columns={"o_orderkey": "string",      # type mismatch
+                               "no_such_column": "*",       # missing
+                               "o_totalprice": "double"},   # ok
+                      condition="eq", threshold=0)
+        assert r[0]["actual_value"] == 2 and not r[0]["success"]
+
+    def test_extra_columns_are_not_violations(self, catalog, tmp_store):
+        r = run_check(catalog, tmp_store, name="s", type="schema", dataset="orders",
+                      columns={"o_orderkey": "int64"},
+                      condition="eq", threshold=0)
+        assert r[0]["actual_value"] == 0
+
+    def test_requires_columns(self, catalog, tmp_store):
+        with pytest.raises(ValueError, match="columns"):
+            run_check(catalog, tmp_store, name="s", type="schema", dataset="orders",
+                      condition="eq", threshold=0)

@@ -7,6 +7,14 @@ from ..sources import ParquetCatalog
 from .anomaly import CheckAnomaly
 from .base import BaseCheck
 from .drift import CheckDrift
+from .integrity import (
+    CheckAcceptedValues,
+    CheckFreshness,
+    CheckReferentialIntegrity,
+    CheckSchema,
+    CheckUniqueness,
+    CheckUniquenessPct,
+)
 from .numeric import (
     CheckMax,
     CheckMeasure,
@@ -29,6 +37,12 @@ CHECK_TYPE_MAP = {
     CheckType.not_empty: CheckNotEmpty,
     CheckType.not_empty_pct: CheckNotEmptyPct,
     CheckType.drift: CheckDrift,
+    CheckType.uniqueness: CheckUniqueness,
+    CheckType.uniqueness_pct: CheckUniquenessPct,
+    CheckType.accepted_values: CheckAcceptedValues,
+    CheckType.freshness: CheckFreshness,
+    CheckType.referential_integrity: CheckReferentialIntegrity,
+    CheckType.schema: CheckSchema,
 }
 
 

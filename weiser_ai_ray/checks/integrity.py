@@ -1,0 +1,288 @@
+"""Integrity-family checks: uniqueness, accepted_values, freshness,
+referential_integrity, schema — engine extensions past the reference's
+nine check types (its YAML check vocabulary stops at aggregate
+thresholds + the MAD anomaly window, /root/reference/weiser/checks/;
+these five are the dbt/soda-standard data-quality tests a corpus
+operator reaches for next). All five ride the existing BaseCheck
+plumbing: same condition/threshold algebra, dimensions, filter,
+metric-store records, check_id naming.
+
+Config surface (see docs/CONFIG.md):
+
+    - name: custkey_unique
+      type: uniqueness            # or uniqueness_pct for the fraction
+      dataset: orders
+      measure: o_custkey          # dup rows = COUNT(*) - COUNT(DISTINCT m)
+      condition: le
+      threshold: 0
+
+    - name: status_known
+      type: accepted_values
+      dataset: orders
+      measure: o_orderstatus
+      accepted_values: [O, F, P]  # violations = rows NOT IN the set
+      condition: eq               # (nulls never violate; pair with
+      threshold: 0                #  not_empty to forbid them)
+
+    - name: events_fresh
+      type: freshness
+      dataset: events
+      measure: ts
+      as_of: "2026-01-01T00:00:00"  # deterministic "now"
+      condition: le
+      threshold: 86400            # age of MAX(ts) in seconds
+
+    - name: orders_have_customer
+      type: referential_integrity
+      dataset: orders
+      measure: o_custkey          # child FK column
+      ref: {dataset: customer, column: c_custkey}
+      condition: eq
+      threshold: 0                # orphan child rows
+
+    - name: orders_shape
+      type: schema
+      dataset: orders
+      columns: {o_orderkey: int64, o_totalprice: double, o_comment: "*"}
+      condition: eq
+      threshold: 0                # missing/mismatched expected columns
+
+Scale notes: uniqueness/accepted_values compile to the same streaming
+aggregate plan as `numeric` (COUNT DISTINCT uses the engine's
+distinct-pair partials, base.py). freshness is a per-batch O(groups)
+max digest — no shuffle. referential_integrity is joins.semi_anti_join:
+broadcast of the DISTINCT parent key set while small, hash-shuffle
+left_anti beyond the broadcast limit. schema reads parquet FOOTER
+metadata only — zero data IO at any corpus size.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..exprs import eval_scalar, parse_expr
+from .base import BaseCheck, _collect_columns
+
+
+def _sql_literal(v) -> str:
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+class CheckUniqueness(BaseCheck):
+    """Excess duplicate rows on a key: COUNT(*) - COUNT(DISTINCT key).
+    0 == fully unique; condition le 0 is the usual gate."""
+
+    def measure_sql(self) -> str:
+        if not self.check.measure:
+            raise ValueError("uniqueness check requires measure=<key column>")
+        return f"COUNT(*) - COUNT(DISTINCT {self.check.measure})"
+
+
+class CheckUniquenessPct(BaseCheck):
+    """Duplicate-row fraction in [0, 1] (pct family convention matches
+    not_empty_pct: a fraction, not a 0-100 percentage)."""
+
+    def measure_sql(self) -> str:
+        if not self.check.measure:
+            raise ValueError("uniqueness_pct check requires measure=<key column>")
+        m = self.check.measure
+        return f"(COUNT(*) - COUNT(DISTINCT {m})) / COUNT(*)"
+
+
+class CheckAcceptedValues(BaseCheck):
+    """Rows whose measure column falls outside the accepted set.
+    NULLs never violate (SQL three-valued NOT IN inside the CASE yields
+    NULL -> ELSE 0) — forbid them with a separate not_empty check."""
+
+    def measure_sql(self) -> str:
+        if not self.check.measure:
+            raise ValueError("accepted_values check requires measure=<column>")
+        vals = self.check.accepted_values
+        if not vals:
+            raise ValueError("accepted_values check requires a non-empty accepted_values list")
+        lits = ", ".join(_sql_literal(v) for v in vals)
+        return f"SUM(CASE WHEN {self.check.measure} NOT IN ({lits}) THEN 1 ELSE 0 END)"
+
+
+class CheckFreshness(BaseCheck):
+    """Age of the newest row in seconds: EPOCH(as_of) - EPOCH(MAX(ts)).
+
+    ``as_of`` is a required ISO-8601 naive timestamp — the reproducible
+    stand-in for "now" (a wall-clock default would make the metric
+    unreproducible across reruns, breaking the metric store's anomaly
+    window). Supports filter + dimensions (age per group); the plan is a
+    per-batch grouped-max digest (O(groups) rows per block), reduced on
+    the driver — freshness dimensions are low-cardinality by nature."""
+
+    def _as_of_us(self) -> int:
+        if not self.check.as_of:
+            raise ValueError("freshness check requires as_of=<ISO-8601 timestamp>")
+        # numpy parses ISO-8601 without timezone coercion; naive
+        # throughout, matching parquet timestamp[us] columns
+        return int(np.datetime64(self.check.as_of, "us").astype(np.int64))
+
+    def measure_sql(self) -> str:
+        if not self.check.measure:
+            raise ValueError("freshness check requires measure=<timestamp column>")
+        return (
+            f"(EPOCH_US(TIMESTAMP '{self.check.as_of}') - "
+            f"EPOCH_US(MAX({self.check.measure}))) / 1000000.0"
+        )
+
+    def compute(self, dataset: str) -> list[tuple]:
+        if self.check.time_dimension:
+            raise ValueError("freshness check does not support time_dimension")
+        as_of_us = self._as_of_us()
+        col = self.check.measure
+        dims = list(self.check.dimensions or [])
+        filter_ast = parse_expr(self.check.filter) if self.check.filter else None
+        needed = set(dims) | {col}
+        if filter_ast is not None:
+            _collect_columns(filter_ast, needed)
+        ds = self.catalog.dataset(dataset, columns=sorted(needed))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            if filter_ast is not None:
+                mask = eval_scalar(filter_ast, batch)
+                if isinstance(mask, (pa.Array, pa.ChunkedArray)):
+                    batch = batch.filter(pc.fill_null(mask, False))
+            ts = pc.cast(pc.cast(batch[col], pa.timestamp("us")), pa.int64())
+            if not dims:
+                m = pc.max(ts)
+                if not m.is_valid:
+                    return pa.table({"__max_us": pa.array([], type=pa.int64())})
+                return pa.table({"__max_us": pa.array([m.as_py()], type=pa.int64())})
+            t = batch.select(dims).append_column("__ts_us", ts)
+            return t.group_by(dims).aggregate([("__ts_us", "max")])
+
+        parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+        if not dims:
+            maxes = [p["__max_us"] for p in parts if p.get("__max_us") is not None]
+            if not maxes:
+                return []
+            return [((as_of_us - max(maxes)) / 1_000_000.0,)]
+        final: dict[tuple, int] = {}
+        for p in parts:
+            key = tuple(p[d] for d in dims)
+            v = p["__ts_us_max"]
+            if v is None:
+                continue
+            if key not in final or v > final[key]:
+                final[key] = v
+        return [
+            (*k, (as_of_us - v) / 1_000_000.0)
+            for k, v in sorted(final.items(), key=lambda kv: tuple(str(x) for x in kv[0]))
+        ]
+
+
+class CheckReferentialIntegrity(BaseCheck):
+    """Orphan child rows: COUNT of rows whose non-null ``measure`` value
+    does not appear in ``ref.dataset.ref.column`` (NOT EXISTS
+    semantics). Distributed as joins.semi_anti_join — the DISTINCT
+    parent key set is broadcast once while small, hash-shuffle
+    left_anti beyond that; the child side streams either way."""
+
+    def _spec(self):
+        if not self.check.measure:
+            raise ValueError("referential_integrity check requires measure=<child FK column>")
+        if self.check.ref is None:
+            raise ValueError("referential_integrity check requires ref={dataset, column}")
+        if self.check.time_dimension:
+            raise ValueError("referential_integrity check does not support time_dimension")
+        return self.check.ref
+
+    def measure_sql(self) -> str:
+        ref = self._spec()
+        return (
+            f"COUNT(*) FILTER (WHERE {self.check.measure} IS NOT NULL AND NOT EXISTS "
+            f"(SELECT 1 FROM {ref.dataset} r WHERE r.{ref.column} = {self.check.measure}))"
+        )
+
+    def compute(self, dataset: str) -> list[tuple]:
+        from ..joins import semi_anti_join
+
+        ref = self._spec()
+        fk = self.check.measure
+        dims = list(self.check.dimensions or [])
+        filter_ast = parse_expr(self.check.filter) if self.check.filter else None
+        needed = set(dims) | {fk}
+        if filter_ast is not None:
+            _collect_columns(filter_ast, needed)
+        child = self.catalog.dataset(dataset, columns=sorted(needed))
+
+        def pre(batch: pa.Table) -> pa.Table:
+            if filter_ast is not None:
+                mask = eval_scalar(filter_ast, batch)
+                if isinstance(mask, (pa.Array, pa.ChunkedArray)):
+                    batch = batch.filter(pc.fill_null(mask, False))
+            return batch.filter(pc.is_valid(batch[fk]))
+
+        child = child.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        parent = self.catalog.dataset(ref.dataset, columns=[ref.column])
+        orphans = semi_anti_join(child, parent, fk, ref.column, anti=True)
+
+        if not dims:
+            return [(orphans.count(),)]
+
+        def count_partial(batch: pa.Table) -> pa.Table:
+            return batch.select(dims).group_by(dims).aggregate([([], "count_all")])
+
+        parts = orphans.map_batches(
+            count_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        final: dict[tuple, int] = {}
+        for p in parts:
+            key = tuple(p[d] for d in dims)
+            final[key] = final.get(key, 0) + int(p["count_all"])
+        return [
+            (*k, v)
+            for k, v in sorted(final.items(), key=lambda kv: tuple(str(x) for x in kv[0]))
+        ]
+
+
+class CheckSchema(BaseCheck):
+    """Schema-shape gate: counts expected columns that are missing or
+    type-mismatched. ``columns`` maps name -> Arrow type string (the
+    ``str(field.type)`` vocabulary: int64, double, string,
+    timestamp[us], list<element: float>, ...) or "*" for
+    presence-only. Footer metadata only — zero data IO; extra columns
+    beyond the expected map are NOT violations (additive schema
+    evolution passes, mirroring the metric store's own reconciliation
+    policy, state/metric_store.py)."""
+
+    def _expected(self) -> dict:
+        if not self.check.columns:
+            raise ValueError("schema check requires columns={name: type|'*'}")
+        if self.check.dimensions or self.check.time_dimension or self.check.filter:
+            raise ValueError("schema check takes no dimensions/time_dimension/filter")
+        return self.check.columns
+
+    def measure_sql(self) -> str:
+        exp = self._expected()
+        return f"SCHEMA_VIOLATIONS({', '.join(sorted(exp))})"
+
+    def compute(self, dataset: str) -> list[tuple]:
+        import pyarrow.dataset as pads
+
+        exp = self._expected()
+        schema = pads.dataset(self.catalog.path(dataset), format="parquet").schema
+        have = {f.name: str(f.type) for f in schema}
+        bad = 0
+        for name, typ in exp.items():
+            if name not in have or (typ != "*" and have[name] != str(typ)):
+                bad += 1
+        return [(bad,)]
+
+    def process_dataset(self, dataset: str, results: list, verbose: bool) -> None:
+        rows = self.compute(dataset)
+        run_time = datetime.now()
+        value = rows[0][0]
+        self.append_result(self.apply_condition(value), value, results, dataset, run_time, verbose)

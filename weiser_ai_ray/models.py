@@ -36,6 +36,14 @@ class CheckType(str, Enum):
     # engine extension (no reference twin): distribution-drift PSI —
     # the natural next check after the reference's MAD anomaly window
     drift = "drift"
+    # engine extensions (no reference twin): the dbt/soda-standard
+    # data-quality check family the reference's nine types omit
+    uniqueness = "uniqueness"
+    uniqueness_pct = "uniqueness_pct"
+    accepted_values = "accepted_values"
+    freshness = "freshness"
+    referential_integrity = "referential_integrity"
+    schema = "schema"
 
 
 class Condition(str, Enum):
@@ -88,6 +96,17 @@ class DriftSpec(BaseModel):
     alpha: float = 0.5
 
 
+class RefSpec(BaseModel):
+    """Config block for ``type: referential_integrity`` checks (engine
+    extension): the parent side of the foreign-key relation. The check's
+    ``measure`` is the child column; every non-null child value must
+    appear in ``ref.dataset``'s ``ref.column`` (NOT EXISTS semantics —
+    null child keys never count as orphans, unlike SQL NOT IN)."""
+
+    dataset: str
+    column: str
+
+
 Number = Union[int, float, Decimal]
 
 
@@ -108,6 +127,11 @@ class Check(BaseModel):
     filter: Optional[str] = None
     check_id: Optional[str] = None  # metadata checks (anomaly) reference one
     drift: Optional[DriftSpec] = None  # type: drift only
+    # engine-extension check-type config (each used by exactly one type)
+    accepted_values: Optional[List[Union[str, int, float, bool]]] = None
+    as_of: Optional[str] = None  # freshness reference instant, ISO-8601 naive
+    ref: Optional[RefSpec] = None  # referential_integrity parent side
+    columns: Optional[dict] = None  # schema check: name -> arrow type str | "*"
 
     model_config = {"use_enum_values": True}
 
