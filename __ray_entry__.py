@@ -301,6 +301,35 @@ def q_schema_check_orders(sf_dir: str) -> pa.Table:
     return pa.table({"violations": pa.array([int(rows[0][0])], type=pa.int64())})
 
 
+def q_entropy_secret_scan(sf_dir: str) -> pa.Table:
+    """High-entropy secret-candidate scanner (stages/entropy.py): the
+    trufflehog-style complement to the regex scrub. min_len=8 /
+    high_bits=2.5 because the synthetic documents table is plain word
+    text (no 24-char key material); realistic thresholds are exercised
+    with planted secrets in tests/test_entropy.py. Entropy terms are
+    ROUND(.,6)-scaled int64 before summing — order-independent, so the
+    vectorized kernel and DuckDB agree exactly."""
+    import ray.data
+
+    from weiser_ai_ray.stages.entropy import entropy_secret_scan
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    df = (
+        entropy_secret_scan(ds, "text", "doc_id", min_len=8, high_bits=2.5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"], type=pa.int64()),
+            "n_candidates": pa.array(df["n_candidates"], type=pa.int64()),
+            "n_high_entropy": pa.array(df["n_high_entropy"], type=pa.int64()),
+            "max_entropy_e6": pa.array(df["max_entropy_e6"], type=pa.int64()),
+        }
+    )
+
+
 def q_not_empty_events(sf_dir: str) -> pa.Table:
     chk = _make_check(sf_dir, name="ne", type="not_empty", dataset="events",
                       dimensions=["user_id", "props"], condition="le", threshold=0)
@@ -3898,6 +3927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "freshness_age_by_type": q_freshness_age_by_type,
         "ref_integrity_orphans": q_ref_integrity_orphans,
         "schema_check_orders": q_schema_check_orders,
+        "entropy_secret_scan": q_entropy_secret_scan,
     }
 
 
@@ -5516,6 +5546,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(COUNT(*) AS BIGINT) AS orphans FROM events e"
             " WHERE e.user_id IS NOT NULL AND NOT EXISTS"
             " (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)"
+        ),
+        # high-entropy secret scan (stages/entropy.py): token = maximal
+        # run of the secret charset; per-token char entropy with
+        # ROUND(.,6)-scaled int64 terms (order-independent sum)
+        "entropy_secret_scan": (
+            "WITH toks AS (SELECT doc_id, unnest(l) AS t,"
+            "  generate_subscripts(l, 1) AS i FROM"
+            "  (SELECT doc_id, regexp_extract_all(coalesce(text, ''),"
+            "   '[A-Za-z0-9+/=_-]{8,}') AS l FROM documents)),"
+            " chars AS (SELECT doc_id, i, len(t) AS n,"
+            "  unnest(string_split(t, '')) AS c FROM toks),"
+            " hist AS (SELECT doc_id, i, n, c, COUNT(*) AS k"
+            "  FROM chars GROUP BY ALL),"
+            " ent AS (SELECT doc_id, i, CAST(-SUM(CAST(ROUND("
+            "   k / n * LOG2(k / n) * 1000000, 0) AS BIGINT)) AS BIGINT) AS e6"
+            "  FROM hist GROUP BY doc_id, i)"
+            " SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_candidates,"
+            "  CAST(SUM(CASE WHEN e6 >= 2500000 THEN 1 ELSE 0 END) AS BIGINT)"
+            "   AS n_high_entropy, MAX(e6) AS max_entropy_e6"
+            " FROM ent GROUP BY doc_id ORDER BY doc_id"
         ),
         # schema_check_orders, lsh_topk, langid_documents,
         # minhash/simhash dedup and the corpus quality pipeline are

@@ -1,0 +1,128 @@
+"""High-entropy secret-candidate scanner — the entropy complement to
+the regex scrub (stages/scrub.py). Regex rules catch STRUCTURED
+secrets (AKIA... keys, PEM blocks, emails); random-looking tokens with
+no fixed shape (hex session tokens, base64 blobs, generated passwords)
+are caught by their Shannon entropy instead, the trufflehog/detect-
+secrets approach. No reference twin (the reference's check vocabulary
+has no content scanner at all); first-class engine operator per the
+north star's PII/secret-scrub axis.
+
+Semantics (oracle-mirrored in __ray_entry__.entropy_secret_scan):
+
+- candidate tokens = maximal runs of the secret charset
+  ``[A-Za-z0-9+/=_-]`` with length >= ``min_len`` (the charset covers
+  hex, base64, base64url and ``snake_case``/``kebab-case`` key
+  material; runs are found by splitting on the complement, which is
+  equivalent to the greedy regex extract)
+- per-token byte-level Shannon entropy in bits, accumulated in
+  ORDER-INDEPENDENT integer space: each term p*log2(p) is rounded to
+  6 decimals and scaled to int64 BEFORE the sum (the same determinism
+  trick as the drift check's PSI), so the engine's vectorized sum and
+  a SQL oracle's arbitrary-order SUM agree bit-for-bit
+- per-doc outputs: n_candidates, n_high_entropy (tokens with entropy
+  >= high_bits), max_entropy_e6 (int64 millionths of a bit; 0 when a
+  doc has no candidates)
+
+Scale: a pure per-batch map — zero shuffle, zero driver state. The
+token histogram is one np.unique over (token_idx << 8 | byte) keys;
+bytes == chars because the charset is ASCII."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# split on the complement of the secret charset -> maximal charset runs
+_SPLIT_RE = r"[^A-Za-z0-9+/=_\-]+"
+
+
+def _string_bytes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(data_bytes, offsets) views of a large_string array, zero-copy."""
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64, count=len(arr) + 1 + arr.offset)
+    offs = offs[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    return data, offs
+
+
+def entropy_scan_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 24,
+    high_bits: float = 4.0,
+) -> pa.Table:
+    """Per-doc secret-candidate stats for one Arrow batch (see module
+    docstring). Null text scans as empty (0 candidates)."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.fill_null(pc.cast(text, pa.large_string()), "")
+    n_docs = len(text)
+
+    toks = pc.split_pattern_regex(text, _SPLIT_RE)
+    flat = toks.values  # large_string values of the list array
+    tok_doc = np.repeat(
+        np.arange(n_docs, dtype=np.int64), np.diff(np.asarray(toks.offsets))
+    )
+    tok_len = pc.binary_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = tok_len >= min_len
+
+    n_cand = np.bincount(tok_doc[keep], minlength=n_docs).astype(np.int64)
+    max_e6 = np.zeros(n_docs, dtype=np.int64)
+    n_high = np.zeros(n_docs, dtype=np.int64)
+
+    if keep.any():
+        kept = flat.filter(pa.array(keep))
+        kept_doc = tok_doc[keep]
+        kept_len = tok_len[keep]
+        data, offs = _string_bytes(kept)
+        byte_tok = np.repeat(np.arange(len(kept), dtype=np.int64), np.diff(offs))
+        # histogram per (token, byte): one sort-free np.unique pass
+        key = (byte_tok << 8) | data[offs[0] : offs[-1]].astype(np.int64)
+        uk, cnt = np.unique(key, return_counts=True)
+        tok_of = uk >> 8
+        p = cnt.astype(np.float64) / kept_len[tok_of].astype(np.float64)
+        # ROUND(term, 6)-scaled int64 terms: order-independent sum that
+        # a SQL oracle reproduces exactly (cf. pipelines/drift.py PSI)
+        term = np.rint(p * np.log2(p) * 1e6).astype(np.int64)
+        ent_e6 = -np.bincount(tok_of, weights=term.astype(np.float64), minlength=len(kept)).astype(np.int64)
+        high = ent_e6 >= int(round(high_bits * 1e6))
+        n_high = np.bincount(kept_doc[high], minlength=n_docs).astype(np.int64)
+        np.maximum.at(max_e6, kept_doc, ent_e6)
+
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table(
+        {
+            id_col: ids,
+            "n_candidates": pa.array(n_cand, type=pa.int64()),
+            "n_high_entropy": pa.array(n_high, type=pa.int64()),
+            "max_entropy_e6": pa.array(max_e6, type=pa.int64()),
+        }
+    )
+
+
+def entropy_secret_scan(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 24,
+    high_bits: float = 4.0,
+    drop_clean: bool = True,
+):
+    """Dataset-level scan: per-doc secret-candidate stats as a pure
+    streaming map (no shuffle, no driver state). ``drop_clean`` keeps
+    only docs with at least one candidate token — at corpus scale the
+    interesting rows are a tiny fraction, so the default output is
+    O(flagged docs), not O(corpus)."""
+
+    def scan(batch: pa.Table) -> pa.Table:
+        out = entropy_scan_batch(batch, text_col, id_col, min_len, high_bits)
+        if drop_clean:
+            out = out.filter(pc.greater(out["n_candidates"], 0))
+        return out
+
+    return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
