@@ -188,6 +188,9 @@ class RuleKind(str, Enum):
     empty = "empty"
     langid = "langid"
     perplexity = "perplexity"
+    # max candidate-token Shannon entropy in bits (stages/entropy.py):
+    # gates minified/blob/key-material files the shape rules miss
+    max_token_entropy = "max_token_entropy"
 
 
 class QualityRule(BaseModel):

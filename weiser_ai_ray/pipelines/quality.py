@@ -85,6 +85,12 @@ class QualityRuleStage:
 
     def rule_values(self, batch: pa.Table) -> dict[str, np.ndarray]:
         values = compute_heuristics(batch)
+        if any(str(r.kind) == "max_token_entropy" for r in self.rules):
+            # optional rule: only computed when configured, so the
+            # default flagship plan pays nothing for it
+            from ..stages.entropy import max_token_entropy_bits
+
+            values["max_token_entropy"] = max_token_entropy_bits(batch["content"])
         contents = batch["content"].to_pylist()
         claimed = batch["lang"].to_pylist()
         detected, _scores = self.langid.detect_many(contents)

@@ -46,16 +46,11 @@ def _string_bytes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return data, offs
 
 
-def entropy_scan_batch(
-    batch: pa.Table,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    min_len: int = 24,
-    high_bits: float = 4.0,
-) -> pa.Table:
-    """Per-doc secret-candidate stats for one Arrow batch (see module
-    docstring). Null text scans as empty (0 candidates)."""
-    text = batch[text_col]
+def _doc_token_entropies(
+    text: pa.Array | pa.ChunkedArray, min_len: int
+) -> tuple[int, np.ndarray, np.ndarray, np.ndarray]:
+    """Shared core: (n_docs, kept_token_doc_idx, entropy_e6_per_token,
+    n_candidates_per_doc). Null text scans as empty."""
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     text = pc.fill_null(pc.cast(text, pa.large_string()), "")
@@ -68,26 +63,63 @@ def entropy_scan_batch(
     )
     tok_len = pc.binary_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
     keep = tok_len >= min_len
-
     n_cand = np.bincount(tok_doc[keep], minlength=n_docs).astype(np.int64)
+    if not keep.any():
+        return n_docs, tok_doc[:0], np.empty(0, dtype=np.int64), n_cand
+
+    kept = flat.filter(pa.array(keep))
+    kept_doc = tok_doc[keep]
+    kept_len = tok_len[keep]
+    data, offs = _string_bytes(kept)
+    byte_tok = np.repeat(np.arange(len(kept), dtype=np.int64), np.diff(offs))
+    # histogram per (token, byte): one np.unique pass over packed keys
+    key = (byte_tok << 8) | data[offs[0] : offs[-1]].astype(np.int64)
+    uk, cnt = np.unique(key, return_counts=True)
+    tok_of = uk >> 8
+    p = cnt.astype(np.float64) / kept_len[tok_of].astype(np.float64)
+    # ROUND(term, 6)-scaled int64 terms: order-independent sum that
+    # a SQL oracle reproduces exactly (cf. pipelines/drift.py PSI)
+    term = np.rint(p * np.log2(p) * 1e6).astype(np.int64)
+    ent_e6 = -np.bincount(
+        tok_of, weights=term.astype(np.float64), minlength=len(kept)
+    ).astype(np.int64)
+    return n_docs, kept_doc, ent_e6, n_cand
+
+
+def max_token_entropy_bits(
+    text: pa.Array | pa.ChunkedArray, min_len: int = 24
+) -> np.ndarray:
+    """Per-row max candidate-token entropy in BITS (float64) — the
+    quality-pipeline rule value for ``kind: max_token_entropy``. Rows
+    with no candidate token score 0.0; null text scores NaN (matching
+    the heuristics NaN-for-null convention, so the rule fails nulls)."""
+    null_mask = None
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    null_mask = text.is_null().to_numpy(zero_copy_only=False)
+    n_docs, kept_doc, ent_e6, _ = _doc_token_entropies(text, min_len)
+    out = np.zeros(n_docs, dtype=np.float64)
+    if len(ent_e6):
+        scratch = np.zeros(n_docs, dtype=np.int64)
+        np.maximum.at(scratch, kept_doc, ent_e6)
+        out = scratch.astype(np.float64) / 1e6
+    out[null_mask] = np.nan
+    return out
+
+
+def entropy_scan_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 24,
+    high_bits: float = 4.0,
+) -> pa.Table:
+    """Per-doc secret-candidate stats for one Arrow batch (see module
+    docstring). Null text scans as empty (0 candidates)."""
+    n_docs, kept_doc, ent_e6, n_cand = _doc_token_entropies(batch[text_col], min_len)
     max_e6 = np.zeros(n_docs, dtype=np.int64)
     n_high = np.zeros(n_docs, dtype=np.int64)
-
-    if keep.any():
-        kept = flat.filter(pa.array(keep))
-        kept_doc = tok_doc[keep]
-        kept_len = tok_len[keep]
-        data, offs = _string_bytes(kept)
-        byte_tok = np.repeat(np.arange(len(kept), dtype=np.int64), np.diff(offs))
-        # histogram per (token, byte): one sort-free np.unique pass
-        key = (byte_tok << 8) | data[offs[0] : offs[-1]].astype(np.int64)
-        uk, cnt = np.unique(key, return_counts=True)
-        tok_of = uk >> 8
-        p = cnt.astype(np.float64) / kept_len[tok_of].astype(np.float64)
-        # ROUND(term, 6)-scaled int64 terms: order-independent sum that
-        # a SQL oracle reproduces exactly (cf. pipelines/drift.py PSI)
-        term = np.rint(p * np.log2(p) * 1e6).astype(np.int64)
-        ent_e6 = -np.bincount(tok_of, weights=term.astype(np.float64), minlength=len(kept)).astype(np.int64)
+    if len(ent_e6):
         high = ent_e6 >= int(round(high_bits * 1e6))
         n_high = np.bincount(kept_doc[high], minlength=n_docs).astype(np.int64)
         np.maximum.at(max_e6, kept_doc, ent_e6)
