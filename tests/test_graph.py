@@ -101,3 +101,35 @@ class TestConnectedComponents:
             for r in connected_components(ds, "src", "dst").take_all()
         }
         assert got == {1: 1, 2: 1, 3: 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSizeAdaptivePlan:
+    def test_star_rounds_path_matches_bruteforce(self):
+        # one_task_edges=0 forces the small-star/large-star rounds (the
+        # scale path) even on tiny graphs
+        rng = np.random.RandomState(23)
+        for _ in range(2):
+            n = rng.randint(20, 150)
+            ne = rng.randint(1, n * 2)
+            a = rng.randint(0, n, ne)
+            b = rng.randint(0, n, ne)
+            got = {
+                r["id"]: r["component"]
+                for r in connected_components(_ds(a, b), one_task_edges=0).take_all()
+            }
+            assert got == brute_cc(zip(a.tolist(), b.tolist()))
+
+    def test_both_paths_identical_on_same_graph(self):
+        rng = np.random.RandomState(7)
+        a = rng.randint(0, 400, 900)
+        b = rng.randint(0, 400, 900)
+        fast = sorted(
+            (r["id"], r["component"])
+            for r in connected_components(_ds(a, b)).take_all()
+        )
+        star = sorted(
+            (r["id"], r["component"])
+            for r in connected_components(_ds(a, b), one_task_edges=0).take_all()
+        )
+        assert fast == star
