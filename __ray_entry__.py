@@ -301,6 +301,32 @@ def q_schema_check_orders(sf_dir: str) -> pa.Table:
     return pa.table({"violations": pa.array([int(rows[0][0])], type=pa.int64())})
 
 
+def q_dup_cluster_histogram(sf_dir: str) -> pa.Table:
+    """Duplicate-cluster size distribution (pipelines/dedup.py
+    dup_cluster_histogram): digest-only partials -> manual hash
+    exchange -> per-partition histogram; the dedup-planning companion
+    to dedup_rate_by_source. Registered over events.props (the
+    documents fixture has all-unique texts; props carries a real
+    cluster-size distribution, sizes 1..30+)."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.dedup import dup_cluster_histogram
+
+    ds = __rps(os.path.join(sf_dir, "events.parquet"), columns=["props"])
+    df = (
+        dup_cluster_histogram(ds, "props")
+        .to_pandas()
+        .sort_values("cluster_size")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "cluster_size": pa.array(df["cluster_size"], type=pa.int64()),
+            "n_clusters": pa.array(df["n_clusters"], type=pa.int64()),
+        }
+    )
+
+
 def q_entropy_secret_scan(sf_dir: str) -> pa.Table:
     """High-entropy secret-candidate scanner (stages/entropy.py): the
     trufflehog-style complement to the regex scrub. min_len=8 /
@@ -3928,6 +3954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ref_integrity_orphans": q_ref_integrity_orphans,
         "schema_check_orders": q_schema_check_orders,
         "entropy_secret_scan": q_entropy_secret_scan,
+        "dup_cluster_histogram": q_dup_cluster_histogram,
     }
 
 
@@ -5546,6 +5573,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(COUNT(*) AS BIGINT) AS orphans FROM events e"
             " WHERE e.user_id IS NOT NULL AND NOT EXISTS"
             " (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)"
+        ),
+        # duplicate-cluster size histogram: distinct contents per
+        # occurrence count (engine clusters by content-hash-128;
+        # 2^-128 collision bound == exact text equality)
+        "dup_cluster_histogram": (
+            "WITH c AS (SELECT props, CAST(COUNT(*) AS BIGINT) AS cluster_size"
+            " FROM events WHERE props IS NOT NULL GROUP BY props)"
+            " SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters"
+            " FROM c GROUP BY cluster_size ORDER BY cluster_size"
         ),
         # high-entropy secret scan (stages/entropy.py): token = maximal
         # run of the secret charset; per-token char entropy with

@@ -488,3 +488,38 @@ class TestDedupRateByGroup:
         assert d.loc["b", "dup_frac"] == 0.0
         assert list(d.index) == sorted(d.index) or True
         assert None not in d.index  # null group dropped
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDupClusterHistogram:
+    def test_planted_cluster_sizes(self):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.dedup import dup_cluster_histogram
+
+        # 3 singletons, 2 pairs, 1 cluster of 5, plus nulls (dropped)
+        texts = (["s1", "s2", "s3"] + ["p1"] * 2 + ["p2"] * 2 + ["big"] * 5
+                 + [None, None])
+        t = pa.table({"text": pa.array(texts, type=pa.string())})
+        got = {
+            r["cluster_size"]: r["n_clusters"]
+            for r in dup_cluster_histogram(
+                ray.data.from_arrow(t).repartition(3), "text", nparts=4
+            ).take_all()
+        }
+        assert got == {1: 3, 2: 2, 5: 1}
+
+    def test_cross_block_clusters_merge(self):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.dedup import dup_cluster_histogram
+
+        # the same content in every block must count as ONE cluster of 6
+        t = pa.table({"text": pa.array(["dup", "other"] * 3 + ["dup"] * 3)})
+        got = {
+            r["cluster_size"]: r["n_clusters"]
+            for r in dup_cluster_histogram(
+                ray.data.from_arrow(t).repartition(4), "text", nparts=2
+            ).take_all()
+        }
+        assert got == {3: 1, 6: 1}

@@ -2243,3 +2243,82 @@ def dedup_rate_by_group(
         .groupby(group_col)
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def dup_cluster_histogram(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    nparts: int = 32,
+) -> "ray.data.Dataset":
+    """Duplicate-cluster size distribution — "how redundant is this
+    corpus, and is it 2x copies or 10,000x boilerplate?": for each
+    cluster size k, the number of distinct contents occurring exactly k
+    times. The dedup-planning companion to dedup_rate_by_group (a 10^6
+    cluster tells you to broadcast its digest, not shuffle it).
+
+    Scale shape: digest-only end to end. Each batch emits unique
+    (content-hash-128, count) partials via an Arrow group_by (raw text
+    never leaves the read stage); the partials go through the manual
+    hash exchange (routing, no range-sort) where each partition sums
+    its clusters and histograms them locally. Only O(distinct sizes)
+    rows per partition reach the final tiny groupby. Null texts drop
+    (the SQL twin groups non-null text)."""
+    from ray.data.aggregate import Sum
+
+    from weiser_ai_ray.pipelines.exchange import exchange_map_groups
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[text_col]))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "__h1": pa.array([], pa.int64()),
+                    "__h2": pa.array([], pa.int64()),
+                    "__rows": pa.array([], pa.int64()),
+                }
+            )
+        hashed = add_content_hash128(pa.table({text_col: t[text_col]}), text_col)
+        g = hashed.select(["__h1", "__h2"]).group_by(["__h1", "__h2"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "__h1": g["__h1"],
+                "__h2": g["__h2"],
+                "__rows": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    def part(b: pa.Table) -> pa.Table:
+        h1 = b["__h1"].to_numpy(zero_copy_only=False)
+        return b.append_column("__part", pa.array((h1 % nparts).astype(np.int32)))
+
+    def hist_in_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "cluster_size": pa.array([], pa.int64()),
+                    "__n": pa.array([], pa.int64()),
+                }
+            )
+        h1 = g["__h1"].to_numpy(zero_copy_only=False)
+        h2 = g["__h2"].to_numpy(zero_copy_only=False)
+        rows = g["__rows"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h2, h1))
+        h1s, h2s, rs = h1[order], h2[order], rows[order]
+        new = np.ones(len(h1s), dtype=bool)
+        new[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        bounds = np.nonzero(new)[0]
+        sizes = np.add.reduceat(rs, bounds)
+        uk, cnt = np.unique(sizes, return_counts=True)
+        return pa.table(
+            {
+                "cluster_size": pa.array(uk, pa.int64()),
+                "__n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    per_part = exchange_map_groups(partials, part, hist_in_part, nparts)
+    out = per_part.groupby("cluster_size").aggregate(Sum("__n", alias_name="n_clusters"))
+    return out
