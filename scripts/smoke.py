@@ -1,0 +1,196 @@
+"""Round-scale operator smokes over a deterministic realistic corpus.
+
+Generates (once, cached under /tmp) an n-row synthetic document corpus
+with a Zipfian pseudo-word vocabulary, source/lang mixture columns and
+a planted near-duplicate fraction, then times named operators over it.
+This is the harness behind the "3M / 10M smoke" rows in BASELINE.md —
+corpus synthesis is setup, not benchmark, so only the operator pass is
+timed.
+
+Usage:
+    python scripts/smoke.py --rows 3000000 --op temperature
+    python scripts/smoke.py --rows 10000000 --op minhash_distributed
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SOURCES = [f"src_{i:02d}" for i in range(12)]
+LANGS = ["en", "de", "fr", "es", "pt", "it", "nl", "pl"]
+VOCAB_SIZE = 30_000
+MEAN_WORDS = 40
+DUP_FRAC = 0.03
+
+_SYL = [
+    "ba", "ce", "di", "fo", "gu", "ha", "ji", "ko", "lu", "ma",
+    "ne", "or", "pa", "qui", "ra", "se", "ti", "un", "va", "wo",
+    "xe", "yi", "zo", "al", "em", "is", "ot", "ur", "an", "el",
+]
+
+
+def _vocab(size: int) -> np.ndarray:
+    """Deterministic pseudo-word vocabulary (syllable products)."""
+    words = []
+    n = len(_SYL)
+    i = 0
+    while len(words) < size:
+        a, b, c = (i // (n * n)) % n, (i // n) % n, i % n
+        words.append(_SYL[a] + _SYL[b] + _SYL[c] + ("" if i % 3 else _SYL[(a + b) % n]))
+        i += 1
+    return np.asarray(words, dtype=object)
+
+
+def _gen_shard(path: str, shard: int, n_rows: int, start_id: int, seed: int) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed * 1_000_003 + shard)
+    vocab = _vocab(VOCAB_SIZE)
+    # Zipfian word frequencies (bounded to the vocab)
+    ranks = rng.zipf(1.3, size=n_rows * MEAN_WORDS * 2)
+    ranks = ranks[ranks <= VOCAB_SIZE][: n_rows * MEAN_WORDS]
+    while ranks.size < n_rows * MEAN_WORDS:
+        extra = rng.zipf(1.3, size=n_rows * MEAN_WORDS)
+        ranks = np.concatenate([ranks, extra[extra <= VOCAB_SIZE]])[: n_rows * MEAN_WORDS]
+    lens = np.clip(rng.lognormal(np.log(MEAN_WORDS), 0.45, size=n_rows).astype(np.int64), 8, 240)
+    # consume words greedily; wrap if we run short
+    total = int(lens.sum())
+    if ranks.size < total:
+        ranks = np.resize(ranks, total)
+    words = vocab[ranks[:total] - 1]
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    texts = [" ".join(words[offs[i] : offs[i + 1]]) for i in range(n_rows)]
+    # plant near-dups: DUP_FRAC of rows copy an earlier row with one word swapped
+    n_dup = int(n_rows * DUP_FRAC)
+    dup_pos = rng.choice(np.arange(n_rows // 2, n_rows), size=n_dup, replace=False)
+    base_pos = rng.integers(0, n_rows // 2, size=n_dup)
+    for d, b in zip(dup_pos, base_pos):
+        toks = texts[b].split(" ")
+        toks[int(rng.integers(0, len(toks)))] = str(vocab[int(rng.integers(0, VOCAB_SIZE))])
+        texts[d] = " ".join(toks)
+    src = np.minimum(rng.zipf(1.5, size=n_rows) - 1, len(SOURCES) - 1)
+    lang = np.minimum(rng.zipf(1.4, size=n_rows) - 1, len(LANGS) - 1)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(start_id, start_id + n_rows, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+            "source": pa.array([SOURCES[i] for i in src], type=pa.string()),
+            "lang": pa.array([LANGS[i] for i in lang], type=pa.string()),
+            "score": pa.array(rng.random(n_rows)),
+        }
+    )
+    pq.write_table(tbl, path, compression="zstd")
+
+
+def ensure_corpus(n_rows: int, seed: int = 11, n_shards: int = 128) -> str:
+    """Generate (or reuse) the cached corpus; returns its directory."""
+    import ray
+
+    out = f"/tmp/graft_smoke_{n_rows}_{seed}"
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    per = n_rows // n_shards
+    gen = ray.remote(_gen_shard)
+    futs = [
+        gen.remote(os.path.join(out, f"part-{s:04d}.parquet"), s, per, s * per, seed)
+        for s in range(n_shards)
+    ]
+    ray.get(futs)
+    with open(marker, "w") as f:
+        f.write(str(n_rows))
+    return out
+
+
+def _read(path: str):
+    import ray
+
+    return ray.data.read_parquet(path)
+
+
+def op_temperature(path: str) -> dict:
+    from weiser_ai_ray.pipelines.sampling import sample_temperature_mix
+
+    ds = sample_temperature_mix(_read(path), "doc_id", "source", alpha=0.5, budget_frac=0.35)
+    return {"rows_out": ds.count()}
+
+
+def op_upsample(path: str) -> dict:
+    from weiser_ai_ray.pipelines.sampling import upsample_temperature_mix
+
+    ds = upsample_temperature_mix(_read(path), "doc_id", "source", alpha=0.4, budget_frac=1.6)
+    return {"rows_out": ds.count()}
+
+
+def op_lm_filter(path: str) -> dict:
+    from weiser_ai_ray.pipelines.repetition import lm_quality_filter
+
+    ds = lm_quality_filter(_read(path), "text", "doc_id")
+    return {"rows_out": ds.count()}
+
+
+def op_pivot(path: str) -> dict:
+    from weiser_ai_ray.pipelines.pivot import pivot_counts
+
+    ds = pivot_counts(_read(path), "source", "lang")
+    return {"rows_out": ds.count()}
+
+
+def op_minhash_distributed(path: str) -> dict:
+    from weiser_ai_ray.pipelines.dedup import minhash_lsh_dedup_distributed
+
+    ds = minhash_lsh_dedup_distributed(_read(path), "text", "doc_id")
+    return {"rows_out": ds.count()}
+
+
+def op_minhash(path: str) -> dict:
+    from weiser_ai_ray.pipelines.dedup import minhash_lsh_dedup
+
+    ds = minhash_lsh_dedup(_read(path), "text", "doc_id")
+    return {"rows_out": ds.count()}
+
+
+OPS = {
+    "temperature": op_temperature,
+    "upsample": op_upsample,
+    "lm_filter": op_lm_filter,
+    "pivot": op_pivot,
+    "minhash": op_minhash,
+    "minhash_distributed": op_minhash_distributed,
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=3_000_000)
+    ap.add_argument("--op", required=True, choices=sorted(OPS))
+    ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--seed", type=int, default=11)
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    path = ensure_corpus(args.rows, args.seed)
+    t0 = time.perf_counter()
+    extra = OPS[args.op](path)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"op": args.op, "rows": args.rows, "sec": round(dt, 1),
+                      "rows_per_sec": int(args.rows / dt), "num_cpus": args.num_cpus, **extra}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
