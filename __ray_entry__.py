@@ -3754,6 +3754,50 @@ def q_license_counts(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_strip_html(sf_dir: str) -> pa.Table:
+    """HTML boilerplate strip over a deterministically HTML-planted
+    corpus (testdata is plain text): script/style blocks with content,
+    comments, tag strip, entity unescape and ws-collapse are all RE2 /
+    literal replaces on both sides, so the extracted text AND the tag
+    count are under the hash."""
+    import ray.data
+
+    from weiser_ai_ray.pipelines.scrubbing import strip_html
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = []
+        for d, t in zip(ids, texts):
+            parts = [
+                f'<html><head><title>Doc {d}</title>'
+                f'<style type="text/css">p {{ color: #{d % 7} }}</style></head><body>'
+            ]
+            if d % 4 == 0:
+                parts.append(f"<script>if (1<2) {{ track({d}); }}</script>")
+            parts.append(f'<!-- build {d % 11} --><h1 class="t">Title {d}</h1><p>')
+            parts.append(t if t is not None else "")
+            parts.append("</p>")
+            if d % 5 == 0:
+                parts.append(f"<br/>&amp; footer &lt;{d}&gt;&nbsp;&quot;q&#39;")
+            parts.append("</body></html>")
+            out.append("".join(parts))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": pa.array(out, type=pa.large_string())}
+        )
+
+    planted = ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    pdf = (
+        strip_html(planted)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 # ----------------------------------------------------------------------
 # driver entry points
 
@@ -3955,6 +3999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_check_orders": q_schema_check_orders,
         "entropy_secret_scan": q_entropy_secret_scan,
         "dup_cluster_histogram": q_dup_cluster_histogram,
+        "strip_html_docs": q_strip_html,
     }
 
 
@@ -5602,6 +5647,38 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(SUM(CASE WHEN e6 >= 2500000 THEN 1 ELSE 0 END) AS BIGINT)"
             "   AS n_high_entropy, MAX(e6) AS max_entropy_e6"
             " FROM ent GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # HTML boilerplate strip over the same deterministic plant as
+        # q_strip_html: identical RE2 patterns (inline (?is)/(?s)
+        # flags), identical entity replace order (&amp; last),
+        # identical ws-collapse + Zs trim
+        "strip_html_docs": (
+            "WITH planted AS (SELECT doc_id,"
+            "  '<html><head><title>Doc ' || doc_id || '</title>'"
+            "  || '<style type=\"text/css\">p { color: #' || (doc_id % 7)"
+            "  || ' }</style></head><body>'"
+            "  || CASE WHEN doc_id % 4 = 0 THEN '<script>if (1<2) { track('"
+            "      || doc_id || '); }</script>' ELSE '' END"
+            "  || '<!-- build ' || (doc_id % 11) || ' --><h1 class=\"t\">Title '"
+            "  || doc_id || '</h1><p>' || coalesce(text, '') || '</p>'"
+            "  || CASE WHEN doc_id % 5 = 0 THEN '<br/>&amp; footer &lt;'"
+            "      || doc_id || '&gt;&nbsp;&quot;q&#39;' ELSE '' END"
+            "  || '</body></html>' AS t FROM documents),"
+            " s1 AS (SELECT doc_id, regexp_replace(t,"
+            "  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM planted),"
+            " s2 AS (SELECT doc_id, regexp_replace(t,"
+            "  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),"
+            " s3 AS (SELECT doc_id, regexp_replace(t,"
+            "  '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),"
+            " s4 AS (SELECT doc_id,"
+            "  CAST(len(regexp_extract_all(t, '<[^>]*>')) AS BIGINT) AS n_tags,"
+            "  regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),"
+            " s5 AS (SELECT doc_id, n_tags,"
+            "  replace(replace(replace(replace(replace(replace(t,"
+            "   '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)),"
+            "   '&nbsp;', ' '), '&amp;', '&') AS t FROM s4)"
+            " SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g'))"
+            "  AS stripped, n_tags FROM s5 ORDER BY doc_id"
         ),
         # schema_check_orders, lsh_topk, langid_documents,
         # minhash/simhash dedup and the corpus quality pipeline are

@@ -241,3 +241,73 @@ class TestPiiSpans:
         for _, r in got.iterrows():
             seg = texts[r["doc_id"]][r["start"]:r["end"]]
             assert len(seg) == r["n_chars"] and seg != ""
+
+
+class TestStripHtml:
+    """HTML boilerplate strip: Arrow-RE2 chain vs the DuckDB oracle
+    chain, byte-for-byte, including the adversarial seams (unclosed
+    tags, script content with '<', entity double-escapes, nulls)."""
+
+    CASES = [
+        "<html><body><p>plain paragraph</p></body></html>",
+        "<script>if (a<b) { x(); }</script>keep<style>p{}</style>",
+        "pre<!-- multi\nline\ncomment -->post",
+        "unclosed <b bold and <i>nested</i>",
+        "&amp;lt; stays &lt; becomes < &quot;q&quot; &#39;a&#39;&nbsp;!",
+        "no markup at all",
+        "<SCRIPT SRC='x'>var y=1;</SCRIPT><STYLE>z</STYLE>case",
+        "   leading  <p>  and   trailing </p>   ",
+        "",
+    ]
+
+    def _oracle(self, texts):
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("t", pa.table({"i": list(range(len(texts))), "text": texts}))
+        return [
+            r[0]
+            for r in con.execute(
+                "WITH s1 AS (SELECT i, regexp_replace(coalesce(text,''),"
+                " '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM t),"
+                " s2 AS (SELECT i, regexp_replace(t,"
+                " '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),"
+                " s3 AS (SELECT i, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),"
+                " s4 AS (SELECT i, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),"
+                " s5 AS (SELECT i, replace(replace(replace(replace(replace(replace(t,"
+                "  '&lt;','<'),'&gt;','>'),'&quot;','\"'),'&#39;',chr(39)),"
+                "  '&nbsp;',' '),'&amp;','&') AS t FROM s4)"
+                " SELECT trim(regexp_replace(t, '\\s+', ' ', 'g')) FROM s5 ORDER BY i"
+            ).fetchall()
+        ]
+
+    def test_column_parity_vs_duckdb(self):
+        from weiser_ai_ray.pipelines.scrubbing import strip_html_column
+
+        col = pa.array(self.CASES, type=pa.string())
+        got = strip_html_column(col).to_pylist()
+        assert got == self._oracle(self.CASES)
+
+    def test_dataset_stage_nulls_and_counts(self, ray_session):
+        from weiser_ai_ray.pipelines.scrubbing import strip_html
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": ["<p>a</p><br/>b", None, "plain"],
+                }
+            )
+        )
+        out = strip_html(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert out["stripped"].tolist()[0] == "a b"
+        assert out["stripped"].isna().tolist() == [False, True, False]
+        assert out["n_tags"].tolist() == [3, 0, 0]
+        assert out["n_tags"].dtype == "int64"
+
+    def test_script_block_content_removed(self):
+        from weiser_ai_ray.pipelines.scrubbing import strip_html_column
+
+        col = pa.array(["A<script>secret()</script>B"], type=pa.string())
+        out = strip_html_column(col).to_pylist()[0]
+        assert "secret" not in out and out == "A B"

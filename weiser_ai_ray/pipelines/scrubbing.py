@@ -190,3 +190,80 @@ def pii_spans(
     return ds.select_columns([id_col, text_col]).map_batches(
         _SpanStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency
     )
+
+
+# ----------------------------------------------------------------------
+# HTML boilerplate strip — the web-corpus text-extraction stage
+
+
+# entity unescape order: named/numeric entities first, ampersand LAST so
+# "&amp;lt;" decodes to the literal "&lt;" (single-pass HTML semantics)
+_HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_html_column(col, count_tags: bool = False):
+    """Column-level HTML-to-text extraction: drop <script>/<style>
+    blocks INCLUDING their content, drop comments, strip remaining
+    tags to a space, unescape the six core entities, collapse
+    whitespace + Zs-trim. Every step is an Arrow RE2 / literal-replace
+    kernel with an exact DuckDB twin (regexp_replace with the same
+    inline-flag patterns, replace(), trim) so parity holds
+    byte-for-byte — see __ray_entry__ strip_html_docs.
+
+    Returns the stripped column, or ``(stripped, n_tags)`` when
+    ``count_tags`` (tag count measured AFTER block/comment removal,
+    matching the oracle's regexp_extract_all length)."""
+    import pyarrow.compute as pc
+
+    c = pc.cast(col, pa.large_string())
+    c = pc.replace_substring_regex(c, pattern=r"(?is)<script[^>]*>.*?</script>", replacement=" ")
+    c = pc.replace_substring_regex(c, pattern=r"(?is)<style[^>]*>.*?</style>", replacement=" ")
+    c = pc.replace_substring_regex(c, pattern=r"(?s)<!--.*?-->", replacement=" ")
+    n_tags = pc.cast(pc.count_substring_regex(c, pattern=r"<[^>]*>"), pa.int64()) if count_tags else None
+    c = pc.replace_substring_regex(c, pattern=r"<[^>]*>", replacement=" ")
+    for ent, ch in _HTML_ENTITIES:
+        c = pc.replace_substring(c, pattern=ent, replacement=ch)
+    c = canonicalize_column(c, nfc=False, lowercase=False, collapse_ws=True)
+    return (c, n_tags) if count_tags else c
+
+
+def strip_html(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """HTML boilerplate removal over a web-crawl-shaped corpus — the
+    extraction step every raw-HTML training pipeline runs before
+    quality filtering (cf. trafilatura/jusText's role in CCNet-style
+    chains; here a deterministic RE2 chain so the output is
+    oracle-comparable). Output: (id, stripped, n_tags int64).
+
+    Scale: stateless per-row Arrow kernels, zero shuffle, text never
+    leaves the worker unstripped. Nulls stay null (n_tags 0)."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        stripped, n_tags = strip_html_column(batch[text_col], count_tags=True)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "stripped": stripped,
+                "n_tags": pc_fill_zero(n_tags),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def pc_fill_zero(arr):
+    import pyarrow.compute as pc
+
+    return pc.fill_null(pc.cast(arr, pa.int64()), 0)
