@@ -700,6 +700,24 @@ def q_window_15min_events(sf_dir: str) -> pa.Table:
     )
 
 
+def q_hopping_window_events(sf_dir: str) -> pa.Table:
+    """Hopping 15-min/5-min sliding window: each event lands in 3
+    windows, expanded inside the per-batch Arrow digest only — the
+    global exchange is O(windows) rows. Counts, sums and the overlap
+    bookkeeping are all under the hash."""
+    from weiser_ai_ray.pipelines.windows import hopping_window_agg
+
+    ev = __rps(os.path.join(sf_dir, "events.parquet"))
+    df = hopping_window_agg(ev, "ts", 15, 5, "value").to_pandas()
+    df = df.sort_values("window_start_us").reset_index(drop=True)
+    df["sum_value"] = df["sum_value"].round(6)
+    df["avg_value"] = df["avg_value"].round(6)
+    return pa.Table.from_pandas(
+        df[["window_start_us", "n_events", "sum_value", "avg_value"]],
+        preserve_index=False,
+    )
+
+
 def q_rolling_avg_user_value(sf_dir: str) -> pa.Table:
     """Per-user rolling mean over the last 4 events (ROWS frame):
     one coarse user-bucket shuffle + vectorized prefix-sum."""
@@ -4000,6 +4018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entropy_secret_scan": q_entropy_secret_scan,
         "dup_cluster_histogram": q_dup_cluster_histogram,
         "strip_html_docs": q_strip_html,
+        "hopping_window_events": q_hopping_window_events,
     }
 
 
@@ -5679,6 +5698,18 @@ def oracle_sql() -> dict[str, str]:
             "   '&nbsp;', ' '), '&amp;', '&') AS t FROM s4)"
             " SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g'))"
             "  AS stripped, n_tags FROM s5 ORDER BY doc_id"
+        ),
+        # hopping 15/5-min sliding windows: event at hop-bucket b
+        # belongs to windows starting at b, b-1, b-2 (5-min units)
+        "hopping_window_events": (
+            "WITH e AS (SELECT epoch_us(ts)//300000000 AS b, value"
+            "  FROM events),"
+            " x AS (SELECT (e.b - o.j) * 300000000 AS window_start_us, e.value"
+            "  FROM e, (SELECT unnest([0, 1, 2]) AS j) o)"
+            " SELECT window_start_us, count(*)::BIGINT AS n_events,"
+            "  round(sum(value), 6) AS sum_value,"
+            "  round(avg(value), 6) AS avg_value"
+            " FROM x GROUP BY 1 ORDER BY 1"
         ),
         # schema_check_orders, lsh_topk, langid_documents,
         # minhash/simhash dedup and the corpus quality pipeline are

@@ -484,3 +484,60 @@ class TestIntOrderKeyPrecision:
             .set_index("id")["tile"]
         )
         assert tiles.to_dict() == {2: 1, 3: 2, 4: 3, 1: 4}
+
+
+def test_hopping_window_matches_duckdb(ray_session, con):
+    from weiser_ai_ray.pipelines.windows import hopping_window_agg
+
+    ev = ray.data.read_parquet(f"{SF_DIR}/events.parquet")
+    r = hopping_window_agg(ev, "ts", 15, 5, "value").to_pandas()
+    r = r.sort_values("window_start_us").reset_index(drop=True)
+    r["sum_value"] = r["sum_value"].round(6)
+    r["avg_value"] = r["avg_value"].round(6)
+    o = con.sql(
+        "WITH e AS (SELECT epoch_us(ts)//300000000 AS b, value FROM events),"
+        " x AS (SELECT (e.b - o.j)*300000000 AS window_start_us, e.value"
+        "  FROM e, (SELECT unnest([0,1,2]) AS j) o)"
+        " SELECT window_start_us, count(*)::BIGINT n_events,"
+        "  round(sum(value),6) sum_value, round(avg(value),6) avg_value"
+        " FROM x GROUP BY 1 ORDER BY 1"
+    ).df()
+    pd.testing.assert_frame_equal(r, o)
+
+
+def test_hopping_window_hand_case(ray_session):
+    # events at t=0s and t=600s (bucket 0 and 2, 5-min hops):
+    # windows -10,-5,0 cover the first; 0,5,10 min the second;
+    # the 0-min window holds both.
+    from weiser_ai_ray.pipelines.windows import hopping_window_agg
+
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array([0, 600_000_000], type=pa.timestamp("us")),
+                "value": pa.array([1.0, None], type=pa.float64()),
+            }
+        )
+    )
+    r = (
+        hopping_window_agg(ev, "ts", 15, 5, "value")
+        .to_pandas()
+        .sort_values("window_start_us")
+        .reset_index(drop=True)
+    )
+    mins = (r["window_start_us"] // 60_000_000).tolist()
+    assert mins == [-10, -5, 0, 5, 10]
+    assert r["n_events"].tolist() == [1, 1, 2, 1, 1]
+    # the null-valued event counts but contributes no sum/avg
+    assert r["sum_value"].tolist()[:3] == [1.0, 1.0, 1.0]
+    assert pd.isna(r["sum_value"].iloc[3]) and pd.isna(r["avg_value"].iloc[4])
+
+
+def test_hopping_window_rejects_non_multiple(ray_session):
+    from weiser_ai_ray.pipelines.windows import hopping_window_agg
+
+    ev = ray.data.from_arrow(
+        pa.table({"ts": pa.array([0], type=pa.timestamp("us")), "value": [1.0]})
+    )
+    with pytest.raises(ValueError):
+        hopping_window_agg(ev, "ts", 15, 4, "value")

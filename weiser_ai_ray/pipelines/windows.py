@@ -794,3 +794,80 @@ def grouped_first_last(
         .groupby("__part")
         .map_groups(fl, batch_format="pyarrow")
     )
+
+
+def hopping_window_agg(
+    ds: "ray.data.Dataset",
+    ts_col: str,
+    window_minutes: float,
+    hop_minutes: float,
+    value_col: str,
+) -> "ray.data.Dataset":
+    """Hopping (sliding) window aggregate: count / sum / avg of
+    ``value_col`` per window of ``window_minutes`` starting every
+    ``hop_minutes`` (window_minutes must be an integer multiple of
+    hop_minutes). An event at t belongs to the k = window/hop
+    consecutive windows ending at-or-after it, so each batch expands
+    rows k-fold INTO THE DIGEST ONLY — per-batch Arrow pre-aggregation
+    keyed on (hop-bucket - j) collapses the expansion before anything
+    shuffles; the global exchange is O(windows x blocks) digest rows,
+    never events. Window key is the floored epoch-us start
+    (``window_start_us``); SQL-null semantics as tumbling_window_agg
+    (null values drop out of sum/avg, every event row counts)."""
+    hop_us = np.int64(round(hop_minutes * _US_PER_MIN))
+    k = int(round(window_minutes / hop_minutes))
+    if abs(k * hop_minutes - window_minutes) > 1e-9 or k < 1:
+        raise ValueError("window_minutes must be a positive integer multiple of hop_minutes")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch[ts_col])
+        bucket = ts // hop_us
+        v = pc.cast(batch[value_col], pa.float64())
+        nn = pc.cast(pc.is_valid(v), pa.int64())
+        pieces = []
+        for j in range(k):
+            keyed = pa.table(
+                {
+                    "window_start_us": pa.array((bucket - j) * hop_us),
+                    "__v": v,
+                    "__nn": nn,
+                }
+            )
+            pieces.append(
+                keyed.group_by(["window_start_us"]).aggregate(
+                    [("__v", "sum"), ("__nn", "sum"), ([], "count_all")]
+                )
+            )
+        agg = (
+            pa.concat_tables(pieces)
+            .group_by(["window_start_us"])
+            .aggregate([("__v_sum", "sum"), ("__nn_sum", "sum"), ("count_all", "sum")])
+        )
+        return agg.rename_columns(["window_start_us", "sum_value", "n_nonnull", "n_events"])
+
+    parts = ds.select_columns([ts_col, value_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    combined = parts.groupby("window_start_us").aggregate(
+        Sum("sum_value", alias_name="sum_value"),
+        Sum("n_nonnull", alias_name="n_nonnull"),
+        Sum("n_events", alias_name="n_events"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nn = batch["n_nonnull"]
+        some = pc.greater(nn, 0)
+        null_f64 = pa.scalar(None, pa.float64())
+        s = pc.cast(batch["sum_value"], pa.float64())
+        return pa.table(
+            {
+                "window_start_us": batch["window_start_us"],
+                "n_events": pc.cast(batch["n_events"], pa.int64()),
+                "sum_value": pc.if_else(some, s, null_f64),
+                "avg_value": pc.if_else(
+                    some, pc.divide(s, pc.cast(nn, pa.float64())), null_f64
+                ),
+            }
+        )
+
+    return combined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
