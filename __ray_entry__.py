@@ -3816,6 +3816,42 @@ def q_strip_html(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def q_sample_reservoir(sf_dir: str) -> pa.Table:
+    """Exact-k uniform sample (distributed reservoir on the md5 line):
+    per-batch partial top-k + one O(k x blocks) driver merge; the
+    selected id set is bit-deterministic so rows AND values are under
+    the hash."""
+    from weiser_ai_ray.pipelines.sampling import sample_reservoir
+
+    ds = __rps(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    t = sample_reservoir(ds, "doc_id", 200, keep_cols=["doc_id", "source", "n_chars"])
+    return t.sort_by("doc_id")
+
+
+def q_priority_sample(sf_dir: str) -> pa.Table:
+    """Weighted without-replacement exact-k (Duffield-Lund-Thorup
+    priority sampling, key = w/u with u from the md5 line,
+    w = max(n_chars, 1)): the key is one IEEE division so both sides
+    are BIT-identical — selection AND the competition keys are under
+    the hash."""
+    import pyarrow.compute as pc
+
+    from weiser_ai_ray.pipelines.sampling import priority_sample_weighted
+
+    ds = __rps(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    t = priority_sample_weighted(
+        ds, "doc_id", "n_chars", 150, keep_cols=["doc_id", "source", "n_chars"]
+    )
+    t = t.set_column(t.schema.get_field_index("pri"), "pri", pc.round(t["pri"], 6))
+    return t.sort_by("doc_id")
+
+
 # ----------------------------------------------------------------------
 # driver entry points
 
@@ -4019,6 +4055,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_histogram": q_dup_cluster_histogram,
         "strip_html_docs": q_strip_html,
         "hopping_window_events": q_hopping_window_events,
+        "sample_reservoir_docs": q_sample_reservoir,
+        "priority_sample_docs": q_priority_sample,
     }
 
 
@@ -5710,6 +5748,27 @@ def oracle_sql() -> dict[str, str]:
             "  round(sum(value), 6) AS sum_value,"
             "  round(avg(value), 6) AS avg_value"
             " FROM x GROUP BY 1 ORDER BY 1"
+        ),
+        # exact-k uniform sample on the md5 line (distributed
+        # reservoir): global smallest-k hex ranks, tie-broken by id
+        "sample_reservoir_docs": (
+            "SELECT doc_id, source, n_chars FROM ("
+            " SELECT doc_id, source, n_chars FROM documents"
+            " ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 200)"
+            " ORDER BY doc_id"
+        ),
+        # Duffield-Lund-Thorup weighted without-replacement:
+        # priority = w / u, u = (h32 + 0.5)/2^32 from the md5 line,
+        # w = max(n_chars, 1) — one IEEE division, bit-exact twin
+        "priority_sample_docs": (
+            "WITH kk AS (SELECT doc_id, source, n_chars,"
+            "  greatest(CAST(n_chars AS DOUBLE), 1.0)"
+            "   / ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+            "    + 0.5) / 4294967296.0) AS pri"
+            "  FROM documents)"
+            " SELECT doc_id, source, n_chars, round(pri, 6) AS pri FROM ("
+            "  SELECT * FROM kk ORDER BY pri DESC, doc_id LIMIT 150)"
+            " ORDER BY doc_id"
         ),
         # schema_check_orders, lsh_topk, langid_documents,
         # minhash/simhash dedup and the corpus quality pipeline are

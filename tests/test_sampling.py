@@ -1,0 +1,69 @@
+"""Reservoir / priority (A-ES) sampling operators."""
+
+import pyarrow as pa
+class TestReservoirAndPriority:
+    def test_reservoir_layout_invariance(self, ray_session):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.sampling import sample_reservoir
+
+        t = pa.table({"doc_id": list(range(1000)), "v": [float(i) for i in range(1000)]})
+        one = ray.data.from_arrow(t)
+        many = ray.data.from_arrow(t).repartition(13)
+        a = sample_reservoir(one, "doc_id", 50).sort_by("doc_id")
+        b = sample_reservoir(many, "doc_id", 50).sort_by("doc_id")
+        assert a.equals(b)
+        assert a.num_rows == 50 and "__rk" not in a.column_names
+
+    def test_priority_prefers_heavy_weights(self, ray_session):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.sampling import priority_sample_weighted
+
+        # ids 0..499 weight 1, ids 500..999 weight 1000: the heavy half
+        # must dominate an exact-100 weighted sample
+        n = 1000
+        t = pa.table(
+            {"doc_id": list(range(n)), "w": [1] * (n // 2) + [1000] * (n // 2)}
+        )
+        out = priority_sample_weighted(
+            ray.data.from_arrow(t).repartition(7), "doc_id", "w", 100
+        )
+        heavy = sum(1 for d in out["doc_id"].to_pylist() if d >= 500)
+        assert heavy >= 90
+        assert out.num_rows == 100
+
+    def test_priority_null_weight_ranks_last(self, ray_session):
+        import ray.data
+
+        from weiser_ai_ray.pipelines.sampling import priority_sample_weighted
+
+        t = pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "w": pa.array([None, 10, 10, 10], type=pa.int64()),
+            }
+        )
+        out = priority_sample_weighted(ray.data.from_arrow(t), "doc_id", "w", 3)
+        assert 1 not in out["doc_id"].to_pylist()
+
+    def test_priority_key_matches_duckdb_bitexact(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from weiser_ai_ray.pipelines.sampling import priority_sample_weighted
+
+        t = pa.table({"doc_id": list(range(200)), "w": [(i % 17) + 1 for i in range(200)]})
+        out = priority_sample_weighted(
+            ray.data.from_arrow(t).repartition(5), "doc_id", "w", 200
+        ).sort_by("doc_id")
+        con = duckdb.connect()
+        con.register("t", t)
+        o = con.execute(
+            "SELECT doc_id, greatest(CAST(w AS DOUBLE),1.0)"
+            " / ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT"
+            " + 0.5)/4294967296.0) AS pri"
+            " FROM t ORDER BY doc_id"
+        ).fetch_arrow_table()
+        # bit-exact, not approx: the DLT key is one IEEE division
+        assert out["pri"].to_pylist() == o["pri"].to_pylist()

@@ -629,3 +629,74 @@ def sample_to_mixture(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def sample_reservoir(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    k: int,
+    keep_cols: Sequence[str] | None = None,
+) -> pa.Table:
+    """Exact-k uniform sample without replacement — the distributed
+    reservoir: rank every row on the md5(CAST(id AS VARCHAR)) line and
+    keep the global k smallest (tie-broken by id). Equivalent in law
+    to reservoir sampling with a fixed seed, but deterministic across
+    block layouts and cluster sizes, and SQL-twinned
+    (``ORDER BY md5(id::VARCHAR), id LIMIT k``).
+
+    Plan: per-batch partial top-k on the hex key (Arrow sort + slice),
+    then ONE driver merge of k x blocks digest rows — the corpus never
+    shuffles and driver state is O(k)."""
+
+    def add_key(b: pa.Table) -> pa.Table:
+        t = b.select(list(keep_cols) if keep_cols else b.column_names)
+        dig, valid = str_key_digests(b[id_col])
+        return t.append_column("__rk", hex_string_array(digest_hex(dig), valid))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+    out = global_topk(keyed, order=["__rk", id_col], k=k, ascending=True)
+    return out.drop_columns(["__rk"])
+
+
+def priority_sample_weighted(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    weight_col: str,
+    k: int,
+    keep_cols: Sequence[str] | None = None,
+) -> pa.Table:
+    """Weighted sampling WITHOUT replacement, exact-k — priority
+    sampling (Duffield, Lund & Thorup 2007): each row draws
+    u ~ U(0,1) from the 32-bit md5(id) line and competes with
+    priority w / u; the k largest priorities are the sample, so
+    inclusion odds scale with weight but heavy rows can't repeat.
+    Weights are clamped to >= 1; null weights rank last (key null).
+
+    The competition key is a single IEEE-754 division (u itself is
+    one add + one exact power-of-two divide), so the SQL twin is
+    BIT-exact — no transcendental involved. (The classic A-ES key
+    u^(1/w) orders rows identically in law but pow() differs by an
+    ulp between numpy's SIMD kernel and libm, which would make the
+    top-k boundary engine-dependent.)
+
+    Same partial-top-k plan as :func:`sample_reservoir` (O(k) driver
+    state, zero corpus shuffle). Output adds ``pri`` for
+    auditability."""
+
+    def add_key(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = b.select(list(keep_cols) if keep_cols else b.column_names)
+        dig, valid = str_key_digests(b[id_col])
+        h32 = digest_u32(dig).astype(np.float64)
+        u = (h32 + 0.5) / 4294967296.0
+        w = pc.cast(b[weight_col], pa.float64()).to_numpy(zero_copy_only=False)
+        wv = np.maximum(np.nan_to_num(w, nan=1.0), 1.0)
+        key = wv / u
+        mask = valid & ~np.isnan(w)
+        return t.append_column(
+            "pri", pa.array(key, type=pa.float64(), mask=~mask)
+        )
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+    return global_topk(keyed, order=["pri", id_col], k=k, ascending=[False, True])
