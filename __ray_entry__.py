@@ -3852,6 +3852,19 @@ def q_priority_sample(sf_dir: str) -> pa.Table:
     return t.sort_by("doc_id")
 
 
+def q_minhash_keep_best(sf_dir: str) -> pa.Table:
+    """Near-dup keep-best (rows-only: LSH recall has no SQL twin;
+    winner-by-score semantics are pinned by TestMinhashKeepBest's
+    golden clusters): within each verified near-dup cluster the
+    highest-n_chars copy survives."""
+    from weiser_ai_ray.pipelines.dedup import minhash_lsh_keep_best
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), cache=True)
+    kept = minhash_lsh_keep_best(ds, "text", "doc_id", "n_chars")
+    ids = sorted(r["doc_id"] for r in kept.select_columns(["doc_id"]).take_all())
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+
 # ----------------------------------------------------------------------
 # driver entry points
 
@@ -4057,6 +4070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_events": q_hopping_window_events,
         "sample_reservoir_docs": q_sample_reservoir,
         "priority_sample_docs": q_priority_sample,
+        "minhash_keep_best_docs": q_minhash_keep_best,
     }
 
 

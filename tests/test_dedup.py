@@ -523,3 +523,70 @@ class TestDupClusterHistogram:
             ).take_all()
         }
         assert got == {3: 1, 6: 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMinhashKeepBest:
+    def _scored_near_dups(self):
+        """near_dup_dataset plus a score column: in the 0/1/2 cluster
+        doc 1 has the best score; in the 3/4 pair doc 4 wins."""
+        t = near_dup_dataset().take_all()
+        rows = {
+            "doc_id": [r["doc_id"] for r in t],
+            "text": [r["text"] for r in t],
+            "score": [5.0, 9.0, 7.0, 1.0, 2.0] + [0.5] * 7,
+        }
+        return ray.data.from_arrow(pa.Table.from_pydict(rows))
+
+    def test_best_copy_survives(self):
+        from weiser_ai_ray.pipelines.dedup import minhash_lsh_keep_best
+
+        kept = minhash_lsh_keep_best(
+            self._scored_near_dups(), "text", "doc_id", "score",
+            jaccard_threshold=0.7,
+        )
+        ids = sorted(r["doc_id"] for r in kept.select_columns(["doc_id"]).take_all())
+        # clusters {0,1,2} -> 1 (best score), {3,4} -> 4; singletons stay
+        assert ids == [1, 4, 5, 6, 7, 8, 9, 10, 11]
+
+    def test_matches_min_id_path_when_scores_tie(self):
+        from weiser_ai_ray.pipelines.dedup import (
+            minhash_lsh_dedup_distributed,
+            minhash_lsh_keep_best,
+        )
+
+        ds = near_dup_dataset().map_batches(
+            lambda b: b.append_column("score", pa.array([1.0] * b.num_rows)),
+            batch_format="pyarrow",
+        )
+        a = sorted(
+            r["doc_id"]
+            for r in minhash_lsh_keep_best(
+                ds, "text", "doc_id", "score", jaccard_threshold=0.7
+            ).select_columns(["doc_id"]).take_all()
+        )
+        b = sorted(
+            r["doc_id"]
+            for r in minhash_lsh_dedup_distributed(
+                ds, "text", "doc_id", jaccard_threshold=0.7
+            ).select_columns(["doc_id"]).take_all()
+        )
+        assert a == b
+
+    def test_no_dups_passthrough(self):
+        from weiser_ai_ray.pipelines.dedup import minhash_lsh_keep_best
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [1, 2],
+                    "text": [
+                        "alpha beta gamma delta epsilon zeta eta theta",
+                        "one two three four five six seven eight nine",
+                    ],
+                    "score": [1.0, 2.0],
+                }
+            )
+        )
+        kept = minhash_lsh_keep_best(ds, "text", "doc_id", "score")
+        assert kept.count() == 2

@@ -2322,3 +2322,65 @@ def dup_cluster_histogram(
     per_part = exchange_map_groups(partials, part, hist_in_part, nparts)
     out = per_part.groupby("cluster_size").aggregate(Sum("__n", alias_name="n_clusters"))
     return out
+
+
+def minhash_lsh_keep_best(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    score_col: str,
+    shingle_k: int = 5,
+    num_perm: int = 128,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    prefilter_sigmas: float = 3.0,
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Quality-aware NEAR-dup dedup: within every verified near-dup
+    cluster keep the highest-``score_col`` copy (ties to the smallest
+    id), not the smallest-id copy — the near-dup twin of
+    :func:`exact_dedup_keep_best` ("keep the best copy of the
+    boilerplate, not the first"). Singletons pass through untouched;
+    kept rows keep their original bytes.
+
+    Fully distributed, zero corpus-scale driver state (the
+    ``minhash_lsh_dedup_distributed`` contract): verified edges stay
+    a Dataset, clusters come from distributed connected components,
+    the winner per cluster is an argmax inside
+    ``groupby(component).map_groups`` over an O(clustered-docs)
+    digest join (id, component) x (id, score) — 24-byte rows, never
+    text — and the corpus is reduced with one anti-join against the
+    loser ids."""
+    edges_ds = _minhash_edges_dataset(
+        ds, text_col, id_col, shingle_k, num_perm, bands, jaccard_threshold, prefilter_sigmas
+    )
+    if edges_ds is None:
+        return ds
+    from ..joins import semi_anti_join
+    from .graph import connected_components
+
+    cc = connected_components(edges_ds, "id_a", "id_b")
+    try:
+        nparts = num_partitions or max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        nparts = num_partitions or 8
+    scored = cc.join(
+        ds.select_columns([id_col, score_col]),
+        join_type="inner",
+        num_partitions=nparts,
+        on=("id",),
+        right_on=(id_col,),
+    )
+
+    def losers_of(group: pa.Table) -> pa.Table:
+        if group.num_rows <= 1:
+            return pa.table({"__loser": group["id"].slice(0, 0)})
+        order = pc.sort_indices(
+            group,
+            sort_keys=[(score_col, "descending"), ("id", "ascending")],
+            null_placement="at_end",
+        )
+        return pa.table({"__loser": group.take(order.slice(1))["id"]})
+
+    losers = scored.groupby("component").map_groups(losers_of, batch_format="pyarrow")
+    return semi_anti_join(ds, losers, id_col, "__loser", anti=True)
