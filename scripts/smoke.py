@@ -160,7 +160,72 @@ def op_minhash(path: str) -> dict:
     return {"rows_out": ds.count()}
 
 
+def op_strip_html(path: str) -> dict:
+    """Tag-plants inline (cheap concat) so the strip pass has real work."""
+    import pyarrow as pa
+
+    from weiser_ai_ray.pipelines.scrubbing import strip_html
+
+    def plant(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pc.binary_join_element_wise(
+            '<html><body><!-- c --><p class="x">', b["text"], "</p>&amp;</body></html>"
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": t})
+
+    ds = _read(path).map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    out = strip_html(ds)
+    return {"rows_out": out.count()}
+
+
+def op_hopping(path: str) -> dict:
+    """Plants a per-row timestamp (doc_id seconds from epoch) then runs
+    the 15/5-min hopping aggregate — 3x in-batch expansion, digest-only
+    exchange."""
+    import pyarrow as pa
+
+    from weiser_ai_ray.pipelines.windows import hopping_window_agg
+
+    def plant(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = pc.cast(pc.multiply(b["doc_id"], 1_000_000), pa.timestamp("us"))
+        return pa.table({"ts": ts, "value": b["score"]})
+
+    ds = _read(path).map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    return {"rows_out": hopping_window_agg(ds, "ts", 15, 5, "value").count()}
+
+
+def op_reservoir(path: str) -> dict:
+    from weiser_ai_ray.pipelines.sampling import sample_reservoir
+
+    t = sample_reservoir(_read(path), "doc_id", 10_000, keep_cols=["doc_id", "source"])
+    return {"rows_out": t.num_rows}
+
+
+def op_priority(path: str) -> dict:
+    from weiser_ai_ray.pipelines.sampling import priority_sample_weighted
+
+    t = priority_sample_weighted(
+        _read(path), "doc_id", "score", 10_000, keep_cols=["doc_id", "score"]
+    )
+    return {"rows_out": t.num_rows}
+
+
+def op_minhash_keep_best(path: str) -> dict:
+    from weiser_ai_ray.pipelines.dedup import minhash_lsh_keep_best
+
+    ds = minhash_lsh_keep_best(_read(path), "text", "doc_id", "score")
+    return {"rows_out": ds.count()}
+
+
 OPS = {
+    "strip_html": op_strip_html,
+    "hopping": op_hopping,
+    "reservoir": op_reservoir,
+    "priority": op_priority,
+    "minhash_keep_best": op_minhash_keep_best,
     "temperature": op_temperature,
     "upsample": op_upsample,
     "lm_filter": op_lm_filter,

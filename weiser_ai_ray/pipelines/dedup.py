@@ -395,21 +395,31 @@ class MinHasher:
     (Horner mod 2^31-1 — all numpy, no per-shingle Python), finalized
     with one murmur3 fmix32 pass so the top bits are uniform.
 
-    Signatures are ONE-PERMUTATION HASHING with cyclic densification
-    (Li/Owen/Zhang 2012; Shrivastava/Li 2014): the mixed hash space is
-    cut into ``num_perm`` equal bins by top bits and the signature is
-    each bin's minimum, with empty bins borrowing the next occupied
-    bin's value cyclically. P[sig_i(A) == sig_i(B)] ≈ J as for classic
-    k-permutation MinHash, but the cost is O(shingles) instead of
-    O(shingles x num_perm) — the classic (P x n) mixing matrix was the
-    measured bus-bound hot spot (~280 µs/doc at 128 perms; OPH is
-    ~60 µs/doc). Densified values for near-empty docs carry higher
-    estimator variance; the exact-Jaccard verify pass absorbs the
-    resulting false candidates. Min over the shingle MULTISET equals
-    min over the set, so hashes are deduped before binning. Built once
-    per actor. (History: an affine family (a x + b) mod 2^61-1 with
-    a < 2^30 was near-MONOTONE and exploded dup-bucket membership;
-    fixed to fmix32 mixing, then to OPH for scale.)"""
+    Signatures are classic k-permutation MinHash over a BOTTOM-K
+    SKETCH of the shingle set (Broder 1997 sketches composed with
+    minwise re-hashing): the doc's unique mixed shingle hashes are cut
+    to their ``4 x num_perm`` smallest values (a uniform sample of the
+    set under the shared base mix), then each of the ``num_perm``
+    permutations — fmix32 after a per-permutation XOR seed — takes its
+    minimum over the sketch. P[sig_i(A) == sig_i(B)] = J(S_A, S_B)
+    ≈ J(A, B) (sketch sampling error ~1/sqrt(4P)), and the slots are
+    INDEPENDENT, so LSH band agreement is J^r as theory assumes. Cost
+    is O(shingles) to sketch + O(min(shingles, 4P) x P) bounded matrix
+    work per doc (~256 KB, cache-resident).
+
+    Min over the shingle MULTISET equals min over the set, so hashes
+    are deduped before sketching. Built once per actor.
+
+    (History: an affine family (a x + b) mod 2^61-1 with a < 2^30 was
+    near-MONOTONE and exploded dup-bucket membership; fixed to fmix32
+    mixing, then to one-permutation hashing with cyclic densification
+    for scale. OPH was in turn REPLACED by this bottom-k + classic
+    scheme: on a 3M-doc Zipf-vocabulary corpus of ~40-word docs (~47
+    shingles into 128 bins, ~88 bins densified) the correlated
+    borrowed slots made band keys corpus-wide degenerate — 99.2% of
+    docs landed in duplicate buckets and the verify pass, not the
+    signature pass, became a 480 s wall. Bottom-k + classic keeps the
+    per-doc cost bounded AND the slot independence.)"""
 
     _MIX1 = np.uint32(0x85EBCA6B)
     _MIX2 = np.uint32(0xC2B2AE35)
@@ -417,9 +427,15 @@ class MinHasher:
     def __init__(self, shingle_k: int = 5, num_perm: int = 64, seed: int = 1729):
         self.k = shingle_k
         self.num_perm = num_perm
-        # seed kept for API stability: OPH derives everything from the
-        # shingle-hash stream itself
+        self.sketch_k = 4 * num_perm
         self.seed = seed
+        # per-permutation XOR seeds, fixed by `seed` (deterministic
+        # across actors / runs / cluster sizes)
+        self._perm_seeds = self._mix32(
+            (np.arange(num_perm, dtype=np.uint32) + np.uint32(1))
+            * np.uint32(0x9E3779B1)
+            ^ np.uint32(seed)
+        )
 
     def shingle_hashes(self, text: Optional[str]) -> Optional[np.ndarray]:
         if not text:
@@ -446,25 +462,16 @@ class MinHasher:
         return z
 
     def _oph(self, hs_unique: np.ndarray) -> np.ndarray:
-        """One-permutation signature of a doc's UNIQUE shingle hashes:
-        mix, sort, cut into num_perm bins by top bits (bin index is
-        monotone in the mixed value, so each bin's minimum is its FIRST
-        element), densify empty bins cyclically."""
-        P = self.num_perm
+        """Signature of a doc's UNIQUE shingle hashes: mix, keep the
+        ``sketch_k`` smallest mixed values (bottom-k sketch — a uniform
+        sample of the set under the shared base mix), then one bounded
+        (P x sketch) matrix of per-permutation fmix32 minima. Name kept
+        for call-site stability across the OPH -> bottom-k history."""
         z = self._mix32(hs_unique)
-        z.sort(kind="stable")
-        bins = ((z.astype(np.uint64) * np.uint64(P)) >> np.uint64(32)).astype(np.int64)
-        starts = np.searchsorted(bins, np.arange(P))
-        ends = np.concatenate([starts[1:], [len(z)]])
-        occupied = starts < ends
-        vals = np.zeros(P, dtype=np.uint32)
-        vals[occupied] = z[starts[occupied]]
-        if not occupied.all():
-            ne = np.nonzero(occupied)[0]
-            pos = np.searchsorted(ne, np.arange(P))
-            pos[pos == len(ne)] = 0  # cyclic wrap to the first occupied
-            vals = vals[ne[pos]]
-        return vals
+        if z.size > self.sketch_k:
+            z = np.partition(z, self.sketch_k)[: self.sketch_k]
+        zz = self._mix32(z[None, :] ^ self._perm_seeds[:, None])
+        return zz.min(axis=1)
 
     def signature(self, text: Optional[str]) -> Optional[np.ndarray]:
         """uint32 signature (OPH bin minima; None for empty docs)."""
