@@ -213,6 +213,13 @@ def op_priority(path: str) -> dict:
     return {"rows_out": t.num_rows}
 
 
+def op_simhash(path: str) -> dict:
+    from weiser_ai_ray.pipelines.dedup import simhash_dedup
+
+    ds = simhash_dedup(_read(path), "text", "doc_id")
+    return {"rows_out": ds.count()}
+
+
 def op_minhash_keep_best(path: str) -> dict:
     from weiser_ai_ray.pipelines.dedup import minhash_lsh_keep_best
 
@@ -226,6 +233,7 @@ OPS = {
     "reservoir": op_reservoir,
     "priority": op_priority,
     "minhash_keep_best": op_minhash_keep_best,
+    "simhash": op_simhash,
     "temperature": op_temperature,
     "upsample": op_upsample,
     "lm_filter": op_lm_filter,
