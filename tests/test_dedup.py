@@ -313,11 +313,16 @@ class TestSimHashOversizedBuckets:
         hs[600:603] = hs[600]
         return np.arange(n, dtype=np.int64), hs
 
-    def test_small_bucket_edges_exact(self):
-        """Under _DIRECT_M the direct clique path emits exactly the
-        brute-force qualifying pair set."""
+    def test_small_bucket_components_exact(self):
+        """Under _DIRECT_M the direct path's emitted edges (star
+        contraction of the full clique — the round-4 contract) induce
+        exactly the brute-force qualifying components."""
         ids, hs = self._corpus(800, seed=1)
-        assert self._run_verifier(ids, hs) == self._brute_edges(ids, hs)
+        got = self._run_verifier(ids, hs)
+        want = self._brute_edges(ids, hs)
+        assert self._components(ids, got) == self._components(ids, want)
+        # and every component-min is a real doc id (star edge shape)
+        assert all(a < b for a, b in got)
 
     def test_oversized_bucket_components_match_bruteforce(self):
         ids, hs = self._corpus(6000, seed=2)
@@ -325,10 +330,11 @@ class TestSimHashOversizedBuckets:
         want = self._brute_edges(ids, hs)
         assert self._components(ids, got) == self._components(ids, want)
 
-    def test_oversized_bucket_emits_chains_not_cliques(self):
+    def test_oversized_bucket_emits_stars_not_cliques(self):
         """Feed ONLY the oversized band-0 bucket: the identical-hash
-        class must surface as a spanning chain (39 edges), not the
-        780-edge clique — the whole point of the collapse."""
+        class {500..539} must surface as O(members) spanning edges
+        within the class (39 after the round-4 star contraction), not
+        the 780-edge clique — the whole point of the collapse."""
         from weiser_ai_ray.pipelines.dedup import _SimHashBucketVerifier
 
         ids, hs = self._corpus(6000, seed=2)
@@ -346,7 +352,10 @@ class TestSimHashOversizedBuckets:
             for a, b in zip(out["id_a"].to_pylist(), out["id_b"].to_pylist())
         }
         cls_edges = {e for e in got if 500 <= e[0] < 540 and 500 <= e[1] < 540}
-        assert cls_edges == {(i, i + 1) for i in range(500, 539)}
+        assert len(cls_edges) == 39  # spanning, not the 780-edge clique
+        # spanning over exactly the 40 class members
+        members = {x for e in cls_edges for x in e}
+        assert members == set(range(500, 540))
         # components over the single bucket still match brute force
         want = self._brute_edges(ids, hs)
         assert self._components(ids, got) == self._components(ids, want)

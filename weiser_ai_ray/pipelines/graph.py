@@ -131,18 +131,17 @@ def _checksum(ds: "ray.data.Dataset") -> tuple[int, int, int]:
     )
 
 
-def _cc_single_task(batch: pa.Table) -> pa.Table:
-    """One-task connected components for small edge sets: compact node
-    codes, then alternate vectorized min-hooking with pointer jumping —
-    O(E) numpy work per pass, O(log V) passes. Emits (id, component =
-    min reachable id) for every node in the edge set, roots included
-    (identical contract to the star-rounds path)."""
-    a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-    b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+def cc_labels_numpy(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """In-memory connected components over int64 edge arrays: compact
+    node codes, then alternate vectorized min-hooking with pointer
+    jumping — O(E) numpy work per pass, O(log V) passes. Returns
+    (ids sorted-unique, component = min reachable id per node). The
+    kernel behind _cc_single_task, reusable by operators that need a
+    LOCAL contraction (e.g. the dedup verifiers' spanning-edge
+    reduction)."""
     ids = np.unique(np.concatenate([a, b]))
     if not len(ids):
-        empty = pa.array([], type=pa.int64())
-        return pa.table({"id": empty, "component": empty})
+        return ids, ids
     eu = np.searchsorted(ids, a)
     ev = np.searchsorted(ids, b)
     parent = np.arange(len(ids), dtype=np.int64)
@@ -161,10 +160,21 @@ def _cc_single_task(batch: pa.Table) -> pa.Table:
             parent[eu], parent[ev]
         ):
             break
+    return ids, ids[parent]
+
+
+def _cc_single_task(batch: pa.Table) -> pa.Table:
+    """One-task connected components for small edge sets (the fast
+    path under the distributed star rounds). Emits (id, component =
+    min reachable id) for every node in the edge set, roots included
+    (identical contract to the star-rounds path)."""
+    a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids, comp = cc_labels_numpy(a, b)
     return pa.table(
         {
             "id": pa.array(ids, type=pa.int64()),
-            "component": pa.array(ids[parent], type=pa.int64()),
+            "component": pa.array(comp, type=pa.int64()),
         }
     )
 
