@@ -3927,10 +3927,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "score_bigram_lm_docs": q_score_bigram_lm,
         "sample_weighted_docs": q_sample_weighted,
         # -- never driver-graded, rows-only by documented design (14) --
-        "minhash_dedup_unionfind": q_minhash_dedup_unionfind,
-        "minhash_dedup_incremental": q_minhash_dedup_incremental,
-        "kll_quantiles_price": q_kll_quantiles_price,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        # round-4 session-2 oracle-backed ops rotated INTO the 50-slot
+        # gate window (the four evicted rows-only entries — unionfind,
+        # incremental minhash, KLL, embedding LSH — moved to the tail:
+        # rows-only grading adds least evidence, they stay round-5
+        # rotation candidates)
+        "strip_html_docs": q_strip_html,
+        "hopping_window_events": q_hopping_window_events,
+        "sample_reservoir_docs": q_sample_reservoir,
+        "priority_sample_docs": q_priority_sample,
         "embedding_kmeans": q_embedding_kmeans,
         "semdedup_pairs_embeddings": q_semdedup_pairs,
         "compression_ratio_docs": q_compression_ratio,
@@ -4066,11 +4071,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_check_orders": q_schema_check_orders,
         "entropy_secret_scan": q_entropy_secret_scan,
         "dup_cluster_histogram": q_dup_cluster_histogram,
-        "strip_html_docs": q_strip_html,
-        "hopping_window_events": q_hopping_window_events,
-        "sample_reservoir_docs": q_sample_reservoir,
-        "priority_sample_docs": q_priority_sample,
         "minhash_keep_best_docs": q_minhash_keep_best,
+        "minhash_dedup_unionfind": q_minhash_dedup_unionfind,
+        "minhash_dedup_incremental": q_minhash_dedup_incremental,
+        "kll_quantiles_price": q_kll_quantiles_price,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
     }
 
 
