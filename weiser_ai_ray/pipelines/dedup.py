@@ -981,10 +981,24 @@ def _minhash_edges_dataset(
     bands: int,
     jaccard_threshold: float,
     prefilter_sigmas: float,
+    max_wave_rows: int = 12_000_000,
 ) -> "Optional[ray.data.Dataset]":
     """Verified near-dup edge rows (id_a, id_b) as a Dataset (canonical
     pair ownership makes rows corpus-wide unique up to cross-partition
-    bucket collisions); None when no duplicate bucket exists."""
+    bucket collisions and cross-wave re-verification, both harmless to
+    the CC/union-find consumers); None when no duplicate bucket exists.
+
+    LSH-HOSTILE corpora (random-pair Jaccard high enough that band
+    agreement stops being rare — measured 95% of a 10M-doc Zipf-bag
+    corpus landing in dup buckets) would otherwise ship O(corpus) text
+    into the verify groupby at once (37 GB at 10M docs) and die on
+    object-store spill. The verify therefore runs in WAVES: dup-bucket
+    keys are hash-chunked into K = ceil(member band rows /
+    ``max_wave_rows``) waves and pass 2 runs once per wave — members
+    re-sign once per wave they appear in (bounded duplicated CPU,
+    K-fold), while the in-flight verify payload stays bounded
+    (~10-15 GB per wave at 128 perms and ~300 B docs). K == 1 on
+    healthy corpora — the usual single-pass plan."""
     # plain TASK stages (instances, not actor classes): the MinHasher
     # is ~2 KB of numpy constants, so per-task pickling is free and the
     # stage parallelizes to every input block/CPU with no pool sizing.
@@ -1002,37 +1016,6 @@ def _minhash_edges_dataset(
         return None
 
     nparts = _verify_partitions()
-    keys_ref = ray.put(dup_keys)
-
-    # ids hitting >= 1 duplicate bucket — driver-held under the same
-    # O(duplicates) contract as dup_keys. Pass 2 then re-signs ONLY
-    # these docs instead of the whole corpus (signature cost becomes
-    # proportional to duplicates, not corpus size).
-    def member_rows(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b["bucket"], value_set=ray.get(keys_ref))).select([id_col])
-
-    member_parts = [
-        np.unique(b[id_col].to_numpy(zero_copy_only=False))
-        for b in band_rows.map_batches(
-            member_rows, batch_format="pyarrow", zero_copy_batch=True
-        ).iter_batches(batch_format="pyarrow", batch_size=None)
-        if b.num_rows
-    ]
-    if not member_parts:
-        return None
-    member_ids = np.unique(np.concatenate(member_parts))
-    ids_ref = ray.put(pa.array(member_ids))
-
-    def only_members(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b[id_col], value_set=ray.get(ids_ref)))
-
-    dup_docs = ds.map_batches(only_members, batch_format="pyarrow", zero_copy_batch=True)
-    dup_rows = dup_docs.map_batches(
-        _DupTextEmit(keys_ref, text_col, id_col, shingle_k, num_perm, bands, nparts),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-
     cut = max(
         jaccard_threshold
         - prefilter_sigmas * float(np.sqrt(jaccard_threshold * (1 - jaccard_threshold) / num_perm)),
@@ -1045,7 +1028,74 @@ def _minhash_edges_dataset(
     def verify_bucket_group(group: pa.Table) -> pa.Table:
         return verifier(group)
 
-    return dup_rows.groupby("part").map_groups(verify_bucket_group, batch_format="pyarrow")
+    def _wave_edges(wave_keys: pa.Array) -> "Optional[ray.data.Dataset]":
+        """One pass-2 wave over the docs hitting ``wave_keys``; returns
+        its verified-edge Dataset (None when the wave has no members)."""
+        keys_ref = ray.put(wave_keys)
+
+        # ids hitting >= 1 of this wave's dup buckets — driver-held
+        # under the same O(duplicates) contract as dup_keys. Pass 2
+        # then re-signs ONLY these docs (signature cost proportional
+        # to duplicates, not corpus size).
+        def member_rows(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b["bucket"], value_set=ray.get(keys_ref))).select([id_col])
+
+        member_parts = [
+            np.unique(b[id_col].to_numpy(zero_copy_only=False))
+            for b in band_rows.map_batches(
+                member_rows, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_rows
+        ]
+        if not member_parts:
+            return None
+        member_ids = np.unique(np.concatenate(member_parts))
+        ids_ref = ray.put(pa.array(member_ids))
+
+        def only_members(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b[id_col], value_set=ray.get(ids_ref)))
+
+        dup_docs = ds.map_batches(only_members, batch_format="pyarrow", zero_copy_batch=True)
+        dup_rows = dup_docs.map_batches(
+            _DupTextEmit(keys_ref, text_col, id_col, shingle_k, num_perm, bands, nparts),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return dup_rows.groupby("part").map_groups(verify_bucket_group, batch_format="pyarrow")
+
+    # wave count from the MEMBER band-row volume (one cheap count pass
+    # over the materialized band table)
+    kv = ray.put(dup_keys)
+    member_band_rows = sum(
+        b.num_rows
+        for b in band_rows.map_batches(
+            lambda b: b.filter(pc.is_in(b["bucket"], value_set=ray.get(kv))).select([id_col]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    waves = max(1, -(-member_band_rows // max_wave_rows))
+    if waves == 1:
+        return _wave_edges(dup_keys)
+    keys_np = dup_keys.to_numpy(zero_copy_only=False).astype(np.uint64)
+    wave_of = ((keys_np * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(waves)
+    parts: list = []
+    for k in range(waves):
+        wk = keys_np[wave_of == np.uint64(k)]
+        if not len(wk):
+            continue
+        e = _wave_edges(pa.array(wk.astype(np.int64), type=pa.int64()))
+        if e is not None:
+            # materialize per wave: exactly the memory bound the waves
+            # exist to enforce (the edge digests are tiny; the 37 GB
+            # candidate payload of wave k is released before wave k+1)
+            parts.append(e.materialize())
+    if not parts:
+        return None
+    out = parts[0]
+    for e in parts[1:]:
+        out = out.union(e)
+    return out
 
 
 # ----------------------------------------------------------------------
