@@ -704,16 +704,19 @@ def q_hopping_window_events(sf_dir: str) -> pa.Table:
     """Hopping 15-min/5-min sliding window: each event lands in 3
     windows, expanded inside the per-batch Arrow digest only — the
     global exchange is O(windows) rows. Counts, sums and the overlap
-    bookkeeping are all under the hash."""
+    bookkeeping are all under the hash. avg_value is deliberately NOT
+    graded: 32 two-decimal values per window put the mean exactly on
+    the 6th-decimal round-half boundary, where a last-ulp accumulation-
+    order difference between engines flips the digit (seen at sf0.1);
+    avg semantics are pinned by the unit tests instead."""
     from weiser_ai_ray.pipelines.windows import hopping_window_agg
 
     ev = __rps(os.path.join(sf_dir, "events.parquet"))
     df = hopping_window_agg(ev, "ts", 15, 5, "value").to_pandas()
     df = df.sort_values("window_start_us").reset_index(drop=True)
     df["sum_value"] = df["sum_value"].round(6)
-    df["avg_value"] = df["avg_value"].round(6)
     return pa.Table.from_pandas(
-        df[["window_start_us", "n_events", "sum_value", "avg_value"]],
+        df[["window_start_us", "n_events", "sum_value"]],
         preserve_index=False,
     )
 
@@ -5764,8 +5767,7 @@ def oracle_sql() -> dict[str, str]:
             " x AS (SELECT (e.b - o.j) * 300000000 AS window_start_us, e.value"
             "  FROM e, (SELECT unnest([0, 1, 2]) AS j) o)"
             " SELECT window_start_us, count(*)::BIGINT AS n_events,"
-            "  round(sum(value), 6) AS sum_value,"
-            "  round(avg(value), 6) AS avg_value"
+            "  round(sum(value), 6) AS sum_value"
             " FROM x GROUP BY 1 ORDER BY 1"
         ),
         # exact-k uniform sample on the md5 line (distributed
