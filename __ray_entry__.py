@@ -3868,6 +3868,19 @@ def q_minhash_keep_best(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+def q_token_fertility(sf_dir: str) -> pa.Table:
+    """Tokenizer fertility by language (docs / whitespace tokens /
+    UTF-8 bytes / bytes-per-token): integer totals exact on both
+    sides, the ratio a single int/int division — all under the
+    hash."""
+    from weiser_ai_ray.pipelines.textstats import token_fertility_by_lang
+
+    ds = __rps(os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"])
+    return token_fertility_by_lang(ds).to_pandas().sort_values("lang").reset_index(drop=True).pipe(
+        pa.Table.from_pandas, preserve_index=False
+    )
+
+
 # ----------------------------------------------------------------------
 # driver entry points
 
@@ -4079,6 +4092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_incremental": q_minhash_dedup_incremental,
         "kll_quantiles_price": q_kll_quantiles_price,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "token_fertility_by_lang": q_token_fertility,
     }
 
 
@@ -5790,6 +5804,21 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, source, n_chars, round(pri, 6) AS pri FROM ("
             "  SELECT * FROM kk ORDER BY pri DESC, doc_id LIMIT 150)"
             " ORDER BY doc_id"
+        ),
+        # tokenizer fertility: whitespace tokens + UTF-8 bytes per lang
+        # (strlen is bytes in DuckDB; Arrow binary_length likewise)
+        "token_fertility_by_lang": (
+            "SELECT lang, count(*)::BIGINT AS n_docs,"
+            " CAST(SUM(length(list_filter(regexp_split_to_array("
+            "  coalesce(text, ''), '\\s+'), x -> x != ''))) AS BIGINT)"
+            "  AS total_tokens,"
+            " CAST(SUM(strlen(coalesce(text, ''))) AS BIGINT) AS total_bytes,"
+            " round(CAST(SUM(strlen(coalesce(text, ''))) AS DOUBLE)"
+            "  / SUM(length(list_filter(regexp_split_to_array("
+            "   coalesce(text, ''), '\\s+'), x -> x != ''))), 6)"
+            "  AS bytes_per_token"
+            " FROM documents WHERE lang IS NOT NULL"
+            " GROUP BY lang ORDER BY lang"
         ),
         # schema_check_orders, lsh_topk, langid_documents,
         # minhash/simhash dedup and the corpus quality pipeline are

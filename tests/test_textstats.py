@@ -447,3 +447,63 @@ class TestBM25:
 
         with pytest.raises(ValueError):
             bm25_scores(ray.data.from_arrow(pa.table({"doc_id": [1], "text": ["a"]})), [])
+
+
+class TestTokenFertility:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data
+
+        from tests.conftest import SF_DIR
+        from weiser_ai_ray.pipelines.textstats import token_fertility_by_lang
+
+        ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+        got = (
+            token_fertility_by_lang(ds)
+            .to_pandas()
+            .sort_values("lang")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        want = con.sql(
+            f"SELECT lang, count(*)::BIGINT n_docs,"
+            f" CAST(SUM(length(list_filter(regexp_split_to_array(coalesce(text,''),"
+            f" '\\s+'), x -> x != ''))) AS BIGINT) total_tokens,"
+            f" CAST(SUM(strlen(coalesce(text,''))) AS BIGINT) total_bytes,"
+            f" round(CAST(SUM(strlen(coalesce(text,''))) AS DOUBLE)"
+            f"  / SUM(length(list_filter(regexp_split_to_array(coalesce(text,''),"
+            f" '\\s+'), x -> x != ''))), 6) bytes_per_token"
+            f" FROM '{SF_DIR}/documents.parquet' WHERE lang IS NOT NULL"
+            f" GROUP BY lang ORDER BY lang"
+        ).df()
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_null_lang_drops_null_text_counts(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from weiser_ai_ray.pipelines.textstats import token_fertility_by_lang
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "lang": ["en", "en", None, "fr"],
+                    "text": ["a bb  ccc", None, "ignored", "été"],
+                }
+            )
+        )
+        got = (
+            token_fertility_by_lang(ds)
+            .to_pandas()
+            .sort_values("lang")
+            .reset_index(drop=True)
+        )
+        assert got["lang"].tolist() == ["en", "fr"]
+        # en: doc1 3 tokens 9 bytes, doc2 (null text) 0/0 but counts
+        assert got.loc[0, "n_docs"] == 2
+        assert got.loc[0, "total_tokens"] == 3
+        assert got.loc[0, "total_bytes"] == 9
+        # fr: 'été' = 3 chars, 5 UTF-8 bytes, 1 token
+        assert got.loc[1, "total_bytes"] == 5
+        assert got.loc[1, "bytes_per_token"] == 5.0

@@ -602,3 +602,79 @@ def bm25_scores(
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def token_fertility_by_lang(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> "ray.data.Dataset":
+    """Tokenizer-fertility statistics per language: docs, whitespace
+    tokens, UTF-8 bytes and bytes-per-token — the standard signal for
+    sizing multilingual tokenizer vocabularies (languages with high
+    bytes/token are under-served by a byte-level tokenizer). Null
+    languages drop (SQL GROUP BY parity); null texts count as a doc
+    with 0 tokens / 0 bytes.
+
+    Scale shape: digest-only — each batch emits one (lang, tokens,
+    bytes, docs) partial via an Arrow group_by, the global exchange is
+    O(langs x blocks); text never shuffles."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b[lang_col]))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    lang_col: pa.array([], pa.string()),
+                    "total_tokens": pa.array([], pa.int64()),
+                    "total_bytes": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        txt = pc.cast(t[text_col], pa.large_string())
+        toks = pc.fill_null(
+            pc.cast(pc.count_substring_regex(txt, pattern=r"\S+"), pa.int64()), 0
+        )
+        nbytes = pc.fill_null(pc.cast(pc.binary_length(txt), pa.int64()), 0)
+        keyed = pa.table(
+            {lang_col: t[lang_col], "__t": toks, "__b": nbytes}
+        )
+        g = keyed.group_by([lang_col]).aggregate(
+            [("__t", "sum"), ("__b", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns([lang_col, "total_tokens", "total_bytes", "n_docs"])
+
+    combined = (
+        ds.select_columns([lang_col, text_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(lang_col)
+        .aggregate(
+            Sum("total_tokens", alias_name="total_tokens"),
+            Sum("total_bytes", alias_name="total_bytes"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        tk = pc.cast(b["total_tokens"], pa.int64())
+        by = pc.cast(b["total_bytes"], pa.int64())
+        bpt = pc.if_else(
+            pc.greater(tk, 0),
+            pc.round(
+                pc.divide(pc.cast(by, pa.float64()), pc.cast(tk, pa.float64())), ndigits=6
+            ),
+            pa.scalar(None, pa.float64()),
+        )
+        return pa.table(
+            {
+                lang_col: b[lang_col],
+                "n_docs": pc.cast(b["n_docs"], pa.int64()),
+                "total_tokens": tk,
+                "total_bytes": by,
+                "bytes_per_token": bpt,
+            }
+        )
+
+    return combined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
