@@ -211,6 +211,45 @@ class TestEmbeddingNeardupLsh:
         for r in approx_rows:
             assert r["cos"] >= 0.95
 
+    def test_hot_bucket_tiled_path(self):
+        # round-4 weak item: ONE hot LSH bucket (near-identical
+        # embeddings, the real-corpus degeneracy) must take the tiled
+        # verify, never triu_indices(m). 700 members of one tight
+        # cluster (> _SMALL_BUCKET=512) + background noise: expect
+        # exactly the C(700,2) clique with cos ~= 1.
+        from weiser_ai_ray.pipelines.dedup import embedding_neardup_pairs_lsh
+
+        rng = np.random.RandomState(11)
+        hot = 700
+        dim = 16
+        center = rng.normal(size=dim)
+        vecs = np.concatenate(
+            [
+                center[None, :] + 1e-4 * rng.normal(size=(hot, dim)),
+                rng.normal(size=(50, dim)),
+            ]
+        )
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(hot + 50), pa.int64()),
+                "embedding": pa.array(vecs.tolist()),
+            }
+        )
+        out = embedding_neardup_pairs_lsh(
+            ray.data.from_arrow(tbl).repartition(4),
+            "embedding",
+            "vec_id",
+            threshold=0.999,
+            nbits=64,
+            bands=8,
+        ).to_pandas()
+        got = set(zip(out["id_a"], out["id_b"]))
+        want = {(a, b) for a in range(hot) for b in range(a + 1, hot)}
+        assert got == want  # whole hot clique, nothing from the noise
+        assert (out["cos"] >= 0.999).all()
+        # unique pairs out of the cross-partition reduce
+        assert len(out) == len(out.drop_duplicates(["id_a", "id_b"]))
+
     def test_empty_and_no_dups(self):
         from weiser_ai_ray.pipelines.dedup import embedding_neardup_pairs_lsh
 

@@ -89,6 +89,29 @@ def _lev_pairs(
     return res
 
 
+def _band_tiles(lens: np.ndarray, max_dist: int, slab: int = _SLAB):
+    """Yield candidate-pair index tiles ``(si, sj)`` (each <= ``slab``
+    pairs) over rows sorted ascending by ``lens``, enumerating exactly
+    the pairs with ``j > i`` and ``lens[j] - lens[i] <= max_dist``.
+
+    The flattened enumeration is indexed by a per-row cumulative window
+    count, so working memory is O(n + slab) regardless of how many
+    candidates the block implies — never the O(n^2) triu index. Callers
+    must pass ``lens`` already sorted ascending."""
+    n = len(lens)
+    if n < 2:
+        return
+    band_hi = np.searchsorted(lens, lens + max_dist, side="right")
+    cnt = np.maximum(band_hi - np.arange(1, n + 1, dtype=np.int64), 0)
+    cum = np.concatenate([np.zeros(1, np.int64), np.cumsum(cnt)])
+    total = int(cum[-1])
+    for lo in range(0, total, slab):
+        k = np.arange(lo, min(lo + slab, total), dtype=np.int64)
+        si = np.searchsorted(cum, k, side="right") - 1
+        sj = si + 1 + (k - cum[si])
+        yield si, sj
+
+
 def fuzzy_pairs(
     ds: "ray.data.Dataset",
     id_col: str,
@@ -101,23 +124,27 @@ def fuzzy_pairs(
     ``(a_id, b_id, dist)``. Null strings compare as ''."""
 
     def pairs(group: pa.Table) -> pa.Table:
+        # Candidate generation is length-banded and lazily tiled: rows
+        # sort by byte length, so each row's viable partners (those with
+        # |len_a - len_b| <= max_dist) form one contiguous window ahead
+        # of it. Pair index k in the flattened band enumeration maps to
+        # (i, j) via a searchsorted over the per-row cumulative window
+        # sizes — only _SLAB pairs ever exist at once, never the O(g^2)
+        # triu index of the whole block, so a hot blocking key (one
+        # degenerate join value with millions of members) stays bounded
+        # at O(g + _SLAB) working memory plus true-hit output.
         ids = np.asarray(group[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
-        order = np.argsort(ids, kind="stable")
         M, lens = _padded_bytes(group[str_col])
+        order = np.argsort(lens, kind="stable")
         M, lens, ids = M[order], lens[order], ids[order]
-        g = len(ids)
         out_a, out_b, out_d = [], [], []
-        if g >= 2:
-            ii, jj = np.triu_indices(g, k=1)
-            keep = np.abs(lens[ii] - lens[jj]) <= max_dist
-            ii, jj = ii[keep], jj[keep]
-            for lo in range(0, len(ii), _SLAB):
-                si, sj = ii[lo : lo + _SLAB], jj[lo : lo + _SLAB]
-                d = _lev_pairs(M, lens, si, sj)
-                hit = d <= max_dist
-                out_a.append(ids[si[hit]])
-                out_b.append(ids[sj[hit]])
-                out_d.append(d[hit].astype(np.int64))
+        for si, sj in _band_tiles(lens, max_dist):
+            d = _lev_pairs(M, lens, si, sj)
+            hit = d <= max_dist
+            ai, bi = ids[si[hit]], ids[sj[hit]]
+            out_a.append(np.minimum(ai, bi))
+            out_b.append(np.maximum(ai, bi))
+            out_d.append(d[hit].astype(np.int64))
         a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
         b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
         d = np.concatenate(out_d) if out_d else np.empty(0, np.int64)
