@@ -3893,19 +3893,70 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # Registry order matters: the driver's gate grades a prefix window of
-    # this dict (50 entries in round 2), so ALL oracle-backed queries come
-    # before rows-only ones, and the window holds the round-2 punch-list
-    # items plus ONE representative per operator family (flagship chains
-    # first); family variants and previously-green scalar checks absorb
-    # the overflow at the tail of the oracle block.
     return {
-        # Registry order matters: the driver's gate grades a 50-slot
-        # prefix window of this dict. Round-4 rotation: the 50 queries
-        # never yet graded by any driver artifact (r01-r03) fill the
-        # window — 36 oracle-backed first, then the 14 rows-only —
-        # so the cumulative driver-graded set reaches all 155.
-        # -- never driver-graded, oracle-backed (36) --
+        # Registry order matters: the driver grades a 50-slot prefix
+        # window of this dict. Round-5 rotation: the 21 queries no
+        # driver artifact has ever graded (round-4 additions) lead,
+        # then the 29 with the OLDEST prior evidence (the 7 graded
+        # only in r01 + the 22 oldest r02 slots) for regression
+        # coverage — cumulative driver-graded coverage reaches
+        # 176/176. Oracle-backed entries first, rows-only after.
+        # -- gate window: oracle-backed (38) --
+        "drift_psi_value_events": q_drift_psi_value,
+        "drift_psi_event_mix": q_drift_psi_event_mix,
+        "dsir_scores_docs": q_dsir_scores,
+        "fuzzy_pairs_docs": q_fuzzy_pairs,
+        "ccnet_buckets_docs": q_ccnet_buckets,
+        "license_detect_docs": q_license_counts,
+        "uniqueness_dup_custkey": q_uniqueness_dup_custkey,
+        "uniqueness_pct_custkey": q_uniqueness_pct_custkey,
+        "accepted_values_priority": q_accepted_values_priority,
+        "freshness_age_by_type": q_freshness_age_by_type,
+        "ref_integrity_orphans": q_ref_integrity_orphans,
+        "entropy_secret_scan": q_entropy_secret_scan,
+        "dup_cluster_histogram": q_dup_cluster_histogram,
+        "token_fertility_by_lang": q_token_fertility,
+        "multimodal_image_features": q_multimodal_image_features,
+        "multimodal_audio_frames": q_multimodal_audio_frames,
+        "numeric_revenue": q_numeric_revenue,
+        "avg_order_total": q_avg_order_total,
+        "stddev_price": q_stddev_price,
+        "sql_dataset_sum": q_sql_dataset_sum,
+        "count_distinct_cust": q_count_distinct_cust,
+        "rowcount_by_status": q_rowcount_by_status,
+        "sum_by_year": q_sum_by_year,
+        "sum_by_month_filtered": q_sum_by_month_filtered,
+        "not_empty_events": q_not_empty_events,
+        "not_empty_pct_events": q_not_empty_pct_events,
+        "multi_dataset_counts": q_multi_dataset_counts,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "dedup_exact_full_rows": q_dedup_exact_full_rows,
+        "count_distinct_by_status": q_count_distinct_by_status,
+        "sum_distinct_by_status": q_sum_distinct_by_status,
+        "sql_join_revenue_by_nation": q_sql_join_revenue_by_nation,
+        "join_shuffle_qty_by_status": q_join_shuffle_qty_by_status,
+        "customers_no_p_orders": q_customers_no_p_orders,
+        "asof_latest_click": q_asof_latest_click,
+        "sample_topk_per_source": q_sample_topk_per_source,
+        "sample_fraction_docs": q_sample_fraction_docs,
+        "window_15min_events": q_window_15min_events,
+        # -- gate window: rows-only by documented design (12):
+        # approximate/stateful operators with no SQL twin; each is
+        # pinned by golden/property tests (see docstrings) --
+        "text_semdedup_pairs_docs": q_text_semdedup_pairs,
+        "schema_check_orders": q_schema_check_orders,
+        "minhash_keep_best_docs": q_minhash_keep_best,
+        "minhash_dedup_unionfind": q_minhash_dedup_unionfind,
+        "minhash_dedup_incremental": q_minhash_dedup_incremental,
+        "kll_quantiles_price": q_kll_quantiles_price,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "quality_pipeline_kept": q_quality_pipeline_kept,
+        "quality_pipeline_metrics": q_quality_pipeline_metrics,
+        "corpus_stats_by_lang": q_corpus_stats_by_lang,
+        "corpus_stats_by_repo": q_corpus_stats_by_repo,
+        "metrics_last_values": q_metrics_last_values,
+        # -- past slot 50: driver-green in r01-r04 artifacts (126),
+        # re-verified each round by scripts/check_entry.py --
         "multimodal_video_frames": q_multimodal_video_frames,
         "split_token_chunks": q_split_token_chunks,
         "pivot_lang_by_source": q_pivot_lang_by_source,
@@ -3942,12 +3993,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_bigram_lm": q_train_bigram_lm,
         "score_bigram_lm_docs": q_score_bigram_lm,
         "sample_weighted_docs": q_sample_weighted,
-        # -- never driver-graded, rows-only by documented design (14) --
-        # round-4 session-2 oracle-backed ops rotated INTO the 50-slot
-        # gate window (the four evicted rows-only entries — unionfind,
-        # incremental minhash, KLL, embedding LSH — moved to the tail:
-        # rows-only grading adds least evidence, they stay round-5
-        # rotation candidates)
         "strip_html_docs": q_strip_html,
         "hopping_window_events": q_hopping_window_events,
         "sample_reservoir_docs": q_sample_reservoir,
@@ -3962,16 +4007,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts_docs": q_bpe_token_counts,
         "curate4_token_budget": q_curate4,
         "bow_classifier_docs": q_bow_classifier,
-        # round-4 addition, outside the frozen 50-slot window (graded
-        # locally; rotate into a future window)
-        "text_semdedup_pairs_docs": q_text_semdedup_pairs,
-        "drift_psi_value_events": q_drift_psi_value,
-        "drift_psi_event_mix": q_drift_psi_event_mix,
-        "dsir_scores_docs": q_dsir_scores,
-        "fuzzy_pairs_docs": q_fuzzy_pairs,
-        "ccnet_buckets_docs": q_ccnet_buckets,
-        "license_detect_docs": q_license_counts,
-        # -- already driver-green in r01-r03 artifacts (105) --
         "props_k_stats_by_type": q_props_k_stats_by_type,
         "sessionize_events": q_sessionize_events,
         "decontaminate_documents": q_decontaminate_documents,
@@ -4022,30 +4057,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": q_connected_components,
         "approx_quantiles_sample": q_approx_quantiles,
         "dedup_exact_incremental": q_dedup_exact_incremental,
-        "multimodal_image_features": q_multimodal_image_features,
-        "multimodal_audio_frames": q_multimodal_audio_frames,
-        "numeric_revenue": q_numeric_revenue,
-        "avg_order_total": q_avg_order_total,
-        "stddev_price": q_stddev_price,
-        "sql_dataset_sum": q_sql_dataset_sum,
-        "count_distinct_cust": q_count_distinct_cust,
-        "rowcount_by_status": q_rowcount_by_status,
-        "sum_by_year": q_sum_by_year,
-        "sum_by_month_filtered": q_sum_by_month_filtered,
-        "not_empty_events": q_not_empty_events,
-        "not_empty_pct_events": q_not_empty_pct_events,
-        "multi_dataset_counts": q_multi_dataset_counts,
-        "dedup_exact_documents": q_dedup_exact_documents,
-        "dedup_exact_full_rows": q_dedup_exact_full_rows,
-        "count_distinct_by_status": q_count_distinct_by_status,
-        "sum_distinct_by_status": q_sum_distinct_by_status,
-        "sql_join_revenue_by_nation": q_sql_join_revenue_by_nation,
-        "join_shuffle_qty_by_status": q_join_shuffle_qty_by_status,
-        "customers_no_p_orders": q_customers_no_p_orders,
-        "asof_latest_click": q_asof_latest_click,
-        "sample_topk_per_source": q_sample_topk_per_source,
-        "sample_fraction_docs": q_sample_fraction_docs,
-        "window_15min_events": q_window_15min_events,
         "rolling_avg_user_value": q_rolling_avg_user_value,
         "zscore_orders": q_zscore_orders,
         "top_docs_by_length": q_top_docs_by_length,
@@ -4066,33 +4077,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_extendedprice": q_max_extendedprice,
         "filtered_count": q_filtered_count,
         "case_measure": q_case_measure,
-        "quality_pipeline_kept": q_quality_pipeline_kept,
-        "quality_pipeline_metrics": q_quality_pipeline_metrics,
-        "corpus_stats_by_lang": q_corpus_stats_by_lang,
-        "corpus_stats_by_repo": q_corpus_stats_by_repo,
         "langid_documents": q_langid_documents,
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "minhash_dedup_full_rows": q_minhash_dedup_full_rows,
         "simhash_dedup_documents": q_simhash_dedup_documents,
         "approx_distinct_orderkey": q_approx_distinct_orderkey,
         "lsh_topk": q_lsh_topk,
-        "metrics_last_values": q_metrics_last_values,
-        # integrity-family check types (checks/integrity.py) — past
-        # slot 50 so the rotated round-4 gate window stays intact
-        "uniqueness_dup_custkey": q_uniqueness_dup_custkey,
-        "uniqueness_pct_custkey": q_uniqueness_pct_custkey,
-        "accepted_values_priority": q_accepted_values_priority,
-        "freshness_age_by_type": q_freshness_age_by_type,
-        "ref_integrity_orphans": q_ref_integrity_orphans,
-        "schema_check_orders": q_schema_check_orders,
-        "entropy_secret_scan": q_entropy_secret_scan,
-        "dup_cluster_histogram": q_dup_cluster_histogram,
-        "minhash_keep_best_docs": q_minhash_keep_best,
-        "minhash_dedup_unionfind": q_minhash_dedup_unionfind,
-        "minhash_dedup_incremental": q_minhash_dedup_incremental,
-        "kll_quantiles_price": q_kll_quantiles_price,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        "token_fertility_by_lang": q_token_fertility,
     }
 
 
@@ -5794,13 +5784,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         # Duffield-Lund-Thorup weighted without-replacement:
         # priority = w / u, u = (h32 + 0.5)/2^32 from the md5 line,
-        # w = max(n_chars, 1) — one IEEE division, bit-exact twin
+        # w = max(n_chars, 1) — one IEEE division, bit-exact twin.
+        # NaN/null weights rank last in the engine (engine-defined, see
+        # priority_sample_weighted docstring), so the twin excludes
+        # them up front — in raw SQL a NaN weight would propagate and
+        # sort as the largest double (round-4 advice).
         "priority_sample_docs": (
             "WITH kk AS (SELECT doc_id, source, n_chars,"
             "  greatest(CAST(n_chars AS DOUBLE), 1.0)"
             "   / ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
             "    + 0.5) / 4294967296.0) AS pri"
-            "  FROM documents)"
+            "  FROM documents"
+            "  WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE)))"
             " SELECT doc_id, source, n_chars, round(pri, 6) AS pri FROM ("
             "  SELECT * FROM kk ORDER BY pri DESC, doc_id LIMIT 150)"
             " ORDER BY doc_id"

@@ -670,7 +670,10 @@ def priority_sample_weighted(
     u ~ U(0,1) from the 32-bit md5(id) line and competes with
     priority w / u; the k largest priorities are the sample, so
     inclusion odds scale with weight but heavy rows can't repeat.
-    Weights are clamped to >= 1; null weights rank last (key null).
+    Weights are clamped to >= 1; null AND NaN weights rank last (key
+    null) — engine-defined, and the SQL twin filters them explicitly
+    because raw SQL would let NaN propagate and sort as the largest
+    double (round-4 advice). +inf weights rank first on both sides.
 
     The competition key is a single IEEE-754 division (u itself is
     one add + one exact power-of-two divide), so the SQL twin is

@@ -662,8 +662,14 @@ def token_fertility_by_lang(
         by = pc.cast(b["total_bytes"], pa.int64())
         bpt = pc.if_else(
             pc.greater(tk, 0),
+            # half_towards_infinity = DuckDB round()'s half-away-from-
+            # zero, so an int/int ratio landing exactly on a 6th-decimal
+            # half boundary rounds identically on both sides (round-4
+            # advice; Arrow's default HALF_TO_EVEN diverges there)
             pc.round(
-                pc.divide(pc.cast(by, pa.float64()), pc.cast(tk, pa.float64())), ndigits=6
+                pc.divide(pc.cast(by, pa.float64()), pc.cast(tk, pa.float64())),
+                ndigits=6,
+                round_mode="half_towards_infinity",
             ),
             pa.scalar(None, pa.float64()),
         )

@@ -118,16 +118,22 @@ def centroid_distances(
     for b in cent.iter_batches(batch_size=None, batch_format="pyarrow"):
         for r in b.to_pylist():
             by_group.setdefault(r[group_col], {})[r["dim"]] = r["mean"]
-    cents = {
-        g: np.array([d[i] for i in range(len(d))], dtype=np.float64)
-        for g, d in by_group.items()
-    }
-    cent_ref = ray.put(cents)
+    # broadcast ONE (groups x dim) matrix + its key column, so the
+    # per-batch lookup is an Arrow index_in + numpy gather — no
+    # per-row dict hits (round-4 advice)
+    cent_keys = list(by_group)
+    cent_mat = np.stack(
+        [
+            np.array([by_group[g][i] for i in range(len(by_group[g]))], dtype=np.float64)
+            for g in cent_keys
+        ]
+    )
+    cent_ref = ray.put((pa.array(cent_keys), cent_mat))
 
     def dist(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        cs = ray.get(cent_ref)
+        keys_pa, cmat_all = ray.get(cent_ref)
         t = b.select([id_col, group_col, vec_col]).filter(
             pc.and_(pc.is_valid(b[group_col]), pc.is_valid(b[vec_col]))
         )
@@ -143,8 +149,8 @@ def centroid_distances(
         flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
         dim = len(flat) // t.num_rows
         mat = flat.reshape(-1, dim)
-        groups = t[group_col].to_pylist()
-        cmat = np.stack([cs[g] for g in groups])
+        idx = pc.index_in(t[group_col], value_set=keys_pa)
+        cmat = cmat_all[np.asarray(idx.to_numpy(zero_copy_only=False), dtype=np.int64)]
         if metric == "l2":
             d = np.sqrt(((mat - cmat) ** 2).sum(axis=1))
         else:
