@@ -51,6 +51,22 @@ HEADLINE_QUERIES = [
     "not_empty_events",
 ]
 
+# Second timed suite (round-4 verdict item 4): the operator families
+# rounds 3-4 optimized — LM quality gate, corpus mixing, substring
+# dedup, BPE + curation chain, fuzzy join, text→SemDeDup — so their
+# regressions show up in BENCH_rN.json round over round, not only in
+# ad-hoc BASELINE.md smoke rows. Reported under "extended" in the same
+# JSON line; the headline total keeps its r01-comparable meaning.
+EXTENDED_QUERIES = [
+    "lm_quality_filter_docs",
+    "sample_temperature_mix_docs",
+    "dedup_substrings_documents",
+    "bpe_train_docs",
+    "curate4_token_budget",
+    "fuzzy_pairs_docs",
+    "text_semdedup_pairs_docs",
+]
+
 
 def _quiet_ray(num_cpus: int):
     # route transform_pyarrow's per-groupby schema-hash nuisance
@@ -111,14 +127,18 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
     # (documented in BASELINE.md), so a single sample routinely misreads
     # a pipeline by its own duration; min-of-two is the standard
     # noise-floor estimator and both samples run the full pipeline
-    for name in HEADLINE_QUERIES:
+    def _best_of_2(name: str) -> float:
         best = float("inf")
         for _trial in range(2):
             t0 = time.perf_counter()
             _consume(qs[name](sf_dir))
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        return round(best, 3)
+
+    for name in HEADLINE_QUERIES:
+        timings[name] = _best_of_2(name)
     total = round(sum(timings.values()), 3)
+    extended = {name: _best_of_2(name) for name in EXTENDED_QUERIES}
     f1, sha_rate = _north_rule_fidelity()
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     return {
@@ -126,6 +146,8 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extended": extended,
+        "extended_sec": round(sum(extended.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "num_cpus": num_cpus,
         "keep_drop_f1": f1,
