@@ -105,6 +105,70 @@ class TestReportData:
         assert byid.loc["chk_c1", "count_fail"] == 0
 
 
+class TestAnomalyPanel:
+    """Round-4 verdict item 8: the report renders per-check_id MAD
+    z-score history with the SAME kernel checks/anomaly.py runs — the
+    rendered values are asserted against mad_z_score on the seeded
+    series, prefix-window by prefix-window."""
+
+    # spread so the int-truncated MAD guard doesn't zero z (MAD >= 1)
+    VALUES = [10.0, 13.0, 7.0, 10.0, 16.0, 10.0, 12.0, 60.0]
+
+    @pytest.fixture()
+    def history_store(self, tmp_path):
+        s = ParquetMetricStore(str(tmp_path / "metrics_hist"))
+        d0 = datetime.datetime(2026, 4, 1, 8, 0, 0)
+        for i, v in enumerate(self.VALUES):
+            s.insert_results(
+                _rec(f"r{i}", "hist", True, v, d0 + datetime.timedelta(days=i))
+            )
+        # a short-history check alongside (insufficient <5 path)
+        s.insert_results(_rec("r0", "short", True, 1.0, d0))
+        s.flush("r_all")
+        return s
+
+    def test_z_history_matches_check_kernel(self, history_store):
+        from weiser_ai_ray.checks.anomaly import mad_z_score
+
+        d = report_data(history_store)
+        panel = d["anomaly"].set_index("check_id")
+        row = panel.loc["chk_hist"]
+        want = [
+            round(mad_z_score(self.VALUES[: t + 1]), 6)
+            for t in range(4, len(self.VALUES))
+        ]
+        assert row["z_history"] == want
+        assert row["last_z"] == want[-1]
+        assert row["n_points"] == len(self.VALUES)
+        assert row["last_value"] == self.VALUES[-1]
+        # the planted spike is a real outlier under the kernel
+        assert abs(row["last_z"]) >= 3.5
+        short = panel.loc["chk_short"]
+        assert short["last_z"] is None and short["z_history"] == []
+
+    def test_rendered_surfaces_carry_z(self, history_store):
+        from weiser_ai_ray.checks.anomaly import mad_z_score
+
+        d = report_data(history_store)
+        z_last = round(mad_z_score(self.VALUES), 6)
+        h = render_html(d)
+        assert "Anomaly (MAD z-score) per Check" in h
+        assert f"{z_last:g}" in h
+        assert "insufficient history" in h  # chk_short
+        t = render_text(d)
+        assert f"chk_hist points={len(self.VALUES)} last_z={z_last:g} !" in t
+        assert "chk_short points=1 (insufficient <5)" in t
+
+    def test_fewer_than_five_everywhere(self, store):
+        # the base fixture's histories are 3 and 4 points long
+        d = report_data(store)
+        panel = d["anomaly"]
+        assert set(panel["check_id"]) == {"chk_c1", "chk_c2"}
+        assert panel["last_z"].isna().all() if hasattr(panel["last_z"], "isna") else all(
+            z is None for z in panel["last_z"]
+        )
+
+
 class TestRenderers:
     def test_html_self_contained(self, store):
         h = render_html(report_data(store))

@@ -151,7 +151,49 @@ def report_data(
         )
 
     data["checks"] = store.last_values().to_pandas()
+    data["anomaly"] = _anomaly_panel(df)
     return data
+
+
+def _anomaly_panel(df, max_points: int = 60, window_limit: int = 10000):
+    """Per-check_id MAD z-score history — the reference dashboard's
+    core anomaly view, computed with the SAME kernel the anomaly check
+    runs (checks/anomaly.py mad_z_score: 0.6745 * (last - median)/MAD
+    with the int-truncated MAD guard, 10k-point window, <5 points =
+    insufficient). z at position t is the score the check would have
+    produced right after run t, so the sparkline is the check's own
+    trajectory, not a re-derivation.
+
+    Returns a DataFrame (check_id, n_points, last_value, last_z,
+    z_history) with z_history holding the last ``max_points`` scores
+    (empty + last_z None when the history is too short)."""
+    import pandas as pd
+
+    from ..checks.anomaly import mad_z_score
+
+    rows = []
+    for cid, g in df.sort_values("run_time").groupby("check_id", sort=True):
+        vals = [
+            float(v)
+            for v in g["actual_value"].tolist()
+            if v is not None and not (isinstance(v, float) and np.isnan(v))
+        ]
+        if len(vals) < 5:
+            rows.append((cid, len(vals), vals[-1] if vals else None, None, []))
+            continue
+        window = vals[-window_limit:]
+        start_t = max(4, len(window) - max_points)
+        zs = [
+            round(mad_z_score(window[: t + 1]), 6)
+            for t in range(start_t, len(window))
+        ]
+        rows.append((cid, len(vals), vals[-1], zs[-1], zs))
+    out = pd.DataFrame(
+        rows, columns=["check_id", "n_points", "last_value", "last_z", "z_history"]
+    )
+    # keep short-history rows as real None (pandas would coerce to NaN)
+    out["last_z"] = out["last_z"].astype(object).where(out["last_z"].notna(), None)
+    return out
 
 
 # -- SVG helpers (no plotting deps in the container) ----------------------
@@ -229,6 +271,40 @@ def _svg_sparkline(values, width=120, height=24) -> str:
     return "".join(parts)
 
 
+# |z| at/above this renders red — the conventional MAD outlier cut
+# (the check's own pass/fail threshold is its condition, shown in the
+# failing-checks panel; this is only the visual accent)
+_Z_ACCENT = 3.5
+
+
+def _svg_zline(zs, width=160, height=28) -> str:
+    """Signed z-score bars around a midline; red where |z| >= 3.5."""
+    vals = np.asarray(zs, dtype=np.float64)
+    if not len(vals):
+        return ""
+    peak = max(float(np.abs(vals).max()), _Z_ACCENT)
+    mid = height / 2
+    n = len(vals)
+    bw = width / max(n, 1)
+    parts = [
+        f'<svg viewBox="0 0 {width} {height}" width="{width}" height="{height}"'
+        f' xmlns="http://www.w3.org/2000/svg">'
+        f'<line x1="0" y1="{mid}" x2="{width}" y2="{mid}"'
+        f' stroke="{_MUTE}" stroke-width="0.5"/>'
+    ]
+    for i, v in enumerate(vals):
+        h = abs(v) / peak * (mid - 1)
+        y = mid - h if v > 0 else mid
+        color = _BAD if abs(v) >= _Z_ACCENT else _MUTE
+        parts.append(
+            f'<rect x="{i * bw:.1f}" y="{y:.1f}" width="{max(bw - 1, 1):.1f}"'
+            f' height="{max(h, 0.5):.1f}" fill="{color}">'
+            f"<title>run {i}: z={v:.3f}</title></rect>"
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
 def render_html(data: dict, title: str = "Data Quality Report") -> str:
     """One self-contained HTML document (inline CSS + SVG, no scripts,
     no network) with the dashboard's three panels."""
@@ -281,6 +357,30 @@ th{{background:#f5f5f7}} .ok{{color:{_OK};font-weight:600}} .bad{{color:{_BAD};f
                 f"<td>{e(str(getattr(r, 'last_run_time', ''))[:19])}</td>"
                 f'<td class=num>{e(lv)}</td><td class="num bad">{r.count_fail}</td>'
                 f"<td>{_svg_sparkline(r.fail_history)}</td></tr>"
+            )
+        parts.append("</table>")
+
+    anomaly = data.get("anomaly")
+    if anomaly is not None and not anomaly.empty:
+        parts.append("<h2>Anomaly (MAD z-score) per Check</h2>")
+        parts.append(
+            "<table><tr><th>check_id</th><th class=num>points</th>"
+            "<th class=num>last value</th><th class=num>last z</th>"
+            "<th>z history</th></tr>"
+        )
+        for r in anomaly.itertuples(index=False):
+            if r.last_z is None:
+                zcell = '<td class=num></td><td class="muted">insufficient history (&lt;5)</td>'
+            else:
+                cls = "bad" if abs(r.last_z) >= _Z_ACCENT else "num"
+                zcell = (
+                    f'<td class="num {cls}">{r.last_z:g}</td>'
+                    f"<td>{_svg_zline(r.z_history)}</td>"
+                )
+            lv = "" if r.last_value is None else f"{r.last_value:g}"
+            parts.append(
+                f"<tr><td>{e(str(r.check_id))}</td><td class=num>{r.n_points}</td>"
+                f"<td class=num>{e(lv)}</td>{zcell}</tr>"
             )
         parts.append("</table>")
 
@@ -342,6 +442,18 @@ def render_text(data: dict) -> str:
                 f"  {r.name} [{r.type}] {r.dataset}@{r.datasource}"
                 f" fails={r.count_fail} |{spark}|"
             )
+    anomaly = data.get("anomaly")
+    if anomaly is not None and not anomaly.empty:
+        out.append("")
+        out.append("anomaly z-scores (MAD):")
+        for r in anomaly.itertuples(index=False):
+            if r.last_z is None:
+                out.append(f"  {r.check_id} points={r.n_points} (insufficient <5)")
+            else:
+                flag = " !" if abs(r.last_z) >= _Z_ACCENT else ""
+                out.append(
+                    f"  {r.check_id} points={r.n_points} last_z={r.last_z:g}{flag}"
+                )
     return "\n".join(out) + "\n"
 
 
