@@ -227,8 +227,153 @@ def op_minhash_keep_best(path: str) -> dict:
     return {"rows_out": ds.count()}
 
 
+def op_substrings(path: str) -> dict:
+    from weiser_ai_ray.pipelines.decontam import dedup_substrings
+
+    # window=8: the protocol of BASELINE.md's round-3 170.7 s row, so
+    # the post-md5np re-measure is apples-to-apples
+    ds = dedup_substrings(_read(path), "text", "doc_id", window=8)
+    return {"rows_out": ds.count()}
+
+
+def op_winnow(path: str) -> dict:
+    from weiser_ai_ray.pipelines.winnow import winnow_clone_pairs
+
+    ds = winnow_clone_pairs(_read(path), "text", "doc_id", k=4, w=4, max_df=256)
+    return {"rows_out": ds.count()}
+
+
+def op_minhash_incremental(path: str) -> dict:
+    """80/20 old/new split of the corpus; new docs dedup against old —
+    the incremental path's grouped winner join at full scale."""
+    import pyarrow.compute as pc
+
+    from weiser_ai_ray.pipelines.dedup import minhash_lsh_dedup_against
+
+    ds = _read(path)
+    n = ds.count()
+    cut = int(n * 0.8)
+    old = ds.filter(expr=f"doc_id < {cut}")
+    new = ds.filter(expr=f"doc_id >= {cut}")
+    out = minhash_lsh_dedup_against(new, old, "text", "doc_id", new_min_id=cut)
+    return {"rows_out": out.count(), "new_rows": n - cut}
+
+
+def op_fuzzy(path: str) -> dict:
+    """Sorted-neighborhood blocking (64-row doc_id blocks) over 24-char
+    text prefixes, max_dist 2 — measures the banded tile enumerator +
+    P-lane DP kernel at ~95M candidate pairs."""
+    import pyarrow as pa
+
+    from weiser_ai_ray.pipelines.fuzzy import fuzzy_pairs
+
+    def prep(b: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "m": pc.utf8_slice_codeunits(
+                    pc.coalesce(b["text"], pa.scalar("", type=pa.string())), 0, 24
+                ),
+                "blk": pc.cast(pc.divide(b["doc_id"], 64), pa.int64()),
+            }
+        )
+
+    ds = _read(path).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = fuzzy_pairs(ds, "doc_id", "m", "blk", max_dist=2)
+    return {"rows_out": out.count()}
+
+
+EMB_DIM = 64
+EMB_CLUSTERS = 20_000
+EMB_DUP_FRAC = 0.02
+EMB_HOT = 5_000
+
+
+def _gen_emb_shard(path: str, shard: int, n_rows: int, start_id: int, seed: int) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed * 7_000_003 + shard)
+    mat = rng.standard_normal((n_rows, EMB_DIM)).astype(np.float32)
+    # planted near-dup pairs: EMB_DUP_FRAC of rows snap to one of
+    # EMB_CLUSTERS shared centers (center RNG seeded by center id so
+    # shards agree) + tiny noise
+    n_dup = int(n_rows * EMB_DUP_FRAC)
+    dup_pos = rng.choice(n_rows, size=n_dup, replace=False)
+    cents = rng.integers(0, EMB_CLUSTERS, size=n_dup)
+    for p, c in zip(dup_pos, cents):
+        crng = np.random.default_rng(9_000_017 + int(c))
+        mat[p] = crng.standard_normal(EMB_DIM).astype(np.float32)
+        mat[p] += (1e-3 * rng.standard_normal(EMB_DIM)).astype(np.float32)
+    # one HOT cluster: the first EMB_HOT global ids are near-identical
+    # (the degenerate-corpus case the tiled bucket verify exists for)
+    hot = np.arange(start_id, start_id + n_rows)
+    hot_local = np.flatnonzero(hot < EMB_HOT)
+    if len(hot_local):
+        crng = np.random.default_rng(42)
+        hc = crng.standard_normal(EMB_DIM).astype(np.float32)
+        mat[hot_local] = hc + (1e-4 * rng.standard_normal((len(hot_local), EMB_DIM))).astype(
+            np.float32
+        )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(start_id, start_id + n_rows, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel(), type=pa.float32()), EMB_DIM
+            ),
+        }
+    )
+    pq.write_table(tbl, path, compression="zstd")
+
+
+def ensure_embeddings(n_rows: int, seed: int = 13, n_shards: int = 128) -> str:
+    import ray
+
+    out = f"/tmp/graft_smoke_emb_{n_rows}_{seed}"
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    per = n_rows // n_shards
+    gen = ray.remote(_gen_emb_shard)
+    ray.get(
+        [
+            gen.remote(os.path.join(out, f"part-{s:04d}.parquet"), s, per, s * per, seed)
+            for s in range(n_shards)
+        ]
+    )
+    with open(marker, "w") as f:
+        f.write(str(n_rows))
+    return out
+
+
+def op_embedding_lsh(path: str) -> dict:
+    """3M x 64-dim embeddings, 2% planted cluster dups + one 5k-member
+    near-identical hot cluster: the LSH near-dup pairs path with the
+    tiled hot-bucket verify doing real work. NOTE: ``path`` is ignored;
+    the op reads its own embedding corpus (rows from --rows)."""
+    import ray
+
+    from weiser_ai_ray.pipelines.dedup import embedding_neardup_pairs_lsh
+
+    epath = ensure_embeddings(_EMB_ROWS[0])
+    ds = ray.data.read_parquet(epath)
+    out = embedding_neardup_pairs_lsh(ds, "embedding", "vec_id", threshold=0.99)
+    return {"rows_out": out.count()}
+
+
+_EMB_ROWS = [3_000_000]
+
+
 OPS = {
     "strip_html": op_strip_html,
+    "substrings": op_substrings,
+    "winnow": op_winnow,
+    "minhash_incremental": op_minhash_incremental,
+    "fuzzy": op_fuzzy,
+    "embedding_lsh": op_embedding_lsh,
     "hopping": op_hopping,
     "reservoir": op_reservoir,
     "priority": op_priority,
@@ -256,7 +401,11 @@ def main() -> None:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False,
                  logging_level="ERROR")
-    path = ensure_corpus(args.rows, args.seed)
+    _EMB_ROWS[0] = args.rows
+    if args.op == "embedding_lsh":
+        path = ensure_embeddings(args.rows)  # setup outside the timer
+    else:
+        path = ensure_corpus(args.rows, args.seed)
     t0 = time.perf_counter()
     extra = OPS[args.op](path)
     dt = time.perf_counter() - t0

@@ -1854,7 +1854,10 @@ def embedding_neardup_pairs_lsh(
     (band-key, id) rows; duplicate buckets come from the coarse-
     partitioned count; pass 2 re-reads ONLY dup-bucket members'
     vectors, and per-partition workers verify exact cosine inside
-    buckets (flat pair enumeration + chunked dot products). Every
+    buckets (small buckets enumerate pairs into a chunked einsum
+    flush; buckets over _SMALL_BUCKET members take a tiled-matmul
+    upper-triangle pass that never materializes the O(m^2) pair
+    index). Every
     emitted pair's cosine is exact, so output ⊆ the exact operator's
     output; recall < 1 by design and rises with ``bands`` (for
     threshold 0.95 and 8 bands x 8 bits: ~99 %). Tune bands/bits to
