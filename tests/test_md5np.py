@@ -155,3 +155,82 @@ class TestStrKeyDigests:
         assert arr[0].as_py() == hashlib.md5(b"a").hexdigest()
         assert arr[1].as_py() is None
         assert arr[2].as_py() == hashlib.md5(b"b").hexdigest()
+
+
+class TestWindowHashBatchForms:
+    """window_u60_hashes_col / window_u60_hashes_many must be
+    digest-identical to the per-doc window_u60_hashes (itself
+    hashlib-verified) — the round-5 batch-level forms that amortize the
+    lane-parallel md5 across a whole Arrow batch."""
+
+    def _ref(self, texts, w):
+        from weiser_ai_ray.pipelines.md5np import window_u60_hashes
+
+        hs, ms = [], []
+        for t in texts:
+            if t is None:
+                ms.append(0)
+                continue
+            h = window_u60_hashes(t.split(" "), w)
+            hs.append(h)
+            ms.append(len(h))
+        cat = np.concatenate(hs) if hs else np.empty(0, np.int64)
+        return cat, np.array(ms, dtype=np.int64)
+
+    @pytest.mark.parametrize("w", [2, 3, 8])
+    def test_col_matches_per_doc(self, w):
+        rng = random.Random(5)
+        texts = []
+        for i in range(200):
+            n = rng.randrange(0, 30)
+            texts.append(" ".join(f"w{rng.randrange(50)}" for _ in range(n)))
+        texts += [None, "", " ", "solo", "a  b", " lead", "trail ", None]
+        from weiser_ai_ray.pipelines.md5np import window_u60_hashes_col
+
+        got_h, got_m = window_u60_hashes_col(pa.array(texts, pa.string()), w)
+        want_h, want_m = self._ref(texts, w)
+        assert got_m.tolist() == want_m.tolist()
+        assert got_h.tolist() == want_h.tolist()
+
+    def test_col_sliced_and_chunked(self):
+        from weiser_ai_ray.pipelines.md5np import window_u60_hashes_col
+
+        texts = [" ".join(f"t{i}{j}" for j in range(6)) for i in range(40)]
+        arr = pa.chunked_array(
+            [pa.array(texts[:15], pa.string()).slice(5), pa.array(texts[15:])]
+        )
+        got_h, got_m = window_u60_hashes_col(arr, 3)
+        want_h, want_m = self._ref(texts[5:], 3)
+        assert got_m.tolist() == want_m.tolist()
+        assert got_h.tolist() == want_h.tolist()
+
+    @pytest.mark.parametrize("w", [2, 4])
+    def test_many_matches_per_doc(self, w):
+        from weiser_ai_ray.pipelines.md5np import (
+            window_u60_hashes,
+            window_u60_hashes_many,
+        )
+
+        rng = random.Random(9)
+        docs = [
+            [f"tok{rng.randrange(30)}" for _ in range(rng.randrange(0, 20))]
+            for _ in range(150)
+        ]
+        docs.append([])
+        docs.append(["single"])
+        got_h, got_m = window_u60_hashes_many(docs, w)
+        want = [window_u60_hashes(d, w) if d else np.empty(0, np.int64) for d in docs]
+        assert got_m.tolist() == [len(x) for x in want]
+        cat = np.concatenate(want) if want else np.empty(0, np.int64)
+        assert got_h.tolist() == cat.tolist()
+
+    def test_empty_inputs(self):
+        from weiser_ai_ray.pipelines.md5np import (
+            window_u60_hashes_col,
+            window_u60_hashes_many,
+        )
+
+        h, m = window_u60_hashes_col(pa.array([], pa.string()), 3)
+        assert len(h) == 0 and len(m) == 0
+        h, m = window_u60_hashes_many([], 3)
+        assert len(h) == 0 and len(m) == 0

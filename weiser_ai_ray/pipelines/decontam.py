@@ -36,6 +36,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -86,6 +87,22 @@ def _seg_hash(s: str) -> int:
         if len(_SEG_HASH_CACHE) < 200_000:
             _SEG_HASH_CACHE[s] = h
     return h
+
+
+def _flag_hits(fl: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Boolean membership of each hash in the sorted flagged set."""
+    idx = np.searchsorted(fl, h)
+    return (idx < len(fl)) & (fl[np.minimum(idx, len(fl) - 1)] == h)
+
+
+def _coverage(bad: np.ndarray, ntoks: int, w: int) -> np.ndarray:
+    """covered[j] = any bad window overlaps token j (window i covers
+    tokens [i, i+w)) — flag-delta prefix sum."""
+    delta = np.zeros(ntoks + 1, dtype=np.int64)
+    starts = np.nonzero(bad)[0]
+    np.add.at(delta, starts, 1)
+    np.add.at(delta, np.minimum(starts + w, ntoks), -1)
+    return np.cumsum(delta[:-1]) > 0
 
 
 def _collect_distinct(ds: "ray.data.Dataset", col: str, dtype) -> np.ndarray:
@@ -379,11 +396,19 @@ def dedup_substrings(
         return h
 
     def pass1(batch: pa.Table) -> pa.Table:
-        out = []
-        for t in batch[text_col].to_pylist():
-            if t is not None:
-                out.append(win_hashes(t.split(" ")))
-        h = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+        if hasher == "md5":
+            # ONE packed md5 pass over every window of the batch (the
+            # per-doc helper call left ~33 lanes per numpy pass and was
+            # slower than the hashlib loop it replaced — round-5 fix)
+            from weiser_ai_ray.pipelines.md5np import window_u60_hashes_col
+
+            h, _ = window_u60_hashes_col(batch[text_col], w)
+        else:
+            out = []
+            for t in batch[text_col].to_pylist():
+                if t is not None:
+                    out.append(win_hashes(t.split(" ")))
+            h = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
         return pa.table({"h": pa.array(h, type=pa.int64())})
 
     flagged = _collect_distinct(
@@ -405,6 +430,8 @@ def dedup_substrings(
             if self._fl is None:
                 self._fl = ray.get(flag_ref)
             fl = self._fl
+            if hasher == "md5":
+                return self._md5_batch(batch, fl)
             clean, removed = [], []
             for t in batch[text_col].to_pylist():
                 if t is None:
@@ -417,15 +444,8 @@ def dedup_substrings(
                     clean.append(t)
                     removed.append(0)
                     continue
-                idx = np.searchsorted(fl, h)
-                bad = (idx < len(fl)) & (fl[np.minimum(idx, len(fl) - 1)] == h)
-                # coverage via flag-delta prefix sum: window i covers
-                # tokens [i, i+w); covered[j] = any bad window overlaps j
-                delta = np.zeros(len(toks) + 1, dtype=np.int64)
-                starts = np.nonzero(bad)[0]
-                np.add.at(delta, starts, 1)
-                np.add.at(delta, np.minimum(starts + w, len(toks)), -1)
-                covered = np.cumsum(delta[:-1]) > 0
+                bad = _flag_hits(fl, h)
+                covered = _coverage(bad, len(toks), w)
                 kept = [tok for tok, c in zip(toks, covered) if not c]
                 clean.append(" ".join(kept))
                 removed.append(int(covered.sum()))
@@ -434,6 +454,58 @@ def dedup_substrings(
                     id_col: batch[id_col],
                     "clean_text": pa.array(clean, type=pa.large_string()),
                     "n_removed": pa.array(removed, type=pa.int64()),
+                }
+            )
+
+        def _md5_batch(self, batch: pa.Table, fl: np.ndarray) -> pa.Table:
+            """Batch-level md5 path: one packed hash pass, one global
+            flag probe, and Python string surgery ONLY on the (rare)
+            docs that actually contain a flagged window."""
+            from weiser_ai_ray.pipelines.md5np import window_u60_hashes_col
+
+            col = batch[text_col]
+            h_all, m = window_u60_hashes_col(col, w)
+            nrows = batch.num_rows
+            valid = np.asarray(
+                pc.is_valid(
+                    col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                ).to_numpy(zero_copy_only=False),
+                dtype=bool,
+            )
+            removed = np.zeros(nrows, dtype=np.int64)
+            if len(fl) and len(h_all):
+                bad_all = _flag_hits(fl, h_all)
+                doc_of = np.repeat(np.arange(nrows, dtype=np.int64), m)
+                bad_docs = np.unique(doc_of[bad_all])
+            else:
+                bad_all = np.zeros(0, dtype=bool)
+                bad_docs = np.empty(0, dtype=np.int64)
+            if not len(bad_docs):
+                clean_col = pc.cast(col, pa.large_string())
+                return pa.table(
+                    {
+                        id_col: batch[id_col],
+                        "clean_text": clean_col,
+                        "n_removed": pa.array(
+                            np.where(valid, removed, 0), type=pa.int64(), mask=~valid
+                        ),
+                    }
+                )
+            woffs = np.concatenate([np.zeros(1, np.int64), np.cumsum(m)])
+            texts = col.to_pylist()
+            for d in bad_docs:
+                toks = texts[d].split(" ")
+                bad = bad_all[woffs[d] : woffs[d + 1]]
+                covered = _coverage(bad, len(toks), w)
+                texts[d] = " ".join(
+                    tok for tok, c in zip(toks, covered) if not c
+                )
+                removed[d] = int(covered.sum())
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "clean_text": pa.array(texts, type=pa.large_string()),
+                    "n_removed": pa.array(removed, type=pa.int64(), mask=~valid),
                 }
             )
 

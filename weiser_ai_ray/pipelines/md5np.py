@@ -257,6 +257,95 @@ def window_u60_hashes(toks: Sequence[str], w: int) -> np.ndarray:
     return digest_u60(md5_digest_packed(data, wstarts, ends[w - 1 :] - wstarts))
 
 
+def _window_hashes_packed(
+    data: np.ndarray, doc_offs: np.ndarray, ntok: np.ndarray, sp: np.ndarray, w: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Core window enumeration + ONE packed md5 pass over a
+    concatenated multi-doc buffer. ``data`` holds every doc's
+    space-joined bytes back to back at ``doc_offs`` boundaries,
+    ``ntok`` the per-doc token count (0 = skip the doc), ``sp`` the
+    global positions of every separator space. Returns (hashes
+    concatenated in doc order, per-doc window counts)."""
+    nd = len(ntok)
+    m = np.maximum(ntok - w + 1, 0)
+    total = int(m.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), m
+    nonempty = ntok > 0
+    token_starts = np.sort(np.concatenate([doc_offs[:-1][nonempty], sp + 1]))
+    token_ends = np.sort(np.concatenate([sp, doc_offs[1:][nonempty]]))
+    tok_off = np.concatenate([np.zeros(1, np.int64), np.cumsum(ntok)])
+    sel = m > 0
+    mcum = np.cumsum(m) - m
+    within = np.arange(total, dtype=np.int64) - np.repeat(mcum[sel], m[sel])
+    start_idx = np.repeat(tok_off[:-1][sel], m[sel]) + within
+    wstarts = token_starts[start_idx]
+    wends = token_ends[start_idx + (w - 1)]
+    return digest_u60(md5_digest_packed(data, wstarts, wends - wstarts)), m
+
+
+def window_u60_hashes_col(col, w: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Window hashes for EVERY row of an Arrow string column in ONE
+    packed md5 pass — the batch-level form of ``window_u60_hashes``
+    under ``split(" ")`` tokenization, where each doc's space-joined
+    form IS the stored text, so the concatenated Arrow data buffer is
+    already the packed message buffer (zero per-doc Python).
+
+    Returns (hashes concatenated in row order, per-row window counts);
+    null rows count 0 windows. Digest-identical to calling
+    ``window_u60_hashes(text.split(" "), w)`` row by row — the per-doc
+    call shape measured ~500 tiny numpy ops per ~33-window doc, which
+    is what made the round-3 'vectorized' substring dedup SLOWER than
+    the hashlib loop it replaced (round-5 re-measure)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.cast(col, pa.large_string())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64, count=n + 1 + col.offset)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    valid = np.asarray(pc.is_valid(col).to_numpy(zero_copy_only=False), dtype=bool)
+    slice_lens = offs[1:] - offs[:-1]
+    if (~valid).any() and (slice_lens[~valid] != 0).any():
+        # null rows with residual bytes would corrupt the global space
+        # accounting — blank them in a private copy (rare layout)
+        data = data.copy()
+        for d in np.flatnonzero(~valid & (slice_lens != 0)):
+            data[offs[d] : offs[d + 1]] = 1
+    lo, hi = int(offs[0]), int(offs[-1])
+    sp = np.flatnonzero(data[lo:hi] == 32).astype(np.int64) + lo
+    sp_per_doc = np.diff(np.searchsorted(sp, offs))
+    ntok = np.where(valid, sp_per_doc + 1, 0)
+    return _window_hashes_packed(data, offs, ntok, sp, w)
+
+
+def window_u60_hashes_many(
+    docs_toks: Sequence[Sequence[str]], w: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Window hashes for MANY token lists in ONE packed md5 pass (the
+    regex-token form: tokens are re-joined with single spaces into one
+    buffer). Tokens must contain no space byte. Returns (hashes in doc
+    order, per-doc window counts); digest-identical to per-doc
+    ``window_u60_hashes``."""
+    joined = [" ".join(t).encode() for t in docs_toks]
+    data = np.frombuffer(b"".join(joined), dtype=np.uint8)
+    doc_lens = np.fromiter((len(j) for j in joined), np.int64, count=len(joined))
+    doc_offs = np.concatenate([np.zeros(1, np.int64), np.cumsum(doc_lens)])
+    ntok = np.fromiter((len(t) for t in docs_toks), np.int64, count=len(docs_toks))
+    sp = np.flatnonzero(data == 32).astype(np.int64)
+    return _window_hashes_packed(data, doc_offs, ntok, sp, w)
+
+
 def _as_string_array(col) -> Optional[pa.Array]:
     """CAST(col AS VARCHAR) parity with Python ``str(v)`` for the key
     types the samplers see: strings pass through, integers cast
