@@ -364,6 +364,23 @@ def op_embedding_lsh(path: str) -> dict:
     return {"rows_out": out.count()}
 
 
+def op_embedding_lsh_r16(path: str) -> dict:
+    """Same corpus, scale-sized band geometry: 16-bit band keys (65k
+    buckets/band vs the default r=8's 256, which is degenerate at 3M —
+    every bucket a dup bucket, verify = brute force). The docstring's
+    'tune bands/bits to the threshold AND corpus' knob, measured."""
+    import ray
+
+    from weiser_ai_ray.pipelines.dedup import embedding_neardup_pairs_lsh
+
+    epath = ensure_embeddings(_EMB_ROWS[0])
+    ds = ray.data.read_parquet(epath)
+    out = embedding_neardup_pairs_lsh(
+        ds, "embedding", "vec_id", threshold=0.99, nbits=128, bands=8
+    )
+    return {"rows_out": out.count()}
+
+
 _EMB_ROWS = [3_000_000]
 
 
@@ -374,6 +391,7 @@ OPS = {
     "minhash_incremental": op_minhash_incremental,
     "fuzzy": op_fuzzy,
     "embedding_lsh": op_embedding_lsh,
+    "embedding_lsh_r16": op_embedding_lsh_r16,
     "hopping": op_hopping,
     "reservoir": op_reservoir,
     "priority": op_priority,
