@@ -122,11 +122,17 @@ def centroid_distances(
     # per-batch lookup is an Arrow index_in + numpy gather — no
     # per-row dict hits (round-4 advice)
     cent_keys = list(by_group)
-    cent_mat = np.stack(
-        [
-            np.array([by_group[g][i] for i in range(len(by_group[g]))], dtype=np.float64)
-            for g in cent_keys
-        ]
+    cent_mat = (
+        np.stack(
+            [
+                np.array(
+                    [by_group[g][i] for i in range(len(by_group[g]))], dtype=np.float64
+                )
+                for g in cent_keys
+            ]
+        )
+        if cent_keys
+        else np.empty((0, 0), dtype=np.float64)
     )
     cent_ref = ray.put((pa.array(cent_keys), cent_mat))
 
