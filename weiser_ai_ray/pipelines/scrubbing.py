@@ -38,7 +38,7 @@ def scrub_texts(
     ds: "ray.data.Dataset",
     text_col: str = "text",
     id_col: str = "doc_id",
-    concurrency=(1, 8),
+    concurrency=(1, 64),
 ) -> "ray.data.Dataset":
     """Scrub ``text_col`` with the default rule chain.
 
@@ -138,7 +138,7 @@ def pii_spans(
     ds: "ray.data.Dataset",
     text_col: str = "text",
     id_col: str = "doc_id",
-    concurrency=(1, 8),
+    concurrency=(1, 64),
 ) -> "ray.data.Dataset":
     """PII/secret SPANS instead of rewrites — the audit/annotation
     view: one row per match, (id, rule, start, end, n_chars), offsets

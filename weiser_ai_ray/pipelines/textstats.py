@@ -138,7 +138,7 @@ class DetectLangStage:
         )
 
 
-def detect_languages(ds: "ray.data.Dataset", concurrency=(1, 8)) -> "ray.data.Dataset":
+def detect_languages(ds: "ray.data.Dataset", concurrency=(1, 64)) -> "ray.data.Dataset":
     return ds.map_batches(
         DetectLangStage,
         batch_format="pyarrow",
