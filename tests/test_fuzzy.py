@@ -86,6 +86,26 @@ class TestLevKernel:
             assert got[k] == lev_ref(words[ii[k]], words[jj[k]]), (
                 words[ii[k]], words[jj[k]])
 
+    @pytest.mark.parametrize("maxd", [0, 1, 2, 4])
+    def test_banded_matches_full_within_band(self, maxd):
+        # banded DP must be EXACT wherever the full DP says dist <= maxd,
+        # and > maxd wherever the true dist is, for length-pruned pairs
+        rng = np.random.RandomState(7)
+        words = [
+            bytes(rng.choice(list(b"abc"), rng.randint(0, 10)).tolist())
+            for _ in range(50)
+        ]
+        col = pa.array([w.decode() for w in words])
+        M, lens = _padded_bytes(col)
+        ii, jj = np.triu_indices(len(words), k=1)
+        keep = np.abs(lens[ii] - lens[jj]) <= maxd  # the enumerator's contract
+        ii, jj = ii[keep], jj[keep]
+        full = _lev_pairs(M, lens, ii, jj)
+        band = _lev_pairs(M, lens, ii, jj, maxd=maxd)
+        hit = full <= maxd
+        assert np.array_equal(band[hit], full[hit])
+        assert (band[~hit] > maxd).all()
+
     def test_classic_cases(self):
         col = pa.array(["kitten", "sitting", "", "flaw", "lawn"])
         M, lens = _padded_bytes(col)

@@ -59,10 +59,20 @@ def _padded_bytes(col: "pa.ChunkedArray | pa.Array") -> tuple[np.ndarray, np.nda
 
 
 def _lev_pairs(
-    M: np.ndarray, lens: np.ndarray, ii: np.ndarray, jj: np.ndarray
+    M: np.ndarray,
+    lens: np.ndarray,
+    ii: np.ndarray,
+    jj: np.ndarray,
+    maxd: "int | None" = None,
 ) -> np.ndarray:
     """Levenshtein distance for each candidate pair (ii[k], jj[k]) of
-    rows of the padded byte matrix ``M`` — one DP, P lanes wide."""
+    rows of the padded byte matrix ``M`` — one DP, P lanes wide.
+
+    With ``maxd`` set, only the |i - j| <= maxd diagonal band is
+    computed (cells outside saturate to maxd + 1): results <= maxd are
+    exact, larger ones are only guaranteed > maxd — callers must have
+    pruned |len_a - len_b| > maxd (the band enumerator does). Cuts the
+    inner loop from Lb to 2*maxd + 1 steps per row."""
     A, la = M[ii], lens[ii].astype(np.int32)
     Bm, lb = M[jj], lens[jj].astype(np.int32)
     P = len(ii)
@@ -72,12 +82,22 @@ def _lev_pairs(
         return res
     prev = np.tile(np.arange(Lb + 1, dtype=np.int32), (P, 1))
     cur = np.empty_like(prev)
+    if maxd is not None:
+        big = np.int32(maxd + 1)
+        cur[:] = big
     max_la = int(la.max())
     rows = np.arange(P)
     for i in range(1, max_la + 1):
         ai = A[:, i - 1, None]
+        if maxd is None:
+            jlo, jhi = 1, Lb
+        else:
+            jlo = max(1, i - maxd)
+            jhi = min(Lb, i + maxd)
+            if jlo > 1:
+                cur[:, jlo - 1] = big  # left band edge
         cur[:, 0] = i
-        for j in range(1, Lb + 1):
+        for j in range(jlo, jhi + 1):
             sub = prev[:, j - 1] + (ai[:, 0] != Bm[:, j - 1])
             np.minimum(sub, prev[:, j] + 1, out=sub)
             np.minimum(sub, cur[:, j - 1] + 1, out=sub)
@@ -85,6 +105,8 @@ def _lev_pairs(
         done = la == i
         if done.any():
             res[done] = cur[rows[done], lb[done]]
+        if maxd is not None and jhi + 1 <= Lb:
+            cur[:, jhi + 1] = big  # next row reads prev at its right edge
         prev, cur = cur, prev
     return res
 
@@ -139,7 +161,7 @@ def fuzzy_pairs(
         M, lens, ids = M[order], lens[order], ids[order]
         out_a, out_b, out_d = [], [], []
         for si, sj in _band_tiles(lens, max_dist):
-            d = _lev_pairs(M, lens, si, sj)
+            d = _lev_pairs(M, lens, si, sj, maxd=max_dist)
             hit = d <= max_dist
             ai, bi = ids[si[hit]], ids[sj[hit]]
             out_a.append(np.minimum(ai, bi))
