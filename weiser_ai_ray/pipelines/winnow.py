@@ -103,35 +103,13 @@ class _WinnowStage:
         wins = np.lib.stride_tricks.sliding_window_view(h, self.w)
         return np.unique(wins.min(axis=1))
 
-    def _winnow_mins(self, h: np.ndarray) -> np.ndarray:
-        """Distinct window-min fingerprints of one doc's gram hashes."""
-        if len(h) <= self.w:
-            return h.min(keepdims=True)
-        wins = np.lib.stride_tricks.sliding_window_view(h, self.w)
-        return np.unique(wins.min(axis=1))
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        ids = np.asarray(
+            batch[self.id_col].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
         if self.hasher == "md5":
-            # ONE packed md5 pass over every k-gram of the batch (the
-            # per-doc helper call shape left ~30 lanes per numpy pass
-            # and ran slower than the hashlib loop — round-5 fix); the
-            # winnow min/unique stays per doc on the returned slices
-            from weiser_ai_ray.pipelines.md5np import window_u60_hashes_many
-
-            toks = [
-                self.tok.findall(t or "") for t in batch[self.text_col].to_pylist()
-            ]
-            h_all, m = window_u60_hashes_many(toks, self.k)
-            woffs = np.concatenate([np.zeros(1, np.int64), np.cumsum(m)])
-            fps = [
-                self._winnow_mins(h_all[woffs[d] : woffs[d + 1]])
-                if m[d] > 0
-                else np.empty(0, dtype=np.int64)
-                for d in range(len(toks))
-            ]
-        else:
-            fps = [self.fingerprints(t) for t in batch[self.text_col].to_pylist()]
+            return self._md5_batch(batch, ids)
+        fps = [self.fingerprints(t) for t in batch[self.text_col].to_pylist()]
         lens = np.array([len(f) for f in fps], dtype=np.int64)
         return pa.table(
             {
@@ -139,6 +117,64 @@ class _WinnowStage:
                 "fingerprint": pa.array(
                     np.concatenate(fps) if fps else np.empty(0, np.int64), type=pa.int64()
                 ),
+            }
+        )
+
+    def _md5_batch(self, batch: pa.Table, ids: np.ndarray) -> pa.Table:
+        """Fully batched md5 path: ONE packed md5 pass over every
+        k-gram of the batch (the per-doc call shape left ~30 lanes per
+        numpy pass and ran slower than the hashlib loop — round-5 fix),
+        then the winnow window-min and the per-doc distinct both run
+        across the whole batch: one sliding-window min with doc-
+        boundary masking, one (doc, fp) lexsort + consecutive dedupe.
+        Zero per-doc numpy beyond the regex tokenize."""
+        from weiser_ai_ray.pipelines.md5np import window_u60_hashes_many
+
+        toks = [self.tok.findall(t or "") for t in batch[self.text_col].to_pylist()]
+        h_all, m = window_u60_hashes_many(toks, self.k)
+        empty = pa.table(
+            {
+                self.id_col: pa.array([], pa.int64()),
+                "fingerprint": pa.array([], pa.int64()),
+            }
+        )
+        n_grams = len(h_all)
+        if n_grams == 0:
+            return empty
+        nd = len(m)
+        doc_of = np.repeat(np.arange(nd, dtype=np.int64), m)
+        woffs = np.concatenate([np.zeros(1, np.int64), np.cumsum(m)])
+        parts_d, parts_f = [], []
+        w = self.w
+        if n_grams >= w:
+            wins = np.lib.stride_tricks.sliding_window_view(h_all, w)
+            wmin = wins.min(axis=1)
+            wdoc = doc_of[: n_grams - w + 1]
+            # window fully inside one doc, and only for docs with more
+            # grams than the window (short docs take the segment-min path)
+            valid = (wdoc == doc_of[w - 1 :]) & (m[wdoc] > w)
+            parts_d.append(wdoc[valid])
+            parts_f.append(wmin[valid])
+        nz = m > 0
+        if nz.any():
+            # segment min per non-empty doc: reduceat segments between
+            # consecutive non-empty doc starts are exact because empty
+            # docs contribute zero grams
+            seg_min = np.minimum.reduceat(h_all, woffs[:-1][nz])
+            small = m[nz] <= w
+            parts_d.append(np.arange(nd, dtype=np.int64)[nz][small])
+            parts_f.append(seg_min[small])
+        d_cat = np.concatenate(parts_d)
+        f_cat = np.concatenate(parts_f)
+        order = np.lexsort((f_cat, d_cat))
+        d_cat, f_cat = d_cat[order], f_cat[order]
+        keep = np.ones(len(d_cat), dtype=bool)
+        keep[1:] = (d_cat[1:] != d_cat[:-1]) | (f_cat[1:] != f_cat[:-1])
+        d_cat, f_cat = d_cat[keep], f_cat[keep]
+        return pa.table(
+            {
+                self.id_col: pa.array(ids[d_cat], type=pa.int64()),
+                "fingerprint": pa.array(f_cat, type=pa.int64()),
             }
         )
 
