@@ -161,6 +161,17 @@ class TestFuzzyPairs:
                     want.append((i, j, d))
         assert list(map(tuple, got.values.tolist())) == want
 
+    def test_null_block_key_drops(self):
+        # SQL equi-join parity: NULL blocking keys join nothing (and
+        # must not crash Ray's sort-based groupby)
+        rows = [(1, "hello", None), (2, "hello", None), (3, "hello", "a"), (4, "hallo", "a")]
+        got = (
+            fuzzy_pairs(self.make_ds(rows, 2), "id", "s", "blk", max_dist=2)
+            .to_pandas()
+            .sort_values(["a_id", "b_id"])
+        )
+        assert got[["a_id", "b_id"]].values.tolist() == [[3, 4]]
+
     def test_null_is_empty_string(self):
         rows = [(1, None, "a"), (2, "ab", "a"), (3, None, "a")]
         got = (

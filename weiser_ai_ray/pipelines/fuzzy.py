@@ -178,5 +178,14 @@ def fuzzy_pairs(
             }
         )
 
-    proj = ds.select_columns([id_col, str_col, block_col])
+    def drop_null_blocks(b: pa.Table) -> pa.Table:
+        # SQL equi-join parity: a NULL blocking key joins nothing, and
+        # Ray's sort-based groupby cannot sort null keys — filter here
+        import pyarrow.compute as pc
+
+        return b.filter(pc.is_valid(b[block_col]))
+
+    proj = ds.select_columns([id_col, str_col, block_col]).map_batches(
+        drop_null_blocks, batch_format="pyarrow", zero_copy_batch=True
+    )
     return proj.groupby(block_col).map_groups(pairs, batch_format="pyarrow")
