@@ -250,6 +250,24 @@ class TestEmbeddingNeardupLsh:
         # unique pairs out of the cross-partition reduce
         assert len(out) == len(out.drop_duplicates(["id_a", "id_b"]))
 
+    def test_null_vectors_drop(self):
+        from weiser_ai_ray.pipelines.dedup import embedding_neardup_pairs_lsh
+
+        rng = np.random.RandomState(3)
+        vecs = rng.normal(size=(20, 8)).tolist()
+        vecs[3] = None
+        vecs[7] = vecs[5]  # the only planted pair
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(20), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float64())),
+            }
+        )
+        out = embedding_neardup_pairs_lsh(
+            ray.data.from_arrow(tbl), "embedding", "vec_id", threshold=0.999
+        ).to_pandas()
+        assert out[["id_a", "id_b"]].values.tolist() == [[5, 7]]
+
     def test_empty_and_no_dups(self):
         from weiser_ai_ray.pipelines.dedup import embedding_neardup_pairs_lsh
 

@@ -1819,6 +1819,9 @@ class _HyperplaneBandStage:
         return keys
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # NULL vectors can't be near anything (SQL cosine with NULL is
+        # NULL) — drop them before the flatten, which requires dense rows
+        batch = batch.filter(pc.is_valid(batch[self.vec_col]))
         mat = _vec_matrix(batch[self.vec_col])
         if mat.size == 0:
             return pa.table(
@@ -1916,7 +1919,12 @@ def embedding_neardup_pairs_lsh(
                     "__nvec": pa.array([], pa.list_(pa.float64())),
                 }
             )
-            sub = batch.filter(pc.is_in(batch[id_col], value_set=ray.get(ids_ref)))
+            sub = batch.filter(
+                pc.and_(
+                    pc.is_in(batch[id_col], value_set=ray.get(ids_ref)),
+                    pc.is_valid(batch[vec_col]),
+                )
+            )
             if sub.num_rows == 0:
                 return empty
             mat = _vec_matrix(sub[vec_col])
