@@ -1860,7 +1860,10 @@ def embedding_neardup_pairs_lsh(
     buckets (small buckets enumerate pairs into a chunked einsum
     flush; buckets over _SMALL_BUCKET members take a tiled-matmul
     upper-triangle pass that never materializes the O(m^2) pair
-    index). Every
+    index). A pair is EMITTED only by the partition owning its min
+    shared dup bucket (full per-row bucket lists make this locally
+    decidable, as in the minhash verifier), so a hot cluster's clique
+    ships once, not once per band. Every
     emitted pair's cosine is exact, so output ⊆ the exact operator's
     output; recall < 1 by design and rises with ``bands`` (for
     threshold 0.95 and 8 bands x 8 bits: ~99 %). Tune bands/bits to
@@ -1897,10 +1900,12 @@ def embedding_neardup_pairs_lsh(
 
     class _EmitMembers:
         """One output row per (member row, coarse partition) carrying the
-        row's normalized vector and its dup-bucket keys in that
-        partition — fully vectorized: sorted-key searchsorted membership,
-        one lexsort to group (row, part), Arrow ListArray built straight
-        from group offsets. No per-row Python, no to_pylist."""
+        row's normalized vector and its FULL sorted dup-bucket list (all
+        partitions' keys — what makes min-shared-bucket ownership
+        locally decidable in the verifier, exactly like minhash's
+        _DupTextEmit) — fully vectorized: sorted-key searchsorted
+        membership, lexsorts to group, Arrow ListArray built straight
+        from gathered offsets. No per-row Python, no to_pylist."""
 
         def __init__(self):
             self.stage = _HyperplaneBandStage(vec_col, id_col, nbits, bands, seed)
@@ -1942,24 +1947,41 @@ def embedding_neardup_pairs_lsh(
                 return empty
             rows = np.repeat(np.arange(n, dtype=np.int64), B)[hit]
             bks = flat[hit]
+            # full sorted bucket list per member row
+            order = np.lexsort((bks, rows))
+            rows, bks = rows[order], bks[order]
+            rhead = np.ones(len(rows), dtype=bool)
+            rhead[1:] = rows[1:] != rows[:-1]
+            rstart = np.flatnonzero(rhead)
+            rlen = np.diff(np.append(rstart, len(rows)))
+            urows = rows[rstart]
+            # distinct (row, part) output groups
             parts = bks % np.int64(nparts)
-            order = np.lexsort((bks, parts, rows))
-            rows, bks, parts = rows[order], bks[order], parts[order]
-            head = np.ones(len(rows), dtype=bool)
-            head[1:] = (rows[1:] != rows[:-1]) | (parts[1:] != parts[:-1])
-            starts = np.flatnonzero(head)
-            offsets = np.append(starts, len(rows)).astype(np.int32)
-            grows = rows[starts]
+            order2 = np.lexsort((parts, rows))
+            rp_rows, rp_parts = rows[order2], parts[order2]
+            phead = np.ones(len(rp_rows), dtype=bool)
+            phead[1:] = (rp_rows[1:] != rp_rows[:-1]) | (rp_parts[1:] != rp_parts[:-1])
+            g_rows = rp_rows[phead]
+            g_parts = rp_parts[phead]
+            # each output row carries its member row's FULL bucket list
+            ridx = np.searchsorted(urows, g_rows)
+            L = rlen[ridx]
+            tot = int(L.sum())
+            voffs = np.concatenate([np.zeros(1, np.int64), np.cumsum(L)]).astype(
+                np.int32
+            )
+            within = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(L) - L, L)
+            vals = bks[np.repeat(rstart[ridx], L) + within]
             dim = mat.shape[1]
-            vec_vals = pa.array(mat[grows].ravel(), type=pa.float64())
-            voff = (np.arange(len(grows) + 1, dtype=np.int32) * dim).astype(np.int32)
+            vec_vals = pa.array(mat[g_rows].ravel(), type=pa.float64())
+            voff = (np.arange(len(g_rows) + 1, dtype=np.int64) * dim).astype(np.int32)
             return pa.table(
                 {
-                    "part": pa.array(parts[starts].astype(np.int32), pa.int32()),
+                    "part": pa.array(g_parts.astype(np.int32), pa.int32()),
                     "buckets": pa.ListArray.from_arrays(
-                        pa.array(offsets, pa.int32()), pa.array(bks, pa.int64())
+                        pa.array(voffs, pa.int32()), pa.array(vals, pa.int64())
                     ),
-                    id_col: pa.array(ids[grows], pa.int64()),
+                    id_col: pa.array(ids[g_rows], pa.int64()),
                     "__nvec": pa.ListArray.from_arrays(
                         pa.array(voff, pa.int32()), vec_vals
                     ),
@@ -1988,16 +2010,58 @@ def embedding_neardup_pairs_lsh(
         )
         if n < 2:
             return empty_g
+        part = int(group["part"][0].as_py())
         ids = np.asarray(group[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
         mat = _vec_matrix(group["__nvec"])
-        # bucket membership straight off the Arrow list buffers: one
-        # (bucket, row) lexsort, group boundaries = bucket runs
+        # bucket membership straight off the Arrow list buffers (rows
+        # carry their FULL dup-bucket lists; candidates come only from
+        # buckets THIS partition owns): one (bucket, row) lexsort,
+        # group boundaries = bucket runs
         bl = group["buckets"].combine_chunks()
-        bks = bl.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_all = bl.values.to_numpy(zero_copy_only=False).astype(np.int64)
         boffs = np.asarray(bl.offsets.to_numpy(zero_copy_only=False), dtype=np.int64)
-        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(boffs))
+        list_starts = boffs[:-1]
+        list_lens = np.diff(boffs)
+        rows_all = np.repeat(np.arange(n, dtype=np.int64), list_lens)
+        owned = (flat_all % np.int64(nparts)) == part
+        bks, rows = flat_all[owned], rows_all[owned]
         order = np.lexsort((rows, bks))
         bks, rows = bks[order], rows[order]
+        if not len(bks):
+            return empty_g
+
+        _SENT = np.iinfo(np.int64).max
+        W = int(list_lens.max()) if n else 0
+        # (n x bands) padded sorted lists — built once per group; rows
+        # are ragged only when a row has fewer dup buckets than bands
+        PL = np.full((n, max(W, 1)), _SENT, dtype=np.int64)
+        PL[np.arange(W)[None, :] < list_lens[:, None]] = flat_all
+
+        def _owned_hits(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+            """Mask of hit pairs whose MIN shared dup bucket lands in
+            THIS partition — minhash's canonical ownership, locally
+            decidable from the full per-row lists. Fast path: when both
+            rows' smallest bucket is the same value (always true inside
+            a hot near-identical cluster, whose members share ALL
+            bands), that value IS the min shared. The rest intersect
+            their (<= bands)-wide padded lists with one broadcast
+            compare — no per-hit sort."""
+            P = len(a)
+            if P == 0:
+                return np.zeros(0, dtype=bool)
+            fa, fb = PL[a, 0], PL[b, 0]
+            msb = np.where(fa == fb, fa, _SENT)
+            rest = np.flatnonzero(msb == _SENT)
+            if len(rest):
+                A = PL[a[rest]][:, :, None]
+                B = PL[b[rest]][:, None, :]
+                eq = A == B
+                shared = np.where(eq, A, _SENT)
+                msb[rest] = shared.min(axis=(1, 2))
+            # padding matches padding (SENT == SENT) but every hit pair
+            # shares >= 1 REAL bucket (it surfaced in one), and any real
+            # value < SENT wins the min — msb is never the sentinel
+            return (msb % np.int64(nparts)) == part
         head = np.ones(len(bks), dtype=bool)
         head[1:] = bks[1:] != bks[:-1]
         starts = np.flatnonzero(head)
@@ -2020,9 +2084,11 @@ def embedding_neardup_pairs_lsh(
             acc_n = 0
             cos = np.einsum("ij,ij->i", mat[a], mat[b])
             keep = (cos >= threshold) & (ids[a] != ids[b])
-            out_a.append(a[keep])
-            out_b.append(b[keep])
-            out_c.append(cos[keep])
+            a, b, cos = a[keep], b[keep], cos[keep]
+            own = _owned_hits(a, b)
+            out_a.append(a[own])
+            out_b.append(b[own])
+            out_c.append(cos[own])
 
         for s, e in zip(starts, ends):
             pos = rows[s:e]  # sorted unique (per-row bucket lists are unique)
@@ -2055,18 +2121,20 @@ def embedding_neardup_pairs_lsh(
                         b = pos[tj + hj]
                         cvals = C[hi, hj]
                         keep = ids[a] != ids[b]
-                        out_a.append(a[keep])
-                        out_b.append(b[keep])
-                        out_c.append(cvals[keep])
+                        a, b, cvals = a[keep], b[keep], cvals[keep]
+                        own = _owned_hits(a, b)
+                        out_a.append(a[own])
+                        out_b.append(b[own])
+                        out_c.append(cvals[own])
         flush()
         if not out_a:
             return empty_g
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
         cos = np.concatenate(out_c)
-        # a pair sharing several dup buckets in THIS partition surfaces
-        # once per bucket with identical cosine — collapse locally so
-        # the cross-partition reduce sees unique rows per group
+        # a pair sharing several OWNED dup buckets surfaces once per
+        # bucket with identical cosine — collapse locally; ownership
+        # already guarantees no other partition emits it
         lo = np.minimum(ids[a], ids[b])
         hi = np.maximum(ids[a], ids[b])
         order = np.lexsort((hi, lo))
@@ -2081,37 +2149,13 @@ def embedding_neardup_pairs_lsh(
             }
         )
 
-    pairs = dup_rows.groupby("part").map_groups(verify_cos_group, batch_format="pyarrow")
-
-    # a pair whose shared buckets span SEVERAL coarse partitions is
-    # verified (identically) in each — collapse with one more coarse
-    # reduce over the (small, O(near-dups)) pair table
-    def pair_part(b: pa.Table) -> pa.Table:
-        a = b["id_a"].to_numpy(zero_copy_only=False)
-        c = b["id_b"].to_numpy(zero_copy_only=False)
-        h = (a * np.int64(0x9E3779B1) + c) % np.int64(nparts)
-        return b.append_column("__p2", pa.array(h.astype(np.int32)))
-
-    def uniq_pairs(g: pa.Table) -> pa.Table:
-        a = g["id_a"].to_numpy(zero_copy_only=False)
-        c = g["id_b"].to_numpy(zero_copy_only=False)
-        cos = g["cos"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((c, a))
-        a, c, cos = a[order], c[order], cos[order]
-        first = np.ones(len(a), dtype=bool)
-        first[1:] = (a[1:] != a[:-1]) | (c[1:] != c[:-1])
-        return pa.table(
-            {
-                "id_a": pa.array(a[first], pa.int64()),
-                "id_b": pa.array(c[first], pa.int64()),
-                "cos": pa.array(cos[first], pa.float64()),
-            }
-        )
-
-    return (
-        pairs.map_batches(pair_part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__p2")
-        .map_groups(uniq_pairs, batch_format="pyarrow")
+    # min-shared-bucket ownership makes each pair's emitting partition
+    # unique (and the in-group dedupe handles same-part repeats), so no
+    # cross-partition reduce is needed — the old plan verified AND
+    # shipped a hot cluster's full clique once per band (measured 8x:
+    # one 5k near-identical cluster -> 8 partitions x 12.5M pair rows)
+    return dup_rows.groupby("part").map_groups(
+        verify_cos_group, batch_format="pyarrow"
     )
 
 
