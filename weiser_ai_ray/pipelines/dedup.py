@@ -2095,6 +2095,15 @@ def embedding_neardup_pairs_lsh(
             m = len(pos)
             if m < 2:
                 continue
+            # redundant-bucket skip: if every member's SMALLEST dup
+            # bucket is one common value below this bucket's key, then
+            # every pair's min shared bucket IS that value and the whole
+            # clique is enumerated (and owned) at that bucket — this one
+            # contributes nothing. Kills the 8x hot-cluster re-verify
+            # (identical lists put the cluster in one bucket per band).
+            f = PL[pos, 0]
+            if f[0] != bks[s] and (f == f[0]).all():
+                continue
             if m <= _SMALL_BUCKET:
                 ai, bi = np.triu_indices(m, k=1)
                 acc_a.append(pos[ai])
