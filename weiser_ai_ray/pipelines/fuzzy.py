@@ -11,9 +11,12 @@ domain, cluster id...). The shuffle is one groupby(block) of the
 (id, string, block) projection; full texts never move, only the short
 match column.
 
-The verify kernel is a pair-vectorized Wagner-Fischer DP: all P
-candidate pairs advance one DP cell per numpy op, so the inner work is
-``len_a x len_b`` vector ops over P-lane arrays — no per-pair Python.
+The verify kernel is a pair-vectorized banded Wagner-Fischer DP: all P
+candidate pairs advance one DP cell per numpy op, and only the
+``|i - j| <= max_dist`` diagonal band is computed (out-of-band cells
+saturate; exact for every distance <= max_dist), so the inner work is
+``len_a x (2*max_dist + 1)`` vector ops over P-lane arrays — no
+per-pair Python.
 Pairs are pre-pruned by ``|len(a) - len(b)| <= max_dist`` and processed
 in fixed-size slabs to bound memory. Distances count BYTES of the
 UTF-8 encoding (equals character distance on ASCII, which is also where
