@@ -44,6 +44,17 @@ class LangIdModel:
                     vocab[tok] = row
                 row[li] += w
         self._vocab = vocab
+        # batch form of the same model: token -> row index into one
+        # (nvocab x nlangs) weight matrix, so a batch scores with ONE
+        # np.add.at scatter (sequential in index order per slot — the
+        # SAME per-token accumulation order as the scalar loop, so
+        # scores stay bit-identical to the oracle's token-order sums)
+        self._vocab_idx = {t: i for i, t in enumerate(vocab)}
+        self._W = (
+            np.stack(list(vocab.values()))
+            if vocab
+            else np.zeros((0, len(self.langs)), dtype=np.float64)
+        )
         self._json_i = self.langs.index("json")
         self._md_i = self.langs.index("markdown")
 
@@ -73,10 +84,54 @@ class LangIdModel:
         return self.langs[best_i], best_score
 
     def detect_many(self, contents) -> tuple[list[str], np.ndarray]:
-        langs: list[str] = []
-        scores = np.empty(len(contents), dtype=np.float64)
+        """Batch inference: per-doc token ids gathered in one Python
+        pass (a dict lookup per token — the irreducible model lookup),
+        then ONE np.add.at scatter builds the (docs x langs) score
+        matrix. np.add.at applies repeated-index adds sequentially in
+        order, so every (doc, lang) slot accumulates in token order —
+        bit-identical to the scalar ``detect`` / oracle loop."""
+        n = len(contents)
+        L = len(self.langs)
+        acc = np.zeros((n, L), dtype=np.float64)
+        denom = np.ones(n, dtype=np.float64)
+        vi = self._vocab_idx
+        doc_parts: list[np.ndarray] = []
+        tok_parts: list[np.ndarray] = []
+        null = np.zeros(n, dtype=bool)
         for i, c in enumerate(contents):
-            l, s = self.detect(c)
-            langs.append(l)
-            scores[i] = s
-        return langs, scores
+            if c is None:
+                null[i] = True
+                continue
+            toks = self.token_re.findall(c)
+            denom[i] = len(toks) + 1
+            ids = [vi[t] for t in toks if t in vi]
+            if ids:
+                tok_parts.append(np.asarray(ids, dtype=np.int64))
+                doc_parts.append(np.full(len(ids), i, dtype=np.int64))
+        if tok_parts:
+            np.add.at(
+                acc,
+                np.concatenate(doc_parts),
+                self._W[np.concatenate(tok_parts)],
+            )
+        acc /= denom[:, None]
+        # structural bonuses (spec) AFTER the division — same IEEE
+        # order as the scalar path (sum/denom + bonus)
+        for i, c in enumerate(contents):
+            if c is None:
+                continue
+            if c.lstrip()[:1] in ("{", "["):
+                acc[i, self._json_i] += JSON_STRUCT_BONUS
+            nlines = c.count("\n") + 1
+            header_lines = sum(1 for ln in c.split("\n") if ln.startswith("#"))
+            acc[i, self._md_i] += MARKDOWN_HEADER_BONUS * (header_lines / nlines)
+        best_i = np.argmax(acc, axis=1)  # first max = lexicographic tie-break
+        best_score = acc[np.arange(n), best_i]
+        langs_out = [
+            "unknown"
+            if null[i] or best_score[i] < LID_MIN_SCORE
+            else self.langs[int(best_i[i])]
+            for i in range(n)
+        ]
+        best_score[null] = 0.0
+        return langs_out, best_score
