@@ -31,9 +31,12 @@ import ray.data
 _SLAB = 1 << 16
 
 
-def _padded_bytes(col: "pa.ChunkedArray | pa.Array") -> tuple[np.ndarray, np.ndarray]:
-    """(matrix (n, L) uint8 zero-padded, lens (n,) int32) for a string
-    column — one clamped gather off the Arrow buffer, no Python rows."""
+def _bytes_view(
+    col: "pa.ChunkedArray | pa.Array",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(data buffer, per-row start offsets, per-row lens int32) for a
+    string column — zero-copy views of the Arrow buffers, no padding.
+    Nulls coalesce to ''."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     col = pa.compute.coalesce(col, pa.scalar("", type=col.type))
@@ -49,16 +52,31 @@ def _padded_bytes(col: "pa.ChunkedArray | pa.Array") -> tuple[np.ndarray, np.nda
         if bufs[2] is not None
         else np.empty(0, dtype=np.uint8)
     )
-    lens = np.diff(offs).astype(np.int32)
-    n = len(lens)
-    L = int(lens.max()) if n else 0
-    out = np.zeros((n, max(L, 1)), dtype=np.uint8)
+    return data, offs[:-1].astype(np.int64), np.diff(offs).astype(np.int32)
+
+
+def _gather_pad(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray, rows: np.ndarray
+) -> np.ndarray:
+    """Zero-padded (len(rows), Lmax-of-rows) uint8 matrix gathered off
+    the raw buffer — width is LOCAL to the gathered rows, so a block's
+    single long outlier string never inflates every tile."""
+    rl = lens[rows]
+    L = int(rl.max()) if len(rows) else 0
+    out = np.zeros((len(rows), max(L, 1)), dtype=np.uint8)
     if L:
-        idx = offs[:-1][:, None] + np.arange(L, dtype=np.int64)
+        idx = starts[rows][:, None] + np.arange(L, dtype=np.int64)
         np.minimum(idx, max(len(data) - 1, 0), out=idx)
         np.take(data, idx, out=out[:, :L])
-        out[:, :L][np.arange(L, dtype=np.int64)[None, :] >= lens[:, None]] = 0
-    return out, lens
+        out[:, :L][np.arange(L, dtype=np.int64)[None, :] >= rl[:, None]] = 0
+    return out
+
+
+def _padded_bytes(col: "pa.ChunkedArray | pa.Array") -> tuple[np.ndarray, np.ndarray]:
+    """(matrix (n, L) uint8 zero-padded, lens (n,) int32) for a string
+    column — one clamped gather off the Arrow buffer, no Python rows."""
+    data, starts, lens = _bytes_view(col)
+    return _gather_pad(data, starts, lens, np.arange(len(lens), dtype=np.int64)), lens
 
 
 def _lev_pairs(
@@ -76,9 +94,21 @@ def _lev_pairs(
     exact, larger ones are only guaranteed > maxd — callers must have
     pruned |len_a - len_b| > maxd (the band enumerator does). Cuts the
     inner loop from Lb to 2*maxd + 1 steps per row."""
-    A, la = M[ii], lens[ii].astype(np.int32)
-    Bm, lb = M[jj], lens[jj].astype(np.int32)
-    P = len(ii)
+    return _lev_core(
+        M[ii], lens[ii].astype(np.int32), M[jj], lens[jj].astype(np.int32), maxd
+    )
+
+
+def _lev_core(
+    A: np.ndarray,
+    la: np.ndarray,
+    Bm: np.ndarray,
+    lb: np.ndarray,
+    maxd: "int | None" = None,
+) -> np.ndarray:
+    """DP body over already-gathered per-tile byte matrices (widths
+    local to the tile)."""
+    P = len(la)
     Lb = int(lb.max()) if P else 0
     res = lb.copy()  # la == 0 rows
     if P == 0:
@@ -159,12 +189,22 @@ def fuzzy_pairs(
         # degenerate join value with millions of members) stays bounded
         # at O(g + _SLAB) working memory plus true-hit output.
         ids = np.asarray(group[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
-        M, lens = _padded_bytes(group[str_col])
+        data, bstarts, lens = _bytes_view(group[str_col])
         order = np.argsort(lens, kind="stable")
-        M, lens, ids = M[order], lens[order], ids[order]
+        bstarts, lens, ids = bstarts[order], lens[order], ids[order]
         out_a, out_b, out_d = [], [], []
+        # byte matrices are gathered PER TILE at tile-local width (rows
+        # are length-sorted, so tiles are length-homogeneous): a block's
+        # one megabyte-long outlier string costs only its own tiles,
+        # never an O(block x max_len) padded matrix
         for si, sj in _band_tiles(lens, max_dist):
-            d = _lev_pairs(M, lens, si, sj, maxd=max_dist)
+            d = _lev_core(
+                _gather_pad(data, bstarts, lens, si),
+                lens[si].astype(np.int32),
+                _gather_pad(data, bstarts, lens, sj),
+                lens[sj].astype(np.int32),
+                maxd=max_dist,
+            )
             hit = d <= max_dist
             ai, bi = ids[si[hit]], ids[sj[hit]]
             out_a.append(np.minimum(ai, bi))
